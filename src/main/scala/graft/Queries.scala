@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{SearchEngine, SearchOptions}
+import graft.query.{ParamValue, VectorParam}
+
+/**
+ * The driver-facing query registry: every entry is one operator from
+ * SURVEY.md §2 exercised through the engine's public surface, paired
+ * (in [[oracles]]) with semantically identical DuckDB SQL over the same
+ * parquet tables.
+ *
+ * Determinism contract: every query has a total order (sort key + __key
+ * tiebreak) and floating-point outputs are rounded on BOTH sides, so
+ * the driver's hash compare is stable.
+ */
+object Queries {
+
+  private val engines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  private def eng(spark: SparkSession, dir: String): SearchEngine =
+    engines.getOrElseUpdate(dir, Fixtures.engine(spark, dir))
+
+  /** Fixed KNN query vector — components exactly representable in
+    * float32 so the SQL literal is bit-identical. */
+  val queryVec: Array[Float] = Array.tabulate(64)(i => (i % 16) * 0.125f - 1.0f)
+  private val qParams: Map[String, ParamValue] = Map("q" -> VectorParam(queryVec))
+  private def vecSql: String =
+    queryVec.map(v => f"$v%.3f").mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  private val liKeySql = "concat(l_orderkey, '-', l_linenumber)"
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- //
+  // FT.SEARCH — numeric / tag / boolean (SURVEY §2.2 P1-P3, P10)      //
+  // ---------------------------------------------------------------- //
+
+  private val searchQueries: Seq[(String, Q, String)] = Seq(
+    (
+      "q_numeric_range", // P2: inclusive + exclusive bounds
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("lineitem", "@l_quantity:[10 20] @l_discount:[(0.05 +inf]",
+          SearchOptions(limit = (0, 100), sortBy = Some(("l_extendedprice", false)),
+            returnFields = Seq(("l_quantity", None), ("l_extendedprice", None), ("l_discount", None)))),
+      s"""SELECT $liKeySql AS __key, l_quantity, l_extendedprice, l_discount
+         |FROM lineitem
+         |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount > 0.05
+         |ORDER BY l_extendedprice DESC, __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_numeric_open_bounds", // P2: -inf / exclusive upper
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("lineitem", "@l_extendedprice:[-inf (2000]",
+          SearchOptions(limit = (0, 50), sortBy = Some(("l_extendedprice", true)),
+            returnFields = Seq(("l_extendedprice", None)))),
+      s"""SELECT $liKeySql AS __key, l_extendedprice
+         |FROM lineitem WHERE l_extendedprice < 2000
+         |ORDER BY l_extendedprice ASC, __key ASC LIMIT 50""".stripMargin
+    ),
+    (
+      "q_numeric_equality", // P2: [v v] point query
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("lineitem", "@l_quantity:[25 25]",
+          SearchOptions(limit = (0, 100), returnFields = Seq(("l_quantity", None)))),
+      s"""SELECT $liKeySql AS __key, l_quantity
+         |FROM lineitem WHERE l_quantity = 25
+         |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_tag_or", // P3: multi-tag OR + AND of fields
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("lineitem", "@l_returnflag:{A|R} @l_linestatus:{F}",
+          SearchOptions(limit = (0, 100),
+            returnFields = Seq(("l_returnflag", None), ("l_linestatus", None)))),
+      s"""SELECT $liKeySql AS __key, l_returnflag, l_linestatus
+         |FROM lineitem
+         |WHERE lower(l_returnflag) IN ('a','r') AND lower(l_linestatus) = 'f'
+         |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_tag_prefix", // P3: prefix tags, case-folded
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("customer", "@c_mktsegment:{BUIL* | AUTO*}",
+          SearchOptions(limit = (0, 50), sortBy = Some(("c_acctbal", false)),
+            returnFields = Seq(("c_mktsegment", None), ("c_acctbal", None)))),
+      """SELECT CAST(c_custkey AS VARCHAR) AS __key, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE lower(c_mktsegment) LIKE 'buil%' OR lower(c_mktsegment) LIKE 'auto%'
+        |ORDER BY c_acctbal DESC, __key ASC LIMIT 50""".stripMargin
+    ),
+    (
+      "q_not", // P10: negation (includes missing-field docs by design)
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("lineitem", "-@l_returnflag:{N} @l_quantity:[45 +inf]",
+          SearchOptions(limit = (0, 200), returnFields = Seq(("l_returnflag", None), ("l_quantity", None)))),
+      s"""SELECT $liKeySql AS __key, l_returnflag, l_quantity
+         |FROM lineitem
+         |WHERE NOT lower(l_returnflag) = 'n' AND l_quantity >= 45
+         |ORDER BY __key ASC LIMIT 200""".stripMargin
+    ),
+    (
+      "q_bool_composed", // P10: parens, AND/OR mix
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("lineitem",
+          "(@l_returnflag:{A} @l_quantity:[(40 +inf]) | @l_discount:[0.1 0.1]",
+          SearchOptions(limit = (0, 200), returnFields =
+            Seq(("l_returnflag", None), ("l_quantity", None), ("l_discount", None)))),
+      s"""SELECT $liKeySql AS __key, l_returnflag, l_quantity, l_discount
+         |FROM lineitem
+         |WHERE (lower(l_returnflag) = 'a' AND l_quantity > 40) OR l_discount = 0.1
+         |ORDER BY __key ASC LIMIT 200""".stripMargin
+    ),
+    (
+      "q_sortby_page", // R1/R2: pagination with offset
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("orders", "@o_orderstatus:{F}",
+          SearchOptions(limit = (20, 30), sortBy = Some(("o_totalprice", true)),
+            returnFields = Seq(("o_totalprice", None)))),
+      """SELECT CAST(o_orderkey AS VARCHAR) AS __key, o_totalprice
+        |FROM orders WHERE lower(o_orderstatus) = 'f'
+        |ORDER BY o_totalprice ASC, __key ASC LIMIT 30 OFFSET 20""".stripMargin
+    ),
+    (
+      "q_nocontent", // R3: NOCONTENT — keys only
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("part", "@p_size:[10 20]",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      """SELECT CAST(p_partkey AS VARCHAR) AS __key
+        |FROM part WHERE p_size >= 10 AND p_size <= 20
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    )
+  )
+
+  // ---------------------------------------------------------------- //
+  // Full-text (SURVEY §2.2 P4-P9, P11) over `documents`               //
+  // Oracle tokenization: the corpus is pure [a-z ] so split-on-space  //
+  // equals the analyzer's punctuation split; stop words 'a'/'the' are //
+  // position-removed for phrase/slop oracles.                         //
+  // ---------------------------------------------------------------- //
+
+  private val docJoinedSql =
+    """(' ' || array_to_string(list_filter(string_split(text, ' '),
+      |  w -> w <> 'a' AND w <> 'the' AND w <> ''), ' ') || ' ')""".stripMargin
+
+  private val textQueries: Seq[(String, Q, String)] = Seq(
+    (
+      "q_text_term", // P4 fielded term + tag AND
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:merge @lang:{en}",
+          SearchOptions(limit = (0, 100), returnFields = Seq(("lang", None), ("n_chars", None)))),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key, lang, CAST(n_chars AS DOUBLE) AS n_chars
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'merge') AND lower(lang) = 'en'
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_text_prefix", // P5
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:sca* @lang:{fr}",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), w -> w LIKE 'sca%')) > 0
+        |  AND lower(lang) = 'fr'
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_text_suffix", // P6
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:*dow @source:{src1|src2|src3}",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), w -> w LIKE '%dow')) > 0
+        |  AND lower(source) IN ('src1','src2','src3')
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_text_infix", // P7
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:*ark* @lang:{zh}",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), w -> w LIKE '%ark%')) > 0
+        |  AND lower(lang) = 'zh'
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_text_fuzzy", // P8: Damerau-Levenshtein ≤ 1
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "%scann% @lang:{de}",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '),
+        |        w -> abs(len(w) - 5) <= 1 AND damerau_levenshtein(w, 'scann') <= 1)) > 0
+        |  AND lower(lang) = 'de'
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_text_phrase", // P9: adjacency on post-stop-word positions
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:\"hash join\"",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      s"""SELECT CAST(doc_id AS VARCHAR) AS __key
+         |FROM documents
+         |WHERE contains($docJoinedSql, ' hash join ')
+         |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_text_slop_inorder", // P11: SLOP 2 INORDER
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:hash @text:join",
+          SearchOptions(limit = (0, 200), noContent = true,
+            slop = Some(2), inorder = true)),
+      s"""SELECT CAST(doc_id AS VARCHAR) AS __key
+         |FROM documents
+         |WHERE list_contains(string_split(text,' '), 'hash')
+         |  AND list_contains(string_split(text,' '), 'join')
+         |  AND regexp_matches($docJoinedSql, ' hash( [a-z0-9]+){0,2} join ')
+         |ORDER BY __key ASC LIMIT 200""".stripMargin
+    )
+  )
+
+  // ---------------------------------------------------------------- //
+  // Vector KNN (SURVEY §2.2 P12, §2.3 X7/X8) over `embeddings`        //
+  // ---------------------------------------------------------------- //
+
+  private def knnSelect(df: DataFrame, score: String): DataFrame =
+    df.select(col("__key"), round(col(score), 4).as("score"))
+
+  private val vectorQueries: Seq[(String, Q, String)] = Seq(
+    (
+      "q_knn_l2", // X7 exact KNN, squared-L2 (hnswlib semantics)
+      (s: SparkSession, dir: String) =>
+        knnSelect(eng(s, dir).search("embeddings_l2", "*=>[KNN 10 @vec $q]",
+          SearchOptions(params = qParams)), "__vec_score"),
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key,
+         |  round(list_distance(CAST(embedding AS DOUBLE[]), $vecSql) ^ 2, 4) AS score
+         |FROM embeddings
+         |ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $vecSql) ASC, __key ASC
+         |LIMIT 10""".stripMargin
+    ),
+    (
+      "q_knn_cosine",
+      (s: SparkSession, dir: String) =>
+        knnSelect(eng(s, dir).search("embeddings_cos", "*=>[KNN 10 @vec $q AS dist]",
+          SearchOptions(params = qParams)), "dist"),
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key,
+         |  round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql), 4) AS score
+         |FROM embeddings
+         |ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql) ASC, __key ASC
+         |LIMIT 10""".stripMargin
+    ),
+    (
+      "q_knn_ip",
+      (s: SparkSession, dir: String) =>
+        knnSelect(eng(s, dir).search("embeddings_ip", "*=>[KNN 10 @vec $q]",
+          SearchOptions(params = qParams)), "__vec_score"),
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key,
+         |  round(1.0 - list_dot_product(CAST(embedding AS DOUBLE[]), $vecSql), 4) AS score
+         |FROM embeddings
+         |ORDER BY 1.0 - list_dot_product(CAST(embedding AS DOUBLE[]), $vecSql) ASC, __key ASC
+         |LIMIT 10""".stripMargin
+    ),
+    (
+      "q_hybrid_knn", // X8: pre-filtered exact KNN
+      (s: SparkSession, dir: String) => {
+        val df = eng(s, dir).search("embeddings_l2", "@label:[3 5]=>[KNN 15 @vec $q]",
+          SearchOptions(limit = (0, 15), params = qParams))
+        df.select(col("__key"), col("label"), round(col("__vec_score"), 4).as("score"))
+      },
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key, CAST(label AS DOUBLE) AS label,
+         |  round(list_distance(CAST(embedding AS DOUBLE[]), $vecSql) ^ 2, 4) AS score
+         |FROM embeddings
+         |WHERE label >= 3 AND label <= 5
+         |ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $vecSql) ASC, __key ASC
+         |LIMIT 15""".stripMargin
+    )
+  )
+
+  // ---------------------------------------------------------------- //
+
+  private def allTriples: Seq[(String, Q, String)] =
+    searchQueries ++ textQueries ++ vectorQueries
+
+  def all: Map[String, Q] =
+    allTriples.map { case (n, q, _) => n -> q }.toMap ++ AggregateQueries.all ++
+      PipelineQueries.all
+
+  def oracles: Map[String, String] =
+    allTriples.map { case (n, _, o) => n -> o }.toMap ++ AggregateQueries.oracles ++
+      PipelineQueries.oracles
+}

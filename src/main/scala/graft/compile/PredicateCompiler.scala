@@ -1,0 +1,122 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.query._
+import graft.text.Analyzer
+import graft.functions.damerau_levenshtein
+
+/**
+ * Compiles a [[Predicate]] tree to a single Catalyst `Column`.
+ *
+ * Every leaf evaluates to a STRICT boolean (never SQL NULL): a document
+ * whose field is missing/null does not match the leaf. `Not` is then a
+ * plain boolean negation, which reproduces the reference's
+ * "negation includes documents missing the field" semantics
+ * (search-query.md:203-207, src/query/predicate.cc Negate evaluation)
+ * without fighting SQL three-valued logic.
+ *
+ * The output is a pure column expression — conjunctions of numeric/tag
+ * leaves reach the Parquet scan as pushed filters and Catalyst orders
+ * them by selectivity, which subsumes the reference's min-cardinality
+ * index selection (src/query/search.cc:336-347, see SURVEY §2.3 X2).
+ */
+class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyzer.Default) {
+
+  def compile(p: Predicate): Column = strict(p)
+
+  private def strict(p: Predicate): Column = p match {
+    case MatchAll => lit(true)
+
+    case NumericRange(field, min, minIncl, max, maxIncl) =>
+      val fd = schema.fieldOrFail(field)
+      require(fd.ftype == NumericField, s"$field is not NUMERIC")
+      val c = col(fd.alias)
+      val lo =
+        if (min == Double.NegativeInfinity) lit(true)
+        else if (minIncl) c >= min else c > min
+      val hi =
+        if (max == Double.PositiveInfinity) lit(true)
+        else if (maxIncl) c <= max else c < max
+      coalesce(lo && hi, lit(false))
+
+    case TagMatch(field, patterns) =>
+      val fd = schema.fieldOrFail(field)
+      val caseSensitive = fd.ftype match {
+        case TagField(_, cs) => cs
+        case _ => throw new IllegalArgumentException(s"$field is not TAG")
+      }
+      val tags = col(schema.tagsCol(field))
+      def norm(s: String) = if (caseSensitive) s else s.toLowerCase
+      val exactVals = patterns.filter(!_.isPrefix).map(p => norm(p.value.trim))
+      val prefixVals = patterns.filter(_.isPrefix).map(p => norm(p.value.trim))
+      val exactCond =
+        if (exactVals.isEmpty) lit(false)
+        else if (exactVals.size == 1) array_contains(tags, exactVals.head)
+        else arrays_overlap(tags, lit(exactVals.toArray))
+      val prefixCond = prefixVals.foldLeft(lit(false)) { (acc, p) =>
+        acc || exists(tags, t => t.startsWith(p))
+      }
+      coalesce(exactCond || prefixCond, lit(false))
+
+    case t: TextPredicate => compileText(t)
+
+    case And(children) => children.map(strict).reduce(_ && _)
+    case Or(children) => children.map(strict).reduce(_ || _)
+    case Not(child) => !strict(child)
+  }
+
+  /** Unfielded text predicates search every TEXT field (search-query.md:149). */
+  private def textFieldsOf(field: Option[String]): Seq[FieldDef] = field match {
+    case Some(f) =>
+      val fd = schema.fieldOrFail(f)
+      require(fd.ftype.isInstanceOf[TextField], s"$f is not TEXT")
+      Seq(fd)
+    case None =>
+      val tfs = schema.textFields
+      require(tfs.nonEmpty, s"index ${schema.name} has no TEXT fields")
+      tfs
+  }
+
+  private def overTextFields(field: Option[String])(one: FieldDef => Column): Column =
+    textFieldsOf(field).map(fd => coalesce(one(fd), lit(false))).reduce(_ || _)
+
+  private def tokensOf(fd: FieldDef): Column =
+    transform(col(schema.tokensCol(fd.alias)), t => t("_1"))
+
+  private def compileText(t: TextPredicate): Column = t match {
+    case Term(field, word) =>
+      val w = word.toLowerCase
+      if (analyzer.stopWords.contains(w))
+        // Stop-word terms are removed from the query (search-query.md:152).
+        lit(true)
+      else {
+        val stemmed = Analyzer.stemToken(w, analyzer)
+        overTextFields(field)(fd => array_contains(col(s"__${fd.alias}__terms"), stemmed))
+      }
+    case Prefix(field, p) =>
+      val pl = p.toLowerCase
+      overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.startsWith(pl)))
+    case Suffix(field, sfx) =>
+      val sl = sfx.toLowerCase
+      overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.endsWith(sl)))
+    case Infix(field, in) =>
+      val il = in.toLowerCase
+      overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.contains(il)))
+    case Fuzzy(field, word, maxDist) =>
+      val wl = word.toLowerCase
+      overTextFields(field) { fd =>
+        exists(tokensOf(fd), tok =>
+          // length band prunes the O(nm) DP to candidates only
+          (abs(length(tok) - lit(wl.length)) <= maxDist) &&
+            damerau_levenshtein(tok, lit(wl)) <= maxDist)
+      }
+    case Phrase(field, words) =>
+      // Adjacency on post-stop-word positions ⟺ substring match on the
+      // space-joined token string (" t0 t1 t2 ").
+      val needle = words.map(_.toLowerCase).mkString(" ", " ", " ")
+      overTextFields(field)(fd => col(s"__${fd.alias}__joined").contains(needle))
+  }
+}

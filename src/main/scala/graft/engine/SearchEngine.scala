@@ -1,0 +1,185 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.model._
+import graft.query._
+import graft.compile.PredicateCompiler
+import graft.text.Analyzer
+import graft.functions.vector_distance
+
+/**
+ * FT.SEARCH options (reference: src/query/search.h:43-111,
+ * src/commands/ft_search_parser.cc:102-242).
+ *
+ * `limit` defaults to (0, 10) like the reference (COMMANDS.md:181) —
+ * which also means the physical plan is a TakeOrderedAndProject top-k,
+ * never a full global sort.
+ */
+final case class SearchOptions(
+    limit: (Int, Int) = (0, 10),
+    sortBy: Option[(String, Boolean)] = None, // (field, ascending)
+    returnFields: Seq[(String, Option[String])] = Nil, // (field, AS alias)
+    noContent: Boolean = false,
+    params: Map[String, ParamValue] = Map.empty,
+    slop: Option[Int] = None,
+    inorder: Boolean = false,
+    verbatim: Boolean = false)
+
+/**
+ * The engine facade: a catalog of named indexes (≈ SchemaManager,
+ * reference src/schema_manager.cc) over document DataFrames, compiling
+ * FT.SEARCH / FT.AGGREGATE requests to DataFrame plans.
+ *
+ * Distribution model: where the reference scatter-gathers over gRPC and
+ * merges a k-bounded heap (SURVEY §2.8 C1/C2, src/query/fanout.cc:50-134),
+ * here `filter → orderBy(score) → limit(k)` plans to a distributed
+ * TakeOrderedAndProject — partition-local top-k heaps merged on the
+ * driver, identical algorithm, zero custom code.
+ */
+class SearchEngine {
+
+  private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
+
+  /** FT.CREATE analogue: register an enriched document DataFrame. */
+  def createIndex(schema: IndexSchema, docs: DataFrame): this.type = {
+    catalog(schema.name) = (schema, docs)
+    this
+  }
+
+  def index(name: String): (IndexSchema, DataFrame) =
+    catalog.getOrElse(name, throw new IllegalArgumentException(s"no such index: $name"))
+
+  def schemaOf(name: String): IndexSchema = index(name)._1
+
+  /**
+   * FT.SEARCH: filter [+ KNN] + SORTBY/LIMIT/RETURN result shaping.
+   * Result rows carry `__key`, the KNN score pseudo-column when present,
+   * and either all source fields or the RETURN projection.
+   */
+  def search(indexName: String, query: String,
+             opts: SearchOptions = SearchOptions()): DataFrame = {
+    val (schema, docs) = index(indexName)
+    val analyzerCfg =
+      if (opts.verbatim) Analyzer.Default.copy(stem = false) else Analyzer.Default
+    val parsed = FilterParser.parse(query, opts.params)
+    val compiler = new PredicateCompiler(schema, analyzerCfg)
+
+    var df = docs
+    if (!parsed.isMatchAll) df = df.filter(compiler.compile(parsed.filter))
+    (opts.slop, parsed.filter) match {
+      case (Some(s), f) => df = applyProximity(df, schema, f, s, opts.inorder)
+      case (None, f) if opts.inorder => df = applyProximity(df, schema, f, Int.MaxValue, inorder = true)
+      case _ =>
+    }
+
+    val keyCol = col(schema.keyColumn)
+    var scoreName: Option[String] = None
+
+    parsed.knn match {
+      case Some(knn) =>
+        val fd = schema.fieldOrFail(knn.field)
+        val vf = fd.ftype match {
+          case v: VectorField => v
+          case _ => throw new IllegalArgumentException(s"${knn.field} is not VECTOR")
+        }
+        val name = knn.asName.getOrElse(schema.scoreField(knn.field))
+        scoreName = Some(name)
+        val normalized = vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest
+        val qvec =
+          if (normalized) normalizeQuery(knn.queryVector, vf.metric) else knn.queryVector
+        // Cosine fields unit-normalized at ingest (vector_base.cc:113-133)
+        // run the cheaper IP loop; raw cosine fields compute full cosine.
+        val metric = if (normalized) "IP" else vf.metric.name
+        df = df
+          .filter(col(fd.alias).isNotNull)
+          .withColumn(name, vector_distance(col(fd.alias),
+            lit(qvec).cast(org.apache.spark.sql.types.ArrayType(FloatType)), metric))
+          .orderBy(col(name).asc, keyCol.asc)
+          .limit(knn.k)
+      case None =>
+    }
+
+    // SORTBY: missing-value docs go last (reference search.cc SORTBY;
+    // SURVEY §2.7 R2); key tiebreak keeps results deterministic.
+    val sorted = opts.sortBy match {
+      case Some((field, asc)) =>
+        val c = col(schema.fieldOrFail(field).alias)
+        df.orderBy(if (asc) c.asc_nulls_last else c.desc_nulls_last, keyCol.asc)
+      case None if parsed.knn.isDefined =>
+        df.orderBy(col(scoreName.get).asc, keyCol.asc) // R4 default ordering
+      case None =>
+        df.orderBy(keyCol.asc)
+    }
+
+    val (offset, count) = opts.limit
+    val paged = (if (offset > 0) sorted.offset(offset) else sorted).limit(count)
+
+    if (opts.noContent) paged.select(keyCol)
+    else if (opts.returnFields.nonEmpty) {
+      val cols = keyCol +: opts.returnFields.map { case (f, as) =>
+        val src = if (scoreName.contains(f)) col(f) else col(schema.fieldOrFail(f).alias)
+        src.as(as.getOrElse(f))
+      }
+      paged.select(cols: _*)
+    } else paged
+  }
+
+  /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */
+  def searchCount(indexName: String, query: String,
+                  params: Map[String, ParamValue] = Map.empty): Long = {
+    val (schema, docs) = index(indexName)
+    val parsed = FilterParser.parse(query, params)
+    val compiler = new PredicateCompiler(schema)
+    val base = if (parsed.isMatchAll) docs else docs.filter(compiler.compile(parsed.filter))
+    parsed.knn match {
+      case Some(k) => math.min(base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(), k.k.toLong)
+      case None => base.count()
+    }
+  }
+
+  /** Query vectors are normalized for cosine like ingested ones. */
+  private def normalizeQuery(v: Array[Float], metric: DistanceMetric): Array[Float] =
+    metric match {
+      case DistanceMetric.Cosine =>
+        val mag = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (mag == 0) v else v.map(x => (x / mag).toFloat)
+      case _ => v
+    }
+
+  /**
+   * SLOP/INORDER positional matching (SURVEY §2.2 P11; reference
+   * src/indexes/text/proximity.h:22-51): every multi-text-matcher AND
+   * additionally requires its words to appear within `slop` intervening
+   * positions (optionally in query order) in ONE text field.
+   */
+  private def applyProximity(df: DataFrame, schema: IndexSchema,
+                             filter: Predicate, slop: Int, inorder: Boolean): DataFrame = {
+    val textMatchers = collectTextMatchers(filter)
+    if (textMatchers.size < 2) return df
+    val matcherSpecs = textMatchers.map(graft.text.Proximity.toSpec)
+    val proximityUdf = udf((toks: Seq[org.apache.spark.sql.Row]) =>
+      if (toks == null) false
+      else graft.text.Proximity.matches(
+        toks.map(r => (r.getString(0), r.getInt(1))), matcherSpecs, slop, inorder))
+    // Positional constraints apply within a single field; fields named
+    // by the matchers (or all text fields when unfielded).
+    val fieldsInPlay: Seq[FieldDef] = {
+      val named = textMatchers.flatMap(_.field).distinct
+      if (named.nonEmpty) named.map(schema.fieldOrFail)
+      else schema.textFields
+    }
+    val cond = fieldsInPlay
+      .map(fd => proximityUdf(col(schema.tokensCol(fd.alias))))
+      .reduce(_ || _)
+    df.filter(cond)
+  }
+
+  private def collectTextMatchers(p: Predicate): Seq[TextPredicate] = p match {
+    case t: TextPredicate => Seq(t)
+    case And(cs) => cs.flatMap(collectTextMatchers)
+    case _ => Seq.empty // OR/NOT branches don't participate in proximity
+  }
+}

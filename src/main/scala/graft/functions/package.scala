@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-level entry points for the engine's custom expressions plus a
+ * few composite helpers built from stock Catalyst functions.
+ */
+package object functions {
+
+  private def col2expr(c: Column) = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+  private def expr2col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+
+  /** Squared L2 distance between two float vectors. */
+  def l2_distance(a: Column, b: Column): Column =
+    expr2col(VectorDistance(col2expr(a), col2expr(b), "L2"))
+
+  /** 1 − inner product. */
+  def ip_distance(a: Column, b: Column): Column =
+    expr2col(VectorDistance(col2expr(a), col2expr(b), "IP"))
+
+  /** 1 − cosine similarity. */
+  def cosine_distance(a: Column, b: Column): Column =
+    expr2col(VectorDistance(col2expr(a), col2expr(b), "COSINE"))
+
+  def vector_distance(a: Column, b: Column, metric: String): Column =
+    expr2col(VectorDistance(col2expr(a), col2expr(b), metric))
+
+  /** Occurrence count of needle in haystack (expr-language `contains`). */
+  def contains_count(hay: Column, needle: Column): Column =
+    expr2col(ContainsCount(col2expr(hay), col2expr(needle)))
+
+  /** Damerau-Levenshtein (OSA) edit distance. */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    expr2col(DamerauLevenshtein(col2expr(a), col2expr(b)))
+
+  /** strftime over UTC unix seconds. */
+  def timefmt(ts: Column, fmt: Column): Column =
+    expr2col(StrfTime(col2expr(ts), col2expr(fmt)))
+
+  /** strptime → unix seconds (double), NULL on failure. */
+  def parsetime(s: Column, fmt: Column): Column =
+    expr2col(ParseTime(col2expr(s), col2expr(fmt)))
+}

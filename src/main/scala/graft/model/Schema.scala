@@ -1,0 +1,104 @@
+package graft.model
+
+/**
+ * Index schema model — the Spark-native equivalent of the reference's
+ * `FT.CREATE ... SCHEMA ...` declaration (reference:
+ * src/index_schema.proto:1-96, src/commands/ft_create_parser.cc:41-106).
+ *
+ * A schema declares typed fields over a document DataFrame. The loader
+ * ([[Documents]]) derives auxiliary columns (normalized tag arrays,
+ * token arrays, unit-normalized vectors) so that query compilation is
+ * pure column algebra with full Catalyst pushdown.
+ */
+sealed trait FieldType
+
+/** 64-bit double field (reference: src/indexes/numeric.cc). */
+case object NumericField extends FieldType
+
+/**
+ * Tag field: raw string split on a single-char separator; case-folded
+ * unless `caseSensitive` (reference: src/indexes/tag.h:33-44,
+ * COMMANDS.md:44-48).
+ */
+final case class TagField(separator: String = ",", caseSensitive: Boolean = false)
+    extends FieldType
+
+/**
+ * Full-text field (reference: src/indexes/text/text_index.h:57-88,
+ * lexer options src/commands/ft_create_parser.cc:96-106).
+ */
+final case class TextField(
+    noStem: Boolean = false,
+    withSuffixTrie: Boolean = true,
+    minStemSize: Int = 4,
+    weight: Double = 1.0)
+    extends FieldType
+
+sealed trait DistanceMetric { def name: String }
+object DistanceMetric {
+  case object L2 extends DistanceMetric { val name = "L2" }
+  case object IP extends DistanceMetric { val name = "IP" }
+  case object Cosine extends DistanceMetric { val name = "COSINE" }
+  def parse(s: String): DistanceMetric = s.toUpperCase match {
+    case "L2" => L2
+    case "IP" => IP
+    case "COSINE" => Cosine
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+}
+
+/**
+ * Vector field: FLOAT32, fixed dim, L2 | IP | COSINE
+ * (reference: COMMANDS.md:50-66, src/indexes/vector_base.cc:113-133 for
+ * cosine ingest-normalization).
+ */
+final case class VectorField(
+    dim: Int,
+    metric: DistanceMetric,
+    hnswM: Int = 16,
+    efConstruction: Int = 200,
+    efRuntime: Int = 10,
+    // Reference behavior: cosine vectors are unit-normalized at ingest
+    // (vector_base.cc:113-133) so queries run the cheaper IP loop.
+    // Disable to keep raw vectors and compute full cosine per query.
+    normalizeAtIngest: Boolean = true)
+    extends FieldType
+
+/**
+ * One declared field: `identifier` is the source column; `alias` the
+ * query-visible name (`AS` clause, ft_create_parser.cc:41-60).
+ */
+final case class FieldDef(identifier: String, alias: String, ftype: FieldType)
+object FieldDef {
+  def apply(identifier: String, ftype: FieldType): FieldDef =
+    FieldDef(identifier, identifier, ftype)
+}
+
+/**
+ * A named index over a document table. `keyColumn` plays the role of the
+ * Valkey key (`__key` pseudo-field, reference ft_aggregate.cc:95-105).
+ */
+final case class IndexSchema(
+    name: String,
+    fields: Seq[FieldDef],
+    keyColumn: String = "__key") {
+
+  private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
+
+  def field(alias: String): Option[FieldDef] = byAlias.get(alias)
+  def fieldOrFail(alias: String): FieldDef =
+    byAlias.getOrElse(alias, throw new IllegalArgumentException(
+      s"index $name has no field '$alias'"))
+
+  def textFields: Seq[FieldDef] = fields.filter(_.ftype.isInstanceOf[TextField])
+  def tagFields: Seq[FieldDef] = fields.filter(_.ftype.isInstanceOf[TagField])
+  def numericFields: Seq[FieldDef] = fields.filter(_.ftype == NumericField)
+  def vectorFields: Seq[FieldDef] = fields.filter(_.ftype.isInstanceOf[VectorField])
+
+  /** Derived-column name holding the normalized tag array for a tag field. */
+  def tagsCol(alias: String): String = s"__${alias}__tags"
+  /** Derived-column name holding token structs for a text field. */
+  def tokensCol(alias: String): String = s"__${alias}__tokens"
+  /** Pseudo-field carrying KNN distance (reference: COMMANDS.md:195-199). */
+  def scoreField(vectorAlias: String): String = s"__${vectorAlias}_score"
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.text.Analyzer
+
+/**
+ * Loader: raw table → canonical document DataFrame for an [[IndexSchema]].
+ *
+ * Mirrors the reference's ingest pipeline (S2 backfill + S3/S4 readers,
+ * src/index_schema.cc:560-999, src/attribute_data_type.cc) as a batch
+ * enrichment: each declared field gets its derived search columns
+ * computed *at scan time* (pure projections — no shuffle, fully
+ * parallel, safe at any scale):
+ *
+ *  - TAG     → `__f__tags`:   array<string>, split on separator, trimmed,
+ *              case-folded unless CASESENSITIVE (src/indexes/tag.cc:107).
+ *  - TEXT    → `__f__tokens`: array<struct<tok,pos>> (post stop-word
+ *              positions, search-data-formats.md:255),
+ *              `__f__terms`:  array<string> distinct stems,
+ *              `__f__joined`: " tok1 tok2 ... " for phrase adjacency.
+ *  - VECTOR  → cosine metric: unit-normalize + keep `__f__magnitude`
+ *              (src/indexes/vector_base.cc:113-133); reject wrong-dim
+ *              vectors by nulling them (index_base.h:43-47 drop
+ *              semantics).
+ *  - NUMERIC → cast to double (non-numeric → null ≡ untracked).
+ *
+ * At 100 TB these projections would be materialized once at ingest and
+ * written back to Parquet; the query path below works identically on
+ * either the enriched table or the raw one.
+ */
+object Documents {
+
+  /** Spark-side tokenizer UDFs (ingest-time only; queries use array ops). */
+  private def tokenizeUdf(cfg: Analyzer.Config) =
+    udf((s: String) =>
+      if (s == null) null
+      else Analyzer.tokenize(s, cfg).map(t => (t.token, t.pos)))
+
+  private def termsUdf(cfg: Analyzer.Config) =
+    udf((s: String) => if (s == null) null else Analyzer.termSet(s, cfg))
+
+  def load(spark: SparkSession, path: String, schema: IndexSchema,
+           keyExpr: Option[Column] = None,
+           analyzer: Analyzer.Config = Analyzer.Default): DataFrame = {
+    enrich(spark.read.parquet(path), schema, keyExpr, analyzer)
+  }
+
+  def enrich(raw: DataFrame, schema: IndexSchema,
+             keyExpr: Option[Column] = None,
+             analyzer: Analyzer.Config = Analyzer.Default): DataFrame = {
+    var df = keyExpr match {
+      case Some(k) => raw.withColumn(schema.keyColumn, k.cast(StringType))
+      case None =>
+        if (raw.columns.contains(schema.keyColumn)) raw
+        else raw.withColumn(schema.keyColumn,
+          concat_ws("|", raw.columns.map(col).toIndexedSeq: _*))
+    }
+    schema.fields.foreach { fd =>
+      val src = col(fd.identifier)
+      fd.ftype match {
+        case NumericField =>
+          if (fd.alias != fd.identifier || df.schema(fd.identifier).dataType != DoubleType)
+            df = df.withColumn(fd.alias, src.cast(DoubleType))
+        case TagField(sep, caseSensitive) =>
+          val rawTags = split(src.cast(StringType), java.util.regex.Pattern.quote(sep))
+          val trimmed = transform(rawTags, t => trim(t))
+          val folded = if (caseSensitive) trimmed else transform(trimmed, t => lower(t))
+          df = df.withColumn(schema.tagsCol(fd.alias),
+            filter(folded, t => length(t) > 0))
+        case tf: TextField =>
+          val cfg = analyzer.copy(stem = analyzer.stem && !tf.noStem,
+            minStemSize = tf.minStemSize)
+          val toks = tokenizeUdf(cfg)(src.cast(StringType))
+          df = df
+            .withColumn(schema.tokensCol(fd.alias), toks)
+            .withColumn(s"__${fd.alias}__terms", termsUdf(cfg)(src.cast(StringType)))
+            .withColumn(s"__${fd.alias}__joined",
+              concat(lit(" "),
+                array_join(transform(col(schema.tokensCol(fd.alias)), t => t("_1")), " "),
+                lit(" ")))
+        case vf: VectorField =>
+          // Wrong-dimension vectors are dropped from the index
+          // (reference index_base.h:43-47) — represented as null here.
+          val sized = when(size(src) === vf.dim, src).otherwise(lit(null))
+          if (vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest) {
+            val mag = sqrt(aggregate(sized, lit(0.0d),
+              (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+            df = df
+              .withColumn(s"__${fd.alias}__magnitude", mag)
+              .withColumn(fd.alias,
+                when(mag > 0d,
+                  transform(sized, x => (x.cast(DoubleType) / mag).cast(FloatType)))
+                  .otherwise(sized))
+          } else if (fd.alias != fd.identifier) {
+            df = df.withColumn(fd.alias, sized)
+          } else {
+            df = df.withColumn(fd.alias, sized)
+          }
+      }
+    }
+    df
+  }
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+/**
+ * Lexical pipeline for TEXT fields: punctuation split → lowercase →
+ * stop-word removal → (optional) stemming. Mirrors the behavior spec in
+ * reference docs/topics/search-data-formats.md:210-300 and
+ * src/indexes/text/lexer.cc:100-165.
+ *
+ * Positions are assigned AFTER stop-word removal (removed stop words do
+ * not occupy a position — search-data-formats.md:255).
+ */
+object Analyzer {
+
+  /** Default punctuation set (reference: ft_create_parser.h:27-28). */
+  val DefaultPunctuation: String = ",.<>{}[]\"':;!@#$%^&*()-+=~/\\|?"
+
+  /** Default English stop words (reference: ft_create_parser.h:32-36). */
+  val DefaultStopWords: Set[String] = Set(
+    "a", "is", "the", "an", "and", "are", "as", "at", "be",
+    "but", "by", "for", "if", "in", "into", "it", "no", "not",
+    "of", "on", "or", "such", "that", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
+  final case class Config(
+      punctuation: Set[Char] = DefaultPunctuation.toSet,
+      stopWords: Set[String] = DefaultStopWords,
+      stem: Boolean = true,
+      minStemSize: Int = 4)
+
+  val Default: Config = Config()
+  /** No stemming, no stop words — used for exact-oracle test queries. */
+  val Verbatim: Config = Config(stopWords = Set.empty, stem = false)
+
+  final case class Token(token: String, pos: Int)
+
+  private def isBoundary(c: Char, cfg: Config): Boolean =
+    c.isWhitespace || cfg.punctuation.contains(c)
+
+  /**
+   * Raw word split (pre stop-word/stem): contiguous non-punctuation,
+   * non-whitespace runs, lowercased. Backslash escapes a punctuation
+   * char into the word (search-data-formats.md:233).
+   */
+  def words(text: String, cfg: Config = Default): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString.toLowerCase; sb.clear() } }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\\' && i + 1 < text.length &&
+          (text.charAt(i + 1) == '\\' || cfg.punctuation.contains(text.charAt(i + 1)))) {
+        sb += text.charAt(i + 1); i += 2
+      } else if (isBoundary(c, cfg)) { flush(); i += 1 }
+      else { sb += c; i += 1 }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Full pipeline: words → drop stop words → assign positions. */
+  def tokenize(text: String, cfg: Config = Default): Seq[Token] =
+    words(text, cfg).filterNot(cfg.stopWords.contains)
+      .zipWithIndex.map { case (w, p) => Token(w, p) }
+
+  /** Stem a single (already lowercased) token per MINSTEMSIZE rule. */
+  def stemToken(w: String, cfg: Config = Default): String =
+    if (cfg.stem && w.length >= cfg.minStemSize) PorterStemmer.stem(w) else w
+
+  /**
+   * Index-side term set for a text value: distinct stems of its tokens.
+   * Query-side term search compares stem(query) against this set —
+   * equivalent to the reference's stem-variant expansion
+   * (text_index.h:119-125) since stem(a)==stem(b) ⟺ same variant group.
+   */
+  def termSet(text: String, cfg: Config = Default): Seq[String] =
+    tokenize(text, cfg).map(t => stemToken(t.token, cfg)).distinct
+}

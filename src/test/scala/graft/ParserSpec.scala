@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query._
+import graft.text.{Analyzer, PorterStemmer, Proximity}
+
+class ParserSpec extends AnyFunSuite {
+
+  test("match-all") {
+    assert(FilterParser.parse("*").filter == MatchAll)
+    assert(FilterParser.parse(" * ").filter == MatchAll)
+  }
+
+  test("numeric ranges") {
+    assert(FilterParser.parse("@price:[10 100]").filter ==
+      NumericRange("price", 10, true, 100, true))
+    assert(FilterParser.parse("@price:[(10 100.5]").filter ==
+      NumericRange("price", 10, false, 100.5, true))
+    assert(FilterParser.parse("@price:[-inf (1e2]").filter ==
+      NumericRange("price", Double.NegativeInfinity, true, 100, false))
+    assert(FilterParser.parse("@price:[(10 +inf]").filter ==
+      NumericRange("price", 10, false, Double.PositiveInfinity, true))
+  }
+
+  test("tags with prefixes and spaces") {
+    assert(FilterParser.parse("@color:{blue | black}").filter ==
+      TagMatch("color", Seq(TagPattern("blue", false), TagPattern("black", false))))
+    assert(FilterParser.parse("@color:{black | fred*}").filter ==
+      TagMatch("color", Seq(TagPattern("black", false), TagPattern("fred", true))))
+    assert(FilterParser.parse("@color:{hello world | hello universe}").filter ==
+      TagMatch("color", Seq(TagPattern("hello world", false), TagPattern("hello universe", false))))
+  }
+
+  test("boolean precedence: NOT > AND > OR") {
+    val p = FilterParser.parse("@a:{x} @b:[1 2] | @c:{y}").filter
+    assert(p == Or(Seq(
+      And(Seq(TagMatch("a", Seq(TagPattern("x", false))), NumericRange("b", 1, true, 2, true))),
+      TagMatch("c", Seq(TagPattern("y", false))))))
+    val n = FilterParser.parse("-@a:{x} @b:[1 2]").filter
+    assert(n == And(Seq(Not(TagMatch("a", Seq(TagPattern("x", false)))),
+      NumericRange("b", 1, true, 2, true))))
+  }
+
+  test("parens") {
+    val p = FilterParser.parse("(@a:{x} | @b:{y}) @c:[0 1]").filter
+    assert(p.isInstanceOf[And])
+    assert(p.asInstanceOf[And].children.head.isInstanceOf[Or])
+  }
+
+  test("text operators") {
+    assert(FilterParser.parse("hello").filter == Term(None, "hello"))
+    assert(FilterParser.parse("@t:hello").filter == Term(Some("t"), "hello"))
+    assert(FilterParser.parse("hello*").filter == Prefix(None, "hello"))
+    assert(FilterParser.parse("*hello").filter == Suffix(None, "hello"))
+    assert(FilterParser.parse("*hel*").filter == Infix(None, "hel"))
+    assert(FilterParser.parse("%hello%").filter == Fuzzy(None, "hello", 1))
+    assert(FilterParser.parse("%%hello%%").filter == Fuzzy(None, "hello", 2))
+    assert(FilterParser.parse("\"hello world\"").filter == Phrase(None, Seq("hello", "world")))
+    assert(FilterParser.parse("@t:\"hello world\"").filter == Phrase(Some("t"), Seq("hello", "world")))
+    intercept[FilterParser.ParseError](FilterParser.parse("%%hello%"))
+  }
+
+  test("KNN clause with params") {
+    val vec = Array(1.0f, 2.0f, 3.0f)
+    val q = FilterParser.parse("*=>[KNN 5 @v $vec EF_RUNTIME 20 AS dist]",
+      Map("vec" -> VectorParam(vec)))
+    assert(q.isMatchAll)
+    val knn = q.knn.get
+    assert(knn.k == 5 && knn.field == "v" && knn.efRuntime.contains(20) &&
+      knn.asName.contains("dist") && knn.queryVector.sameElements(vec))
+    val hybrid = FilterParser.parse("@price:[10 20]=>[KNN 3 @v $vec]",
+      Map("vec" -> VectorParam(vec)))
+    assert(hybrid.filter == NumericRange("price", 10, true, 20, true))
+  }
+
+  test("string params substitute in bounds and tags") {
+    val q = FilterParser.parse("@p:[$lo $hi] @c:{$tag}",
+      Map("lo" -> StringParam("5"), "hi" -> StringParam("7"), "tag" -> StringParam("red")))
+    assert(q.filter == And(Seq(NumericRange("p", 5, true, 7, true),
+      TagMatch("c", Seq(TagPattern("red", false))))))
+  }
+
+  test("analyzer: punctuation split, case fold, stop words, positions") {
+    assert(Analyzer.words("hello, world!") == Seq("hello", "world"))
+    assert(Analyzer.words("it's a test") == Seq("it", "s", "a", "test"))
+    assert(Analyzer.words("hello-world") == Seq("hello", "world"))
+    assert(Analyzer.words("price: $100") == Seq("price", "100"))
+    assert(Analyzer.words("hello\\,world") == Seq("hello,world"))
+    // positions after stop-word removal (search-data-formats.md:255)
+    assert(Analyzer.tokenize("the quick brown fox is not fast") ==
+      Seq(Analyzer.Token("quick", 0), Analyzer.Token("brown", 1),
+        Analyzer.Token("fox", 2), Analyzer.Token("fast", 3)))
+  }
+
+  test("porter2 stemmer on known vectors") {
+    val cases = Map(
+      "running" -> "run", "flies" -> "fli", "happiness" -> "happi",
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "failing" -> "fail", "filing" -> "file",
+      "generalization" -> "general", "national" -> "nation",
+      "merge" -> "merg", "dying" -> "die", "news" -> "news",
+      "searches" -> "search", "consign" -> "consign", "consigned" -> "consign",
+      "knack" -> "knack", "knot" -> "knot")
+    cases.foreach { case (in, want) =>
+      assert(PorterStemmer.stem(in) == want, s"stem($in)")
+    }
+  }
+
+  test("proximity slop/inorder") {
+    val toks = Seq(("quick", 0), ("brown", 1), ("fox", 2), ("jumped", 3), ("dog", 4))
+    def spec(w: String) = Proximity.ExactSpec(w)
+    assert(Proximity.matches(toks, Seq(spec("quick"), spec("fox")), 1, true))
+    assert(!Proximity.matches(toks, Seq(spec("quick"), spec("fox")), 0, true))
+    assert(Proximity.matches(toks, Seq(spec("fox"), spec("quick")), 1, false))
+    assert(!Proximity.matches(toks, Seq(spec("fox"), spec("quick")), 5, true))
+    assert(Proximity.matches(toks, Seq(spec("quick"), spec("brown"), spec("fox")), 0, true))
+    assert(!Proximity.matches(toks, Seq(spec("quick"), spec("missing")), 9, false))
+  }
+
+  test("damerau-levenshtein") {
+    import graft.functions.DamerauLevenshtein.distance
+    assert(distance("hello", "hello") == 0)
+    assert(distance("hello", "hell") == 1)
+    assert(distance("hello", "ehllo") == 1) // transposition
+    assert(distance("hello", "hlelo") == 1)
+    assert(distance("abc", "cab") == 2)
+    assert(distance("", "abc") == 3)
+  }
+}
