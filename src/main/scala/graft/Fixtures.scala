@@ -46,6 +46,14 @@ object Fixtures {
     FieldDef("source", TagField()),
     FieldDef("text", TextField(withSuffixTrie = true))))
 
+  /** Timestamps surface as numeric unix seconds — the reference has no
+    * timestamp type; time fns take doubles (search-expressions.md). */
+  val eventsSchema: IndexSchema = IndexSchema("events", Seq(
+    FieldDef("ts_sec", NumericField),
+    FieldDef("value", NumericField),
+    FieldDef("user_id", NumericField),
+    FieldDef("event_type", TagField())))
+
   val embeddingsL2Schema: IndexSchema = IndexSchema("embeddings_l2", Seq(
     FieldDef("label", NumericField),
     FieldDef("embedding", "vec", VectorField(dim = 64, metric = DistanceMetric.L2))))
@@ -83,6 +91,18 @@ object Fixtures {
     e.createIndex(documentsSchema, Documents.enrich(
       table(spark, dir, "documents"), documentsSchema,
       keyExpr = Some(col("doc_id"))))
+    // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 only reads it as
+    // a long (nanos) under this legacy flag; seconds = nanos / 1e9.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsRaw = table(spark, dir, "events")
+    val tsSec =
+      if (eventsRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts").cast("double") / 1e9
+      else col("ts").cast("double")
+    e.createIndex(eventsSchema, Documents.enrich(
+      eventsRaw.withColumn("ts_sec", tsSec),
+      eventsSchema,
+      keyExpr = Some(col("event_id"))))
     val emb = table(spark, dir, "embeddings")
     e.createIndex(embeddingsL2Schema, Documents.enrich(
       emb, embeddingsL2Schema, keyExpr = Some(col("vec_id"))))

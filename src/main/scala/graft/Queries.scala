@@ -19,7 +19,7 @@ import graft.query.{ParamValue, VectorParam}
 object Queries {
 
   private val engines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
-  private def eng(spark: SparkSession, dir: String): SearchEngine =
+  private[graft] def eng(spark: SparkSession, dir: String): SearchEngine =
     engines.getOrElseUpdate(dir, Fixtures.engine(spark, dir))
 
   /** Fixed KNN query vector — components exactly representable in

@@ -1,0 +1,279 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.query.{Expr, ExprParseException}
+import graft.functions.{contains_count, parsetime, timefmt}
+
+/**
+ * Static type tag for a compiled expression — the Spark-side stand-in
+ * for the reference's dynamically-typed `expr::Value`
+ * (reference: src/expr/value.h:25-113). Nil ≡ SQL NULL throughout; the
+ * Bool variant surfaces as numeric 0/1 (search-expressions.md
+ * "Logical Operators").
+ */
+sealed trait VTag
+object VTag {
+  case object Num extends VTag
+  case object Str extends VTag
+  case object Bool extends VTag
+}
+
+final case class TypedCol(c: Column, tag: VTag)
+
+/**
+ * Compiles an expression AST to a Spark Column, reproducing the
+ * reference's dynamic-value semantics (src/expr/value.cc) over
+ * statically-typed columns:
+ *
+ *  - arithmetic coerces via strtod; failure → Nil; Nil propagates;
+ *    x/0 → NaN (value.cc:351-362)
+ *  - comparisons follow the prioritized rules of value.cc:271-319 and
+ *    value.h:135-161 — both-Nil ⇒ EQUAL; one-Nil or NaN ⇒ UNORDERED,
+ *    where UNORDERED makes `==`, `<=`, `>=` TRUE and `<`, `>`, `!=`
+ *    FALSE (a deliberate delta from SQL three-valued logic)
+ *  - `&&`/`||` are Nil-propagating (value.cc:387-409), unlike SQL's
+ *    `false AND NULL = false`
+ *  - numeric fns return NaN (not Nil) for non-Nil unconvertible input
+ *    (value.cc NumericUnaryNil, 1.2.1 semantics)
+ *
+ * @param resolve  field alias → column + tag for the current record
+ *                 (record schema evolves across FT.AGGREGATE stages)
+ * @param params   PARAMS values, substituted as string constants
+ */
+final class ExprCompiler(
+    resolve: String => Option[TypedCol],
+    params: Map[String, String] = Map.empty) {
+
+  import Expr._
+  import VTag._
+
+  private val nan = lit(Double.NaN)
+  private val posInf = lit(Double.PositiveInfinity)
+  private val negInf = lit(Double.NegativeInfinity)
+
+  // ------------------------------------------------------------------ //
+  // Value conversions (reference value.cc AsDouble/AsStringView/AsBool) //
+  // ------------------------------------------------------------------ //
+
+  /** strtod coercion: empty string → 0.0 (strtod quirk, value.cc:129-150);
+    * unparseable → NULL (Nil). */
+  private def asNum(t: TypedCol): Column = t.tag match {
+    case Num => t.c
+    case Bool => t.c.cast(DoubleType)
+    case Str => when(t.c === lit(""), lit(0.0)).otherwise(t.c.cast(DoubleType))
+  }
+
+  /** AsStringView: doubles format with %.11g (value.cc:88-100). */
+  private def asStr(t: TypedCol): Column = t.tag match {
+    case Str => t.c
+    case Bool => when(t.c, lit("1")).otherwise(lit("0"))
+    case Num => graft.functions.format_g(t.c)
+  }
+
+  /** AsBool (value.cc:102-127): NaN → true, number → ≠0, string →
+    * non-empty; Nil → NULL. */
+  private def asBool(t: TypedCol): Column = t.tag match {
+    case Bool => t.c
+    case Num => when(isnan(t.c), lit(true)).otherwise(t.c =!= lit(0.0))
+    case Str => octet_length(t.c) > 0
+  }
+
+  /** IsTrue (value.h:81-84): Nil ⇒ false. The FILTER-stage predicate. */
+  def isTrue(t: TypedCol): Column = coalesce(asBool(t), lit(false))
+
+  // ------------------------------------------------------------------ //
+  // Public API                                                          //
+  // ------------------------------------------------------------------ //
+
+  def compile(e: Expr): TypedCol = e match {
+    case NumLit(v) => TypedCol(lit(v), Num)
+    case StrLit(v) => TypedCol(lit(v), Str)
+    case ParamRef(n) => TypedCol(
+      lit(params.getOrElse(n, throw new ExprParseException(s"Unknown parameter $$$n"))), Str)
+    case FieldRef(n) => resolve(n).getOrElse(
+      throw new ExprParseException(s"Unknown field @$n"))
+    case Not(inner) =>
+      TypedCol(!asBool(compile(inner)), Bool) // NULL-propagating like FuncNot
+    case Dyadic(op, l, r) => dyadic(op, compile(l), compile(r))
+    case Call(name, args) => call(name, args.map(compile))
+  }
+
+  /** Surface form: Bool → numeric 0/1 (search-expressions.md:103). */
+  def compileToColumn(e: Expr): Column = {
+    val t = compile(e)
+    t.tag match {
+      case Bool => t.c.cast(DoubleType)
+      case _ => t.c
+    }
+  }
+
+  /** FILTER-stage form: IsTrue semantics, Nil ⇒ drop. */
+  def compileToPredicate(e: Expr): Column = isTrue(compile(e))
+
+  /** Numeric coercion of a compiled value (reducer inputs). */
+  def toNum(t: TypedCol): Column = asNum(t)
+
+  /** Surface form of a compiled value: Bool → 0/1 double. */
+  def surface(t: TypedCol): Column = t.tag match {
+    case Bool => t.c.cast(DoubleType)
+    case _ => t.c
+  }
+
+  // ------------------------------------------------------------------ //
+  // Operators                                                           //
+  // ------------------------------------------------------------------ //
+
+  private def dyadic(op: String, l: TypedCol, r: TypedCol): TypedCol = op match {
+    case "+" => TypedCol(asNum(l) + asNum(r), Num)
+    case "-" => TypedCol(asNum(l) - asNum(r), Num)
+    case "*" => TypedCol(asNum(l) * asNum(r), Num)
+    case "/" =>
+      val (ln, rn) = (asNum(l), asNum(r))
+      // x/0 → NaN, not Infinity/NULL (value.cc:351-362)
+      TypedCol(when(rn === lit(0.0), nan).otherwise(ln / rn), Num)
+    case "^" => TypedCol(pow(asNum(l), asNum(r)), Num)
+    case "&&" | "||" =>
+      val (lb, rb) = (asBool(l), asBool(r))
+      // Nil-propagating, NOT SQL three-valued logic (value.cc:387-409)
+      val res = if (op == "&&") lb && rb else lb || rb
+      TypedCol(when(lb.isNull || rb.isNull, lit(null)).otherwise(res), Bool)
+    case relop => TypedCol(comparison(relop, l, r), Bool)
+  }
+
+  /**
+   * Ordering column: -1 | 0 | 1, NULL = UNORDERED. Encodes
+   * value.cc:271-319 `Compare` incl. both-Nil ⇒ EQUAL and the
+   * promote-to-double rule for mixed types.
+   */
+  private def ordering(l0: TypedCol, r0: TypedCol): Column = {
+    // Bool participates in comparisons via its numeric form.
+    val l = if (l0.tag == Bool) TypedCol(asNum(l0), Num) else l0
+    val r = if (r0.tag == Bool) TypedCol(asNum(r0), Num) else r0
+
+    def numOrd(a: Column, b: Column): Column =
+      when(isnan(a) || isnan(b), lit(null).cast(IntegerType))
+        .when(a < b, lit(-1)).when(a === b, lit(0)).otherwise(lit(1))
+    def strOrd(a: Column, b: Column): Column =
+      when(a < b, lit(-1)).when(a === b, lit(0)).otherwise(lit(1))
+
+    val typedOrd = (l.tag, r.tag) match {
+      case (Num, Num) => numOrd(l.c, r.c)
+      case (Str, Str) => strOrd(l.c, r.c) // rule 4 precedes numeric promotion
+      case _ =>
+        val (ln, rn) = (asNum(l), asNum(r))
+        when(ln.isNotNull && rn.isNotNull, numOrd(ln, rn))
+          .otherwise(strOrd(asStr(l), asStr(r)))
+    }
+    when(l.c.isNull && r.c.isNull, lit(0))
+      .when(l.c.isNull || r.c.isNull, lit(null).cast(IntegerType))
+      .otherwise(typedOrd)
+  }
+
+  /** UNORDERED ⇒ ==, <=, >= true; <, >, != false (value.h:135-161). */
+  private def comparison(op: String, l: TypedCol, r: TypedCol): Column = {
+    val ord = ordering(l, r)
+    op match {
+      case "<" => coalesce(ord === -1, lit(false))
+      case "<=" => coalesce(ord =!= 1, lit(true))
+      case "==" => coalesce(ord === 0, lit(true))
+      case "!=" => coalesce(ord === -1 || ord === 1, lit(false))
+      case ">" => coalesce(ord === 1, lit(false))
+      case ">=" => coalesce(ord =!= -1, lit(true))
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Functions (reference expr.cc:192-223 table, value.cc bodies)        //
+  // ------------------------------------------------------------------ //
+
+  /** Numeric-fn input: Nil stays Nil; non-Nil unconvertible → NaN
+    * (value.cc NumericUnaryNil, 1.2.1). */
+  private def numArg(t: TypedCol): Column = t.tag match {
+    case Str => when(t.c.isNull, lit(null).cast(DoubleType))
+      .otherwise(coalesce(asNum(t), nan))
+    case _ => asNum(t)
+  }
+
+  private def call(name: String, args: List[TypedCol]): TypedCol = name match {
+    case "exists" => TypedCol(args.head.c.isNotNull, Bool)
+
+    case "abs" => TypedCol(abs(numArg(args.head)), Num)
+    case "exp" => TypedCol(exp(numArg(args.head)), Num)
+    case "sqrt" => TypedCol(sqrt(numArg(args.head)), Num) // sqrt(<0) → NaN, like C
+    case "ceil" | "floor" =>
+      val d = numArg(args.head)
+      // Spark's ceil/floor return LongType and break on NaN/Inf; C's
+      // return the input unchanged there (math.h).
+      val f = if (name == "ceil") ceil(d) else floor(d)
+      TypedCol(when(isnan(d) || d === posInf || d === negInf, d)
+        .otherwise(f.cast(DoubleType)), Num)
+    case "log" | "log2" =>
+      val d = numArg(args.head)
+      val f = if (name == "log") log(d) else log2(d)
+      // C log: log(0) → -Inf, log(<0) → NaN; Spark yields NULL for both.
+      TypedCol(when(d.isNull, lit(null).cast(DoubleType))
+        .when(isnan(d), nan)
+        .when(d === lit(0.0), negInf)
+        .when(d < 0, nan)
+        .otherwise(f), Num)
+
+    case "upper" | "lower" =>
+      // 1.2.1 semantics: non-string input → Nil (value.cc FuncLower).
+      args.head.tag match {
+        case Str => TypedCol(if (name == "upper") upper(args.head.c) else lower(args.head.c), Str)
+        case _ => TypedCol(lit(null).cast(org.apache.spark.sql.types.StringType), Str)
+      }
+    case "strlen" => TypedCol(octet_length(asStr(args.head)).cast(DoubleType), Num)
+    case "startswith" =>
+      TypedCol(asStr(args.head).startsWith(asStr(args(1))), Bool)
+    case "contains" => // occurrence count (value.cc:511-532)
+      TypedCol(contains_count(asStr(args.head), asStr(args(1))), Num)
+    case "substr" => TypedCol(substrValkey(args.head, args(1), args(2)), Str)
+    case "concat" =>
+      if (args.isEmpty) TypedCol(lit(""), Str)
+      else TypedCol(concat(args.map(asStr): _*), Str)
+
+    case "dayofweek" => TypedCol(timeField(args.head, t => dayofweek(t) - 1), Num) // 0=Sunday
+    case "dayofmonth" | "day" => TypedCol(timeField(args.head, t => dayofmonth(t)), Num)
+    case "dayofyear" => TypedCol(timeField(args.head, t => dayofyear(t) - 1), Num) // 0-based
+    case "monthofyear" | "month" => TypedCol(timeField(args.head, t => month(t) - 1), Num) // 0-based
+    case "year" => TypedCol(timeField(args.head, t => year(t)), Num)
+    case "minute" => TypedCol(timeField(args.head, t => minute(t)), Num)
+    case "hour" => TypedCol(timeField(args.head, t => hour(t)), Num)
+
+    case "timefmt" =>
+      val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
+      TypedCol(timefmt(numArg(args.head), fmt), Str)
+    case "parsetime" =>
+      val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
+      TypedCol(parsetime(asStr(args.head), fmt), Num)
+
+    case other => throw new ExprParseException(s"Function $other is unknown")
+  }
+
+  /** gmtime field extraction: integer unix seconds, UTC session TZ. */
+  private def timeField(t: TypedCol, f: Column => Column): Column =
+    f(timestamp_seconds(numArg(t).cast(LongType))).cast(DoubleType)
+
+  /**
+   * FuncSubstr (value.cc:534-566): negative offset counts from the end;
+   * out-of-range offset or length 0 → ""; negative length keeps
+   * (size − offset) + length bytes (so −1 drops the last byte).
+   */
+  private def substrValkey(s0: TypedCol, off0: TypedCol, len0: TypedCol): Column = {
+    val s = asStr(s0)
+    val size = octet_length(s)
+    val offRaw = asNum(off0).cast(LongType)
+    val lenArg = asNum(len0).cast(LongType)
+    val off = when(offRaw >= 0, offRaw).otherwise(offRaw + size)
+    val tailLen = (size - off) + lenArg
+    when(s.isNull || offRaw.isNull || lenArg.isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
+      .when(off > size || off < 0 || lenArg === 0, lit(""))
+      .when(lenArg >= 0, substring(s, (off + 1).cast(IntegerType), lenArg.cast(IntegerType)))
+      .when(tailLen < 0, lit(""))
+      .otherwise(substring(s, (off + 1).cast(IntegerType), tailLen.cast(IntegerType)))
+  }
+}

@@ -127,6 +127,56 @@ class SearchEngine {
     } else paged
   }
 
+  /**
+   * FT.AGGREGATE: the FT.SEARCH key-selection front-end followed by the
+   * stage pipeline (reference: ft_aggregate.cc:272-363; SURVEY §2.4).
+   *
+   * @param stageTokens the command tokens after `FT.AGGREGATE idx query`
+   *                    (LOAD/APPLY/FILTER/GROUPBY/SORTBY/LIMIT...), or
+   *                    use [[aggregateStages]] with a pre-built pipeline.
+   */
+  def aggregate(indexName: String, query: String, stageTokens: Seq[String],
+                opts: SearchOptions = SearchOptions()): DataFrame =
+    aggregateStages(indexName, query, graft.query.AggregateParser.parse(stageTokens), opts)
+
+  def aggregateStages(indexName: String, query: String,
+                      stages: Seq[graft.query.AggStage],
+                      opts: SearchOptions = SearchOptions()): DataFrame = {
+    val (schema, docs) = index(indexName)
+    val parsed = FilterParser.parse(query, opts.params)
+    val compilerCfg =
+      if (opts.verbatim) Analyzer.Default.copy(stem = false) else Analyzer.Default
+    val compiler = new PredicateCompiler(schema, compilerCfg)
+
+    var df = docs
+    if (!parsed.isMatchAll) df = df.filter(compiler.compile(parsed.filter))
+
+    // Vector/hybrid front-end: working set = top-k neighbors sorted by
+    // distance, score as a loadable pseudo-field (ft.aggregate.md:3-5).
+    var scoreField: Option[String] = None
+    parsed.knn.foreach { knn =>
+      val fd = schema.fieldOrFail(knn.field)
+      val vf = fd.ftype match {
+        case v: VectorField => v
+        case _ => throw new IllegalArgumentException(s"${knn.field} is not VECTOR")
+      }
+      val name = knn.asName.getOrElse(schema.scoreField(knn.field))
+      scoreField = Some(name)
+      val normalized = vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest
+      val qvec = if (normalized) normalizeQuery(knn.queryVector, vf.metric) else knn.queryVector
+      val metric = if (normalized) "IP" else vf.metric.name
+      df = df
+        .filter(col(fd.alias).isNotNull)
+        .withColumn(name, vector_distance(col(fd.alias),
+          lit(qvec).cast(org.apache.spark.sql.types.ArrayType(FloatType)), metric))
+        .orderBy(col(name).asc, col(schema.keyColumn).asc)
+        .limit(knn.k)
+    }
+
+    val stringParams = opts.params.collect { case (k, StringParam(v)) => k -> v }
+    new AggregatePipeline(schema, stringParams).run(df, scoreField, stages)
+  }
+
   /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */
   def searchCount(indexName: String, query: String,
                   params: Map[String, ParamValue] = Map.empty): Long = {

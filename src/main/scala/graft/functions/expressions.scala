@@ -251,8 +251,10 @@ object StrfTime {
   }
 
   /** strptime counterpart for `parsetime`. */
-  def parse(s: String, fmt: String): Option[Long] = {
-    // Translate the supported strftime subset to a regex with captures.
+  def parse(s: String, fmt0: String): Option[Long] = {
+    // Composite specifiers expand first (C strptime: %F = %Y-%m-%d,
+    // %T = %H:%M:%S), then the simple subset translates to a regex.
+    val fmt = fmt0.replace("%F", "%Y-%m-%d").replace("%T", "%H:%M:%S")
     val fields = scala.collection.mutable.Map.empty[Char, Int]
     val rx = new StringBuilder
     val order = scala.collection.mutable.ArrayBuffer.empty[Char]
@@ -298,4 +300,48 @@ case class ParseTime(left: Expression, right: Expression)
     StrfTime.parse(l.toString, r.toString).map(_.toDouble).orNull
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/**
+ * C `snprintf("%.11g")` double formatting — how the reference renders a
+ * numeric Value as a string (src/expr/value.cc:88-100 FormatDouble):
+ * NaN → "nan"/"-nan", infinities → "inf"/"-inf", trailing zeros
+ * trimmed (Java's %g keeps them, so we post-process).
+ */
+case class FormatG(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "format_g"
+
+  override def nullSafeEval(d: Any): Any =
+    UTF8String.fromString(FormatG.format(d.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val cls = FormatG.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($cls.format($d));"
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object FormatG {
+  /** Called from generated code. */
+  def format(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) {
+      if ((java.lang.Double.doubleToRawLongBits(d) & Long.MinValue) != 0L) "-nan" else "nan"
+    } else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else {
+      val s = String.format(java.util.Locale.ROOT, "%.11g", java.lang.Double.valueOf(d))
+      val eIdx = s.indexWhere(c => c == 'e' || c == 'E')
+      if (eIdx >= 0) {
+        var mant = s.substring(0, eIdx)
+        if (mant.contains('.')) mant = mant.replaceAll("0+$", "").stripSuffix(".")
+        mant + s.substring(eIdx)
+      } else if (s.contains('.')) s.replaceAll("0+$", "").stripSuffix(".")
+      else s
+    }
+  }
 }

@@ -43,4 +43,7 @@ package object functions {
   /** strptime → unix seconds (double), NULL on failure. */
   def parsetime(s: Column, fmt: Column): Column =
     expr2col(ParseTime(col2expr(s), col2expr(fmt)))
+  /** C %.11g rendering of a double (reference FormatDouble). */
+  def format_g(d: Column): Column =
+    expr2col(FormatG(col2expr(d)))
 }
