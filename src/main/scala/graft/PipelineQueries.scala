@@ -1,10 +1,211 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline gate queries (dedup / similarity / text
-  * analysis / multimodal) — populated with M6. */
+import graft.pipeline.{Ann, Dedup, TextMetrics}
+
+/**
+ * Training-data pipeline gate queries: dedup family, similarity search,
+ * text analysis (SURVEY layering beyond the reference's own surface).
+ *
+ * Oracle policy: operators with SQL-expressible semantics get a DuckDB
+ * oracle; probabilistic-recall ops (MinHash/LSH candidates, IVF probes)
+ * and ops defined in terms of xxhash64 (SimHash, winnowing) are
+ * registered without one (driver records a rows-only check) and are
+ * instead pinned by unit specs in PipelineSpec.
+ *
+ * Pairwise oracles restrict to a doc_id-modulus subset so the DuckDB
+ * side stays O((n/5)²) at sf0.1; the engine side uses the same subset
+ * through the same public API it would use on the full table.
+ */
 object PipelineQueries {
-  def all: Map[String, Queries.Q] = Map.empty
-  def oracles: Map[String, String] = Map.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "embeddings")
+
+  private def q(name: String)(fn: Queries.Q)(oracle: String): (String, Queries.Q, Option[String]) =
+    (name, fn, Some(oracle))
+  private def qNoOracle(name: String)(fn: Queries.Q): (String, Queries.Q, Option[String]) =
+    (name, fn, None)
+
+  /** DuckDB bigram-shingle list for a `text` column named in SQL. */
+  private val bigramSql =
+    "list_distinct(list_filter(list_transform(list_zip(string_split(text,' ')," +
+      " string_split(text,' ')[2:]), p -> p[1] || ' ' || p[2]), x -> x IS NOT NULL))"
+
+  private val triples: Seq[(String, Queries.Q, Option[String])] = Seq(
+
+    // -------------------- deduplication ---------------------------- //
+
+    q("p_dedup_exact") { (s, dir) =>
+      Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")
+        .orderBy(col("content_hash").asc)
+        .limit(200)
+    } {
+      """SELECT md5(text) AS content_hash,
+        |  CAST(count(*) AS DOUBLE) AS n_dups,
+        |  CAST(min(doc_id) AS VARCHAR) AS keep_key
+        |FROM documents GROUP BY 1 ORDER BY 1 ASC LIMIT 200""".stripMargin
+    },
+
+    q("p_dedup_ngram_jaccard") { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    } {
+      s"""WITH d AS (
+         |  SELECT doc_id, $bigramSql AS sh
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |p AS (
+         |  SELECT CAST(a.doc_id AS VARCHAR) AS key_a,
+         |    CAST(b.doc_id AS VARCHAR) AS key_b,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT * FROM p WHERE jaccard >= 0.3
+         |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
+    },
+
+    // MinHash+LSH candidates verified by exact Jaccard. Oracle-able
+    // here: precision is exact, and every qualifying pair in the
+    // corpus has J ≥ 0.81, where 32-band/4-row LSH miss probability is
+    // (1 − J⁴)³² < 1e-8 — the candidate set equals the exact set.
+    q("p_dedup_minhash_lsh") { (s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    } {
+      s"""WITH d AS (
+         |  SELECT doc_id, $bigramSql AS sh FROM documents),
+         |p AS (
+         |  SELECT CAST(a.doc_id AS VARCHAR) AS key_a,
+         |    CAST(b.doc_id AS VARCHAR) AS key_b,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT * FROM p WHERE jaccard >= 0.5
+         |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
+    },
+
+    qNoOracle("p_dedup_simhash") { (s, dir) =>
+      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    },
+
+    q("p_embed_neardup") { (s, dir) =>
+      Dedup.embeddingNearDupsExact(
+        embs(s, dir).filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        minCosine = 0.35)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    } {
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |p AS (
+        |  SELECT CAST(a.vec_id AS VARCHAR) AS key_a,
+        |    CAST(b.vec_id AS VARCHAR) AS key_b,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT * FROM p WHERE cosine >= 0.35
+        |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
+    },
+
+    qNoOracle("p_embed_neardup_lsh") { (s, dir) =>
+      Dedup.embeddingNearDupsLsh(embs(s, dir), "vec_id", "embedding",
+        minCosine = 0.3, numPlanes = 16, bands = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    },
+
+    // -------------------- similarity search ------------------------ //
+
+    q("p_ann_bruteforce") { (s, dir) =>
+      Ann.topK(embs(s, dir), "vec_id", "embedding", Queries.queryVec,
+        k = 20, metric = "COSINE")
+        .withColumn("distance", round(col("distance"), 4))
+    } {
+      val vecSql = Queries.queryVec.map(v => f"$v%.3f")
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key,
+         |  round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql), 4) AS distance
+         |FROM embeddings
+         |ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql) ASC,
+         |  __key ASC LIMIT 20""".stripMargin
+    },
+
+    // IVF probes a centroid subset → recall < 1 by design; pinned by a
+    // recall-vs-exact unit spec instead of a SQL oracle.
+    qNoOracle("p_ann_ivf") { (s, dir) =>
+      val ivf = Ann.buildIvf(embs(s, dir), "vec_id", "embedding", nCells = 16)
+      ivf.search(Queries.queryVec, k = 20, nProbe = 4, metric = "COSINE")
+        .withColumn("distance", round(col("distance"), 4))
+    },
+
+    // -------------------- text analysis ---------------------------- //
+
+    q("p_text_metrics") { (s, dir) =>
+      TextMetrics.annotate(docs(s, dir), "text")
+        .select(col("doc_id").cast("string").as("__key"),
+          col("n_tokens_ws"), col("n_tokens_bpe"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          round(col("mean_token_len"), 4).as("mean_token_len"),
+          col("quality"), col("lang_pred"))
+        .orderBy(col("__key").asc)
+        .limit(300)
+    } {
+      val langCase = {
+        val cnts = TextMetrics.LangProfiles.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          lang -> s"len(list_filter(string_split(text,' '), w -> list_contains($list, w)))"
+        }
+        val best = cnts.map(_._2).mkString("greatest(", ", ", ")")
+        val whens = cnts.map { case (lang, c) =>
+          s"WHEN $c = __best AND __best > 0 THEN '$lang'"
+        }.mkString(" ")
+        (best, s"CASE $whens ELSE 'unknown' END")
+      }
+      val stops = TextMetrics.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT *, ${langCase._1} AS __best,
+         |    len(string_split(text, ' ')) AS __n
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS __key,
+         |    CAST(__n AS DOUBLE) AS n_tokens_ws,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_tokens_bpe,
+         |    round(len(list_filter(string_split(text,' '), w -> list_contains($stops, w)))::DOUBLE / __n, 4) AS stopword_ratio,
+         |    round(list_sum(list_transform(string_split(text,' '), w -> strlen(w)))::DOUBLE / __n, 4) AS mean_token_len,
+         |    round(least(__n / 50.0, 1.0) * least(1.0, 20000.0 / greatest(__n, 1)) * 0.4
+         |      + (1.0 - least(((strlen(text) - strlen(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+         |           / strlen(text)) * 4.0, 1.0)) * 0.3
+         |      + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> strlen(w)))::DOUBLE / __n
+         |           BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+         |    ${langCase._2} AS lang_pred
+         |  FROM base)
+         |SELECT * FROM m ORDER BY __key ASC LIMIT 300""".stripMargin
+    },
+
+    // Winnowing fingerprint is defined via xxhash64 → rows-only gate;
+    // determinism and near-dup sharing pinned by PipelineSpec.
+    qNoOracle("p_fingerprint") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").cast("string").as("__key"),
+          TextMetrics.fingerprintDigest("text").as("fp_digest"),
+          size(TextMetrics.fingerprint("text")).cast("double").as("fp_size"))
+        .orderBy(col("__key").asc)
+        .limit(300)
+    }
+  )
+
+  def all: Map[String, Queries.Q] =
+    triples.map { case (n, fn, _) => n -> fn }.toMap
+  def oracles: Map[String, String] =
+    triples.collect { case (n, _, Some(o)) => n -> o }.toMap
 }

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.vector_distance
+
+/**
+ * Similarity search over an embedding column (SURVEY §7.2 M5's scale
+ * path, layered beyond the reference's HNSW — here the batch-analytics
+ * shape: ANN for query sets against a corpus):
+ *
+ *  - [[topK]] — exact brute force: distance expression → orderBy →
+ *    limit(k). Spark plans TakeOrderedAndProject: partition-local
+ *    k-heaps merged on the driver — exactly the reference's fanout
+ *    gather (src/query/fanout.cc:50-134) with zero custom code.
+ *    This is the correctness oracle for every ANN variant.
+ *
+ *  - [[IvfIndex]] — inverted-file ANN: deterministic k-means centroids,
+ *    vectors partitioned by nearest centroid; a query probes the
+ *    `nProbe` nearest cells. At 100 TB the cell assignment is a
+ *    map-only pass and the probe reads ~nProbe/nCells of the data —
+ *    with the index table written partitioned by cell_id, partition
+ *    pruning makes the skipped cells free (never read from storage).
+ */
+object Ann {
+
+  /** Exact top-k nearest: the baseline and oracle. */
+  def topK(df: DataFrame, keyCol: String, vecCol: String,
+           query: Array[Float], k: Int, metric: String = "COSINE"): DataFrame =
+    df.select(col(keyCol).cast("string").as("__key"),
+        vector_distance(col(vecCol), lit(query).cast(ArrayType(FloatType)), metric)
+          .as("distance"))
+      .orderBy(col("distance").asc, col("__key").asc)
+      .limit(k)
+
+  /** Squared L2 between two double arrays (driver-side, for k-means). */
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /**
+   * Deterministic Lloyd k-means on a bounded sample (collected to the
+   * driver — the sample, never the dataset). Seeded initialization from
+   * evenly-spaced sample points, fixed iteration count: same centroids
+   * on every run and cluster size.
+   */
+  def kmeansCentroids(df: DataFrame, vecCol: String, nCells: Int,
+                      sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    val sample = df.select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nCells, s"need at least $nCells sample vectors")
+    val step = sample.length / nCells
+    var centroids = Array.tabulate(nCells)(i => sample(i * step).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < nCells) {
+          val d = sq(v, centroids(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var j = 0; while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id for a vector column (argmin over a broadcast
+    * literal centroid table, evaluated with HOFs — no UDF). */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val dists = centroids.map(c =>
+      aggregate(zip_with(v, lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    // argmin via struct-min: (distance, idx) pairs compare lexically.
+    val packed = array(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("i"))
+    }: _*)
+    array_min(packed).getField("i")
+  }
+
+  /** IVF index: the source rows plus a `cell_id` column. Persist with
+    * `.write.partitionBy("cell_id")` to get storage-level pruning. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]],
+                            keyCol: String, vecCol: String) {
+
+    /** Probe the `nProbe` cells nearest to the query; exact distance
+      * within them; top-k merge (TakeOrderedAndProject again). */
+    def search(query: Array[Float], k: Int, nProbe: Int,
+               metric: String = "COSINE"): DataFrame = {
+      val qd = query.map(_.toDouble)
+      val probeCells = centroids.zipWithIndex
+        .map { case (c, i) => (sq(qd, c), i) }
+        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+      assigned
+        .filter(col("cell_id").isin(probeCells.toIndexedSeq: _*)) // → partition pruning on disk layouts
+        .select(col(keyCol).cast("string").as("__key"),
+          vector_distance(col(vecCol), lit(query).cast(ArrayType(FloatType)), metric)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("__key").asc)
+        .limit(k)
+    }
+  }
+
+  def buildIvf(df: DataFrame, keyCol: String, vecCol: String,
+               nCells: Int = 16): IvfIndex = {
+    val centroids = kmeansCentroids(df, vecCol, nCells)
+    IvfIndex(df.withColumn("cell_id", cellId(col(vecCol), centroids)),
+      centroids, keyCol, vecCol)
+  }
+}

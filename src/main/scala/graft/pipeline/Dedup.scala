@@ -1,0 +1,283 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines:
+ * exact, MinHash+LSH, SimHash and n-gram-Jaccard near-dup detection.
+ *
+ * Scale design (the point, per the builder brief):
+ *  - signatures (shingles, MinHash, SimHash) are row-local column
+ *    expressions — map-only, no shuffle, whole-stage codegen;
+ *  - candidate generation shuffles on band/bucket keys only (LSH), or
+ *    on shingles (exact Jaccard) — never a cross join;
+ *  - at 100 TB the only all-pairs work happens inside LSH buckets,
+ *    whose expected size is O(1) for a fixed collision threshold.
+ *
+ * All hashing is seeded and deterministic (xxhash64 + affine rehash
+ * mod 2^31−1), so signatures are stable across runs and executors.
+ */
+object Dedup {
+
+  private val MersennePrime = 2147483647L // 2^31 − 1
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    if (n == 1) array_distinct(ws)
+    else array_distinct(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n))))))
+  }
+
+  /**
+   * Exact duplicate grouping by content hash (the 100 TB-safe version
+   * of GROUP BY text: hash first so the shuffle moves 16-byte keys,
+   * not documents).
+   */
+  def exactDupGroups(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("__key"),
+        md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).cast("double").as("n_dups"),
+        min("__key").as("keep_key"))
+
+  /** Deterministic affine rehash coefficients for MinHash. */
+  private def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(numHashes)(1L + math.abs(rnd.nextLong()) % (MersennePrime - 1))
+    val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
+    (a, b)
+  }
+
+  /**
+   * MinHash signature: array<long> of `numHashes` minima of affine
+   * rehashes of xxhash64(shingle). Row-local; O(|shingles|·numHashes).
+   */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 128,
+                       seed: Long = 42L): Column = {
+    val (a, b) = coeffs(numHashes, seed)
+    // zip_with over the coefficient arrays evaluates the whole signature
+    // in one pass per row without exploding.
+    zip_with(lit(a), lit(b), (ai, bi) =>
+      array_min(transform(shingleCol, s =>
+        pmod(ai * pmod(xxhash64(lit("mh"), s), lit(MersennePrime)) + bi, lit(MersennePrime)))))
+  }
+
+  /**
+   * LSH banding: emit (bandIdx, bandHash) per band; docs sharing any
+   * band bucket become candidate pairs. bands × rowsPerBand must equal
+   * the signature length.
+   */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(j => struct(lit(j).as("band"),
+      xxhash64(lit(j), concat_ws(",", slice(sig, j * rowsPerBand + 1, rowsPerBand)))
+        .as("bh"))): _*)
+
+  /**
+   * MinHash+LSH near-duplicate pairs, verified with exact shingle
+   * Jaccard ≥ `threshold`. Returns (key_a, key_b, jaccard) with
+   * key_a < key_b. Probabilistic recall (standard LSH S-curve),
+   * exact precision (verification step).
+   */
+  def minhashNearDups(df: DataFrame, keyCol: String, textCol: String,
+                      shingleN: Int = 2, numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val base = df.select(col(keyCol).as("k"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sigs = base.select(col("k"), col("sh"),
+      minhashSignature(col("sh"), numHashes, seed).as("sig"))
+
+    val banded = sigs.select(col("k"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("k"), col("bk.band"), col("bk.bh"))
+
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .distinct()
+
+    val withSh = cands
+      .join(base.select(col("k").as("key_a"), col("sh").as("sh_a")), "key_a")
+      .join(base.select(col("k").as("key_b"), col("sh").as("sh_b")), "key_b")
+    withSh
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a").cast("string").as("key_a"),
+        col("key_b").cast("string").as("key_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs WITHOUT a cross join: explode
+   * shingles, join on the shingle (the inverted-index pattern), count
+   * common shingles per pair, then Jaccard from the pre-computed set
+   * sizes. `maxShingleFreq` drops shingles appearing in more than that
+   * many docs — the standard stop-shingle guard against join skew at
+   * scale.
+   */
+  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                        shingleN: Int = 2, threshold: Double = 0.5,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sizes = base.select(col("k"), size(col("sh")).as("sz"))
+    var posting = base.select(col("k"), explode(col("sh")).as("s"))
+    maxShingleFreq.foreach { cap =>
+      val hot = posting.groupBy("s").count().filter(col("count") > cap).select("s")
+      posting = posting.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val common = posting.as("a")
+      .join(posting.as("b"), col("a.s") === col("b.s") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .agg(count(lit(1)).cast("double").as("common"))
+    common
+      .join(sizes.select(col("k").as("key_a"), col("sz").as("sz_a")), "key_a")
+      .join(sizes.select(col("k").as("key_b"), col("sz").as("sz_b")), "key_b")
+      .withColumn("jaccard",
+        col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a").cast("string").as("key_a"),
+        col("key_b").cast("string").as("key_b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over distinct whitespace tokens — row-local, no
+   * shuffle: per token, each of the 64 bits of xxhash64(token) votes
+   * ±1; the sign of each counter becomes the output bit. The bit
+   * positions unroll at plan time (shift amounts must be literals),
+   * and the vote-counts array materializes as its own projection so
+   * the 64 sign reads don't re-aggregate.
+   */
+  def withSimhash64(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tokens = array_distinct(split(col(textCol), " "))
+    val counts = aggregate(tokens,
+      array((0 until 64).map(_ => lit(0L)): _*),
+      (acc, w) => {
+        val h = xxhash64(lit("sh"), w)
+        val votes = array((0 until 64).map(k =>
+          when(shiftrightunsigned(h, k).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*)
+        zip_with(acc, votes, (x, y) => x + y)
+      })
+    val packed = (0 until 64).map(k =>
+        when(element_at(col("__simhash_counts"), k + 1) >= 0, lit(1L << k))
+          .otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    df.withColumn("__simhash_counts", counts)
+      .withColumn(outCol, packed)
+      .drop("__simhash_counts")
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
+   * Pigeonhole banding over 4×16-bit bands gives EXACT recall for
+   * maxHamming ≤ 3: any pair within distance 3 must agree on at least
+   * one full band. Verification by bit_count(xor) gives exact precision.
+   */
+  def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    val sigs = withSimhash64(
+      df.select(col(keyCol).as("k"), col(textCol)),
+      textCol, "sim").select("k", "sim")
+    val bandStructs = array((0 until 4).map(j => struct(lit(j).as("band"),
+      shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)
+    val banded = sigs.select(col("k"), col("sim"),
+        explode(bandStructs).as("bk"))
+      .select(col("k"), col("sim"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("double"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("key_a").cast("string").as("key_a"),
+        col("key_b").cast("string").as("key_b"), col("hamming"))
+  }
+
+  /** Cosine similarity of two float-array columns (via the codegen'd
+    * VectorDistance expression: cos = 1 − cosine_distance). */
+  def cosineSim(a: Column, b: Column): Column =
+    lit(1.0) - graft.functions.cosine_distance(a, b)
+
+  /**
+   * Exact embedding near-dup pairs (cosine ≥ minCosine) via a
+   * broadcast self-join. Correctness oracle for the LSH variant; use
+   * only when one side fits in a broadcast (e.g. a sampled block).
+   */
+  def embeddingNearDupsExact(df: DataFrame, keyCol: String, vecCol: String,
+                             minCosine: Double): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+    base.as("a").join(broadcast(base.as("b")), col("a.k") < col("b.k"))
+      .withColumn("cosine", cosineSim(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.k").cast("string").as("key_a"),
+        col("b.k").cast("string").as("key_b"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH. */
+  private[pipeline] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bit signature of a vector: bit i = sign(v · plane_i). */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(vec.cast("array<double>"), lit(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Embedding near-dup pairs via random-hyperplane LSH: `numPlanes`
+   * sign bits split into `bands` bands; same-band-value vectors become
+   * candidates, verified by exact cosine. The 100 TB path: shuffle on
+   * (band, value), never all-pairs.
+   */
+  def embeddingNearDupsLsh(df: DataFrame, keyCol: String, vecCol: String,
+                           minCosine: Double, numPlanes: Int = 16,
+                           bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val bitsPerBand = numPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planes = hyperplanes(numPlanes, dim = 64, seed)
+    val base = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+      .withColumn("sig", signBits(col("v"), planes))
+    val bandStructs = array((0 until bands).map(j => struct(lit(j).as("band"),
+      shiftrightunsigned(col("sig"), j * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))): _*)
+    val banded = base.select(col("k"), col("v"), col("sig"),
+        explode(bandStructs).as("bk"))
+      .select(col("k"), col("v"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cosine", cosineSim(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("key_a").cast("string").as("key_a"),
+        col("key_b").cast("string").as("key_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: language ID,
+ * quality scoring, token counting, document fingerprinting.
+ *
+ * Everything is a row-local column expression (map-only, codegen'd) —
+ * at 100 TB these run at scan speed with zero shuffle.
+ */
+object TextMetrics {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(size(split(text, "\\s+")).cast("double"))
+
+  /**
+   * BPE-ish token count: letter runs, digit runs and single
+   * non-alphanumeric marks each count as one token — the usual cheap
+   * proxy for subword-tokenizer budget accounting.
+   */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double")
+
+  /** Ratio of punctuation (non-alphanumeric, non-space) bytes. */
+  def punctRatio(text: Column): Column =
+    when(octet_length(text) === 0, lit(0.0))
+      .otherwise((octet_length(text) -
+        octet_length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        octet_length(text))
+
+  /** English-ish stopword list used by both ratio and quality score. */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "was", "with")
+
+  /** Fraction of tokens that are stopwords (duplicates counted). */
+  def stopwordRatio(text: Column): Column = {
+    val ws = split(text, "\\s+")
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") /
+        size(ws).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val ws = split(text, "\\s+")
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(ws).cast("double"))
+  }
+
+  /**
+   * Composite quality score in [0,1]: favors mid-length documents with
+   * normal word lengths, low punctuation and a sane stopword rate —
+   * the standard heuristic-filter shape (e.g. C4/Gopher rules) made
+   * deterministic and branch-free.
+   */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCountWs(text)
+    val lenScore = least(n / 50.0, lit(1.0)) * least(lit(1.0), lit(20000.0) / greatest(n, lit(1.0)))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val wordScore = {
+      val m = meanTokenLen(text)
+      when(m >= 3 && m <= 10, 1.0).otherwise(0.5)
+    }
+    round(lenScore * 0.4 + punctScore * 0.3 + wordScore * 0.3, 6)
+  }
+
+  /** Per-language marker-word profiles for the n-gram/stopword
+    * language-ID heuristic. Deterministic, ASCII-only. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "sich"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "for", "with", "as"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "pour", "que", "une"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo", "you", "he", "ren", "zhe", "ta"))
+
+  /**
+   * Heuristic language ID: count marker-word hits per language over the
+   * token multiset; highest count wins, ties resolved by profile order
+   * (first wins). Unknown when nothing matches.
+   */
+  def langId(text: Column): Column = {
+    val ws = split(text, "\\s+")
+    val counts = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(ws, w => w.isin(words: _*)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("unknown")) { case ((lang, cnt), els) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /**
+   * Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
+   * public algorithm): rolling-hash every `k`-char gram, take the
+   * minimum in each sliding window of `w` hashes, dedupe. Near-identical
+   * documents share most fingerprint hashes. Returns sorted
+   * array<long>, deterministic. Built as a SQL expression because
+   * `substr` with a column offset has no literal-only Scala binding.
+   */
+  def fingerprint(textColName: String, k: Int = 8, w: Int = 4): Column = {
+    val grams =
+      s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 0)), " +
+        s"i -> xxhash64('fp', substr($textColName, i, $k)))"
+    val mins =
+      s"transform(sequence(1, greatest(size($grams) - ${w - 1}, 0)), " +
+        s"j -> array_min(slice($grams, j, $w)))"
+    expr(s"array_sort(array_distinct($mins))")
+  }
+
+  /** One-long digest of the winnowing fingerprint (for compact joins). */
+  def fingerprintDigest(textColName: String, k: Int = 8, w: Int = 4): Column =
+    xxhash64(concat_ws(",", fingerprint(textColName, k, w)))
+
+  /** All metrics in one projection. */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .withColumn("n_tokens_bpe", tokenCountBpeish(col(textCol)))
+      .withColumn("punct_ratio", punctRatio(col(textCol)))
+      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
+      .withColumn("mean_token_len", meanTokenLen(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+}

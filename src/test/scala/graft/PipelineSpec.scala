@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.{Ann, Dedup, TextMetrics}
+
+/** Pins the non-SQL-oracle pipeline ops: LSH recall/precision on
+  * planted near-dups, SimHash banding, IVF recall vs exact,
+  * fingerprint determinism. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("pipeline-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf: DataFrame = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank again"), // near-dup of 1
+      (3L, "completely different content about database systems and query planning"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "spark catalyst optimizer rewrites logical plans into physical plans"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups by content hash") {
+    val groups = Dedup.exactDupGroups(docsDf, "doc_id", "text").collect()
+    assert(groups.length == 4) // 1&4 collapse
+    val dup = groups.find(_.getAs[Double]("n_dups") == 2.0).get
+    assert(dup.getAs[String]("keep_key") == "1")
+  }
+
+  test("minhash LSH finds planted near-dups with exact verified jaccard") {
+    val pairs = Dedup.minhashNearDups(docsDf, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted
+    // exact pair (1,4): J=1; near pair (1,2)/(2,4): 12 of 13 bigrams shared
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set(("1", "2"), ("1", "4"), ("2", "4")))
+    val exact = pairs.find(p => p._1 == "1" && p._2 == "4").get
+    assert(exact._3 == 1.0)
+    val near = pairs.find(p => p._1 == "1" && p._2 == "2").get
+    assert(math.abs(near._3 - 12.0 / 14.0) < 1e-9) // 13 bigrams each, 12 shared
+  }
+
+  test("ngram jaccard join matches minhash-verified values (no cross join)") {
+    val exact = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val viaLsh = Dedup.minhashNearDups(docsDf, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(exact == viaLsh) // at these J values LSH recall is certain-ish
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming 3, bandings exact") {
+    val pairs = Dedup.simhashNearDups(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val exactPair = pairs.find(p => p._1 == "1" && p._2 == "4")
+    assert(exactPair.isDefined && exactPair.get._3 == 0.0)
+    // every reported pair respects the bound
+    assert(pairs.forall(_._3 <= 3.0))
+  }
+
+  test("embedding near-dup: LSH candidates are a verified subset of exact") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val tweak = base.clone(); tweak(0) += 0.01f // near-identical
+    val vecs = (Seq((1L, base), (2L, tweak)) ++
+      (3L to 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupsExact(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exact == Set(("1", "2")))
+    val lsh = Dedup.embeddingNearDupsLsh(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact) // cosine≈1 pairs agree on every sign bit → always caught
+  }
+
+  test("IVF search: nProbe=all equals exact top-k; nProbe=2 has sane recall") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val exact = Ann.topK(embs, "vec_id", "embedding", Queries.queryVec, 10)
+      .collect().map(_.getString(0)).toSeq
+    val ivf = Ann.buildIvf(embs, "vec_id", "embedding", nCells = 8)
+    val full = ivf.search(Queries.queryVec, 10, nProbe = 8)
+      .collect().map(_.getString(0)).toSeq
+    assert(full == exact) // probing every cell ≡ exact
+    val probed = ivf.search(Queries.queryVec, 10, nProbe = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(probed.intersect(exact.toSet).size >= 5) // ≥50% recall at 1/4 cells
+  }
+
+  test("text metrics: deterministic values on a known document") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextMetrics.annotate(df, "text").collect().head
+    assert(r.getAs[Double]("n_tokens_ws") == 6.0)
+    assert(r.getAs[Double]("n_tokens_bpe") == 6.0)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 6.0) < 1e-9) // the, on, the
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 17.0 / 6.0) < 1e-9)
+    assert(r.getAs[String]("lang_pred") == "en")
+  }
+
+  test("winnowing fingerprint: deterministic, near-dups share most hashes") {
+    val sp = spark; import sp.implicits._
+    val df = docsDf
+    val fps = df.select(col("doc_id"),
+        TextMetrics.fingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(4L)) // identical text → identical fingerprint
+    val overlap = fps(1L).intersect(fps(2L)).size.toDouble /
+      fps(1L).union(fps(2L)).size
+    assert(overlap > 0.5) // near-dup shares most selected hashes
+    assert(fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).union(fps(3L)).size < 0.2)
+    // stable across evaluations
+    val again = df.filter(col("doc_id") === 1)
+      .select(TextMetrics.fingerprint("text")).collect().head.getSeq[Long](0).toSet
+    assert(again == fps(1L))
+  }
+}
