@@ -59,11 +59,12 @@ final class ExprCompiler(
   // ------------------------------------------------------------------ //
 
   /** strtod coercion: empty string → 0.0 (strtod quirk, value.cc:129-150);
-    * unparseable → NULL (Nil). */
+    * unparseable → NULL (Nil). try_cast, NOT cast — ANSI mode would
+    * otherwise throw where the reference produces Nil. */
   private def asNum(t: TypedCol): Column = t.tag match {
     case Num => t.c
     case Bool => t.c.cast(DoubleType)
-    case Str => when(t.c === lit(""), lit(0.0)).otherwise(t.c.cast(DoubleType))
+    case Str => when(t.c === lit(""), lit(0.0)).otherwise(t.c.try_cast(DoubleType))
   }
 
   /** AsStringView: doubles format with %.11g (value.cc:88-100). */

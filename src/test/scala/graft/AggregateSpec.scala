@@ -186,6 +186,14 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt.head.getAs[Double]("ts") == 1615734566.0)
   }
 
+  test("string-to-number coercion failure yields Nil, not an ANSI error") {
+    val rows = agg("*", "APPLY", "@name + 1", "AS", "x",
+      "APPLY", "'12' + 3", "AS", "y",
+      "SORTBY", "1", "@__key", "LIMIT", "0", "1").collect()
+    assert(rows.head.isNullAt(1)) // "alpha beta" + 1 → Nil
+    assert(rows.head.getDouble(2) == 15.0) // numeric string converts
+  }
+
   test("hybrid: KNN front-end feeds the pipeline with score pseudo-field") {
     val schema = IndexSchema("vecs", Seq(
       FieldDef("label", NumericField),

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.model._
+import graft.pipeline.Multimodal
+import graft.streaming.Ingest
+
+class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("mm-streaming-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ------------------------- multimodal ---------------------------- //
+
+  private def mediaDs = {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "abcdefgh" * 20), (2L, "zyxwvuts" * 5), (3L, ""))
+      .toDF("id", "txt")
+      .withColumn("payload", encode(col("txt"), "UTF-8"))
+    Multimodal.syntheticMedia(df, "id", "payload")
+  }
+
+  test("image features: schema, determinism, batch shape") {
+    val feats = Multimodal.imageFeatures(mediaDs, dim = 16)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "width", "height", "channels", "mean_intensity", "embedding"))
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows.length == 3)
+    assert(rows.forall(_.embedding.length == 16))
+    // deterministic across evaluations and partitionings
+    val again = Multimodal.imageFeatures(mediaDs.repartition(3), dim = 16)
+      .collect().sortBy(_.media_id)
+    assert(rows.zip(again).forall { case (a, b) =>
+      a.mean_intensity == b.mean_intensity && a.embedding.sameElements(b.embedding) })
+    // empty payload is well-defined, not an error
+    assert(rows.find(_.media_id == 3L).get.mean_intensity == 0.0)
+  }
+
+  test("resize keeps payload and cardinality, updates metadata") {
+    val r = Multimodal.resize(mediaDs, 128, 96).collect()
+    assert(r.length == 3 && r.forall(m => m.width == 128 && m.height == 96))
+  }
+
+  test("frame sampling explodes per duration without driver loops") {
+    val media = Multimodal.syntheticMedia(
+      mediaDs.toDF().select(col("media_id").as("id"), col("payload")), "id", "payload",
+      kind = "video")
+    val frames = Multimodal.sampleFrames(media, everyMs = 10)
+    val byId = frames.collect().groupBy(_.media_id)
+    // duration_ms = len/4: id1 len=160→40ms→4 frames; id2 len=40→10ms→1
+    assert(byId(1L).length == 4 && byId(2L).length == 1 && byId(3L).length == 1)
+    assert(byId(1L).map(_.ts_ms).sorted.toSeq == Seq(0, 10, 20, 30))
+  }
+
+  // ------------------------- streaming ingest ---------------------- //
+
+  test("validate drops keys with invalid numeric content (index_base.h:43-47)") {
+    val sp = spark; import sp.implicits._
+    val schema = IndexSchema("t", Seq(FieldDef("price", NumericField)))
+    val df = Seq(("k1", "10.5"), ("k2", "not-a-number"), ("k3", null))
+      .toDF("__key", "price")
+    val (valid, dropped) = Ingest.validate(df, schema)
+    assert(valid.select("__key").collect().map(_.getString(0)).sorted.toSeq == Seq("k1", "k3"))
+    assert(dropped.collect().map(_.getString(0)).toSeq == Seq("k2"))
+  }
+
+  test("mergeBatch: last-write-wins per key, tombstones delete") {
+    val sp = spark; import sp.implicits._
+    val state = Seq(("k1", 10.0), ("k2", 20.0)).toDF("__key", "price")
+    val changes = Seq(
+      ("upsert", "k1", 11.0, 1L), ("upsert", "k1", 12.0, 2L), // LWW → 12
+      ("delete", "k2", 0.0, 3L), // tombstone
+      ("upsert", "k3", 30.0, 4L), // new key
+      ("upsert", "k4", 40.0, 5L), ("delete", "k4", 0.0, 6L)) // net delete
+      .toDF("op", "__key", "price", "__seq")
+    val merged = Ingest.mergeBatch(state, changes)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == Map("k1" -> 12.0, "k3" -> 30.0))
+  }
+
+  test("end-to-end micro-batch stream maintains a queryable doc table") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val statePath = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+
+    // backfill (S2): initial table written through the same layout
+    Seq(("k1", 1.0), ("k2", 2.0)).toDF("__key", "price")
+      .write.mode("overwrite").parquet(statePath)
+
+    val stream = MemoryStream[(String, String, Double, Long)]
+    stream.addData(("upsert", "k2", 22.0, 1L), ("upsert", "k3", 3.0, 2L),
+      ("delete", "k1", 0.0, 3L))
+    val changes = stream.toDF().toDF("op", "__key", "price", "__seq")
+
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType)))
+    val q = Ingest.start(spark, changes, statePath, ckpt, docSchema)
+    q.awaitTermination(60000)
+
+    val result = spark.read.parquet(statePath)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(result == Map("k2" -> 22.0, "k3" -> 3.0))
+
+    // the maintained table is immediately searchable through the engine
+    val e = new graft.engine.SearchEngine
+    val schema = IndexSchema("live", Seq(FieldDef("price", NumericField)))
+    e.createIndex(schema, graft.sources.Documents.enrich(
+      spark.read.parquet(statePath), schema, keyExpr = Some(col("__key"))))
+    val hits = e.search("live", "@price:[10 +inf]").collect()
+    assert(hits.map(_.getString(0)).toSeq == Seq("k2"))
+  }
+}
