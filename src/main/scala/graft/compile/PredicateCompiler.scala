@@ -11,17 +11,20 @@ import graft.functions.damerau_levenshtein
 /**
  * Compiles a [[Predicate]] tree to a single Catalyst `Column`.
  *
- * Every leaf evaluates to a STRICT boolean (never SQL NULL): a document
- * whose field is missing/null does not match the leaf. `Not` is then a
- * plain boolean negation, which reproduces the reference's
+ * NULL discipline: leaves compile to PLAIN three-valued predicates —
+ * in a positive context `filter(NULL)` and `filter(false)` drop the
+ * row identically, and an un-wrapped `col >= x` conjunct reaches the
+ * Parquet scan as a pushed filter (row-group min/max pruning; a
+ * `coalesce(...)` wrapper would disqualify it). Strictness is forced
+ * only where three-valued logic actually diverges: at `Not`
+ * boundaries, `!coalesce(child, false)` reproduces the reference's
  * "negation includes documents missing the field" semantics
- * (search-query.md:203-207, src/query/predicate.cc Negate evaluation)
- * without fighting SQL three-valued logic.
+ * (search-query.md:203-207, src/query/predicate.cc Negate evaluation).
  *
- * The output is a pure column expression — conjunctions of numeric/tag
- * leaves reach the Parquet scan as pushed filters and Catalyst orders
- * them by selectivity, which subsumes the reference's min-cardinality
- * index selection (src/query/search.cc:336-347, see SURVEY §2.3 X2).
+ * Conjunctions of numeric/tag leaves therefore reach the scan as
+ * PushedFilters and Catalyst orders them by selectivity, which
+ * subsumes the reference's min-cardinality index selection
+ * (src/query/search.cc:336-347, SURVEY §2.3 X2).
  */
 class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyzer.Default) {
 
@@ -40,7 +43,7 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       val hi =
         if (max == Double.PositiveInfinity) lit(true)
         else if (maxIncl) c <= max else c < max
-      coalesce(lo && hi, lit(false))
+      lo && hi
 
     case TagMatch(field, patterns) =>
       val fd = schema.fieldOrFail(field)
@@ -59,13 +62,15 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       val prefixCond = prefixVals.foldLeft(lit(false)) { (acc, p) =>
         acc || exists(tags, t => t.startsWith(p))
       }
-      coalesce(exactCond || prefixCond, lit(false))
+      exactCond || prefixCond
 
     case t: TextPredicate => compileText(t)
 
     case And(children) => children.map(strict).reduce(_ && _)
     case Or(children) => children.map(strict).reduce(_ || _)
-    case Not(child) => !strict(child)
+    // NOT-includes-missing: NULL child must negate to TRUE, so force
+    // strictness exactly here and nowhere else (keeps leaves pushable).
+    case Not(child) => !coalesce(strict(child), lit(false))
   }
 
   /** Unfielded text predicates search every TEXT field (search-query.md:149). */

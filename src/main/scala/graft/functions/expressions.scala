@@ -345,3 +345,50 @@ object FormatG {
     }
   }
 }
+
+/**
+ * MinHash signature over an array<string> of shingles: for hash i,
+ * min over shingles of (a_i·h(s) + b_i) mod p, p = 2³¹−1, h = FNV-1a 64
+ * of the UTF-8 bytes. One tight JVM loop per row — the higher-order-
+ * function formulation interprets a lambda per (shingle × hash) pair,
+ * ~10× slower at 128 hashes.
+ */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = a.length
+    val sig = Array.fill(n)(MinHashSig.P)
+    var s = 0
+    val cnt = arr.numElements()
+    while (s < cnt) {
+      val h = MinHashSig.fnv1a64(arr.getUTF8String(s).getBytes) % MinHashSig.P
+      val hp = if (h < 0) h + MinHashSig.P else h
+      var i = 0
+      while (i < n) {
+        val v2 = (a(i) * hp + b(i)) % MinHashSig.P
+        if (v2 < sig(i)) sig(i) = v2
+        i += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object MinHashSig {
+  val P: Long = 2147483647L // 2^31 − 1
+
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+}

@@ -46,4 +46,7 @@ package object functions {
   /** C %.11g rendering of a double (reference FormatDouble). */
   def format_g(d: Column): Column =
     expr2col(FormatG(col2expr(d)))
+  /** MinHash signature of an array<string> shingle column. */
+  def minhash_sig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
+    expr2col(MinHashSig(col2expr(shingles), a, b))
 }

@@ -55,15 +55,19 @@ object Dedup {
   /**
    * MinHash signature: array<long> of `numHashes` minima of affine
    * rehashes of xxhash64(shingle). Row-local; O(|shingles|·numHashes).
+   *
+   * Implemented as a native expression ([[graft.functions.MinHashSig]])
+   * with one tight JVM loop per row. The naive
+   * "numHashes × array_min(transform(shingles, …))" HOF form lets
+   * CollapseProject inline the shingle-construction expression into
+   * every branch — re-tokenizing each row numHashes times, measured
+   * ~16× slower at sf0.1 — and HOF lambdas are interpreted per
+   * (shingle × hash) pair besides.
    */
   def minhashSignature(shingleCol: Column, numHashes: Int = 128,
                        seed: Long = 42L): Column = {
     val (a, b) = coeffs(numHashes, seed)
-    // zip_with over the coefficient arrays evaluates the whole signature
-    // in one pass per row without exploding.
-    zip_with(lit(a), lit(b), (ai, bi) =>
-      array_min(transform(shingleCol, s =>
-        pmod(ai * pmod(xxhash64(lit("mh"), s), lit(MersennePrime)) + bi, lit(MersennePrime)))))
+    graft.functions.minhash_sig(shingleCol, a, b)
   }
 
   /**
@@ -92,9 +96,13 @@ object Dedup {
     val sigs = base.select(col("k"), col("sh"),
       minhashSignature(col("sh"), numHashes, seed).as("sig"))
 
+    // Persist the tiny (k, band, bh) relation: the candidate self-join
+    // would otherwise evaluate the full signature pipeline once per
+    // side (no subplan reuse across DataFrame self-join branches).
     val banded = sigs.select(col("k"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("k"), col("bk.band"), col("bk.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = banded.as("a")
       .join(banded.as("b"),
