@@ -52,7 +52,9 @@ object Fixtures {
     FieldDef("ts_sec", NumericField),
     FieldDef("value", NumericField),
     FieldDef("user_id", NumericField),
-    FieldDef("event_type", TagField())))
+    FieldDef("event_type", TagField()),
+    // S4 JSON reader: `$.k` scalar out of the JSON `props` column
+    FieldDef("props:$.k", "prop_k", NumericField)))
 
   val embeddingsL2Schema: IndexSchema = IndexSchema("embeddings_l2", Seq(
     FieldDef("label", NumericField),

@@ -123,6 +123,19 @@ object Queries {
         |ORDER BY o_totalprice ASC, __key ASC LIMIT 30 OFFSET 20""".stripMargin
     ),
     (
+      "q_json_field", // S4: JSONPath-extracted field, queryable like any other
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("events", "@prop_k:[90 +inf] @event_type:{click|view}",
+          SearchOptions(limit = (0, 100), sortBy = Some(("prop_k", false)),
+            returnFields = Seq(("prop_k", None), ("event_type", None)))),
+      """SELECT CAST(event_id AS VARCHAR) AS __key,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS prop_k, event_type
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 90
+        |  AND lower(event_type) IN ('click','view')
+        |ORDER BY prop_k DESC, __key ASC LIMIT 100""".stripMargin
+    ),
+    (
       "q_nocontent", // R3: NOCONTENT — keys only
       (s: SparkSession, dir: String) =>
         eng(s, dir).search("part", "@p_size:[10 20]",

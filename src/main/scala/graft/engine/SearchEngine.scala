@@ -39,6 +39,16 @@ final case class SearchOptions(
  * TakeOrderedAndProject — partition-local top-k heaps merged on the
  * driver, identical algorithm, zero custom code.
  */
+object SearchEngine {
+  /** Restore an index saved by [[SearchEngine.saveIndex]] into `engine`. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                engine: SearchEngine): SearchEngine = {
+    val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(s"$path/schema.bin"))
+    val schema = try ois.readObject().asInstanceOf[IndexSchema] finally ois.close()
+    engine.createIndex(schema, spark.read.parquet(s"$path/data"))
+  }
+}
+
 class SearchEngine {
 
   private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
@@ -187,6 +197,73 @@ class SearchEngine {
     parsed.knn match {
       case Some(k) => math.min(base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(), k.k.toLong)
       case None => base.count()
+    }
+  }
+
+  /**
+   * FT.INFO analogue (reference COMMANDS.md FT.INFO; cluster scopes ≈
+   * SURVEY §2.8 C3): index metadata + document/field statistics as a
+   * DataFrame — one row per field plus a summary row. The per-field
+   * `num_tracked` mirrors the reference's untracked-key bookkeeping
+   * (a NULL field value ≡ key untracked for that field).
+   */
+  def info(indexName: String): DataFrame = {
+    val (schema, docs) = index(indexName)
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("num_docs") +:
+      schema.fields.map(fd => count(col(fd.alias)).as(s"__t_${fd.alias}"))
+    val stats = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fieldRows = schema.fields.zipWithIndex.map { case (fd, i) =>
+      val ftype = fd.ftype match {
+        case NumericField => "NUMERIC"
+        case t: TagField => s"TAG(separator=${t.separator},caseSensitive=${t.caseSensitive})"
+        case t: TextField => s"TEXT(noStem=${t.noStem},minStemSize=${t.minStemSize})"
+        case v: VectorField => s"VECTOR(dim=${v.dim},metric=${v.metric.name})"
+      }
+      (indexName, fd.alias, fd.identifier, ftype, stats.getLong(i + 1))
+    }
+    fieldRows.toDF("index_name", "field", "identifier", "field_type", "num_tracked")
+      .withColumn("num_docs", lit(stats.getLong(0)))
+  }
+
+  /**
+   * Index persistence (reference S5, src/rdb_serialization.cc): the
+   * enriched document table checkpoints as Parquet with the schema
+   * declaration alongside; [[SearchEngine.loadIndex]] restores both.
+   * Rebuild-from-source (`--skip-rdb-load`) ≡ re-running the
+   * [[graft.sources.Documents.enrich]] ingest instead.
+   */
+  def saveIndex(indexName: String, path: String): Unit = {
+    val (schema, docs) = index(indexName)
+    docs.write.mode("overwrite").parquet(s"$path/data")
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$path/schema.bin"))
+    try oos.writeObject(schema) finally oos.close()
+  }
+
+  /** Execute with cooperative cancellation (reference R5 TIMEOUT,
+    * src/query/search.h:49-50: default 50 s). Returns collected rows or
+    * throws `TimeoutException` after cancelling the running Spark jobs. */
+  def executeWithTimeout(df: DataFrame, timeoutMs: Long = 50000): Array[org.apache.spark.sql.Row] = {
+    val spark = df.sparkSession
+    val group = s"graft-query-${java.util.UUID.randomUUID()}"
+    val result = new java.util.concurrent.CompletableFuture[Array[org.apache.spark.sql.Row]]()
+    val t = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(group, "graft query", interruptOnCancel = true)
+        result.complete(df.collect())
+      } catch { case e: Throwable => result.completeExceptionally(e) }
+      finally spark.sparkContext.clearJobGroup()
+    })
+    t.setDaemon(true); t.start()
+    try result.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        throw new java.util.concurrent.TimeoutException(
+          s"query exceeded ${timeoutMs}ms (jobs cancelled)")
     }
   }
 

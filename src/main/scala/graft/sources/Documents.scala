@@ -49,6 +49,23 @@ object Documents {
     enrich(spark.read.parquet(path), schema, keyExpr, analyzer)
   }
 
+  /**
+   * Field identifier resolution — the S3/S4 reader pair:
+   *  - plain identifiers read a column (HASH member,
+   *    attribute_data_type.h:83-116);
+   *  - `col:$.path` identifiers extract a JSONPath scalar from a JSON
+   *    string column (`$.a.b AS alias`, attribute_data_type.h:117-135),
+   *    normalized to the same scalar form HASH values take
+   *    (ft_aggregate.cc:265-267 NormalizeJsonRecord).
+   */
+  private def sourceColumn(identifier: String): Column =
+    identifier.indexOf(":$") match {
+      case -1 => col(identifier)
+      case i => get_json_object(col(identifier.substring(0, i)), identifier.substring(i + 1))
+    }
+
+  private def isJsonPath(identifier: String): Boolean = identifier.contains(":$")
+
   def enrich(raw: DataFrame, schema: IndexSchema,
              keyExpr: Option[Column] = None,
              analyzer: Analyzer.Config = Analyzer.Default): DataFrame = {
@@ -60,11 +77,12 @@ object Documents {
           concat_ws("|", raw.columns.map(col).toIndexedSeq: _*))
     }
     schema.fields.foreach { fd =>
-      val src = col(fd.identifier)
+      val src = sourceColumn(fd.identifier)
       fd.ftype match {
         case NumericField =>
-          if (fd.alias != fd.identifier || df.schema(fd.identifier).dataType != DoubleType)
-            df = df.withColumn(fd.alias, src.cast(DoubleType))
+          if (isJsonPath(fd.identifier) || fd.alias != fd.identifier ||
+              df.schema(fd.identifier).dataType != DoubleType)
+            df = df.withColumn(fd.alias, src.try_cast(DoubleType))
         case TagField(sep, caseSensitive) =>
           val rawTags = split(src.cast(StringType), java.util.regex.Pattern.quote(sep))
           val trimmed = transform(rawTags, t => trim(t))

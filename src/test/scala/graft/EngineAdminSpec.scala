@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{SearchEngine, SearchOptions}
+import graft.model._
+import graft.sources.Documents
+
+/** FT.INFO, index save/load (S5), TIMEOUT (R5), JSON reader (S4). */
+class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var engine: SearchEngine = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("admin-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Fixtures.engine(spark, "/root/testdata/sf0.001")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("JSON reader: $.path field is filterable/sortable like any scalar (S4)") {
+    val rows = engine.search("events", "@prop_k:[95 +inf]",
+      SearchOptions(limit = (0, 5), sortBy = Some(("prop_k", false)),
+        returnFields = Seq(("prop_k", None))))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) >= 95))
+  }
+
+  test("FT.INFO: per-field metadata and tracked counts (C3)") {
+    val info = engine.info("events").collect()
+    assert(info.length == 5) // ts_sec, value, user_id, event_type, prop_k
+    val byField = info.map(r => r.getAs[String]("field") -> r).toMap
+    assert(byField("prop_k").getAs[String]("identifier") == "props:$.k")
+    assert(byField("prop_k").getAs[String]("field_type") == "NUMERIC")
+    assert(byField("ts_sec").getAs[Long]("num_docs") == 1000L)
+    assert(byField("ts_sec").getAs[Long]("num_tracked") == 1000L)
+  }
+
+  test("index save/load round-trip preserves query results (S5)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    engine.saveIndex("part", tmp)
+    val e2 = SearchEngine.loadIndex(spark, tmp, new SearchEngine)
+    val q = "@p_size:[10 20]"
+    val orig = engine.search("part", q, SearchOptions(limit = (0, 50), noContent = true))
+      .collect().map(_.getString(0)).toSeq
+    val restored = e2.search("part", q, SearchOptions(limit = (0, 50), noContent = true))
+      .collect().map(_.getString(0)).toSeq
+    assert(orig == restored && orig.nonEmpty)
+  }
+
+  test("TIMEOUT cancels a slow query cooperatively (R5)") {
+    val sp = spark; import sp.implicits._
+    val slow = udf((x: Long) => { Thread.sleep(200); x })
+    val df = spark.range(0, 10000).repartition(4)
+      .select(slow(col("id")).as("v")).agg(sum("v"))
+    intercept[java.util.concurrent.TimeoutException] {
+      engine.executeWithTimeout(df, timeoutMs = 1500)
+    }
+    // and a fast query completes fine through the same path
+    val ok = engine.executeWithTimeout(
+      engine.search("part", "@p_size:[10 20]", SearchOptions(limit = (0, 5))), 50000)
+    assert(ok.nonEmpty)
+  }
+}
