@@ -52,6 +52,26 @@ object SearchEngine {
 class SearchEngine {
 
   private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
+  private val annIndexes = scala.collection.mutable.HashMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
+
+  /**
+   * Attach a built ANN graph to a vector field — the analogue of
+   * declaring the field HNSW instead of FLAT. With one attached,
+   * [[search]] applies the reference's hybrid planner rule
+   * (src/query/planner.cc:21-46): match-all KNN and low-selectivity
+   * hybrid queries take the graph ("inline filter" branch: beam search,
+   * post-filter, ef inflated by 1/selectivity); high-selectivity
+   * filters keep the pre-filter exact path (FLAT always pre-filters).
+   */
+  def registerAnn(indexName: String, field: String,
+                  ann: graft.pipeline.Nsw.NswIndex): this.type = {
+    annIndexes((indexName, field)) = ann
+    this
+  }
+
+  /** Pre-filter iff qualified ≤ ratio × N (planner.cc default 0.001;
+    * exact path also used when no ANN graph is attached). */
+  var prefilterThresholdRatio: Double = 0.001
 
   /** FT.CREATE analogue: register an enriched document DataFrame. */
   def createIndex(schema: IndexSchema, docs: DataFrame): this.type = {
@@ -61,6 +81,11 @@ class SearchEngine {
 
   def index(name: String): (IndexSchema, DataFrame) =
     catalog.getOrElse(name, throw new IllegalArgumentException(s"no such index: $name"))
+
+  private val docCounts = scala.collection.mutable.HashMap.empty[String, Long]
+  /** Memoized N for the planner's selectivity threshold. */
+  private def docCount(name: String): Long =
+    docCounts.getOrElseUpdate(name, index(name)._2.count())
 
   def schemaOf(name: String): IndexSchema = index(name)._1
 
@@ -103,12 +128,45 @@ class SearchEngine {
         // Cosine fields unit-normalized at ingest (vector_base.cc:113-133)
         // run the cheaper IP loop; raw cosine fields compute full cosine.
         val metric = if (normalized) "IP" else vf.metric.name
-        df = df
+
+        // Hybrid planner (planner.cc:21-46): pre-filter (exact KNN over
+        // qualified keys) iff qualified ≤ ratio × N; otherwise, when an
+        // ANN graph is attached, beam-search + post-filter. The
+        // qualified-count probe is LIMIT-bounded so the scan
+        // short-circuits at the threshold instead of counting everything.
+        val ann = annIndexes.get((indexName, knn.field))
+        val useAnn = ann.isDefined && {
+          parsed.isMatchAll || {
+            val n = docCount(indexName)
+            val threshold = math.max(1L, (prefilterThresholdRatio * n).toLong)
+            df.limit((threshold + 1).toInt).count() > threshold
+          }
+        }
+        def exactKnn(base: DataFrame): DataFrame = base
           .filter(col(fd.alias).isNotNull)
           .withColumn(name, vector_distance(col(fd.alias),
             lit(qvec).cast(org.apache.spark.sql.types.ArrayType(FloatType)), metric))
           .orderBy(col(name).asc, keyCol.asc)
           .limit(knn.k)
+
+        if (useAnn) {
+          val overFetch = if (parsed.isMatchAll) knn.k else knn.k * 4
+          val hits = ann.get.search(qvec, k = overFetch,
+            ef = math.max(vf.efRuntime, overFetch))
+            .withColumnRenamed("distance", name)
+            .withColumnRenamed("__key", "__ann_key")
+          val annResult = hits.join(df, hits("__ann_key") === keyCol)
+            .drop("__ann_key")
+            .orderBy(col(name).asc, keyCol.asc)
+            .limit(knn.k)
+          // Post-filter can starve below k where the reference's inline
+          // filter functor would keep traversing (vector_hnsw.h:71); the
+          // exact path is the completeness fallback.
+          df = if (parsed.isMatchAll || annResult.count() >= knn.k) annResult
+               else exactKnn(df)
+        } else {
+          df = exactKnn(df)
+        }
       case None =>
     }
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.{Ann, Nsw}
+
+/** NSW ANN vs the exact oracle (the reference's FLAT-vs-HNSW duality:
+  * exact is ground truth, the graph trades recall for touched nodes). */
+class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("nsw-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("local graph search is exact when ef covers the partition") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Array.fill(200)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val keys = vecs.indices.map(_.toString).toArray
+    val g = Nsw.buildLocal(keys, vecs, m = 8, efConstruction = 64, metric = "L2")
+    val q = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val found = Nsw.searchLocal(g.vecs, g.adj.map(_.toIndexedSeq), q,
+      ef = 200, limitIdx = -1, "L2").take(10).map(_._2).toSeq
+    val exact = vecs.zipWithIndex
+      .map { case (v, i) => (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble, i) }
+      .sortBy(t => (t._1, t._2)).take(10).map(_._2).toSeq
+    assert(found == exact)
+  }
+
+  test("distributed NSW: high recall vs exact top-k on testdata embeddings") {
+    val embs = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Ann.topK(embs, "vec_id", "embedding", Queries.queryVec,
+      k = 20, metric = "COSINE").collect().map(_.getString(0)).toSet
+
+    val idx = Nsw.build(embs, "vec_id", "embedding", metric = "COSINE",
+      numPartitions = 4, m = 12, efConstruction = 100)
+    try {
+      val ann = idx.search(Queries.queryVec, k = 20, ef = 80)
+        .collect().map(_.getString(0)).toSet
+      val recall = ann.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall < 0.9")
+
+      // distances reported by ANN are true distances (verifiable subset)
+      val exactTop1 = Ann.topK(embs, "vec_id", "embedding", Queries.queryVec,
+        k = 1, metric = "COSINE").collect().head
+      val annTop1 = idx.search(Queries.queryVec, k = 1, ef = 80).collect().head
+      assert(annTop1.getString(0) == exactTop1.getString(0))
+      assert(math.abs(annTop1.getDouble(1) - exactTop1.getDouble(1)) < 1e-9)
+    } finally idx.unpersistIndex()
+  }
+
+  test("build-once query-many: second query reuses the persisted graphs") {
+    val embs = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Nsw.build(embs, "vec_id", "embedding", metric = "L2",
+      numPartitions = 2, m = 8, efConstruction = 50)
+    try {
+      val q1 = idx.search(Queries.queryVec, 5).collect()
+      val q2 = idx.search(Queries.queryVec.map(v => -v), 5).collect()
+      assert(q1.length == 5 && q2.length == 5)
+      assert(q1.map(_.getString(0)).toSet != q2.map(_.getString(0)).toSet)
+    } finally idx.unpersistIndex()
+  }
+
+  test("hybrid planner: ANN serves match-all KNN; selective filters stay exact") {
+    val dir = "/root/testdata/sf0.001"
+    val engine = Fixtures.engine(spark, dir)
+    val embs = engine.index("embeddings_l2")._2
+    val ann = graft.pipeline.Nsw.build(embs, "__key", "vec", metric = "L2",
+      numPartitions = 4, m = 12, efConstruction = 100)
+    try {
+      engine.registerAnn("embeddings_l2", "vec", ann)
+      val exact = Fixtures.engine(spark, dir) // fresh engine, no ANN
+        .search("embeddings_l2", "*=>[KNN 10 @vec $q]",
+          graft.engine.SearchOptions(params = Map("q" -> graft.query.VectorParam(Queries.queryVec))))
+        .collect().map(_.getAs[String]("__key")).toSet
+      val viaAnn = engine
+        .search("embeddings_l2", "*=>[KNN 10 @vec $q]",
+          graft.engine.SearchOptions(params = Map("q" -> graft.query.VectorParam(Queries.queryVec))))
+        .collect().map(_.getAs[String]("__key")).toSet
+      assert(viaAnn.intersect(exact).size >= 9) // >=90% recall on the ANN branch
+      // a highly selective hybrid filter must take the exact pre-filter path
+      val selective = engine.search("embeddings_l2", "@label:[3 3]=>[KNN 5 @vec $q]",
+        graft.engine.SearchOptions(params = Map("q" -> graft.query.VectorParam(Queries.queryVec))))
+        .collect()
+      assert(selective.length == 5)
+    } finally ann.unpersistIndex()
+  }
+}
