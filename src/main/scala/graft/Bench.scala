@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: touch every table + the codegen/shuffle machinery once so
+    // per-query timings measure the engine, not JVM/file-listing startup.
+    Seq("lineitem", "orders", "customer", "part", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
+    try SparkEntry.queries("q_knn_l2")(spark, sfDir).count()
+    catch { case _: Throwable => }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

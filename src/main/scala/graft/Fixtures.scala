@@ -90,9 +90,11 @@ object Fixtures {
     e.createIndex(partSchema, Documents.enrich(
       table(spark, dir, "part"), partSchema,
       keyExpr = Some(col("p_partkey"))))
+    // resident: text queries reuse the tokenized columns instead of
+    // re-running the analyzer per query (the index-in-memory stance).
     e.createIndex(documentsSchema, Documents.enrich(
       table(spark, dir, "documents"), documentsSchema,
-      keyExpr = Some(col("doc_id"))))
+      keyExpr = Some(col("doc_id"))), resident = true)
     // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 only reads it as
     // a long (nanos) under this legacy flag; seconds = nanos / 1e9.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

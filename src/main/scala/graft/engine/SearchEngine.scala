@@ -73,9 +73,18 @@ class SearchEngine {
     * exact path also used when no ANN graph is attached). */
   var prefilterThresholdRatio: Double = 0.001
 
-  /** FT.CREATE analogue: register an enriched document DataFrame. */
-  def createIndex(schema: IndexSchema, docs: DataFrame): this.type = {
-    catalog(schema.name) = (schema, docs)
+  /** FT.CREATE analogue: register an enriched document DataFrame.
+    * `resident = true` persists the enriched table (derived tag/token/
+    * vector columns included) — the batch counterpart of the
+    * reference's always-in-memory index; text queries then skip
+    * re-tokenization. At 100 TB the same effect comes from writing the
+    * enriched table back to Parquet at ingest ([[saveIndex]]). */
+  def createIndex(schema: IndexSchema, docs: DataFrame,
+                  resident: Boolean = false): this.type = {
+    val stored =
+      if (resident) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    catalog(schema.name) = (schema, stored)
     this
   }
 
@@ -243,6 +252,21 @@ class SearchEngine {
 
     val stringParams = opts.params.collect { case (k, StringParam(v)) => k -> v }
     new AggregatePipeline(schema, stringParams).run(df, scoreField, stages)
+  }
+
+  /**
+   * Full FT.SEARCH reply shape (reference S7/R6, ft_search.cc:40-180):
+   * `total` counts ALL matches regardless of LIMIT; `rows` is the
+   * requested page. One filtered plan feeds both (computed once here
+   * rather than per-caller).
+   */
+  final case class SearchReply(total: Long, rows: Array[org.apache.spark.sql.Row])
+
+  def searchReply(indexName: String, query: String,
+                  opts: SearchOptions = SearchOptions()): SearchReply = {
+    val page = search(indexName, query, opts)
+    val total = searchCount(indexName, query, opts.params)
+    SearchReply(total, page.collect())
   }
 
   /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */
