@@ -152,6 +152,37 @@ object AggregateQueries {
         |FROM orders WHERE o_totalprice >= 1000""".stripMargin
     },
 
+    // §2.5 MIN/MAX can return STRING values (dynamic Value ordering)
+    q("a_minmax_string") { (s, dir) =>
+      eng(s, dir).aggregate("documents", "*", Seq(
+        "GROUPBY", "1", "@lang",
+        "REDUCE", "MIN", "1", "@source", "AS", "src_min",
+        "REDUCE", "MAX", "1", "@source", "AS", "src_max",
+        "REDUCE", "COUNT", "0", "AS", "n",
+        "SORTBY", "2", "@lang", "ASC"))
+    } {
+      """SELECT lang, min(source) AS src_min, max(source) AS src_max,
+        |  CAST(count(*) AS DOUBLE) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    },
+
+    // §2.6 timefmt (strftime) as a GROUPBY key
+    q("a_timefmt_groupby") { (s, dir) =>
+      eng(s, dir).aggregate("events", "@event_type:{click}", Seq(
+        "APPLY", "timefmt(@ts_sec, '%Y-%m-%d')", "AS", "day",
+        "GROUPBY", "1", "@day",
+        "REDUCE", "COUNT", "0", "AS", "n",
+        "REDUCE", "SUM", "1", "@value", "AS", "total",
+        "SORTBY", "2", "@day", "ASC"))
+        .withColumn("total", round(col("total"), 4))
+    } {
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  round(sum(value), 4) AS total
+        |FROM events WHERE lower(event_type) = 'click'
+        |GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    },
+
     // A7+P12: hybrid KNN front-end feeding GROUPBY (score pseudo-field)
     q("a_knn_groupby") { (s, dir) =>
       eng(s, dir).aggregate("embeddings_l2", "*=>[KNN 50 @vec $q AS d]", Seq(

@@ -224,6 +224,39 @@ object Queries {
          |ORDER BY __key ASC LIMIT 100""".stripMargin
     ),
     (
+      "q_unfielded_term", // P4: unfielded term searches ALL text fields
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "value @source:{src0|src2}",
+          SearchOptions(limit = (0, 150), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'value')
+        |  AND lower(source) IN ('src0','src2')
+        |ORDER BY __key ASC LIMIT 150""".stripMargin
+    ),
+    (
+      "q_verbatim", // VERBATIM: stemming disabled (corpus has no
+      // stem-variant pairs, so this pins the no-stem path's parity)
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:stream @lang:{es}",
+          SearchOptions(limit = (0, 100), noContent = true, verbatim = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'stream') AND lower(lang) = 'es'
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_return_alias", // R3: RETURN ... AS rename
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@n_chars:[4000 +inf]",
+          SearchOptions(limit = (0, 50), sortBy = Some(("n_chars", false)),
+            returnFields = Seq(("n_chars", Some("len")), ("lang", Some("language"))))),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(n_chars AS DOUBLE) AS len, lang AS language
+        |FROM documents WHERE n_chars >= 4000
+        |ORDER BY len DESC, __key ASC LIMIT 50""".stripMargin
+    ),
+    (
       "q_text_slop_inorder", // P11: SLOP 2 INORDER
       (s: SparkSession, dir: String) =>
         eng(s, dir).search("documents", "@text:hash @text:join",
