@@ -127,4 +127,44 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = e.search("live", "@price:[10 +inf]").collect()
     assert(hits.map(_.getString(0)).toSeq == Seq("k2"))
   }
+  test("windowed stats: event-time windows with watermark, streaming plan") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // two blocks → two micro-batches: the watermark advances at batch
+    // boundaries, and append mode emits a window only once the
+    // watermark passes its end
+    stream.addData(
+      (ts(1), "click", 1.0), (ts(2), "click", 3.0), (ts(5), "view", 10.0))
+    stream.addData((ts(45), "click", 5.0)) // watermark → 10:40 ≫ 10:15
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.WindowedStats.tumbling(
+      events, "ts", Seq("event_type"), "value",
+      window = "15 minutes", watermark = "5 minutes")
+    assert(agg.isStreaming) // genuinely a streaming plan with state
+    val q = agg.writeStream.format("memory").queryName("win_stats")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode emits only watermark-closed windows: the 10:00-10:15 ones
+    val rows = spark.sql("SELECT * FROM win_stats ORDER BY event_type").collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == Seq("click", "view"))
+    val click = rows.head
+    assert(click.getAs[Double]("n") == 2.0 && click.getAs[Double]("sum_value") == 4.0)
+    assert(click.getAs[Double]("min_value") == 1.0 && click.getAs[Double]("max_value") == 3.0)
+  }
+
+  test("windowed stats: same plan runs in batch mode over events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("ts").cast("double") / 1e9))
+    val agg = graft.streaming.WindowedStats.tumbling(
+      df, "ts", Seq("event_type"), "value",
+      window = "1 day", watermark = "1 hour")
+    val n = agg.count()
+    assert(n > 0)
+    assert(agg.columns.contains("window_start") && agg.columns.contains("avg_value"))
+  }
 }
