@@ -19,6 +19,10 @@ object Bench {
       }
     try SparkEntry.queries("q_knn_l2")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // populate the resident documents index (tokenized columns) so text
+    // timings measure queries, not one-time cache builds
+    try SparkEntry.queries("q_text_term")(spark, sfDir).count()
+    catch { case _: Throwable => }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

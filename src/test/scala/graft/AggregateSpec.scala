@@ -186,6 +186,23 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt.head.getAs[Double]("ts") == 1615734566.0)
   }
 
+  test("APPLY and SORTBY can reference reducer outputs after GROUPBY") {
+    val rows = agg("*",
+      "GROUPBY", "1", "@color",
+      "REDUCE", "SUM", "1", "@qty", "AS", "s",
+      "REDUCE", "COUNT", "0", "AS", "n",
+      "APPLY", "@s / @n", "AS", "mean",
+      "FILTER", "@mean > 0",
+      "SORTBY", "2", "@mean", "DESC")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("blue", 4.0), ("red", 1.0)))
+    // referencing a non-grouped doc field after GROUPBY is an error
+    intercept[Exception] {
+      agg("*", "GROUPBY", "1", "@color", "REDUCE", "COUNT", "0", "AS", "n",
+        "APPLY", "@price + 1", "AS", "bad").collect()
+    }
+  }
+
   test("string-to-number coercion failure yields Nil, not an ANSI error") {
     val rows = agg("*", "APPLY", "@name + 1", "AS", "x",
       "APPLY", "'12' + 3", "AS", "y",
