@@ -1,0 +1,195 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.model._
+import graft.query.{ExprParseException, ParamValue, StringParam}
+
+/**
+ * Command-string front-end: the reference's full client API surface
+ * (reference COMMANDS.md — FT.CREATE / FT.DROPINDEX / FT.INFO /
+ * FT._LIST / FT.SEARCH, plus FT.AGGREGATE from
+ * docs/commands/ft.aggregate.md) over argv token lists, so a caller
+ * can drive the engine exactly the way a Valkey client drives the
+ * module. RESP transport excluded by design — results come back as
+ * DataFrames / SearchReply instead of RESP arrays.
+ *
+ * Data binding: where the reference scans the keyspace by PREFIX, the
+ * batch engine binds an index to a document table through `source`
+ * (prefixes → raw DataFrame + key expression). SKIPINITIALSCAN maps to
+ * registering the schema over an empty slice of the source (no
+ * backfill; the streaming path fills it later, SURVEY §2.1 S1/S2).
+ */
+final class Commands(
+    engine: SearchEngine,
+    source: Seq[String] => (DataFrame, Column)) {
+
+  private final class Args(tokens: Seq[String]) {
+    private var i = 0
+    def hasNext: Boolean = i < tokens.length
+    def peek: String = tokens(i)
+    def peekIs(kw: String): Boolean = hasNext && tokens(i).equalsIgnoreCase(kw)
+    def next(): String = {
+      if (!hasNext) throw new ExprParseException("unexpected end of command")
+      val t = tokens(i); i += 1; t
+    }
+    def nextInt(what: String): Int = next().toIntOption.getOrElse(
+      throw new ExprParseException(s"$what expects an integer"))
+  }
+
+  /** Execute one command argv (command name as first token). */
+  def execute(argv: Seq[String]): Any = {
+    require(argv.nonEmpty, "empty command")
+    argv.head.toUpperCase match {
+      case "FT.CREATE" => ftCreate(new Args(argv.tail))
+      case "FT.DROPINDEX" => engine.dropIndex(argv(1)); "OK"
+      case "FT._LIST" => engine.listIndexes
+      case "FT.INFO" => engine.info(argv(1)) // scope/consistency args ≡ LOCAL here
+      case "FT.SEARCH" => ftSearch(new Args(argv.tail))
+      case "FT.AGGREGATE" => ftAggregate(new Args(argv.tail))
+      case other => throw new ExprParseException(s"unknown command $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private def ftCreate(a: Args): String = {
+    val name = a.next()
+    var prefixes: Seq[String] = Nil
+    var skipScan = false
+    if (a.peekIs("ON")) { a.next(); val t = a.next().toUpperCase
+      require(t == "HASH" || t == "JSON", s"ON expects HASH|JSON, got $t") }
+    var done = false
+    while (!done && a.hasNext) {
+      a.peek.toUpperCase match {
+        case "PREFIX" =>
+          a.next(); val n = a.nextInt("PREFIX")
+          prefixes = (0 until n).map(_ => a.next())
+        case "SKIPINITIALSCAN" => a.next(); skipScan = true
+        case "SCHEMA" => a.next(); done = true
+        case other => throw new ExprParseException(s"unexpected token $other (expected SCHEMA)")
+      }
+    }
+    val fields = Seq.newBuilder[FieldDef]
+    while (a.hasNext) {
+      val identifier = a.next()
+      val alias = if (a.peekIs("AS")) { a.next(); a.next() } else identifier
+      val ftype = a.next().toUpperCase match {
+        case "NUMERIC" => NumericField
+        case "TAG" =>
+          var sep = ","; var cs = false
+          var more = true
+          while (more && a.hasNext) a.peek.toUpperCase match {
+            case "SEPARATOR" => a.next(); sep = a.next()
+            case "CASESENSITIVE" => a.next(); cs = true
+            case _ => more = false
+          }
+          TagField(sep, cs)
+        case "TEXT" =>
+          var noStem = false; var minStem = 4; var weight = 1.0; var suffix = true
+          var more = true
+          while (more && a.hasNext) a.peek.toUpperCase match {
+            case "NOSTEM" => a.next(); noStem = true
+            case "MINSTEMSIZE" => a.next(); minStem = a.nextInt("MINSTEMSIZE")
+            case "WEIGHT" => a.next(); weight = a.next().toDouble
+            case "WITHSUFFIXTRIE" => a.next(); suffix = true
+            case "NOSUFFIXTRIE" => a.next(); suffix = false
+            case _ => more = false
+          }
+          TextField(noStem, suffix, minStem, weight)
+        case "VECTOR" =>
+          val algo = a.next().toUpperCase
+          require(algo == "HNSW" || algo == "FLAT", s"VECTOR expects HNSW|FLAT, got $algo")
+          val nAttrs = a.nextInt("VECTOR")
+          var dim = -1; var metric: DistanceMetric = DistanceMetric.L2
+          var m = 16; var efc = 200; var efr = 10
+          var consumed = 0
+          while (consumed < nAttrs) {
+            val k = a.next().toUpperCase; val v = a.next(); consumed += 2
+            k match {
+              case "DIM" => dim = v.toInt
+              case "TYPE" => require(v.equalsIgnoreCase("FLOAT32"), "TYPE must be FLOAT32")
+              case "DISTANCE_METRIC" => metric = DistanceMetric.parse(v)
+              case "INITIAL_CAP" => // capacity is storage-managed here
+              case "M" => m = v.toInt
+              case "EF_CONSTRUCTION" => efc = v.toInt
+              case "EF_RUNTIME" => efr = v.toInt
+              case other => throw new ExprParseException(s"unknown vector attr $other")
+            }
+          }
+          require(dim > 0, "VECTOR requires DIM")
+          VectorField(dim, metric, m, efc, efr)
+        case other => throw new ExprParseException(s"unknown field type $other")
+      }
+      if (a.peekIs("SORTABLE")) a.next() // accepted & ignored, as the reference
+      fields += FieldDef(identifier, alias, ftype)
+    }
+    val schema = IndexSchema(name, fields.result())
+    val (raw, keyExpr) = source(prefixes)
+    val bound = if (skipScan) raw.limit(0) else raw
+    engine.createIndex(schema,
+      graft.sources.Documents.enrich(bound, schema, keyExpr = Some(keyExpr)))
+    "OK"
+  }
+
+  private def parseParams(a: Args): Map[String, ParamValue] = {
+    val n = a.nextInt("PARAMS")
+    require(n % 2 == 0, "PARAMS count must be even")
+    (0 until n / 2).map(_ => a.next() -> (StringParam(a.next()): ParamValue)).toMap
+  }
+
+  private def ftSearch(a: Args): SearchEngine.SearchReply = {
+    val index = a.next()
+    val query = a.next()
+    var opts = SearchOptions()
+    while (a.hasNext) {
+      a.next().toUpperCase match {
+        case "NOCONTENT" => opts = opts.copy(noContent = true)
+        case "TIMEOUT" => a.nextInt("TIMEOUT") // applied by executeWithTimeout callers
+        case "PARAMS" => opts = opts.copy(params = parseParams(a))
+        case "LIMIT" =>
+          val off = a.nextInt("LIMIT"); opts = opts.copy(limit = (off, a.nextInt("LIMIT")))
+        case "SORTBY" =>
+          val f = a.next()
+          val asc = if (a.peekIs("ASC")) { a.next(); true }
+            else if (a.peekIs("DESC")) { a.next(); false } else true
+          opts = opts.copy(sortBy = Some((f, asc)))
+        case "RETURN" =>
+          val n = a.nextInt("RETURN")
+          val fs = Seq.newBuilder[(String, Option[String])]
+          var consumed = 0
+          while (consumed < n) {
+            val f = a.next(); consumed += 1
+            if (a.peekIs("AS")) { a.next(); fs += ((f, Some(a.next()))); consumed += 2 }
+            else fs += ((f, None))
+          }
+          val parsed = fs.result()
+          opts =
+            if (n == 0) opts.copy(noContent = true) // RETURN 0 ≡ NOCONTENT
+            else opts.copy(returnFields = parsed)
+        case "DIALECT" =>
+          val d = a.nextInt("DIALECT")
+          require(d == 2, s"only DIALECT 2 is supported, got $d")
+        case "VERBATIM" => opts = opts.copy(verbatim = true)
+        case other => throw new ExprParseException(s"unknown FT.SEARCH option $other")
+      }
+    }
+    engine.searchReply(index, query, opts)
+  }
+
+  private def ftAggregate(a: Args): DataFrame = {
+    val index = a.next()
+    val query = a.next()
+    // PARAMS may appear among the stages; everything else passes through
+    val stageTokens = Seq.newBuilder[String]
+    var params = Map.empty[String, ParamValue]
+    while (a.hasNext) {
+      if (a.peekIs("PARAMS")) { a.next(); params = parseParams(a) }
+      else if (a.peekIs("TIMEOUT")) { a.next(); a.nextInt("TIMEOUT"); () }
+      else if (a.peekIs("DIALECT")) { a.next(); require(a.nextInt("DIALECT") == 2) }
+      else stageTokens += a.next()
+    }
+    engine.aggregate(index, query, stageTokens.result(),
+      SearchOptions(params = params))
+  }
+}

@@ -40,6 +40,9 @@ final case class SearchOptions(
  * driver, identical algorithm, zero custom code.
  */
 object SearchEngine {
+  /** Full FT.SEARCH reply: pre-LIMIT total + page (S7/R6). */
+  final case class SearchReply(total: Long, rows: Array[org.apache.spark.sql.Row])
+
   /** Restore an index saved by [[SearchEngine.saveIndex]] into `engine`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                 engine: SearchEngine): SearchEngine = {
@@ -90,6 +93,18 @@ class SearchEngine {
 
   def index(name: String): (IndexSchema, DataFrame) =
     catalog.getOrElse(name, throw new IllegalArgumentException(s"no such index: $name"))
+
+  /** FT.DROPINDEX analogue. Error if absent, like the reference. */
+  def dropIndex(name: String): Unit = {
+    if (catalog.remove(name).isEmpty)
+      throw new IllegalArgumentException(s"no such index: $name")
+    docCounts.remove(name)
+    annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
+    ()
+  }
+
+  /** FT._LIST analogue. */
+  def listIndexes: Seq[String] = catalog.keys.toSeq
 
   private val docCounts = scala.collection.mutable.HashMap.empty[String, Long]
   /** Memoized N for the planner's selectivity threshold. */
@@ -260,13 +275,11 @@ class SearchEngine {
    * requested page. One filtered plan feeds both (computed once here
    * rather than per-caller).
    */
-  final case class SearchReply(total: Long, rows: Array[org.apache.spark.sql.Row])
-
   def searchReply(indexName: String, query: String,
-                  opts: SearchOptions = SearchOptions()): SearchReply = {
+                  opts: SearchOptions = SearchOptions()): SearchEngine.SearchReply = {
     val page = search(indexName, query, opts)
     val total = searchCount(indexName, query, opts.params)
-    SearchReply(total, page.collect())
+    SearchEngine.SearchReply(total, page.collect())
   }
 
   /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */

@@ -84,12 +84,18 @@ object Documents {
               df.schema(fd.identifier).dataType != DoubleType)
             df = df.withColumn(fd.alias, src.try_cast(DoubleType))
         case TagField(sep, caseSensitive) =>
+          // aliased/JSON tag fields also need the raw value reachable
+          // under the alias (RETURN projections, FT.INFO counts)
+          if (fd.alias != fd.identifier || isJsonPath(fd.identifier))
+            df = df.withColumn(fd.alias, src.cast(StringType))
           val rawTags = split(src.cast(StringType), java.util.regex.Pattern.quote(sep))
           val trimmed = transform(rawTags, t => trim(t))
           val folded = if (caseSensitive) trimmed else transform(trimmed, t => lower(t))
           df = df.withColumn(schema.tagsCol(fd.alias),
             filter(folded, t => length(t) > 0))
         case tf: TextField =>
+          if (fd.alias != fd.identifier || isJsonPath(fd.identifier))
+            df = df.withColumn(fd.alias, src.cast(StringType))
           val cfg = analyzer.copy(stem = analyzer.stem && !tf.noStem,
             minStemSize = tf.minStemSize)
           val toks = tokenizeUdf(cfg)(src.cast(StringType))

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{Commands, SearchEngine}
+
+/** The command-string API surface (COMMANDS.md) end to end. */
+class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var cmds: Commands = _
+  private var engine: SearchEngine = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("commands-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sp = spark; import sp.implicits._
+    val products: DataFrame = Seq(
+      ("p1", 9.99, "red,blue", "fast gpu compute node", Array(1.0f, 0.0f)),
+      ("p2", 24.50, "green", "slow cpu fallback path", Array(0.0f, 1.0f)),
+      ("p3", 15.00, "Blue", "gpu training cluster", Array(0.7f, 0.7f)),
+      ("p4", 99.0, "black", "storage archive box", Array(-1.0f, 0.0f)))
+      .toDF("pk", "price", "colors", "descr", "emb")
+    engine = new SearchEngine
+    cmds = new Commands(engine, _ => (products, col("pk")))
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val create = Seq("FT.CREATE", "products", "ON", "HASH",
+    "PREFIX", "1", "product:", "SCHEMA",
+    "price", "NUMERIC",
+    "colors", "AS", "color", "TAG", "SEPARATOR", ",",
+    "descr", "TEXT", "SORTABLE",
+    "emb", "AS", "v", "VECTOR", "FLAT", "6",
+    "DIM", "2", "TYPE", "FLOAT32", "DISTANCE_METRIC", "L2")
+
+  test("FT.CREATE parses the full schema grammar and registers the index") {
+    assert(cmds.execute(create) == "OK")
+    assert(cmds.execute(Seq("FT._LIST")) == Seq("products"))
+    val info = cmds.execute(Seq("FT.INFO", "products"))
+      .asInstanceOf[DataFrame].collect()
+    assert(info.length == 4)
+    assert(info.exists(r => r.getAs[String]("field") == "color" &&
+      r.getAs[String]("identifier") == "colors"))
+  }
+
+  test("FT.SEARCH with options: filter, sort, paging, RETURN AS, total count") {
+    cmds.execute(create)
+    val reply = cmds.execute(Seq("FT.SEARCH", "products",
+      "@color:{blue} @price:[5 20]",
+      "SORTBY", "price", "ASC", "LIMIT", "0", "1",
+      "RETURN", "3", "price", "AS", "p",
+      "DIALECT", "2")).asInstanceOf[SearchEngine.SearchReply]
+    assert(reply.total == 2) // p1 and p3 match; LIMIT only pages rows
+    assert(reply.rows.length == 1)
+    assert(reply.rows.head.getAs[String]("__key") == "p1")
+    assert(reply.rows.head.getAs[Double]("p") == 9.99)
+  }
+
+  test("FT.SEARCH KNN via PARAMS with little-endian FLOAT32 bytes") {
+    cmds.execute(create)
+    val buf = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putFloat(1.0f); buf.putFloat(0.1f)
+    val blob = new String(buf.array(), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val reply = cmds.execute(Seq("FT.SEARCH", "products",
+      "*=>[KNN 2 @v $vec]", "PARAMS", "2", "vec", blob,
+      "NOCONTENT")).asInstanceOf[SearchEngine.SearchReply]
+    assert(reply.rows.map(_.getString(0)).toSeq == Seq("p1", "p3"))
+  }
+
+  test("FT.AGGREGATE command tokens route through the stage pipeline") {
+    cmds.execute(create)
+    val df = cmds.execute(Seq("FT.AGGREGATE", "products", "*",
+      "APPLY", "@price * 2", "AS", "p2x",
+      "FILTER", "@p2x < 60",
+      "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n",
+      "REDUCE", "AVG", "1", "@p2x", "AS", "avg2x")).asInstanceOf[DataFrame]
+    val r = df.collect().head
+    assert(r.getAs[Double]("n") == 3.0)
+    assert(math.abs(r.getAs[Double]("avg2x") - (19.98 + 49.0 + 30.0) / 3) < 1e-9)
+  }
+
+  test("RETURN 0 behaves as NOCONTENT; SKIPINITIALSCAN registers empty") {
+    cmds.execute(create)
+    val reply = cmds.execute(Seq("FT.SEARCH", "products", "@price:[0 100]",
+      "RETURN", "0")).asInstanceOf[SearchEngine.SearchReply]
+    assert(reply.rows.head.schema.fieldNames.toSeq == Seq("__key"))
+
+    cmds.execute(Seq("FT.CREATE", "empty_idx", "SKIPINITIALSCAN", "SCHEMA",
+      "price", "NUMERIC"))
+    val r2 = cmds.execute(Seq("FT.SEARCH", "empty_idx", "@price:[0 100]"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(r2.total == 0 && r2.rows.isEmpty)
+    cmds.execute(Seq("FT.DROPINDEX", "empty_idx"))
+    intercept[Exception] { cmds.execute(Seq("FT.DROPINDEX", "empty_idx")) }
+  }
+
+  test("DIALECT other than 2 is rejected (query/search.h:55)") {
+    cmds.execute(create)
+    intercept[Exception] {
+      cmds.execute(Seq("FT.SEARCH", "products", "*", "DIALECT", "1"))
+    }
+  }
+}
