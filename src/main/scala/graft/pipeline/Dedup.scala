@@ -121,6 +121,23 @@ object Dedup {
         col("key_b").cast("string").as("key_b"), col("jaccard"))
   }
 
+  /**
+   * Curation convenience: drop near-duplicates, keeping one document
+   * per duplicate pair-chain. Greedy keep-lowest-key policy: any doc
+   * appearing as the GREATER side of a near-dup pair is dropped — the
+   * standard single-pass policy for training-data dedup (a full
+   * connected-components pass would need iterative joins; greedy
+   * removal is the accepted approximation and never drops BOTH sides
+   * of a pair).
+   *
+   * @param pairs (key_a, key_b) near-dup pairs with key_a < key_b, from
+   *              any of the detectors in this object
+   */
+  def dropNearDups(df: DataFrame, keyCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("key_b").as("__loser")).distinct()
+    df.join(losers, col(keyCol).cast("string") === col("__loser"), "left_anti")
+  }
+
   /** Exact Jaccard of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -134,4 +134,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(TextMetrics.fingerprint("text")).collect().head.getSeq[Long](0).toSet
     assert(again == fps(1L))
   }
+  test("dropNearDups keeps exactly one doc per duplicate chain") {
+    val pairs = Dedup.minhashNearDups(docsDf, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+    val kept = Dedup.dropNearDups(docsDf, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // pairs (1,2),(1,4),(2,4) → drop 2 and 4, keep 1; 3 and 5 untouched
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  test("tag SEPARATOR and CASESENSITIVE options (ft_create_parser.cc:57-58)") {
+    val sp = spark; import sp.implicits._
+    import graft.model._
+    import graft.sources.Documents
+    val df = Seq(("k1", "Red;BLUE"), ("k2", "blue;green"), ("k3", "RED"))
+      .toDF("k", "colors")
+    val e = new graft.engine.SearchEngine
+    e.createIndex(IndexSchema("ci", Seq(FieldDef("colors", TagField(separator = ";")))),
+      Documents.enrich(df, IndexSchema("ci", Seq(FieldDef("colors", TagField(separator = ";")))),
+        keyExpr = Some(org.apache.spark.sql.functions.col("k"))))
+    // case-insensitive (default): RED matches Red
+    val ci = e.search("ci", "@colors:{red}").collect().map(_.getString(0)).sorted
+    assert(ci.toSeq == Seq("k1", "k3"))
+    val csSchema = IndexSchema("cs", Seq(FieldDef("colors", TagField(";", caseSensitive = true))))
+    e.createIndex(csSchema, Documents.enrich(df, csSchema,
+      keyExpr = Some(org.apache.spark.sql.functions.col("k"))))
+    val cs = e.search("cs", "@colors:{blue}").collect().map(_.getString(0)).sorted
+    assert(cs.toSeq == Seq("k2")) // BLUE no longer matches
+  }
 }
