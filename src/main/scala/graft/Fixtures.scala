@@ -78,6 +78,9 @@ object Fixtures {
   /** Build an engine with every index registered over `dir`'s tables. */
   def engine(spark: SparkSession, dir: String): SearchEngine = {
     val e = new SearchEngine
+    // NOT resident: a cached fact table loses parquet filter pushdown
+    // (InMemoryRelation has no row-group pruning) and benched slower
+    // than scanning — the scan+pushdown path wins for filter-heavy use.
     e.createIndex(lineitemSchema, Documents.enrich(
       table(spark, dir, "lineitem"), lineitemSchema,
       keyExpr = Some(concat_ws("-", col("l_orderkey"), col("l_linenumber")))))
