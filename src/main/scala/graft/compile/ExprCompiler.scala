@@ -247,7 +247,7 @@ final class ExprCompiler(
 
     case "timefmt" =>
       val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
-      TypedCol(timefmt(numArg(args.head), fmt), Str)
+      TypedCol(timefmt(validTs(args.head), fmt), Str)
     case "parsetime" =>
       val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
       TypedCol(parsetime(asStr(args.head), fmt), Num)
@@ -255,9 +255,18 @@ final class ExprCompiler(
     case other => throw new ExprParseException(s"Function $other is unknown")
   }
 
+  /** Timestamp guard (value.cc TIME_FUNCTION, 1.2.1 semantics):
+    * non-finite or negative unix seconds → Nil. Also keeps ANSI mode
+    * from throwing on cast(NaN AS BIGINT). */
+  private def validTs(t: TypedCol): Column = {
+    val d = numArg(t)
+    when(d.isNull || isnan(d) || d === posInf || d === negInf || d < 0,
+      lit(null).cast(DoubleType)).otherwise(d)
+  }
+
   /** gmtime field extraction: integer unix seconds, UTC session TZ. */
   private def timeField(t: TypedCol, f: Column => Column): Column =
-    f(timestamp_seconds(numArg(t).cast(LongType))).cast(DoubleType)
+    f(timestamp_seconds(validTs(t).cast(LongType))).cast(DoubleType)
 
   /**
    * FuncSubstr (value.cc:534-566): negative offset counts from the end;

@@ -211,6 +211,19 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getDouble(2) == 15.0) // numeric string converts
   }
 
+  test("time fns: NaN/negative/unconvertible timestamps yield Nil, no ANSI error") {
+    val rows = agg("*", "LIMIT", "0", "1",
+      "APPLY", "hour(0 - 100)", "AS", "neg",
+      "APPLY", "hour(1 / 0)", "AS", "nan",
+      "APPLY", "timefmt(0 - 5)", "AS", "fneg",
+      "APPLY", "year(@name)", "AS", "bad").collect()
+    val r = rows.head
+    assert(r.isNullAt(r.fieldIndex("neg"))) // negative ts → Nil (1.2.1)
+    assert(r.isNullAt(r.fieldIndex("nan"))) // NaN ts → Nil
+    assert(r.isNullAt(r.fieldIndex("fneg")))
+    assert(r.isNullAt(r.fieldIndex("bad"))) // text field unconvertible
+  }
+
   test("hybrid: KNN front-end feeds the pipeline with score pseudo-field") {
     val schema = IndexSchema("vecs", Seq(
       FieldDef("label", NumericField),
