@@ -224,6 +224,27 @@ object Queries {
          |ORDER BY __key ASC LIMIT 100""".stripMargin
     ),
     (
+      "q_text_or_numeric", // X3: OR union across text and numeric leaves
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:vector | @n_chars:[4500 +inf]",
+          SearchOptions(limit = (0, 300), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'vector') OR n_chars >= 4500
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
+      "q_text_slop_unordered", // P11: SLOP without INORDER (either order)
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:sort @text:merge",
+          SearchOptions(limit = (0, 300), noContent = true, slop = Some(1))),
+      s"""SELECT CAST(doc_id AS VARCHAR) AS __key
+         |FROM documents
+         |WHERE regexp_matches($docJoinedSql, ' sort( [a-z0-9]+)? merge ')
+         |   OR regexp_matches($docJoinedSql, ' merge( [a-z0-9]+)? sort ')
+         |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
       "q_unfielded_term", // P4: unfielded term searches ALL text fields
       (s: SparkSession, dir: String) =>
         eng(s, dir).search("documents", "value @source:{src0|src2}",
