@@ -392,3 +392,39 @@ object MinHashSig {
     h
   }
 }
+
+/**
+ * 64-bit SimHash over an array<string> of tokens: each bit of
+ * h(token) (FNV-1a 64) votes ±1 per token; sign of each counter packs
+ * into the output bit. Native loop for the same reason as
+ * [[MinHashSig]] — the HOF formulation interprets a lambda per
+ * (token × bit) pair.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = MinHashSig.fnv1a64(arr.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var k = 0
+    while (k < 64) { if (counts(k) >= 0) sim |= (1L << k); k += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -49,4 +49,7 @@ package object functions {
   /** MinHash signature of an array<string> shingle column. */
   def minhash_sig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
     expr2col(MinHashSig(col2expr(shingles), a, b))
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column =
+    expr2col(SimHash64(col2expr(tokens)))
 }

@@ -180,31 +180,14 @@ object Dedup {
 
   /**
    * 64-bit SimHash over distinct whitespace tokens — row-local, no
-   * shuffle: per token, each of the 64 bits of xxhash64(token) votes
-   * ±1; the sign of each counter becomes the output bit. The bit
-   * positions unroll at plan time (shift amounts must be literals),
-   * and the vote-counts array materializes as its own projection so
-   * the 64 sign reads don't re-aggregate.
+   * shuffle: per token, each of the 64 bits of h(token) votes ±1; the
+   * sign of each counter becomes the output bit. Native expression
+   * ([[graft.functions.SimHash64]]) — the HOF form interprets a lambda
+   * per (token × bit) pair.
    */
-  def withSimhash64(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val tokens = array_distinct(split(col(textCol), " "))
-    val counts = aggregate(tokens,
-      array((0 until 64).map(_ => lit(0L)): _*),
-      (acc, w) => {
-        val h = xxhash64(lit("sh"), w)
-        val votes = array((0 until 64).map(k =>
-          when(shiftrightunsigned(h, k).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))): _*)
-        zip_with(acc, votes, (x, y) => x + y)
-      })
-    val packed = (0 until 64).map(k =>
-        when(element_at(col("__simhash_counts"), k + 1) >= 0, lit(1L << k))
-          .otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    df.withColumn("__simhash_counts", counts)
-      .withColumn(outCol, packed)
-      .drop("__simhash_counts")
-  }
+  def withSimhash64(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.simhash64(array_distinct(split(col(textCol), " "))))
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
@@ -223,6 +206,7 @@ object Dedup {
     val banded = sigs.select(col("k"), col("sim"),
         explode(bandStructs).as("bk"))
       .select(col("k"), col("sim"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
