@@ -174,18 +174,30 @@ class SearchEngine {
           .limit(knn.k)
 
         if (useAnn) {
-          val overFetch = if (parsed.isMatchAll) knn.k else knn.k * 4
-          val hits = ann.get.search(qvec, k = overFetch,
-            ef = math.max(vf.efRuntime, overFetch))
+          // Inline filter (X9, hnswlib BaseFilterFunctor): the beam
+          // traverses the whole graph but only admits keys in a Bloom
+          // filter of the qualified set — built distributed, shipped in
+          // the task closure. The join-back against the filtered docs
+          // removes Bloom false positives exactly.
+          val keyFilter: Option[String => Boolean] =
+            if (parsed.isMatchAll) None
+            else {
+              val bloom = df.stat.bloomFilter(schema.keyColumn,
+                math.max(docCount(indexName), 64L), 0.01)
+              Some((k: String) => bloom.mightContain(k))
+            }
+          val overFetch = if (parsed.isMatchAll) knn.k else knn.k * 2 // FP slack
+          val hits = ann.get.searchFiltered(qvec, k = overFetch,
+            ef = math.max(vf.efRuntime, overFetch), keyFilter)
             .withColumnRenamed("distance", name)
             .withColumnRenamed("__key", "__ann_key")
           val annResult = hits.join(df, hits("__ann_key") === keyCol)
             .drop("__ann_key")
             .orderBy(col(name).asc, keyCol.asc)
             .limit(knn.k)
-          // Post-filter can starve below k where the reference's inline
-          // filter functor would keep traversing (vector_hnsw.h:71); the
-          // exact path is the completeness fallback.
+          // Completeness fallback: if fewer than k qualified neighbors
+          // survived (tiny qualified set or ef too small), the exact
+          // pre-filter path answers instead.
           df = if (parsed.isMatchAll || annResult.count() >= knn.k) annResult
                else exactKnn(df)
         } else {

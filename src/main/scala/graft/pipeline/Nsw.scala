@@ -93,19 +93,24 @@ object Nsw {
   private[graft] def searchLocal(vecs: Array[Array[Float]],
                                     adj: IndexedSeq[scala.collection.Seq[Int]],
                                     q: Array[Float], ef: Int, limitIdx: Int,
-                                    metric: String): Array[(Double, Int)] = {
+                                    metric: String,
+                                    admit: Option[Int => Boolean] = None): Array[(Double, Int)] = {
     val d = dist(metric) _
     val bound = if (limitIdx <= 0) vecs.length else math.min(limitIdx, vecs.length)
     if (bound == 0) return Array.empty
+    val admits: Int => Boolean = admit.getOrElse(_ => true)
     val visited = new java.util.BitSet(bound)
-    // candidates: min-heap by distance; results: max-heap bounded at ef
+    // candidates: min-heap by distance (traversal frontier — unrestricted
+    // by the filter, like hnswlib's functor); results: max-heap bounded
+    // at ef, admitting only filter-passing nodes.
     val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
       Ordering.by[(Double, Int), Double](_._1).reverse)
     val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
       Ordering.by[(Double, Int), Double](_._1))
     val entry = 0
     val d0 = d(q, vecs(entry))
-    cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.set(entry)
+    cand.enqueue((d0, entry)); visited.set(entry)
+    if (admits(entry)) res.enqueue((d0, entry))
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
       if (res.size >= ef && dc > res.head._1) {
@@ -117,8 +122,10 @@ object Nsw {
             val dn = d(q, vecs(nb))
             if (res.size < ef || dn < res.head._1) {
               cand.enqueue((dn, nb))
-              res.enqueue((dn, nb))
-              if (res.size > ef) res.dequeue()
+              if (admits(nb)) {
+                res.enqueue((dn, nb))
+                if (res.size > ef) res.dequeue()
+              }
             }
           }
         }
@@ -133,7 +140,21 @@ object Nsw {
 
     /** ANN top-k: one beam search per partition graph, global merge via
       * orderBy+limit (distributed bounded heaps). `ef` ≈ EF_RUNTIME. */
-    def search(query: Array[Float], k: Int, ef: Int = 50): DataFrame = {
+    def search(query: Array[Float], k: Int, ef: Int = 50): DataFrame =
+      searchFiltered(query, k, ef, keyFilter = None)
+
+    /**
+     * Inline-filtered ANN (reference X9: hnswlib BaseFilterFunctor,
+     * vector_hnsw.h:71): the beam TRAVERSES the whole graph but only
+     * admits keys passing `keyFilter` to the result heap — so a
+     * selective filter doesn't starve the beam the way post-filtering
+     * an unfiltered top-k does. The intended functor at scale is a
+     * Bloom filter of qualified keys (built distributed via
+     * `df.stat.bloomFilter`, broadcast with the closure); false
+     * positives are removed by the caller's exact join-back.
+     */
+    def searchFiltered(query: Array[Float], k: Int, ef: Int,
+                       keyFilter: Option[String => Boolean]): DataFrame = {
       val spark = graphs.sparkSession
       import spark.implicits._
       val metricL = metric
@@ -141,7 +162,8 @@ object Nsw {
       val hits = graphs.flatMap { g =>
         if (g.keys.isEmpty) Iterator.empty
         else Nsw.searchLocal(g.vecs, g.adj.map(_.toIndexedSeq), query,
-            effEf, limitIdx = -1, metricL)
+            effEf, limitIdx = -1, metricL,
+            admit = keyFilter.map(f => (i: Int) => f(g.keys(i))))
           .iterator.take(effEf).map { case (dd, idx) => Hit(g.keys(idx), dd) }
       }
       hits.toDF()

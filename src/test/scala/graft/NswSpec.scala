@@ -96,4 +96,27 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(selective.length == 5)
     } finally ann.unpersistIndex()
   }
+  test("inline filter: beam admits only qualified keys, no starvation") {
+    val dir = "/root/testdata/sf0.001"
+    val engine = Fixtures.engine(spark, dir)
+    val embs = engine.index("embeddings_l2")._2
+    val ann = graft.pipeline.Nsw.build(embs, "__key", "vec", metric = "L2",
+      numPartitions = 4, m = 12, efConstruction = 100)
+    try {
+      engine.registerAnn("embeddings_l2", "vec", ann)
+      // ~50% selective filter → planner takes the ANN inline-filter branch
+      val opts = graft.engine.SearchOptions(
+        params = Map("q" -> graft.query.VectorParam(Queries.queryVec)))
+      val viaAnn = engine.search("embeddings_l2", "@label:[0 4]=>[KNN 10 @vec $q]", opts)
+        .collect()
+      assert(viaAnn.length == 10)
+      assert(viaAnn.forall(r => { val l = r.getAs[Double]("label"); l >= 0 && l <= 4 }))
+      // compare against exact (fresh engine, no ANN): high overlap expected
+      val exact = Fixtures.engine(spark, dir)
+        .search("embeddings_l2", "@label:[0 4]=>[KNN 10 @vec $q]", opts)
+        .collect().map(_.getAs[String]("__key")).toSet
+      val overlap = viaAnn.map(_.getAs[String]("__key")).toSet.intersect(exact).size
+      assert(overlap >= 8, s"inline-filter recall $overlap/10")
+    } finally ann.unpersistIndex()
+  }
 }
