@@ -118,4 +118,29 @@ object Ann {
     IvfIndex(df.withColumn("cell_id", cellId(col(vecCol), centroids)),
       centroids, keyCol, vecCol)
   }
+
+  /**
+   * Persist an IVF index with storage-level cell layout: rows land in
+   * `cell_id=<n>/` partition directories, so a probe of nProbe cells
+   * reads ONLY those directories (Catalyst partition pruning — the
+   * skipped cells never leave storage). The 100 TB deployment shape:
+   * the assignment pass is map-only; queries touch nProbe/nCells of
+   * the bytes. Centroids serialize alongside.
+   */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$path/cells")
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$path/centroids.bin"))
+    try oos.writeObject(index.centroids) finally oos.close()
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+              keyCol: String, vecCol: String): IvfIndex = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.FileInputStream(s"$path/centroids.bin"))
+    val centroids = try ois.readObject().asInstanceOf[Array[Array[Double]]]
+      finally ois.close()
+    IvfIndex(spark.read.parquet(s"$path/cells"), centroids, keyCol, vecCol)
+  }
 }

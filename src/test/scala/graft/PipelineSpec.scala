@@ -162,4 +162,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cs = e.search("cs", "@colors:{blue}").collect().map(_.getString(0)).sorted
     assert(cs.toSeq == Seq("k2")) // BLUE no longer matches
   }
+  test("IVF persisted partitionBy(cell_id): probes prune at storage level") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val ivf = Ann.buildIvf(embs, "vec_id", "embedding", nCells = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.saveIvf(ivf, tmp)
+    val loaded = Ann.loadIvf(spark, tmp, "vec_id", "embedding")
+    // identical answers through the persisted layout
+    val mem = ivf.search(Queries.queryVec, 10, nProbe = 3)
+      .collect().map(_.getString(0)).toSeq
+    val disk = loaded.search(Queries.queryVec, 10, nProbe = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(disk == mem)
+    // partition pruning: the probe plan reads files from <= nProbe cell dirs
+    val probed = loaded.search(Queries.queryVec, 10, nProbe = 3)
+    val partCounts = probed.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    // the scan's selected partitions are exactly the probed cells
+    assert(partCounts.nonEmpty && partCounts.head <= 3,
+      s"partitions read: $partCounts")
+  }
 }
