@@ -167,4 +167,32 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0)
     assert(agg.columns.contains("window_start") && agg.columns.contains("avg_value"))
   }
+  test("stateful streaming dedup: duplicates flagged across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulDedup
+
+    // simhashes: d2 is identical to d1; d3 within hamming 2; d4 far away
+    val s1 = 0x0123456789ABCDEFL
+    val s3 = s1 ^ 0x11L // flips 2 bits
+    val s4 = ~s1
+    val stream = MemoryStream[(String, Long)]
+    stream.addData(("d1", s1), ("d4", s4))
+    stream.addData(("d2", s1), ("d3", s3)) // later batch: dupes of d1
+
+    val decisions = StatefulDedup.dedupDecisions(spark, stream.toDS(), maxHamming = 3)
+    val q = decisions.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val dup = spark.sql(
+      """SELECT doc_key, max(CAST(is_duplicate AS INT)) AS dup,
+        |  max(dup_of) AS src FROM dedup_out GROUP BY doc_key""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getInt(1) == 1, r.getString(2))).toMap
+    assert(dup("d1") == (false, ""))
+    assert(dup("d4") == (false, ""))
+    assert(dup("d2")._1 && dup("d2")._2 == "d1") // exact dup, later batch (state)
+    assert(dup("d3")._1 && dup("d3")._2 == "d1") // hamming-2 dup
+  }
 }
