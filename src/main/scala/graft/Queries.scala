@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{SearchEngine, SearchOptions}
+import graft.model.{DistanceMetric, FieldDef, IndexSchema, NumericField, VectorField}
 import graft.query.{ParamValue, VectorParam}
 
 /**
@@ -21,6 +22,29 @@ object Queries {
   private val engines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
   private[graft] def eng(spark: SparkSession, dir: String): SearchEngine =
     engines.getOrElseUpdate(dir, Fixtures.engine(spark, dir))
+
+  private val annRegistered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Engine with an NSW graph registered on a SEPARATE index name
+    * (`embeddings_ann`) so the exact-KNN gates (q_knn_*) keep their FLAT
+    * pre-filter plans while `q_ann_inline_recall` exercises the
+    * inline-filtered beam-search branch (SURVEY §2.3 X9). */
+  private[graft] def annEng(spark: SparkSession, dir: String): SearchEngine = {
+    val e = eng(spark, dir)
+    annRegistered.getOrElseUpdate(dir, {
+      val schema = IndexSchema("embeddings_ann", Seq(
+        FieldDef("label", NumericField),
+        FieldDef("embedding", "vec", VectorField(dim = 64, metric = DistanceMetric.L2))))
+      val enriched = graft.sources.Documents.enrich(
+        Fixtures.table(spark, dir, "embeddings"), schema,
+        keyExpr = Some(col("vec_id")))
+      e.createIndex(schema, enriched)
+      e.registerAnn("embeddings_ann", "vec",
+        graft.pipeline.Nsw.build(enriched, "__key", "vec", metric = "L2",
+          numPartitions = 8))
+      true
+    })
+    e
+  }
 
   /** Fixed KNN query vector — components exactly representable in
     * float32 so the SQL literal is bit-identical. */
@@ -346,6 +370,31 @@ object Queries {
          |WHERE label >= 3 AND label <= 5
          |ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $vecSql) ASC, __key ASC
          |LIMIT 15""".stripMargin
+    ),
+    (
+      // X9: hybrid KNN through the registered NSW graph's inline-filter
+      // branch (low-selectivity filter + per-query EF_RUNTIME). The ANN
+      // result set is approximate, so the oracle-checked contract is the
+      // recall property itself: full k results with recall@10 ≥ 0.9 vs
+      // the exact pre-filter path (reference regime: COMMANDS.md:64-66,
+      // planner.cc:21-46).
+      "q_ann_inline_recall",
+      (s: SparkSession, dir: String) => {
+        val e = annEng(s, dir)
+        val opts = SearchOptions(limit = (0, 10), params = qParams)
+        val ann = e.search("embeddings_ann",
+          "@label:[0 6]=>[KNN 10 @vec $q EF_RUNTIME 200]", opts)
+        val exact = e.search("embeddings_l2",
+          "@label:[0 6]=>[KNN 10 @vec $q]", opts)
+        val overlap = ann.select(col("__key"))
+          .intersect(exact.select(col("__key"))).count()
+        val n = ann.count()
+        val sp = s
+        import sp.implicits._
+        Seq((n.toDouble, overlap.toDouble / 10.0 >= 0.9))
+          .toDF("n_results", "recall_ok")
+      },
+      "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
     )
   )
 

@@ -121,11 +121,19 @@ class SearchEngine {
   def search(indexName: String, query: String,
              opts: SearchOptions = SearchOptions()): DataFrame = {
     val (schema, docs) = index(indexName)
+    val parsed = FilterParser.parse(query, opts.params)
+    finishSearch(indexName, schema, filterStage(schema, docs, parsed, opts),
+      parsed, opts)
+  }
+
+  /** Filter + proximity front half, shared by [[search]] and
+    * [[searchReply]] (which caches its output so total and page read
+    * one plan). */
+  private def filterStage(schema: IndexSchema, docs: DataFrame,
+                          parsed: ParsedQuery, opts: SearchOptions): DataFrame = {
     val analyzerCfg =
       if (opts.verbatim) Analyzer.Default.copy(stem = false) else Analyzer.Default
-    val parsed = FilterParser.parse(query, opts.params)
     val compiler = new PredicateCompiler(schema, analyzerCfg)
-
     var df = docs
     if (!parsed.isMatchAll) df = df.filter(compiler.compile(parsed.filter))
     (opts.slop, parsed.filter) match {
@@ -133,7 +141,14 @@ class SearchEngine {
       case (None, f) if opts.inorder => df = applyProximity(df, schema, f, Int.MaxValue, inorder = true)
       case _ =>
     }
+    df
+  }
 
+  /** KNN + SORTBY/LIMIT/RETURN back half over an already-filtered plan. */
+  private def finishSearch(indexName: String, schema: IndexSchema,
+                           filtered: DataFrame, parsed: ParsedQuery,
+                           opts: SearchOptions): DataFrame = {
+    var df = filtered
     val keyCol = col(schema.keyColumn)
     var scoreName: Option[String] = None
 
@@ -163,7 +178,12 @@ class SearchEngine {
           parsed.isMatchAll || {
             val n = docCount(indexName)
             val threshold = math.max(1L, (prefilterThresholdRatio * n).toLong)
-            df.limit((threshold + 1).toInt).count() > threshold
+            // LIMIT takes an Int: when the threshold itself exceeds
+            // Int.MaxValue (N ≳ 2×10¹² at the default ratio) fall back
+            // to a full count rather than overflowing the probe bound.
+            if (threshold < Int.MaxValue)
+              df.limit((threshold + 1).toInt).count() > threshold
+            else df.count() > threshold
           }
         }
         def exactKnn(base: DataFrame): DataFrame = base
@@ -176,25 +196,36 @@ class SearchEngine {
         if (useAnn) {
           // Inline filter (X9, hnswlib BaseFilterFunctor): the beam
           // traverses the whole graph but only admits keys in a Bloom
-          // filter of the qualified set — built distributed, shipped in
-          // the task closure. The join-back against the filtered docs
-          // removes Bloom false positives exactly.
+          // filter of the qualified set. The Bloom is sized to the
+          // QUALIFIED count, not the full table N (a full-N Bloom at
+          // 1 B+ keys is GBs), and shipped via broadcast — serialized
+          // once per executor, not per task closure. The join-back
+          // against the filtered docs removes Bloom false positives
+          // exactly.
           val keyFilter: Option[String => Boolean] =
             if (parsed.isMatchAll) None
             else {
+              val qualified = df.count() // one pass over the filtered plan
               val bloom = df.stat.bloomFilter(schema.keyColumn,
-                math.max(docCount(indexName), 64L), 0.01)
-              Some((k: String) => bloom.mightContain(k))
+                math.max(qualified, 64L), 0.01)
+              val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
+              Some((k: String) => bloomBc.value.mightContain(k))
             }
           val overFetch = if (parsed.isMatchAll) knn.k else knn.k * 2 // FP slack
-          val hits = ann.get.searchFiltered(qvec, k = overFetch,
-            ef = math.max(vf.efRuntime, overFetch), keyFilter)
+          // Per-query EF_RUNTIME overrides the schema default
+          // (reference COMMANDS.md:64-66, ft_search_parser.cc).
+          val ef = math.max(knn.efRuntime.getOrElse(vf.efRuntime), overFetch)
+          val hits = ann.get.searchFiltered(qvec, k = overFetch, ef, keyFilter)
             .withColumnRenamed("distance", name)
             .withColumnRenamed("__key", "__ann_key")
+          // ≤ k rows after the top-k merge: eager localCheckpoint keeps
+          // the completeness probe below AND the caller's downstream use
+          // from re-running the beam search + join.
           val annResult = hits.join(df, hits("__ann_key") === keyCol)
             .drop("__ann_key")
             .orderBy(col(name).asc, keyCol.asc)
             .limit(knn.k)
+            .localCheckpoint(true)
           // Completeness fallback: if fewer than k qualified neighbors
           // survived (tiny qualified set or ef too small), the exact
           // pre-filter path answers instead.
@@ -289,9 +320,23 @@ class SearchEngine {
    */
   def searchReply(indexName: String, query: String,
                   opts: SearchOptions = SearchOptions()): SearchEngine.SearchReply = {
-    val page = search(indexName, query, opts)
-    val total = searchCount(indexName, query, opts.params)
-    SearchEngine.SearchReply(total, page.collect())
+    val (schema, docs) = index(indexName)
+    val parsed = FilterParser.parse(query, opts.params)
+    // ONE filtered plan, cached: the total count materializes it, the
+    // page reads the cache — one scan of the source, like the
+    // reference's single-pass total+page (search.cc:780-814).
+    val base = filterStage(schema, docs, parsed, opts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = parsed.knn match {
+        case Some(k) => math.min(
+          base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(),
+          k.k.toLong)
+        case None => base.count()
+      }
+      val page = finishSearch(indexName, schema, base, parsed, opts)
+      SearchEngine.SearchReply(total, page.collect())
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */

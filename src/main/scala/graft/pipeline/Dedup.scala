@@ -22,6 +22,20 @@ object Dedup {
 
   private val MersennePrime = 2147483647L // 2^31 − 1
 
+  /**
+   * Materialize a (small: near-dup pairs) result eagerly via a local
+   * checkpoint, then release the intermediate persisted relations the
+   * plan no longer needs. Keeps the persist lifecycle inside the
+   * operator: callers get a self-contained DataFrame and executors
+   * retain no shingle/band caches after the call returns.
+   */
+  private def materializeAndRelease(result: DataFrame,
+                                    intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Distinct word n-gram shingles of a whitespace-tokenized text. */
   def shingles(text: Column, n: Int): Column = {
     val ws = split(text, " ")
@@ -91,14 +105,18 @@ object Dedup {
                       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // Persist the (k, shingles) base: it feeds the signature pipeline
+    // AND both sides of the verification join — without the persist the
+    // shingle construction executes three times (no subplan reuse
+    // across DataFrame self-join branches).
     val base = df.select(col(keyCol).as("k"),
-      shingles(col(textCol), shingleN).as("sh"))
+        shingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("k"), col("sh"),
       minhashSignature(col("sh"), numHashes, seed).as("sig"))
 
     // Persist the tiny (k, band, bh) relation: the candidate self-join
-    // would otherwise evaluate the full signature pipeline once per
-    // side (no subplan reuse across DataFrame self-join branches).
+    // would otherwise evaluate the full signature pipeline once per side.
     val banded = sigs.select(col("k"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("k"), col("bk.band"), col("bk.bh"))
@@ -114,11 +132,12 @@ object Dedup {
     val withSh = cands
       .join(base.select(col("k").as("key_a"), col("sh").as("sh_a")), "key_a")
       .join(base.select(col("k").as("key_b"), col("sh").as("sh_b")), "key_b")
-    withSh
+    val result = withSh
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("key_a").cast("string").as("key_a"),
         col("key_b").cast("string").as("key_b"), col("jaccard"))
+    materializeAndRelease(result, base, banded)
   }
 
   /**
@@ -151,11 +170,14 @@ object Dedup {
    * common shingles per pair, then Jaccard from the pre-computed set
    * sizes. `maxShingleFreq` drops shingles appearing in more than that
    * many docs — the standard stop-shingle guard against join skew at
-   * scale.
+   * scale. It defaults ON (1000): a shingle shared by >1000 documents
+   * carries no near-dup signal but turns the self-join quadratic on
+   * that key; pass None only for exact-Jaccard oracle runs on corpora
+   * known to be skew-free.
    */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                         shingleN: Int = 2, threshold: Double = 0.5,
-                        maxShingleFreq: Option[Int] = None): DataFrame = {
+                        maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
     val base = df.select(col(keyCol).as("k"),
       shingles(col(textCol), shingleN).as("sh"))
     val sizes = base.select(col("k"), size(col("sh")).as("sz"))
@@ -207,7 +229,7 @@ object Dedup {
         explode(bandStructs).as("bk"))
       .select(col("k"), col("sim"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("a")
+    val result = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.k") < col("b.k"))
@@ -219,6 +241,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("key_a").cast("string").as("key_a"),
         col("key_b").cast("string").as("key_b"), col("hamming"))
+    materializeAndRelease(result, banded)
   }
 
   /** Cosine similarity of two float-array columns (via the codegen'd
@@ -262,14 +285,23 @@ object Dedup {
    * sign bits split into `bands` bands; same-band-value vectors become
    * candidates, verified by exact cosine. The 100 TB path: shuffle on
    * (band, value), never all-pairs.
+   *
+   * @param dim embedding dimensionality; defaults to -1 = infer from
+   *            the first row (one LIMIT-1 probe — cheap, and wrong-dim
+   *            hyperplanes would silently degrade signatures otherwise)
    */
   def embeddingNearDupsLsh(df: DataFrame, keyCol: String, vecCol: String,
                            minCosine: Double, numPlanes: Int = 16,
-                           bands: Int = 4, seed: Long = 42L): DataFrame = {
+                           bands: Int = 4, seed: Long = 42L,
+                           dim: Int = -1): DataFrame = {
     require(numPlanes % bands == 0)
     val bitsPerBand = numPlanes / bands
     val mask = (1L << bitsPerBand) - 1
-    val planes = hyperplanes(numPlanes, dim = 64, seed)
+    val planeDim =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+    val planes = hyperplanes(numPlanes, planeDim, seed)
     val base = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
       .withColumn("sig", signBits(col("v"), planes))
     val bandStructs = array((0 until bands).map(j => struct(lit(j).as("band"),
