@@ -291,6 +291,23 @@ object Queries {
         |ORDER BY __key ASC LIMIT 100""".stripMargin
     ),
     (
+      // P4 + stemming parity: the query terms are INFLECTED forms that
+      // appear nowhere in the corpus — they only match because Snowball
+      // stems both sides to the same term (merging→merg meets
+      // merge→merg; sorted→sort meets sort). The oracle searches the
+      // base forms verbatim, so this gate fails under a wrong stemmer
+      // or disabled stemming.
+      "q_text_stemmed",
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:merging | @text:sorted",
+          SearchOptions(limit = (0, 300), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'merge')
+        |   OR list_contains(string_split(text, ' '), 'sort')
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
       "q_return_alias", // R3: RETURN ... AS rename
       (s: SparkSession, dir: String) =>
         eng(s, dir).search("documents", "@n_chars:[4000 +inf]",

@@ -63,9 +63,11 @@ object Analyzer {
     words(text, cfg).filterNot(cfg.stopWords.contains)
       .zipWithIndex.map { case (w, p) => Token(w, p) }
 
-  /** Stem a single (already lowercased) token per MINSTEMSIZE rule. */
+  /** Stem a single (already lowercased) token per MINSTEMSIZE rule.
+    * Snowball English — the same algorithm revision the reference links
+    * (third_party/snowball v3.0.1), golden-diffed in SnowballStemmerSpec. */
   def stemToken(w: String, cfg: Config = Default): String =
-    if (cfg.stem && w.length >= cfg.minStemSize) PorterStemmer.stem(w) else w
+    if (cfg.stem && w.length >= cfg.minStemSize) SnowballStemmer.stem(w) else w
 
   /**
    * Index-side term set for a text value: distinct stems of its tokens.

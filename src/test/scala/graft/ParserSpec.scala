@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.query._
-import graft.text.{Analyzer, PorterStemmer, Proximity}
+import graft.text.{Analyzer, SnowballStemmer, Proximity}
 
 class ParserSpec extends AnyFunSuite {
 
@@ -105,7 +105,7 @@ class ParserSpec extends AnyFunSuite {
       "searches" -> "search", "consign" -> "consign", "consigned" -> "consign",
       "knack" -> "knack", "knot" -> "knot")
     cases.foreach { case (in, want) =>
-      assert(PorterStemmer.stem(in) == want, s"stem($in)")
+      assert(SnowballStemmer.stem(in) == want, s"stem($in)")
     }
   }
 
