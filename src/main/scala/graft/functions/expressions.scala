@@ -359,6 +359,13 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // array<long> input = pre-hashed shingles ([[HashedShingles]]): skip
+  // the per-element string hash, signatures are identical by construction.
+  private lazy val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = a.length
@@ -366,7 +373,10 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
     var s = 0
     val cnt = arr.numElements()
     while (s < cnt) {
-      val h = MinHashSig.fnv1a64(arr.getUTF8String(s).getBytes) % MinHashSig.P
+      val raw =
+        if (preHashed) arr.getLong(s)
+        else MinHashSig.fnv1a64(arr.getUTF8String(s).getBytes)
+      val h = raw % MinHashSig.P
       val hp = if (h < 0) h + MinHashSig.P else h
       var i = 0
       while (i < n) {
@@ -377,6 +387,61 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
       s += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Word n-gram shingling + 64-bit hashing in ONE row-local JVM loop:
+ * array<string> of words → sorted-distinct array<long> where each
+ * element is FNV-1a 64 of the space-joined n-gram — bit-identical to
+ * hashing the [[graft.pipeline.Dedup.shingles]] strings, without ever
+ * materializing them. Cuts the dedup pipelines' cache/shuffle bytes
+ * (8 B per shingle vs the full n-gram string) and skips the
+ * concat/slice/distinct string work that dominated profile time.
+ * Sorting makes the output order deterministic; set semantics
+ * (MinHash, array_intersect) are order-insensitive.
+ */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val words = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { words(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val m = cnt - n + 1
+    val hashes = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong & 0xffL; h *= 0x100000001b3L }
+        val w = words(i + j)
+        var k = 0
+        while (k < w.length) { h ^= w(k) & 0xffL; h *= 0x100000001b3L; k += 1 }
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var out = 0
+    i = 0
+    while (i < m) { // in-place dedup of the sorted hashes
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(out) = hashes(i); out += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hashes, out))
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

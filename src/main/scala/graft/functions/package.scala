@@ -52,4 +52,7 @@ package object functions {
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     expr2col(SimHash64(col2expr(tokens)))
+  /** Sorted-distinct 64-bit hashes of word n-grams (one JVM loop). */
+  def hashed_shingles(words: Column, n: Int): Column =
+    expr2col(HashedShingles(col2expr(words), n))
 }

@@ -47,6 +47,16 @@ object Dedup {
   }
 
   /**
+   * Sorted-distinct 64-bit hashes of the same shingles, computed in one
+   * row-local JVM loop ([[graft.functions.HashedShingles]]). Set
+   * operations (Jaccard, MinHash, posting joins) are hash-equivalent,
+   * and the relation is ~4× smaller to cache/shuffle than the strings —
+   * the representation every dedup pipeline here uses internally.
+   */
+  def hashedShingles(text: Column, n: Int): Column =
+    graft.functions.hashed_shingles(split(text, " "), n)
+
+  /**
    * Exact duplicate grouping by content hash (the 100 TB-safe version
    * of GROUP BY text: hash first so the shuffle moves 16-byte keys,
    * not documents).
@@ -105,12 +115,12 @@ object Dedup {
                       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // Persist the (k, shingles) base: it feeds the signature pipeline
-    // AND both sides of the verification join — without the persist the
-    // shingle construction executes three times (no subplan reuse
-    // across DataFrame self-join branches).
+    // Persist the (k, hashed shingles) base: it feeds the signature
+    // pipeline AND both sides of the verification join — without the
+    // persist the shingle construction executes three times (no subplan
+    // reuse across DataFrame self-join branches).
     val base = df.select(col(keyCol).as("k"),
-        shingles(col(textCol), shingleN).as("sh"))
+        hashedShingles(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("k"), col("sh"),
       minhashSignature(col("sh"), numHashes, seed).as("sig"))
@@ -129,7 +139,10 @@ object Dedup {
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
       .distinct()
 
-    val withSh = cands
+    // Broadcast the (small, LSH-pruned) candidate pairs into both verify
+    // joins: the big shingle relation is then scanned in place from
+    // cache instead of being shuffled twice.
+    val withSh = broadcast(cands)
       .join(base.select(col("k").as("key_a"), col("sh").as("sh_a")), "key_a")
       .join(base.select(col("k").as("key_b"), col("sh").as("sh_b")), "key_b")
     val result = withSh
@@ -179,7 +192,7 @@ object Dedup {
                         shingleN: Int = 2, threshold: Double = 0.5,
                         maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
     val base = df.select(col(keyCol).as("k"),
-      shingles(col(textCol), shingleN).as("sh"))
+      hashedShingles(col(textCol), shingleN).as("sh"))
     val sizes = base.select(col("k"), size(col("sh")).as("sz"))
     var posting = base.select(col("k"), explode(col("sh")).as("s"))
     maxShingleFreq.foreach { cap =>

@@ -81,6 +81,24 @@ class EngineSpec extends AnyFunSuite {
     assert(page == math.min(5L, total) && total > 5)
   }
 
+  test("searchReply: one-pass total+page equals search()+searchCount()") {
+    val q = "@p_size:[10 20]"
+    val opts = SearchOptions(limit = (2, 5), sortBy = Some(("p_retailprice", false)),
+      returnFields = Seq(("p_size", None), ("p_retailprice", None)))
+    val reply = engine.searchReply("part", q, opts)
+    assert(reply.total == engine.searchCount("part", q))
+    val expect = engine.search("part", q, opts).collect()
+    assert(reply.rows.map(_.toString).toSeq == expect.map(_.toString).toSeq)
+    // KNN reply: total is capped at k
+    val kq = "*=>[KNN 7 @vec $q]"
+    val kopts = SearchOptions(limit = (0, 7),
+      params = Map("q" -> VectorParam(Queries.queryVec)))
+    val kreply = engine.searchReply("embeddings_l2", kq, kopts)
+    assert(kreply.total == 7)
+    assert(kreply.rows.map(_.toString).toSeq ==
+      engine.search("embeddings_l2", kq, kopts).collect().map(_.toString).toSeq)
+  }
+
   test("wrong-dimension vectors are dropped (index_base.h:43-47)") {
     val docs = Seq(
       ("a", Array(1.0f, 0.0f)),

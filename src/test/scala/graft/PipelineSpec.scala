@@ -93,6 +93,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact) // cosine≈1 pairs agree on every sign bit → always caught
   }
 
+  test("embedding LSH infers hyperplane dim: non-64-dim vectors work") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat) // dim 8, not 64
+    val tweak = base.clone(); tweak(1) += 0.01f
+    val vecs = (Seq((1L, base), (2L, tweak)) ++
+      (3L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupsExact(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exact.contains(("1", "2")))
+    val lsh = Dedup.embeddingNearDupsLsh(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lsh.subsetOf(exact) && lsh.contains(("1", "2")))
+  }
+
+  test("ngram jaccard hot-shingle cap: skew guard drops only no-signal shingles") {
+    val sp = spark; import sp.implicits._
+    // every doc shares the hot bigram ("common filler"); only 1 & 2 share
+    // enough distinctive bigrams to be near-dups
+    val docs = (Seq(
+      (1L, "common filler alpha beta gamma delta epsilon zeta"),
+      (2L, "common filler alpha beta gamma delta epsilon eta")) ++
+      (3L to 30L).map(i => (i, s"common filler unique$i words$i here$i now$i")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, maxShingleFreq = None)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // cap of 10 drops "common filler" (freq 30) but keeps the pair: the
+    // distinctive shingles still overlap above threshold
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, maxShingleFreq = Some(10))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.contains(("1", "2")) && capped.contains(("1", "2")))
+    // a cap above every shingle frequency is a no-op (gate-corpus case)
+    val noop = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, maxShingleFreq = Some(1000))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(noop == uncapped)
+  }
+
   test("IVF search: nProbe=all equals exact top-k; nProbe=2 has sane recall") {
     val dir = "/root/testdata/sf0.001"
     val embs = Fixtures.table(spark, dir, "embeddings")
