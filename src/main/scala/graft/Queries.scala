@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{SearchEngine, SearchOptions}
+import graft.engine.{Commands, SearchEngine, SearchOptions}
 import graft.model.{DistanceMetric, FieldDef, IndexSchema, NumericField, VectorField}
 import graft.query.{ParamValue, VectorParam}
 
@@ -305,6 +305,29 @@ object Queries {
         |FROM documents
         |WHERE list_contains(string_split(text, ' '), 'merge')
         |   OR list_contains(string_split(text, ' '), 'sort')
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
+      // Index-level STOPWORDS via FT.CREATE: "merge" is DECLARED a stop
+      // word, so the stemmed query term merging→merg finds no indexed
+      // term (merge was dropped at ingest), while sorted→sort still
+      // matches. The oracle encodes exactly that asymmetry — a wrong
+      // stop-word path (ignored declaration, or query-side-only
+      // filtering) flips the result set.
+      "q_text_custom_stopwords",
+      (s: SparkSession, dir: String) => {
+        val e = new SearchEngine
+        val cmds = new Commands(e,
+          _ => (Fixtures.table(s, dir, "documents"), col("doc_id")))
+        cmds.execute(Seq("FT.CREATE", "docs_sw",
+          "STOPWORDS", "3", "merge", "a", "the",
+          "SCHEMA", "text", "TEXT", "lang", "TAG"))
+        e.search("docs_sw", "@text:merging | @text:sorted",
+          SearchOptions(limit = (0, 300), noContent = true))
+      },
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'sort')
         |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),
     (

@@ -121,6 +121,8 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
     case Phrase(field, words) =>
       // Adjacency on post-stop-word positions ⟺ substring match on the
       // space-joined token string (" t0 t1 t2 ").
+      require(analyzer.withOffsets,
+        "phrase matching requires positions; the index was created NOOFFSETS")
       val needle = words.map(_.toLowerCase).mkString(" ", " ", " ")
       overTextFields(field)(fd => col(s"__${fd.alias}__joined").contains(needle))
   }

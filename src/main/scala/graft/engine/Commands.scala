@@ -57,6 +57,9 @@ final class Commands(
     val name = a.next()
     var prefixes: Seq[String] = Nil
     var skipScan = false
+    // Index-level text options (reference ft_create_parser.cc:640-725):
+    // flexible order before SCHEMA, defaults per the reference.
+    var analyzerCfg = graft.text.Analyzer.Default
     if (a.peekIs("ON")) { a.next(); val t = a.next().toUpperCase
       require(t == "HASH" || t == "JSON", s"ON expects HASH|JSON, got $t") }
     var done = false
@@ -66,6 +69,27 @@ final class Commands(
           a.next(); val n = a.nextInt("PREFIX")
           prefixes = (0 until n).map(_ => a.next())
         case "SKIPINITIALSCAN" => a.next(); skipScan = true
+        case "PUNCTUATION" =>
+          a.next(); val p = a.next()
+          if (p.isEmpty)
+            throw new ExprParseException("PUNCTUATION string cannot be empty")
+          analyzerCfg = analyzerCfg.copy(punctuation = p.toSet)
+        case "STOPWORDS" =>
+          a.next(); val n = a.nextInt("STOPWORDS")
+          analyzerCfg = analyzerCfg.copy(
+            stopWords = (0 until n).map(_ => a.next().toLowerCase).toSet)
+        case "NOSTOPWORDS" =>
+          a.next(); analyzerCfg = analyzerCfg.copy(stopWords = Set.empty)
+        case "NOSTEM" => a.next(); analyzerCfg = analyzerCfg.copy(stem = false)
+        case "MINSTEMSIZE" =>
+          a.next(); val n = a.nextInt("MINSTEMSIZE")
+          if (n <= 0) throw new ExprParseException("MINSTEMSIZE must be positive")
+          analyzerCfg = analyzerCfg.copy(minStemSize = n)
+        case "WITHOFFSETS" => a.next(); analyzerCfg = analyzerCfg.copy(withOffsets = true)
+        case "NOOFFSETS" => a.next(); analyzerCfg = analyzerCfg.copy(withOffsets = false)
+        case "LANGUAGE" =>
+          a.next(); val l = a.next()
+          require(l.equalsIgnoreCase("ENGLISH"), s"unsupported LANGUAGE $l")
         case "SCHEMA" => a.next(); done = true
         case other => throw new ExprParseException(s"unexpected token $other (expected SCHEMA)")
       }
@@ -86,7 +110,7 @@ final class Commands(
           }
           TagField(sep, cs)
         case "TEXT" =>
-          var noStem = false; var minStem = 4; var weight = 1.0; var suffix = true
+          var noStem = false; var minStem = -1; var weight = 1.0; var suffix = true
           var more = true
           while (more && a.hasNext) a.peek.toUpperCase match {
             case "NOSTEM" => a.next(); noStem = true
@@ -124,7 +148,7 @@ final class Commands(
       if (a.peekIs("SORTABLE")) a.next() // accepted & ignored, as the reference
       fields += FieldDef(identifier, alias, ftype)
     }
-    val schema = IndexSchema(name, fields.result())
+    val schema = IndexSchema(name, fields.result(), analyzer = analyzerCfg)
     val (raw, keyExpr) = source(prefixes)
     val bound = if (skipScan) raw.limit(0) else raw
     engine.createIndex(schema,

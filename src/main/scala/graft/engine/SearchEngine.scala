@@ -132,7 +132,7 @@ class SearchEngine {
   private def filterStage(schema: IndexSchema, docs: DataFrame,
                           parsed: ParsedQuery, opts: SearchOptions): DataFrame = {
     val analyzerCfg =
-      if (opts.verbatim) Analyzer.Default.copy(stem = false) else Analyzer.Default
+      if (opts.verbatim) schema.analyzer.copy(stem = false) else schema.analyzer
     val compiler = new PredicateCompiler(schema, analyzerCfg)
     var df = docs
     if (!parsed.isMatchAll) df = df.filter(compiler.compile(parsed.filter))
@@ -280,7 +280,7 @@ class SearchEngine {
     val (schema, docs) = index(indexName)
     val parsed = FilterParser.parse(query, opts.params)
     val compilerCfg =
-      if (opts.verbatim) Analyzer.Default.copy(stem = false) else Analyzer.Default
+      if (opts.verbatim) schema.analyzer.copy(stem = false) else schema.analyzer
     val compiler = new PredicateCompiler(schema, compilerCfg)
 
     var df = docs
@@ -344,7 +344,7 @@ class SearchEngine {
                   params: Map[String, ParamValue] = Map.empty): Long = {
     val (schema, docs) = index(indexName)
     val parsed = FilterParser.parse(query, params)
-    val compiler = new PredicateCompiler(schema)
+    val compiler = new PredicateCompiler(schema, schema.analyzer)
     val base = if (parsed.isMatchAll) docs else docs.filter(compiler.compile(parsed.filter))
     parsed.knn match {
       case Some(k) => math.min(base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(), k.k.toLong)
@@ -371,7 +371,9 @@ class SearchEngine {
       val ftype = fd.ftype match {
         case NumericField => "NUMERIC"
         case t: TagField => s"TAG(separator=${t.separator},caseSensitive=${t.caseSensitive})"
-        case t: TextField => s"TEXT(noStem=${t.noStem},minStemSize=${t.minStemSize})"
+        case t: TextField =>
+          val mss = if (t.minStemSize > 0) t.minStemSize else schema.analyzer.minStemSize
+          s"TEXT(noStem=${t.noStem},minStemSize=$mss)"
         case v: VectorField => s"VECTOR(dim=${v.dim},metric=${v.metric.name})"
       }
       (indexName, fd.alias, fd.identifier, ftype, stats.getLong(i + 1))
@@ -438,6 +440,8 @@ class SearchEngine {
                              filter: Predicate, slop: Int, inorder: Boolean): DataFrame = {
     val textMatchers = collectTextMatchers(filter)
     if (textMatchers.size < 2) return df
+    require(schema.analyzer.withOffsets,
+      "SLOP/INORDER requires positions; the index was created NOOFFSETS")
     val matcherSpecs = textMatchers.map(graft.text.Proximity.toSpec)
     val proximityUdf = udf((toks: Seq[org.apache.spark.sql.Row]) =>
       if (toks == null) false

@@ -30,7 +30,9 @@ final case class TagField(separator: String = ",", caseSensitive: Boolean = fals
 final case class TextField(
     noStem: Boolean = false,
     withSuffixTrie: Boolean = true,
-    minStemSize: Int = 4,
+    // ≤ 0 = inherit the index-level MINSTEMSIZE (IndexSchema.analyzer);
+    // the reference declares MINSTEMSIZE per index, not per field.
+    minStemSize: Int = -1,
     weight: Double = 1.0)
     extends FieldType
 
@@ -81,7 +83,11 @@ object FieldDef {
 final case class IndexSchema(
     name: String,
     fields: Seq[FieldDef],
-    keyColumn: String = "__key") {
+    keyColumn: String = "__key",
+    // Index-level text options: STOPWORDS/NOSTOPWORDS, PUNCTUATION,
+    // MINSTEMSIZE, NOSTEM, WITHOFFSETS/NOOFFSETS
+    // (reference ft_create_parser.cc:96-106, 640-725).
+    analyzer: graft.text.Analyzer.Config = graft.text.Analyzer.Default) {
 
   private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
 

@@ -45,7 +45,7 @@ object Documents {
 
   def load(spark: SparkSession, path: String, schema: IndexSchema,
            keyExpr: Option[Column] = None,
-           analyzer: Analyzer.Config = Analyzer.Default): DataFrame = {
+           analyzer: Option[Analyzer.Config] = None): DataFrame = {
     enrich(spark.read.parquet(path), schema, keyExpr, analyzer)
   }
 
@@ -68,7 +68,10 @@ object Documents {
 
   def enrich(raw: DataFrame, schema: IndexSchema,
              keyExpr: Option[Column] = None,
-             analyzer: Analyzer.Config = Analyzer.Default): DataFrame = {
+             analyzer: Option[Analyzer.Config] = None): DataFrame = {
+    // default: the schema's own index-level text options (FT.CREATE
+    // STOPWORDS/PUNCTUATION/MINSTEMSIZE/NOSTEM)
+    val idxCfg = analyzer.getOrElse(schema.analyzer)
     var df = keyExpr match {
       case Some(k) => raw.withColumn(schema.keyColumn, k.cast(StringType))
       case None =>
@@ -96,8 +99,9 @@ object Documents {
         case tf: TextField =>
           if (fd.alias != fd.identifier || isJsonPath(fd.identifier))
             df = df.withColumn(fd.alias, src.cast(StringType))
-          val cfg = analyzer.copy(stem = analyzer.stem && !tf.noStem,
-            minStemSize = tf.minStemSize)
+          val cfg = idxCfg.copy(stem = idxCfg.stem && !tf.noStem,
+            minStemSize = if (tf.minStemSize > 0) tf.minStemSize
+                          else idxCfg.minStemSize)
           val toks = tokenizeUdf(cfg)(src.cast(StringType))
           df = df
             .withColumn(schema.tokensCol(fd.alias), toks)

@@ -25,7 +25,11 @@ object Analyzer {
       punctuation: Set[Char] = DefaultPunctuation.toSet,
       stopWords: Set[String] = DefaultStopWords,
       stem: Boolean = true,
-      minStemSize: Int = 4)
+      minStemSize: Int = 4,
+      // WITHOFFSETS/NOOFFSETS (ft_create_parser.cc:98-99): without
+      // offsets the index stores no positions, so phrase and
+      // SLOP/INORDER queries are rejected at compile time.
+      withOffsets: Boolean = true)
 
   val Default: Config = Config()
   /** No stemming, no stop words — used for exact-oracle test queries. */

@@ -110,4 +110,78 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cmds.execute(Seq("FT.SEARCH", "products", "*", "DIALECT", "1"))
     }
   }
+
+  test("index-level STOPWORDS: declared words drop from index and query") {
+    // "gpu" becomes a stop word: term queries on it match nothing and
+    // the default stop word "the" is a searchable term again
+    cmds.execute(Seq("FT.CREATE", "sw_idx", "STOPWORDS", "1", "gpu",
+      "SCHEMA", "descr", "TEXT"))
+    val hit = cmds.execute(Seq("FT.SEARCH", "sw_idx", "@descr:training"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(hit.total == 1)
+    // stop-word query term is dropped → conjunct vanishes → all docs
+    val dropped = cmds.execute(Seq("FT.SEARCH", "sw_idx", "@descr:gpu"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(dropped.total == 4)
+  }
+
+  test("NOSTOPWORDS: default stop words become searchable terms") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("d1", "the fast path"), ("d2", "slow route"))
+      .toDF("pk", "txt")
+    val c2 = new Commands(engine, _ => (docs, col("pk")))
+    c2.execute(Seq("FT.CREATE", "nsw_idx", "NOSTOPWORDS", "SCHEMA", "txt", "TEXT"))
+    val r = c2.execute(Seq("FT.SEARCH", "nsw_idx", "@txt:the"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(r.total == 1 && r.rows.head.getString(0) == "d1")
+  }
+
+  test("index-level PUNCTUATION: custom split set replaces the default") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("d1", "alpha_beta-gamma"), ("d2", "delta_epsilon"))
+      .toDF("pk", "txt")
+    val c2 = new Commands(engine, _ => (docs, col("pk")))
+    // '_' splits, '-' no longer does → "beta-gamma" is ONE token
+    c2.execute(Seq("FT.CREATE", "punct_idx", "PUNCTUATION", "_",
+      "SCHEMA", "txt", "TEXT"))
+    val r1 = c2.execute(Seq("FT.SEARCH", "punct_idx", "@txt:alpha"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(r1.total == 1)
+    val r2 = c2.execute(Seq("FT.SEARCH", "punct_idx", "@txt:gamma"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(r2.total == 0) // not a standalone token under custom punctuation
+  }
+
+  test("index-level MINSTEMSIZE and NOSTEM") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("d1", "running cats")).toDF("pk", "txt")
+    val c2 = new Commands(engine, _ => (docs, col("pk")))
+    // MINSTEMSIZE 10: "running" (7 chars) is NOT stemmed at index or
+    // query time → searching "runs" misses, exact "running" hits
+    c2.execute(Seq("FT.CREATE", "mss_idx", "MINSTEMSIZE", "10",
+      "SCHEMA", "txt", "TEXT"))
+    assert(c2.execute(Seq("FT.SEARCH", "mss_idx", "@txt:runs"))
+      .asInstanceOf[SearchEngine.SearchReply].total == 0)
+    assert(c2.execute(Seq("FT.SEARCH", "mss_idx", "@txt:running"))
+      .asInstanceOf[SearchEngine.SearchReply].total == 1)
+    // NOSTEM at index level disables stemming for every text field
+    c2.execute(Seq("FT.CREATE", "nostem_idx", "NOSTEM",
+      "SCHEMA", "txt", "TEXT"))
+    assert(c2.execute(Seq("FT.SEARCH", "nostem_idx", "@txt:runs"))
+      .asInstanceOf[SearchEngine.SearchReply].total == 0)
+    assert(c2.execute(Seq("FT.SEARCH", "nostem_idx", "@txt:running"))
+      .asInstanceOf[SearchEngine.SearchReply].total == 1)
+  }
+
+  test("NOOFFSETS: phrase queries are rejected, terms still work") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("d1", "hash join plan")).toDF("pk", "txt")
+    val c2 = new Commands(engine, _ => (docs, col("pk")))
+    c2.execute(Seq("FT.CREATE", "nooff_idx", "NOOFFSETS", "SCHEMA", "txt", "TEXT"))
+    assert(c2.execute(Seq("FT.SEARCH", "nooff_idx", "@txt:join"))
+      .asInstanceOf[SearchEngine.SearchReply].total == 1)
+    intercept[Exception] {
+      c2.execute(Seq("FT.SEARCH", "nooff_idx", "@txt:\"hash join\""))
+    }
+  }
 }
