@@ -26,13 +26,30 @@ import graft.model._
  * Change-feed contract: `op` ∈ {upsert, delete}, `__key`, `__seq`
  * (monotonic), plus the document columns.
  *
- * Scale: each micro-batch merge shuffles only on `__key`; with the
- * state table bucketed/partitioned by key the merge is co-located. In
- * production the state store would be a table format with MERGE
- * support; here it is hash-partitioned parquet, rewritten per batch —
- * same dataflow, simplest durable store available in this container.
+ * Scale: the state table is parquet PARTITIONED BY a key-hash bucket
+ * (`__bucket = pmod(xxhash64(__key), nBuckets)`). A micro-batch only
+ * reads and rewrites the buckets its keys hash into (dynamic partition
+ * overwrite) — write amplification is O(touched buckets / nBuckets) of
+ * the state instead of O(state) per batch, and the per-bucket merge
+ * shuffles only the touched slice. In production the same dataflow
+ * targets a MERGE-capable table format; hash-bucketed parquet is the
+ * simplest durable store available in this container.
  */
 object Ingest {
+
+  /** State partition column: stable key-hash bucket. */
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("__key")), lit(nBuckets.toLong))
+
+  /** Backfill (S2): write an initial document table in the bucketed
+    * state layout [[start]] maintains incrementally. */
+  def backfill(df: DataFrame, statePath: String, nBuckets: Int = 64): Unit =
+    df.withColumn("__bucket", bucketOf(nBuckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(statePath)
+
+  /** Read the maintained state back as a plain document table. */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).drop("__bucket")
 
   /** Split a raw document batch into (valid, dropped) per the schema's
     * typed fields — the ingest-time validation side output. */
@@ -72,31 +89,55 @@ object Ingest {
   }
 
   /**
-   * Run the continuous pipeline: change feed → foreachBatch merge into
-   * a parquet state dir. Backfill = writing the initial table to
-   * `statePath` before starting (S2 semantics: same merge path, batch
-   * source).
+   * Run the continuous pipeline: change feed → foreachBatch incremental
+   * merge into the bucketed parquet state dir ([[backfill]] writes the
+   * initial layout; S2 semantics: same merge path, batch source).
+   *
+   * Per micro-batch: bucket the batch keys, read ONLY the touched
+   * bucket partitions (directory pruning on `__bucket`), merge, and
+   * dynamically overwrite ONLY those partitions — untouched buckets'
+   * files are never rewritten.
    */
   def start(spark: SparkSession, changes: DataFrame, statePath: String,
-            checkpointPath: String, docSchema: org.apache.spark.sql.types.StructType): StreamingQuery = {
+            checkpointPath: String,
+            docSchema: org.apache.spark.sql.types.StructType,
+            nBuckets: Int = 64): StreamingQuery = {
+    val stateSchema = docSchema.add("__bucket", org.apache.spark.sql.types.LongType)
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val current =
-          try spark.read.schema(docSchema).parquet(statePath)
-          catch { case _: Exception => spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), docSchema) }
-        val merged = mergeBatch(current, batch)
-        // rewrite via temp dir: parquet has no transactional MERGE here
-        val tmp = statePath + "__next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(statePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val bucketed = batch.withColumn("__bucket", bucketOf(nBuckets))
+        val touched = bucketed.select("__bucket").distinct()
+          .collect().map(_.getLong(0)) // ≤ nBuckets values
+        if (touched.nonEmpty) {
+          val current =
+            try spark.read.schema(stateSchema).parquet(statePath)
+              .filter(col("__bucket").isin(touched.toIndexedSeq: _*))
+            catch { case _: Exception => spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema) }
+          val merged = mergeBatch(current, bucketed) // keeps __bucket
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // dynamic overwrite only rewrites partitions PRESENT in the
+            // output — a bucket fully emptied by tombstones must be
+            // cleared explicitly or its old file would survive
+            val nonEmpty = merged.select("__bucket").distinct()
+              .collect().map(_.getLong(0)).toSet
+            if (nonEmpty.nonEmpty)
+              merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__bucket")
+                .parquet(statePath)
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              spark.sparkContext.hadoopConfiguration)
+            touched.filterNot(nonEmpty).foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$statePath/__bucket=$b"), true)
+            }
+          } finally { merged.unpersist(blocking = false); () }
+        }
         ()
       }
       .start()

@@ -100,9 +100,23 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val statePath = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
 
-    // backfill (S2): initial table written through the same layout
-    Seq(("k1", 1.0), ("k2", 2.0)).toDF("__key", "price")
-      .write.mode("overwrite").parquet(statePath)
+    // backfill (S2): initial table written through the bucketed layout;
+    // k4..k9 land in buckets the incremental batch never touches
+    Ingest.backfill(
+      (Seq(("k1", 1.0), ("k2", 2.0)) ++ (4 to 9).map(i => (s"k$i", i.toDouble)))
+        .toDF("__key", "price"), statePath)
+
+    // snapshot per-file modification times before the incremental batch
+    def fileStamps(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(statePath)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val before = fileStamps()
 
     val stream = MemoryStream[(String, String, Double, Long)]
     stream.addData(("upsert", "k2", 22.0, 1L), ("upsert", "k3", 3.0, 2L),
@@ -115,15 +129,28 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Ingest.start(spark, changes, statePath, ckpt, docSchema)
     q.awaitTermination(60000)
 
-    val result = spark.read.parquet(statePath)
+    val result = Ingest.readState(spark, statePath)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(result == Map("k2" -> 22.0, "k3" -> 3.0))
+    assert(result == Map("k2" -> 22.0, "k3" -> 3.0) ++
+      (4 to 9).map(i => s"k$i" -> i.toDouble))
+
+    // incremental write: buckets NOT touched by the batch keep their
+    // original files byte-for-byte (same path, same mtime)
+    val touchedBuckets = Seq("k1", "k2", "k3").toDF("__key")
+      .select(pmod(xxhash64(col("__key")), lit(64L)))
+      .collect().map(r => s"__bucket=${r.getLong(0)}/")
+    val untouched = before.filterNot { case (p, _) =>
+      touchedBuckets.exists(p.contains) }
+    assert(untouched.nonEmpty, "test needs at least one untouched bucket")
+    val after = fileStamps()
+    untouched.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"untouched bucket file rewritten: $p") }
 
     // the maintained table is immediately searchable through the engine
     val e = new graft.engine.SearchEngine
     val schema = IndexSchema("live", Seq(FieldDef("price", NumericField)))
     e.createIndex(schema, graft.sources.Documents.enrich(
-      spark.read.parquet(statePath), schema, keyExpr = Some(col("__key"))))
+      Ingest.readState(spark, statePath), schema, keyExpr = Some(col("__key"))))
     val hits = e.search("live", "@price:[10 +inf]").collect()
     assert(hits.map(_.getString(0)).toSeq == Seq("k2"))
   }
