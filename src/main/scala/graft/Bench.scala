@@ -42,7 +42,33 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
+
+    // NSW recall report (SURVEY X6/X9): partition-local graph ANN vs
+    // exact top-10, averaged over 20 query vectors drawn from the
+    // corpus, across the EF_RUNTIME range. The engine's documented
+    // operating point is ef=200 (recall ≥ 0.95 there).
+    val recallJson = try {
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val ann = graft.pipeline.Nsw.build(embs, "vec_id", "embedding",
+        metric = "L2", numPartitions = 8)
+      val queries = embs.orderBy("vec_id").limit(20)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val recalls = Seq(10, 50, 200).map { ef =>
+        val r = queries.map { qv =>
+          val exact = graft.pipeline.Ann.topK(embs, "vec_id", "embedding",
+            qv, k = 10, metric = "L2").collect().map(_.getString(0)).toSet
+          val got = ann.search(qv, k = 10, ef = ef)
+            .collect().map(_.getString(0)).toSet
+          got.intersect(exact).size / 10.0
+        }.sum / queries.length
+        s""""ef$ef":$r"""
+      }
+      ann.unpersistIndex()
+      recalls.mkString("{", ",", "}")
+    } catch { case _: Throwable => "{}" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"nsw_recall_at_10":$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

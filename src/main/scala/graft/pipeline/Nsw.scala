@@ -178,16 +178,25 @@ object Nsw {
    * Build: hash-repartition vectors, construct one graph per partition,
    * persist the graph Dataset (build once / query many — the batch
    * stand-in for the reference's resident HNSW).
+   *
+   * `maxGraphSize` bounds vectors per partition graph: a PartGraph is
+   * ONE row, and Spark rows cap at 2 GiB — at the default 250k × 64-dim
+   * float32 a graph row stays ~100 MB (vectors + adjacency), so
+   * partition count scales automatically with data instead of hitting
+   * the row bound. One count() per build (builds are one-time).
    */
   def build(df: DataFrame, keyCol: String, vecCol: String,
             metric: String = "COSINE", numPartitions: Int = 8,
-            m: Int = 16, efConstruction: Int = 200): NswIndex = {
+            m: Int = 16, efConstruction: Int = 200,
+            maxGraphSize: Int = 250000): NswIndex = {
     val spark = df.sparkSession
     import spark.implicits._
+    val parts = math.max(numPartitions,
+      math.ceil(df.count().toDouble / maxGraphSize).toInt)
     val graphs = df
       .select(col(keyCol).cast("string"), col(vecCol).cast("array<float>"))
       .as[(String, Array[Float])]
-      .repartition(numPartitions, col(keyCol))
+      .repartition(parts, col(keyCol))
       .mapPartitions { it =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
