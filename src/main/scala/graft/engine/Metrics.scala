@@ -1,0 +1,76 @@
+package graft.engine
+
+import java.util.concurrent.atomic.AtomicLong
+
+/**
+ * Engine observability — the query-path slice of the reference's
+ * metrics surface (src/metrics.h:29-80, docs/topics/
+ * search-observables.md): request counters by query class, the hybrid
+ * planner's prefilter-vs-inline split, and a log₂ latency histogram.
+ *
+ * Driver-side process metrics (one engine = one driver); executor-side
+ * work is already observable through the Spark UI/metrics system, so
+ * this intentionally does NOT duplicate task-level instrumentation.
+ */
+object Metrics {
+
+  val querySuccess = new AtomicLong
+  val queryFailed = new AtomicLong
+  /** Query class counters (non-exclusive: a hybrid query bumps vector
+    * + hybrid; a text-filter query bumps text). */
+  val queryVector = new AtomicLong
+  val queryNonVector = new AtomicLong
+  val queryText = new AtomicLong
+  val queryHybrid = new AtomicLong
+  /** Hybrid planner decisions (planner.cc:21-46): exact pre-filter vs
+    * graph beam search with inline filter. */
+  val knnPrefilter = new AtomicLong
+  val knnInline = new AtomicLong
+
+  /** log₂ latency histogram: bucket i counts samples in
+    * [2^i, 2^(i+1)) microseconds; last bucket is the overflow. */
+  private val NBuckets = 24 // 2^23 µs ≈ 8.4 s
+  private val latency = Array.fill(NBuckets)(new AtomicLong)
+
+  def observeLatencyNanos(nanos: Long): Unit = {
+    val us = math.max(nanos / 1000, 1)
+    val b = math.min(63 - java.lang.Long.numberOfLeadingZeros(us), NBuckets - 1)
+    latency(b.toInt).incrementAndGet()
+    ()
+  }
+
+  /** Time an action, recording latency + success/failure counters. */
+  def timed[T](body: => T): T = {
+    val t0 = System.nanoTime()
+    try {
+      val r = body
+      querySuccess.incrementAndGet()
+      r
+    } catch {
+      case e: Throwable => queryFailed.incrementAndGet(); throw e
+    } finally observeLatencyNanos(System.nanoTime() - t0)
+  }
+
+  /** All counters as (name, value) — FT.INFO-style dump. */
+  def snapshot(): Seq[(String, Long)] = {
+    val counters = Seq(
+      "query_successful_requests_cnt" -> querySuccess.get(),
+      "query_failed_requests_cnt" -> queryFailed.get(),
+      "query_vector_requests_cnt" -> queryVector.get(),
+      "query_nonvector_requests_cnt" -> queryNonVector.get(),
+      "query_text_requests_cnt" -> queryText.get(),
+      "query_hybrid_requests_cnt" -> queryHybrid.get(),
+      "query_prefiltering_requests_cnt" -> knnPrefilter.get(),
+      "query_inline_filtering_requests_cnt" -> knnInline.get())
+    val hist = latency.zipWithIndex.collect {
+      case (c, i) if c.get() > 0 => s"query_latency_us_le_${1L << (i + 1)}" -> c.get()
+    }
+    counters ++ hist
+  }
+
+  def reset(): Unit = {
+    Seq(querySuccess, queryFailed, queryVector, queryNonVector, queryText,
+      queryHybrid, knnPrefilter, knnInline).foreach(_.set(0))
+    latency.foreach(_.set(0))
+  }
+}

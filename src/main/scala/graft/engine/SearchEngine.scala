@@ -122,8 +122,26 @@ class SearchEngine {
              opts: SearchOptions = SearchOptions()): DataFrame = {
     val (schema, docs) = index(indexName)
     val parsed = FilterParser.parse(query, opts.params)
+    recordQueryClass(parsed)
     finishSearch(indexName, schema, filterStage(schema, docs, parsed, opts),
       parsed, opts)
+  }
+
+  /** Observability: query-class counters (reference metrics.h:29-44). */
+  private def recordQueryClass(parsed: ParsedQuery): Unit = {
+    if (parsed.knn.isDefined) {
+      Metrics.queryVector.incrementAndGet()
+      if (!parsed.isMatchAll) Metrics.queryHybrid.incrementAndGet()
+    } else Metrics.queryNonVector.incrementAndGet()
+    def hasText(p: Predicate): Boolean = p match {
+      case _: TextPredicate => true
+      case And(cs) => cs.exists(hasText)
+      case Or(cs) => cs.exists(hasText)
+      case Not(c) => hasText(c)
+      case _ => false
+    }
+    if (hasText(parsed.filter)) Metrics.queryText.incrementAndGet()
+    ()
   }
 
   /** Filter + proximity front half, shared by [[search]] and
@@ -193,6 +211,8 @@ class SearchEngine {
           .orderBy(col(name).asc, keyCol.asc)
           .limit(knn.k)
 
+        (if (useAnn) Metrics.knnInline else Metrics.knnPrefilter)
+          .incrementAndGet()
         if (useAnn) {
           // Inline filter (X9, hnswlib BaseFilterFunctor): the beam
           // traverses the whole graph but only admits keys in a Bloom
@@ -319,25 +339,27 @@ class SearchEngine {
    * rather than per-caller).
    */
   def searchReply(indexName: String, query: String,
-                  opts: SearchOptions = SearchOptions()): SearchEngine.SearchReply = {
-    val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, opts.params)
-    // ONE filtered plan, cached: the total count materializes it, the
-    // page reads the cache — one scan of the source, like the
-    // reference's single-pass total+page (search.cc:780-814).
-    val base = filterStage(schema, docs, parsed, opts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val total = parsed.knn match {
-        case Some(k) => math.min(
-          base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(),
-          k.k.toLong)
-        case None => base.count()
-      }
-      val page = finishSearch(indexName, schema, base, parsed, opts)
-      SearchEngine.SearchReply(total, page.collect())
-    } finally { base.unpersist(blocking = false); () }
-  }
+                  opts: SearchOptions = SearchOptions()): SearchEngine.SearchReply =
+    Metrics.timed {
+      val (schema, docs) = index(indexName)
+      val parsed = FilterParser.parse(query, opts.params)
+      recordQueryClass(parsed)
+      // ONE filtered plan, cached: the total count materializes it, the
+      // page reads the cache — one scan of the source, like the
+      // reference's single-pass total+page (search.cc:780-814).
+      val base = filterStage(schema, docs, parsed, opts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val total = parsed.knn match {
+          case Some(k) => math.min(
+            base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(),
+            k.k.toLong)
+          case None => base.count()
+        }
+        val page = finishSearch(indexName, schema, base, parsed, opts)
+        SearchEngine.SearchReply(total, page.collect())
+      } finally { base.unpersist(blocking = false); () }
+    }
 
   /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */
   def searchCount(indexName: String, query: String,

@@ -14,7 +14,14 @@ object FilterParser {
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg at position $pos")
 
-  def parse(query: String, params: Map[String, ParamValue] = Map.empty): ParsedQuery = {
+  /** `fuzzy-max-distance` config default (reference
+    * filter_parser.cc:59-74: default 3, range 1..50) — caps the %-count
+    * so adversarial queries can't request unbounded-cost edit-distance
+    * DPs. */
+  val DefaultFuzzyMaxDistance = 3
+
+  def parse(query: String, params: Map[String, ParamValue] = Map.empty,
+            fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance): ParsedQuery = {
     val arrow = findTopLevelArrow(query)
     arrow match {
       case Some(i) =>
@@ -22,13 +29,13 @@ object FilterParser {
         val knnPart = query.substring(i + 2).trim
         val filter =
           if (filterPart == "*" || filterPart.isEmpty) MatchAll
-          else new P(filterPart, params).parseFilter()
+          else new P(filterPart, params, fuzzyMaxDistance).parseFilter()
         ParsedQuery(filter, Some(parseKnn(knnPart, params)))
       case None =>
         val t = query.trim
         val filter =
           if (t == "*" || t.isEmpty) MatchAll
-          else new P(t, params).parseFilter()
+          else new P(t, params, fuzzyMaxDistance).parseFilter()
         ParsedQuery(filter, None)
     }
   }
@@ -92,7 +99,8 @@ object FilterParser {
   // Characters that terminate a bare term token.
   private val TermStop = " \t\n\r|(){}[]\"%*:=".toSet
 
-  private final class P(s: String, params: Map[String, ParamValue]) {
+  private final class P(s: String, params: Map[String, ParamValue],
+                        fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance) {
     private var pos = 0
 
     def parseFilter(): Predicate = {
@@ -192,6 +200,9 @@ object FilterParser {
       while (pos < s.length && peek == '%') { trail += 1; pos += 1 }
       if (lead != trail)
         throw ParseError(s"fuzzy %-count mismatch ($lead vs $trail)", pos)
+      if (lead > fuzzyMaxDistance)
+        throw ParseError(
+          s"fuzzy distance $lead exceeds fuzzy-max-distance $fuzzyMaxDistance", pos)
       Fuzzy(field, w, lead)
     }
 

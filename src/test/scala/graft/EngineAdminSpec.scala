@@ -71,4 +71,26 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
       engine.search("part", "@p_size:[10 20]", SearchOptions(limit = (0, 5))), 50000)
     assert(ok.nonEmpty)
   }
+
+  test("metrics: query-class counters, planner split, latency histogram") {
+    graft.engine.Metrics.reset()
+    engine.searchReply("part", "@p_size:[10 20]")          // non-vector
+    engine.searchReply("documents", "@text:merge")         // non-vector + text
+    engine.searchReply("embeddings_l2", "@label:[3 5]=>[KNN 5 @vec $q]",
+      SearchOptions(params = Map("q" ->
+        graft.query.VectorParam(Queries.queryVec))))       // hybrid → prefilter
+    intercept[Exception] {
+      engine.searchReply("part", "@no_such_field:[1 2]")
+    }
+    val m = graft.engine.Metrics.snapshot().toMap
+    assert(m("query_nonvector_requests_cnt") == 3) // incl. the failed one
+    assert(m("query_text_requests_cnt") == 1)
+    assert(m("query_vector_requests_cnt") == 1)
+    assert(m("query_hybrid_requests_cnt") == 1)
+    assert(m("query_prefiltering_requests_cnt") == 1)
+    assert(m("query_inline_filtering_requests_cnt") == 0)
+    assert(m("query_successful_requests_cnt") == 3)
+    assert(m("query_failed_requests_cnt") >= 1)
+    assert(m.keys.exists(_.startsWith("query_latency_us_le_")))
+  }
 }

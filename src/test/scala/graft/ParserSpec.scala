@@ -109,6 +109,18 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy distance capped by fuzzy-max-distance (filter_parser.cc:59-74)") {
+    import graft.query.FilterParser
+    assert(FilterParser.parse("%%%word%%%").filter
+      .isInstanceOf[graft.query.Fuzzy]) // 3 = default cap, allowed
+    intercept[FilterParser.ParseError] {
+      FilterParser.parse("%%%%word%%%%") // 4 > default cap
+    }
+    // configurable, like the reference's fuzzy-max-distance flag
+    assert(FilterParser.parse("%%%%word%%%%", fuzzyMaxDistance = 4).filter
+      .isInstanceOf[graft.query.Fuzzy])
+  }
+
   test("proximity slop/inorder") {
     val toks = Seq(("quick", 0), ("brown", 1), ("fox", 2), ("jumped", 3), ("dog", 4))
     def spec(w: String) = Proximity.ExactSpec(w)
