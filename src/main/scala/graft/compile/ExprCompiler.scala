@@ -223,8 +223,14 @@ final class ExprCompiler(
 
     case "upper" | "lower" =>
       // 1.2.1 semantics: non-string input → Nil (value.cc FuncLower).
+      // ASCII-ONLY case mapping (value.cc:567-622: codepoints ≥ 0x80
+      // pass through untouched) — translate(), not Unicode upper/lower.
       args.head.tag match {
-        case Str => TypedCol(if (name == "upper") upper(args.head.c) else lower(args.head.c), Str)
+        case Str =>
+          val mapped =
+            if (name == "upper") translate(args.head.c, AsciiLowerChars, AsciiUpperChars)
+            else translate(args.head.c, AsciiUpperChars, AsciiLowerChars)
+          TypedCol(mapped, Str)
         case _ => TypedCol(lit(null).cast(org.apache.spark.sql.types.StringType), Str)
       }
     case "strlen" => TypedCol(octet_length(asStr(args.head)).cast(DoubleType), Num)
@@ -275,15 +281,25 @@ final class ExprCompiler(
    */
   private def substrValkey(s0: TypedCol, off0: TypedCol, len0: TypedCol): Column = {
     val s = asStr(s0)
+    // BYTE-based like the reference (std::string::substr over UTF-8
+    // bytes): slice the binary form, then reinterpret as string — a
+    // multibyte codepoint CAN be split, matching value.cc exactly.
+    val b = s.cast(org.apache.spark.sql.types.BinaryType)
     val size = octet_length(s)
     val offRaw = asNum(off0).cast(LongType)
     val lenArg = asNum(len0).cast(LongType)
     val off = when(offRaw >= 0, offRaw).otherwise(offRaw + size)
     val tailLen = (size - off) + lenArg
+    def slice(len: Column) =
+      substring(b, (off + 1).cast(IntegerType), len.cast(IntegerType))
+        .cast(org.apache.spark.sql.types.StringType)
     when(s.isNull || offRaw.isNull || lenArg.isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
       .when(off > size || off < 0 || lenArg === 0, lit(""))
-      .when(lenArg >= 0, substring(s, (off + 1).cast(IntegerType), lenArg.cast(IntegerType)))
+      .when(lenArg >= 0, slice(lenArg))
       .when(tailLen < 0, lit(""))
-      .otherwise(substring(s, (off + 1).cast(IntegerType), tailLen.cast(IntegerType)))
+      .otherwise(slice(tailLen))
   }
+
+  private val AsciiLowerChars = "abcdefghijklmnopqrstuvwxyz"
+  private val AsciiUpperChars = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 }

@@ -52,7 +52,7 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
         case _ => throw new IllegalArgumentException(s"$field is not TAG")
       }
       val tags = col(schema.tagsCol(field))
-      def norm(s: String) = if (caseSensitive) s else s.toLowerCase
+      def norm(s: String) = if (caseSensitive) s else Analyzer.asciiLower(s)
       val exactVals = patterns.filter(!_.isPrefix).map(p => norm(p.value.trim))
       val prefixVals = patterns.filter(_.isPrefix).map(p => norm(p.value.trim))
       val exactCond =
@@ -93,7 +93,7 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
 
   private def compileText(t: TextPredicate): Column = t match {
     case Term(field, word) =>
-      val w = word.toLowerCase
+      val w = Analyzer.caseFold(word)
       if (analyzer.stopWords.contains(w))
         // Stop-word terms are removed from the query (search-query.md:152).
         lit(true)
@@ -102,16 +102,16 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
         overTextFields(field)(fd => array_contains(col(s"__${fd.alias}__terms"), stemmed))
       }
     case Prefix(field, p) =>
-      val pl = p.toLowerCase
+      val pl = Analyzer.caseFold(p)
       overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.startsWith(pl)))
     case Suffix(field, sfx) =>
-      val sl = sfx.toLowerCase
+      val sl = Analyzer.caseFold(sfx)
       overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.endsWith(sl)))
     case Infix(field, in) =>
-      val il = in.toLowerCase
+      val il = Analyzer.caseFold(in)
       overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.contains(il)))
     case Fuzzy(field, word, maxDist) =>
-      val wl = word.toLowerCase
+      val wl = Analyzer.caseFold(word)
       overTextFields(field) { fd =>
         exists(tokensOf(fd), tok =>
           // length band prunes the O(nm) DP to candidates only
@@ -123,7 +123,7 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       // space-joined token string (" t0 t1 t2 ").
       require(analyzer.withOffsets,
         "phrase matching requires positions; the index was created NOOFFSETS")
-      val needle = words.map(_.toLowerCase).mkString(" ", " ", " ")
+      val needle = words.map(Analyzer.caseFold).mkString(" ", " ", " ")
       overTextFields(field)(fd => col(s"__${fd.alias}__joined").contains(needle))
   }
 }

@@ -93,7 +93,11 @@ object Documents {
             df = df.withColumn(fd.alias, src.cast(StringType))
           val rawTags = split(src.cast(StringType), java.util.regex.Pattern.quote(sep))
           val trimmed = transform(rawTags, t => trim(t))
-          val folded = if (caseSensitive) trimmed else transform(trimmed, t => lower(t))
+          // ASCII-only fold (tag.cc:87) — translate, not Unicode lower
+          val folded =
+            if (caseSensitive) trimmed
+            else transform(trimmed, t => translate(t,
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
           df = df.withColumn(schema.tagsCol(fd.alias),
             filter(folded, t => length(t) > 0))
         case tf: TextField =>

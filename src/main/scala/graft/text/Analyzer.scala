@@ -40,6 +40,42 @@ object Analyzer {
   private def isBoundary(c: Char, cfg: Config): Boolean =
     c.isWhitespace || cfg.punctuation.contains(c)
 
+  /** ASCII-only lowercase (reference tag folding, tag.cc:87: bytes
+    * ≥ 0x80 untouched). */
+  def asciiLower(s: String): String = {
+    val out = new Array[Char](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(out)
+  }
+
+  /**
+   * Token case folding, mirroring the reference lexer
+   * (lexer.cc:193-199): ASCII fast path lowercases a-z only; non-ASCII
+   * tokens take a Unicode fold (ROOT locale here vs ICU foldCase there
+   * — the two agree on the common bicameral scripts; known divergences
+   * are the special folds like ß→ss that only full case folding does).
+   */
+  def caseFold(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      val out = new Array[Char](s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      }
+      new String(out)
+    } else s.toLowerCase(java.util.Locale.ROOT)
+  }
+
   /**
    * Raw word split (pre stop-word/stem): contiguous non-punctuation,
    * non-whitespace runs, lowercased. Backslash escapes a punctuation
@@ -49,7 +85,7 @@ object Analyzer {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var i = 0
-    def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString.toLowerCase; sb.clear() } }
+    def flush(): Unit = { if (sb.nonEmpty) { out += caseFold(sb.toString); sb.clear() } }
     while (i < text.length) {
       val c = text.charAt(i)
       if (c == '\\' && i + 1 < text.length &&

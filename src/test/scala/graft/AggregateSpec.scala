@@ -71,6 +71,22 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq("k1", "k2", "k4"))
   }
 
+  test("string fns use byte/ASCII semantics on multibyte input (value.cc:534-622)") {
+    val sp = spark; import sp.implicits._
+    val schema = IndexSchema("uni", Seq(FieldDef("s", TagField(separator = "|"))))
+    val e2 = new SearchEngine
+    e2.createIndex(schema, Documents.enrich(
+      Seq(("k1", "éclair")).toDF("k", "s"), schema, keyExpr = Some(col("k"))))
+    val r = e2.aggregate("uni", "*", Seq("LOAD", "1", "@s",
+      "APPLY", "upper(@s)", "AS", "u",      // ASCII-only: é untouched
+      "APPLY", "strlen(@s)", "AS", "n",     // bytes: é is 2
+      "APPLY", "substr(@s, 0, 3)", "AS", "sub")) // bytes: é(2) + c
+      .collect().head
+    assert(r.getAs[String]("u") == "éCLAIR")
+    assert(r.getAs[Double]("n") == 7.0)
+    assert(r.getAs[String]("sub") == "éc")
+  }
+
   test("one-Nil comparison is UNORDERED: == true, != false (value.h:135-143)") {
     val rows = agg("*",
       "APPLY", "@qty == 99", "AS", "eq",

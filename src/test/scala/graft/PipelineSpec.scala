@@ -148,6 +148,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed.intersect(exact.toSet).size >= 5) // ≥50% recall at 1/4 cells
   }
 
+  test("tag folding is ASCII-only on both sides (tag.cc:87)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("k1", "RED,CAFÉ")).toDF("k", "tags")
+    val schema = graft.model.IndexSchema("asciitags",
+      Seq(graft.model.FieldDef("tags", graft.model.TagField())))
+    val e = new graft.engine.SearchEngine().createIndex(schema,
+      graft.sources.Documents.enrich(df, schema, keyExpr = Some(col("k"))))
+    assert(e.search("asciitags", "@tags:{caFÉ}").count() == 1) // a-z folds
+    assert(e.search("asciitags", "@tags:{café}").count() == 0) // É does not
+    assert(e.search("asciitags", "@tags:{red}").count() == 1)
+  }
+
   test("text metrics: deterministic values on a known document") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
