@@ -459,6 +459,50 @@ object MinHashSig {
 }
 
 /**
+ * Random-hyperplane sign-LSH signature: bit i of the output long is
+ * set iff vec · planes(i) ≥ 0. ONE pass over the vector per row — the
+ * Column-algebra formulation (numPlanes × aggregate(zip_with(…)))
+ * evaluates an interpreted lambda per (element × plane) pair and
+ * re-reads the array numPlanes times.
+ */
+case class SignLsh(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val m = math.min(n, plane.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += x(i) * plane(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * 64-bit SimHash over an array<string> of tokens: each bit of
  * h(token) (FNV-1a 64) votes ±1 per token; sign of each counter packs
  * into the output bit. Native loop for the same reason as

@@ -283,15 +283,12 @@ object Dedup {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bit signature of a vector: bit i = sign(v · plane_i). */
-  def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(vec.cast("array<double>"), lit(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-LSH bit signature of a vector: bit i = sign(v · plane_i).
+    * Native one-pass expression ([[graft.functions.SignLsh]]) — the
+    * HOF formulation re-reads the vector once per plane through
+    * interpreted lambdas. */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.sign_lsh(vec, planes)
 
   /**
    * Embedding near-dup pairs via random-hyperplane LSH: `numPlanes`
