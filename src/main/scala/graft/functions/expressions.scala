@@ -459,6 +459,51 @@ object MinHashSig {
 }
 
 /**
+ * Nearest-centroid id (IVF cell assignment): argmin over squared-L2
+ * distances to a literal centroid table, ties to the lower index. One
+ * JVM pass per row — the Column-algebra argmin (nCells ×
+ * aggregate(zip_with(…)) + struct-min) runs interpreted lambdas per
+ * (element × centroid) pair.
+ */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var d = 0.0
+      i = 0
+      while (i < m) { val t = x(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * Random-hyperplane sign-LSH signature: bit i of the output long is
  * set iff vec · planes(i) ≥ 0. ONE pass over the vector per row — the
  * Column-algebra formulation (numPlanes × aggregate(zip_with(…)))

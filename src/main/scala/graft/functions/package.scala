@@ -58,4 +58,7 @@ package object functions {
   /** Random-hyperplane sign bits of a float-array column (one pass). */
   def sign_lsh(vec: Column, planes: Array[Array[Double]]): Column =
     expr2col(SignLsh(col2expr(vec), planes))
+  /** Nearest-centroid index (squared L2, ties to lower index). */
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    expr2col(NearestCentroid(col2expr(vec), centroids))
 }

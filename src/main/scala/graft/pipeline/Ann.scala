@@ -75,19 +75,11 @@ object Ann {
     centroids
   }
 
-  /** Nearest-centroid id for a vector column (argmin over a broadcast
-    * literal centroid table, evaluated with HOFs — no UDF). */
-  def cellId(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val dists = centroids.map(c =>
-      aggregate(zip_with(v, lit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
-    // argmin via struct-min: (distance, idx) pairs compare lexically.
-    val packed = array(dists.zipWithIndex.map { case (d, i) =>
-      struct(d.as("d"), lit(i).as("i"))
-    }: _*)
-    array_min(packed).getField("i")
-  }
+  /** Nearest-centroid id for a vector column — native one-pass argmin
+    * ([[graft.functions.NearestCentroid]]; centroids ride the plan as a
+    * literal table). */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.nearest_centroid(vec, centroids)
 
   /** IVF index: the source rows plus a `cell_id` column. Persist with
     * `.write.partitionBy("cell_id")` to get storage-level pruning. */
