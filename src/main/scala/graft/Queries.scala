@@ -23,6 +23,27 @@ object Queries {
   private[graft] def eng(spark: SparkSession, dir: String): SearchEngine =
     engines.getOrElseUpdate(dir, Fixtures.engine(spark, dir))
 
+  private val postingRegistered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Engine with a SAVED term-sorted posting relation registered on a
+    * clone of the documents index (`documents_pi`) — term conjuncts
+    * retrieve by posting lookup + semi-join (SURVEY X1/X2) while the
+    * original index keeps its columnar plans. */
+  private[graft] def postingEng(spark: SparkSession, dir: String): SearchEngine = {
+    val e = eng(spark, dir)
+    postingRegistered.getOrElseUpdate(dir, {
+      val (schema, docs) = e.index("documents")
+      val piSchema = schema.copy(name = "documents_pi")
+      e.createIndex(piSchema, docs) // same enriched relation, no re-enrich
+      val tmp = java.nio.file.Files.createTempDirectory("graft-posting").toString
+      graft.text.PostingIndex.save(
+        graft.text.PostingIndex.build(docs, piSchema, "text"), tmp)
+      e.registerPosting("documents_pi", "text",
+        graft.text.PostingIndex.load(spark, tmp))
+      true
+    })
+    e
+  }
+
   private val annRegistered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Engine with an NSW graph registered on a SEPARATE index name
     * (`embeddings_ann`) so the exact-KNN gates (q_knn_*) keep their FLAT
@@ -329,6 +350,23 @@ object Queries {
         |FROM documents
         |WHERE list_contains(string_split(text, ' '), 'sort')
         |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
+      // X1/X2 posting fetch: the stemmed term retrieves via a SAVED
+      // term-sorted posting relation (PushedFilter + row-group pruning)
+      // semi-joined to the docs; the tag conjunct verifies on the
+      // columnar path. Same results as the full columnar scan — the
+      // oracle pins that equivalence.
+      "q_text_posting",
+      (s: SparkSession, dir: String) =>
+        postingEng(s, dir).search("documents_pi",
+          "@text:scanning @source:{src1|src2}",
+          SearchOptions(limit = (0, 200), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'scan')
+        |  AND lower(source) IN ('src1','src2')
+        |ORDER BY __key ASC LIMIT 200""".stripMargin
     ),
     (
       "q_return_alias", // R3: RETURN ... AS rename

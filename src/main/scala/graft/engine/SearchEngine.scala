@@ -56,6 +56,21 @@ class SearchEngine {
 
   private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
   private val annIndexes = scala.collection.mutable.HashMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
+  private val postings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
+
+  /**
+   * Attach an inverted posting relation ([[graft.text.PostingIndex]])
+   * to a TEXT field. Top-level AND'ed fielded Term predicates then
+   * retrieve by posting lookup + semi-join (the reference's X2
+   * AND-min-child fetch, src/query/search.cc:336-347) instead of
+   * scanning every document's token arrays; all other predicates stay
+   * on the columnar path and verify the fetched set.
+   */
+  def registerPosting(indexName: String, field: String,
+                      posting: DataFrame): this.type = {
+    postings((indexName, field)) = posting
+    this
+  }
 
   /**
    * Attach a built ANN graph to a vector field — the analogue of
@@ -100,6 +115,7 @@ class SearchEngine {
       throw new IllegalArgumentException(s"no such index: $name")
     docCounts.remove(name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
+    postings.filterInPlace { case ((idx, _), _) => idx != name }
     ()
   }
 
@@ -153,7 +169,34 @@ class SearchEngine {
       if (opts.verbatim) schema.analyzer.copy(stem = false) else schema.analyzer
     val compiler = new PredicateCompiler(schema, analyzerCfg)
     var df = docs
-    if (!parsed.isMatchAll) df = df.filter(compiler.compile(parsed.filter))
+    if (!parsed.isMatchAll) {
+      // Route fielded Term conjuncts with a registered posting through
+      // posting lookup + semi-join; everything else compiles to the
+      // columnar predicate as usual. OR/NOT trees keep the column path
+      // (a posting fetch under negation/union needs the complement).
+      val conjuncts = parsed.filter match {
+        case And(cs) => cs
+        case p => Seq(p)
+      }
+      val (routed, residual) = conjuncts.partition {
+        case Term(Some(f), w) =>
+          postings.contains((schema.name, f)) &&
+            !analyzerCfg.stopWords.contains(Analyzer.caseFold(w))
+        case _ => false
+      }
+      routed.foreach { case Term(Some(f), w) =>
+        val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
+        val keys = postings((schema.name, f))
+          .filter(col("term") === stemmed)
+          .select(col("__key").as(schema.keyColumn))
+        df = df.join(keys, Seq(schema.keyColumn), "left_semi")
+      case _ => // partition() guarantees only Terms land here
+      }
+      if (residual.nonEmpty) {
+        val rest = if (residual.size == 1) residual.head else And(residual)
+        df = df.filter(compiler.compile(rest))
+      }
+    }
     (opts.slop, parsed.filter) match {
       case (Some(s), f) => df = applyProximity(df, schema, f, s, opts.inorder)
       case (None, f) if opts.inorder => df = applyProximity(df, schema, f, Int.MaxValue, inorder = true)

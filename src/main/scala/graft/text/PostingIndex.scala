@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.IndexSchema
+
+/**
+ * Inverted posting relation for TEXT term lookup — the storage-level
+ * analogue of the reference's radix-tree text index
+ * (src/indexes/text/text_index.h:57-88, docs/full-text/index.md:1-25:
+ * `Word → Postings(key)`).
+ *
+ * The enriched-document scan answers every text predicate correctly,
+ * but a bare term query reads every document's token arrays. At 100 TB
+ * that is the wrong I/O shape: a term lookup should read the posting
+ * slice for THAT term and nothing else. This index provides it with
+ * zero custom physical operators:
+ *
+ *  - build: explode the per-document distinct stem sets into
+ *    `(term, __key)` — map-only, one shuffle to range-partition;
+ *  - layout: `repartitionByRange(term).sortWithinPartitions(term)` →
+ *    every parquet row-group covers a narrow term range, so a
+ *    `term = 'x'` lookup is a PushedFilter that row-group min/max
+ *    stats prune to ~one row-group per file (and file-level stats
+ *    prune whole files);
+ *  - query: the matched key set semi-joins the document relation —
+ *    small term → AQE broadcasts the keys, the doc scan stays pruned.
+ *
+ * [[graft.engine.SearchEngine.registerPosting]] attaches one to an
+ * index; the filter compiler then routes top-level AND'ed fielded
+ * Term predicates through it (the reference's X2 "AND-min-child"
+ * fetch: retrieve by posting list, verify the rest) and keeps every
+ * other predicate on the columnar path.
+ */
+object PostingIndex {
+
+  /** One posting relation per text field: (term, __key), distinct. */
+  def build(enrichedDocs: DataFrame, schema: IndexSchema,
+            fieldAlias: String): DataFrame =
+    enrichedDocs.select(col(schema.keyColumn).as("__key"),
+      explode(col(s"__${fieldAlias}__terms")).as("term"))
+
+  /** Term-sorted parquet layout: row-group/file stats prune lookups. */
+  def save(posting: DataFrame, path: String, numPartitions: Int = 32): Unit =
+    posting
+      .repartitionByRange(numPartitions, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Keys of documents containing `term` (already stemmed/folded). */
+  def lookup(posting: DataFrame, term: String): DataFrame =
+    posting.filter(col("term") === term).select("__key")
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{SearchEngine, SearchOptions}
+import graft.text.PostingIndex
+
+/**
+ * Inverted posting path: build/save/load layout, storage-level term
+ * pruning (PushedFilters on the sorted posting), and result parity
+ * with the columnar scan through the engine.
+ */
+class PostingIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("posting lookup keys == columnar term-scan keys; saved layout prunes") {
+    val engine = Fixtures.engine(spark, sf)
+    val (schema, docs) = engine.index("documents")
+    val posting = PostingIndex.build(docs, schema, "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-posting").toString
+    PostingIndex.save(posting, tmp, numPartitions = 4)
+    val loaded = PostingIndex.load(spark, tmp)
+
+    val viaPosting = PostingIndex.lookup(loaded, "merg") // stem of merge
+      .collect().map(_.getString(0)).toSet
+    val viaScan = docs.filter(array_contains(col("__text__terms"), "merg"))
+      .select("__key").collect().map(_.getString(0)).toSet
+    assert(viaPosting == viaScan && viaPosting.nonEmpty)
+
+    // the term lookup reaches the parquet scan as a pushed filter, so
+    // the term-sorted row groups prune at storage level
+    val plan = PostingIndex.lookup(loaded, "merg")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(term,merg)"),
+      s"term equality not pushed:\n$plan")
+  }
+
+  test("engine routes AND'ed fielded terms through a registered posting") {
+    val withPosting = Fixtures.engine(spark, sf)
+    val (schema, docs) = withPosting.index("documents")
+    withPosting.registerPosting("documents", "text",
+      PostingIndex.build(docs, schema, "text"))
+    val plain = Fixtures.engine(spark, sf)
+
+    val q = "@text:merging @lang:{en} @n_chars:[100 +inf]" // stemmed term + verify filters
+    val opts = SearchOptions(limit = (0, 500), noContent = true)
+    val routed = withPosting.search("documents", q, opts)
+    val scanned = plain.search("documents", q, opts)
+    assert(routed.collect().map(_.getString(0)).toSeq ==
+      scanned.collect().map(_.getString(0)).toSeq)
+    // the routed plan is a semi-join against the posting relation
+    assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // stop-word terms are NOT routed (they vanish from the query)
+    val sw = withPosting.search("documents", "@text:the @lang:{en}", opts)
+    assert(sw.count() == plain.search("documents", "@text:the @lang:{en}", opts).count())
+  }
+}
