@@ -44,6 +44,21 @@ object Queries {
     e
   }
 
+  private val stopwordEngines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  /** Engine whose `docs_sw` index declares custom STOPWORDS through
+    * FT.CREATE (memoized per dir — the gate measures the query, not
+    * repeated index creation). */
+  private[graft] def stopwordEng(spark: SparkSession, dir: String): SearchEngine =
+    stopwordEngines.getOrElseUpdate(dir, {
+      val e = new SearchEngine
+      val cmds = new Commands(e,
+        _ => (Fixtures.table(spark, dir, "documents"), col("doc_id")))
+      cmds.execute(Seq("FT.CREATE", "docs_sw",
+        "STOPWORDS", "3", "merge", "a", "the",
+        "SCHEMA", "text", "TEXT", "lang", "TAG"))
+      e
+    })
+
   private val annRegistered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Engine with an NSW graph registered on a SEPARATE index name
     * (`embeddings_ann`) so the exact-KNN gates (q_knn_*) keep their FLAT
@@ -336,16 +351,9 @@ object Queries {
       // stop-word path (ignored declaration, or query-side-only
       // filtering) flips the result set.
       "q_text_custom_stopwords",
-      (s: SparkSession, dir: String) => {
-        val e = new SearchEngine
-        val cmds = new Commands(e,
-          _ => (Fixtures.table(s, dir, "documents"), col("doc_id")))
-        cmds.execute(Seq("FT.CREATE", "docs_sw",
-          "STOPWORDS", "3", "merge", "a", "the",
-          "SCHEMA", "text", "TEXT", "lang", "TAG"))
-        e.search("docs_sw", "@text:merging | @text:sorted",
-          SearchOptions(limit = (0, 300), noContent = true))
-      },
+      (s: SparkSession, dir: String) =>
+        stopwordEng(s, dir).search("docs_sw", "@text:merging | @text:sorted",
+          SearchOptions(limit = (0, 300), noContent = true)),
       """SELECT CAST(doc_id AS VARCHAR) AS __key
         |FROM documents
         |WHERE list_contains(string_split(text, ' '), 'sort')

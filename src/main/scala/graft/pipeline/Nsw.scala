@@ -175,6 +175,30 @@ object Nsw {
   }
 
   /**
+   * Persist a built index (reference S5: the RDB chunked HNSW dump,
+   * src/rdb_serialization.cc — here the graph Dataset checkpoints as
+   * parquet with the search params alongside). Load restores a
+   * query-ready index without re-running construction.
+   */
+  def save(index: NswIndex, path: String): Unit = {
+    index.graphs.write.mode("overwrite").parquet(s"$path/graphs")
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$path/meta.bin"))
+    try { oos.writeObject((index.metric, index.m)) } finally oos.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): NswIndex = {
+    import spark.implicits._
+    val ois = new java.io.ObjectInputStream(
+      new java.io.FileInputStream(s"$path/meta.bin"))
+    val (metric, m) = try ois.readObject().asInstanceOf[(String, Int)]
+      finally ois.close()
+    val graphs = spark.read.parquet(s"$path/graphs").as[PartGraph]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    NswIndex(graphs, metric, m)
+  }
+
+  /**
    * Build: hash-repartition vectors, construct one graph per partition,
    * persist the graph Dataset (build once / query many — the batch
    * stand-in for the reference's resident HNSW).

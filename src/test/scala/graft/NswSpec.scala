@@ -60,6 +60,22 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.unpersistIndex()
   }
 
+  test("save/load round-trip: restored index answers identically (S5)") {
+    val embs = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Nsw.build(embs, "vec_id", "embedding", metric = "L2",
+      numPartitions = 2, m = 8, efConstruction = 50)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nsw").toString
+    try {
+      Nsw.save(idx, tmp)
+      val restored = Nsw.load(spark, tmp)
+      try {
+        val a = idx.search(Queries.queryVec, 10, ef = 60).collect().map(_.toString).toSeq
+        val b = restored.search(Queries.queryVec, 10, ef = 60).collect().map(_.toString).toSeq
+        assert(a == b && a.size == 10)
+      } finally restored.unpersistIndex()
+    } finally idx.unpersistIndex()
+  }
+
   test("build-once query-many: second query reuses the persisted graphs") {
     val embs = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
     val idx = Nsw.build(embs, "vec_id", "embedding", metric = "L2",
