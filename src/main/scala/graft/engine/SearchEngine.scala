@@ -178,17 +178,30 @@ class SearchEngine {
         case And(cs) => cs
         case p => Seq(p)
       }
+      def postingFields(field: Option[String]): Option[Seq[String]] = field match {
+        case Some(f) =>
+          if (postings.contains((schema.name, f))) Some(Seq(f)) else None
+        case None =>
+          // unfielded term = OR over ALL text fields: routable only when
+          // every text field has a posting (keys = union of lookups)
+          val tfs = schema.textFields.map(_.alias)
+          if (tfs.nonEmpty && tfs.forall(f => postings.contains((schema.name, f))))
+            Some(tfs)
+          else None
+      }
       val (routed, residual) = conjuncts.partition {
-        case Term(Some(f), w) =>
-          postings.contains((schema.name, f)) &&
+        case Term(f, w) =>
+          postingFields(f).isDefined &&
             !analyzerCfg.stopWords.contains(Analyzer.caseFold(w))
         case _ => false
       }
-      routed.foreach { case Term(Some(f), w) =>
+      routed.foreach { case Term(f, w) =>
         val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
-        val keys = postings((schema.name, f))
-          .filter(col("term") === stemmed)
-          .select(col("__key").as(schema.keyColumn))
+        val keys = postingFields(f).get
+          .map(fa => postings((schema.name, fa))
+            .filter(col("term") === stemmed)
+            .select(col("__key").as(schema.keyColumn)))
+          .reduce(_ unionByName _)
         df = df.join(keys, Seq(schema.keyColumn), "left_semi")
       case _ => // partition() guarantees only Terms land here
       }
@@ -342,12 +355,8 @@ class SearchEngine {
                       opts: SearchOptions = SearchOptions()): DataFrame = {
     val (schema, docs) = index(indexName)
     val parsed = FilterParser.parse(query, opts.params)
-    val compilerCfg =
-      if (opts.verbatim) schema.analyzer.copy(stem = false) else schema.analyzer
-    val compiler = new PredicateCompiler(schema, compilerCfg)
-
-    var df = docs
-    if (!parsed.isMatchAll) df = df.filter(compiler.compile(parsed.filter))
+    // same front half as FT.SEARCH — incl. posting routing + proximity
+    var df = filterStage(schema, docs, parsed, opts)
 
     // Vector/hybrid front-end: working set = top-k neighbors sorted by
     // distance, score as a loadable pseudo-field (ft.aggregate.md:3-5).

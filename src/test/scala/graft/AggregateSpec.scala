@@ -43,7 +43,10 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine.createIndex(schema, Documents.enrich(df, schema, keyExpr = Some(col("k"))))
   }
 
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // NOTE: never stop() here - getOrCreate shares ONE SparkContext
+  // across all suites in the JVM; stopping it kills whichever suite
+  // runs next (the forked test JVM cleans up on exit).
+  override def afterAll(): Unit = ()
 
   private def agg(q: String, tokens: String*): DataFrame =
     engine.aggregate("t", q, tokens)

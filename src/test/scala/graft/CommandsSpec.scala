@@ -33,7 +33,10 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine = new SearchEngine
     cmds = new Commands(engine, _ => (products, col("pk")))
   }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // NOTE: never stop() here - getOrCreate shares ONE SparkContext
+  // across all suites in the JVM; stopping it kills whichever suite
+  // runs next (the forked test JVM cleans up on exit).
+  override def afterAll(): Unit = ()
 
   private val create = Seq("FT.CREATE", "products", "ON", "HASH",
     "PREFIX", "1", "product:", "SCHEMA",

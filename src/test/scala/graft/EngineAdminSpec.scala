@@ -26,7 +26,10 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("ERROR")
     engine = Fixtures.engine(spark, "/root/testdata/sf0.001")
   }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // NOTE: never stop() here - getOrCreate shares ONE SparkContext
+  // across all suites in the JVM; stopping it kills whichever suite
+  // runs next (the forked test JVM cleans up on exit).
+  override def afterAll(): Unit = ()
 
   test("JSON reader: $.path field is filterable/sortable like any scalar (S4)") {
     val rows = engine.search("events", "@prop_k:[95 +inf]",

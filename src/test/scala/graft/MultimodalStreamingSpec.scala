@@ -24,7 +24,10 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // NOTE: never stop() here - getOrCreate shares ONE SparkContext
+  // across all suites in the JVM; stopping it kills whichever suite
+  // runs next (the forked test JVM cleans up on exit).
+  override def afterAll(): Unit = ()
 
   // ------------------------- multimodal ---------------------------- //
 

@@ -22,7 +22,10 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // NOTE: never stop() here - getOrCreate shares ONE SparkContext
+  // across all suites in the JVM; stopping it kills whichever suite
+  // runs next (the forked test JVM cleans up on exit).
+  override def afterAll(): Unit = ()
 
   test("local graph search is exact when ef covers the partition") {
     val rnd = new scala.util.Random(3)
