@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.model._
 import graft.query._
 import graft.text.Analyzer
-import graft.functions.damerau_levenshtein
 
 /**
  * Compiles a [[Predicate]] tree to a single Catalyst `Column`.
@@ -88,8 +87,14 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
   private def overTextFields(field: Option[String])(one: FieldDef => Column): Column =
     textFieldsOf(field).map(fd => coalesce(one(fd), lit(false))).reduce(_ || _)
 
-  private def tokensOf(fd: FieldDef): Column =
-    transform(col(schema.tokensCol(fd.alias)), t => t("_1"))
+  // Pattern matchers run as ONE native pass over the token-struct array
+  // (graft.functions.TokenMatch) — the transform+exists HOF pair
+  // interprets two lambdas per (token × row).
+  private def tokenMatch(fd: FieldDef, pattern: String,
+                         mode: graft.functions.TokenMatch.Mode,
+                         maxDist: Int = 0): Column =
+    graft.functions.token_match(col(schema.tokensCol(fd.alias)),
+      pattern, mode, maxDist)
 
   private def compileText(t: TextPredicate): Column = t match {
     case Term(field, word) =>
@@ -103,21 +108,16 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       }
     case Prefix(field, p) =>
       val pl = Analyzer.caseFold(p)
-      overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.startsWith(pl)))
+      overTextFields(field)(tokenMatch(_, pl, graft.functions.TokenMatch.Prefix))
     case Suffix(field, sfx) =>
       val sl = Analyzer.caseFold(sfx)
-      overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.endsWith(sl)))
+      overTextFields(field)(tokenMatch(_, sl, graft.functions.TokenMatch.Suffix))
     case Infix(field, in) =>
       val il = Analyzer.caseFold(in)
-      overTextFields(field)(fd => exists(tokensOf(fd), tok => tok.contains(il)))
+      overTextFields(field)(tokenMatch(_, il, graft.functions.TokenMatch.Infix))
     case Fuzzy(field, word, maxDist) =>
       val wl = Analyzer.caseFold(word)
-      overTextFields(field) { fd =>
-        exists(tokensOf(fd), tok =>
-          // length band prunes the O(nm) DP to candidates only
-          (abs(length(tok) - lit(wl.length)) <= maxDist) &&
-            damerau_levenshtein(tok, lit(wl)) <= maxDist)
-      }
+      overTextFields(field)(tokenMatch(_, wl, graft.functions.TokenMatch.Fuzzy, maxDist))
     case Phrase(field, words) =>
       // Adjacency on post-stop-word positions ⟺ substring match on the
       // space-joined token string (" t0 t1 t2 ").

@@ -459,6 +459,57 @@ object MinHashSig {
 }
 
 /**
+ * Any-token pattern match over the enriched token-struct array
+ * (`array<struct<tok,pos>>`): ONE JVM pass with early exit. Replaces
+ * the `transform(structs, _.tok)` + `exists(tokens, p)` HOF pair,
+ * which interprets two lambdas per (token × row) and materializes the
+ * extracted token array. Prefix/suffix/infix compare UTF8String
+ * bytes in place (zero copy); fuzzy falls back to the DL distance
+ * with the length-band early exit.
+ */
+case class TokenMatch(child: Expression, pattern: String,
+                      mode: TokenMatch.Mode, maxDist: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "token_match"
+
+  @transient private lazy val patU =
+    org.apache.spark.unsafe.types.UTF8String.fromString(pattern)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val tokU = arr.getStruct(i, 2).getUTF8String(0)
+      val hit = mode match {
+        case TokenMatch.Prefix => tokU.startsWith(patU)
+        case TokenMatch.Suffix => tokU.endsWith(patU)
+        case TokenMatch.Infix => tokU.contains(patU)
+        case TokenMatch.Fuzzy =>
+          val tok = tokU.toString
+          math.abs(tok.length - pattern.length) <= maxDist &&
+            DamerauLevenshtein.distance(tok, pattern) <= maxDist
+      }
+      if (hit) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TokenMatch {
+  sealed trait Mode extends Serializable
+  case object Prefix extends Mode
+  case object Suffix extends Mode
+  case object Infix extends Mode
+  case object Fuzzy extends Mode
+}
+
+/**
  * Nearest-centroid id (IVF cell assignment): argmin over squared-L2
  * distances to a literal centroid table, ties to the lower index. One
  * JVM pass per row — the Column-algebra argmin (nCells ×

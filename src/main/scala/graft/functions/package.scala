@@ -61,4 +61,8 @@ package object functions {
   /** Nearest-centroid index (squared L2, ties to lower index). */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     expr2col(NearestCentroid(col2expr(vec), centroids))
+  /** Any-token pattern match over array<struct<tok,pos>> (one pass). */
+  def token_match(tokens: Column, pattern: String, mode: TokenMatch.Mode,
+                  maxDist: Int = 0): Column =
+    expr2col(TokenMatch(col2expr(tokens), pattern, mode, maxDist))
 }
