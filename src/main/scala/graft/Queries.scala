@@ -377,6 +377,21 @@ object Queries {
         |ORDER BY __key ASC LIMIT 200""".stripMargin
     ),
     (
+      // VERBATIM must hit ORIGINAL tokens, not stem groups: "merge"
+      // stems to "merg", so the stem set never contains the literal
+      // word — a verbatim search only matches through the raw tokens.
+      // (The non-verbatim q_text_stemmed gate covers the inverse.)
+      "q_verbatim_original",
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("documents", "@text:merge @lang:{de}",
+          SearchOptions(limit = (0, 100), noContent = true, verbatim = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'merge')
+        |  AND lower(lang) = 'de'
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
       "q_return_alias", // R3: RETURN ... AS rename
       (s: SparkSession, dir: String) =>
         eng(s, dir).search("documents", "@n_chars:[4000 +inf]",

@@ -102,9 +102,20 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       if (analyzer.stopWords.contains(w))
         // Stop-word terms are removed from the query (search-query.md:152).
         lit(true)
-      else {
-        val stemmed = Analyzer.stemToken(w, analyzer)
-        overTextFields(field)(fd => array_contains(col(s"__${fd.alias}__terms"), stemmed))
+      else overTextFields(field) { fd =>
+        val noStemField = fd.ftype match {
+          case tf: TextField => tf.noStem
+          case _ => false
+        }
+        if (analyzer.stem && !noStemField)
+          array_contains(col(s"__${fd.alias}__terms"),
+            Analyzer.stemToken(w, analyzer))
+        else
+          // No stemming in play (VERBATIM query, NOSTEM index or field):
+          // match the ORIGINAL tokens — the reference's verbatim
+          // semantics hit the indexed words, not the stem groups, so on
+          // a stemmed index the stem set (merge→merg) is not consulted.
+          tokenMatch(fd, w, graft.functions.TokenMatch.Exact)
       }
     case Prefix(field, p) =>
       val pl = Analyzer.caseFold(p)

@@ -178,16 +178,27 @@ class SearchEngine {
         case And(cs) => cs
         case p => Seq(p)
       }
-      def postingFields(field: Option[String]): Option[Seq[String]] = field match {
-        case Some(f) =>
-          if (postings.contains((schema.name, f))) Some(Seq(f)) else None
-        case None =>
-          // unfielded term = OR over ALL text fields: routable only when
-          // every text field has a posting (keys = union of lookups)
-          val tfs = schema.textFields.map(_.alias)
-          if (tfs.nonEmpty && tfs.forall(f => postings.contains((schema.name, f))))
-            Some(tfs)
-          else None
+      def postingFields(field: Option[String]): Option[Seq[String]] = {
+        // postings hold the STEM sets — only routable when the query
+        // stems too (not VERBATIM) and no target field is NOSTEM
+        // (those take the exact-original-token path in the compiler)
+        def stemMatched(f: String) = schema.fieldOrFail(f).ftype match {
+          case tf: TextField => analyzerCfg.stem && !tf.noStem
+          case _ => false
+        }
+        field match {
+          case Some(f) =>
+            if (postings.contains((schema.name, f)) && stemMatched(f)) Some(Seq(f))
+            else None
+          case None =>
+            // unfielded term = OR over ALL text fields: routable only when
+            // every text field has a posting (keys = union of lookups)
+            val tfs = schema.textFields.map(_.alias)
+            if (tfs.nonEmpty && tfs.forall(f =>
+                postings.contains((schema.name, f)) && stemMatched(f)))
+              Some(tfs)
+            else None
+        }
       }
       val (routed, residual) = conjuncts.partition {
         case Term(f, w) =>

@@ -484,6 +484,7 @@ case class TokenMatch(child: Expression, pattern: String,
     while (i < n) {
       val tokU = arr.getStruct(i, 2).getUTF8String(0)
       val hit = mode match {
+        case TokenMatch.Exact => tokU.equals(patU)
         case TokenMatch.Prefix => tokU.startsWith(patU)
         case TokenMatch.Suffix => tokU.endsWith(patU)
         case TokenMatch.Infix => tokU.contains(patU)
@@ -503,6 +504,7 @@ case class TokenMatch(child: Expression, pattern: String,
 
 object TokenMatch {
   sealed trait Mode extends Serializable
+  case object Exact extends Mode
   case object Prefix extends Mode
   case object Suffix extends Mode
   case object Infix extends Mode
