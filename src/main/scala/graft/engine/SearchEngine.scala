@@ -528,10 +528,6 @@ class SearchEngine {
     require(schema.analyzer.withOffsets,
       "SLOP/INORDER requires positions; the index was created NOOFFSETS")
     val matcherSpecs = textMatchers.map(graft.text.Proximity.toSpec)
-    val proximityUdf = udf((toks: Seq[org.apache.spark.sql.Row]) =>
-      if (toks == null) false
-      else graft.text.Proximity.matches(
-        toks.map(r => (r.getString(0), r.getInt(1))), matcherSpecs, slop, inorder))
     // Positional constraints apply within a single field; fields named
     // by the matchers (or all text fields when unfielded).
     val fieldsInPlay: Seq[FieldDef] = {
@@ -540,7 +536,8 @@ class SearchEngine {
       else schema.textFields
     }
     val cond = fieldsInPlay
-      .map(fd => proximityUdf(col(schema.tokensCol(fd.alias))))
+      .map(fd => graft.functions.proximity_match(
+        col(schema.tokensCol(fd.alias)), matcherSpecs, slop, inorder))
       .reduce(_ || _)
     df.filter(cond)
   }

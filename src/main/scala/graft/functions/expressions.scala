@@ -512,6 +512,38 @@ object TokenMatch {
 }
 
 /**
+ * SLOP/INORDER positional match over the token-struct array — the
+ * [[graft.text.Proximity]] matcher as a native expression: reads
+ * (token, pos) straight from the columnar structs instead of paying
+ * the UDF's per-row Seq[Row] conversion.
+ */
+case class ProximityMatch(child: Expression,
+                          specs: Seq[graft.text.Proximity.Spec],
+                          slop: Int, inorder: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "proximity_match"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[(String, Int)](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      toks(i) = (st.getUTF8String(0).toString, st.getInt(1))
+      i += 1
+    }
+    graft.text.Proximity.matches(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
+      specs, slop, inorder)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * Nearest-centroid id (IVF cell assignment): argmin over squared-L2
  * distances to a literal centroid table, ties to the lower index. One
  * JVM pass per row — the Column-algebra argmin (nCells ×

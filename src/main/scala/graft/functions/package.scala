@@ -65,4 +65,8 @@ package object functions {
   def token_match(tokens: Column, pattern: String, mode: TokenMatch.Mode,
                   maxDist: Int = 0): Column =
     expr2col(TokenMatch(col2expr(tokens), pattern, mode, maxDist))
+  /** SLOP/INORDER positional match over array<struct<tok,pos>>. */
+  def proximity_match(tokens: Column, specs: Seq[graft.text.Proximity.Spec],
+                      slop: Int, inorder: Boolean): Column =
+    expr2col(ProximityMatch(col2expr(tokens), specs, slop, inorder))
 }
