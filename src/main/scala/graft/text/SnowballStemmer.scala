@@ -5,7 +5,7 @@ package graft.text
  * stemmer the reference links (third_party/snowball VERSION v3.0.1,
  * src/indexes/text/lexer.cc:86-168 via sb_stemmer). Implemented from
  * the published Snowball English algorithm description; behavior
- * golden-diffed against the reference stemmer build over a 400+ word
+ * golden-diffed against the reference stemmer build over a 6,929-word
  * vocabulary (SnowballStemmerSpec, src/test/resources/snowball_golden.tsv).
  *
  * Differences from classic Porter (why the engine ships this and not

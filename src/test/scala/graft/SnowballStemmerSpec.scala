@@ -7,7 +7,7 @@ import graft.text.SnowballStemmer
 /**
  * Golden-diff of the Scala Snowball English stemmer against the
  * REFERENCE stemmer (third_party/snowball v3.0.1 compiled verbatim,
- * fed the vocabulary in snowball_golden.tsv: corpus words + 400
+ * fed the vocabulary in snowball_golden.tsv: ~6,900 words incl.
  * inflected/irregular forms covering every algorithm step — plurals,
  * -ed/-ing + doubling/e-restore, y-rules, exceptions, R1-prefix words,
  * -ization/-ational chains, -ogist, short-word edge cases).
