@@ -6,6 +6,18 @@ import org.apache.spark.sql.SparkSession
  * of `reps` timed runs (after one untimed warm-up run per query), so
  * round-over-round deltas measure the engine, not JVM/codegen/
  * file-listing first-touch noise.
+ *
+ * Harness-hygiene rules (each one was a measured artifact in round 2):
+ *  - session confs (ANSI-safe parquet nanos) are set in the builder,
+ *    BEFORE the table warm-up touches `events.parquet` — otherwise the
+ *    very first job of every bench run aborts and poisons the log;
+ *  - a failed rep is NEVER averaged into the median: its elapsed time
+ *    is discarded and the failure is surfaced per-query in `errors`;
+ *  - every rep's result handle is unpersisted after counting, so
+ *    `localCheckpoint` blocks from dedup-family queries cannot
+ *    accumulate across the session and slow later queries;
+ *  - per-rep wall times are published (`reps_detail`) so a suspicious
+ *    median can be adjudicated from the artifact alone.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,6 +28,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: touch every table once so file listing / footer reads are
@@ -25,23 +38,46 @@ object Bench {
     Seq("lineitem", "orders", "customer", "part", "documents",
       "embeddings", "events").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up read of $t FAILED: ${e.getMessage}")
+      }
     }
 
-    def timeOnce(fn: Queries.Q): Double = {
+    /** One timed run. Returns elapsed seconds and, on failure, the error
+      * (elapsed time of a failed run is reported but never enters the
+      * median). The result handle is unpersisted afterwards so
+      * localCheckpoint blocks are released before the next rep. */
+    def timeOnce(fn: Queries.Q): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { val df = fn(spark, sfDir); df.count(); df.unpersist(blocking = false); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+
+    case class QResult(median: Double, repTimes: Seq[Double], err: Option[String])
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOnce(fn) // untimed warm-up: caches, codegen, broadcast reuse
-      val times = Seq.fill(reps)(timeOnce(fn)).sorted
-      name -> times(times.length / 2)
+      val runs = Seq.fill(reps)(timeOnce(fn))
+      val ok = runs.collect { case (t, None) => t }.sorted
+      val firstErr = runs.collectFirst { case (_, Some(e)) => e }
+      val median = if (ok.nonEmpty) ok(ok.length / 2) else -1.0
+      name -> QResult(median, runs.map(_._1), firstErr)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, r) => "\"" + k + "\":" + fmt(r.median) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val repsDetail = results.map { case (k, r) =>
+      "\"" + k + "\":" + r.repTimes.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, QResult(_, _, Some(e))) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.median).filter(_ >= 0).sum
 
     // NSW recall report (SURVEY X6/X9): partition-local graph ANN vs
     // exact top-10, averaged over 20 query vectors drawn from the
@@ -66,9 +102,12 @@ object Bench {
       }
       ann.unpersistIndex()
       recalls.mkString("{", ",", "}")
-    } catch { case _: Throwable => "{}" }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] recall report FAILED: ${e.getMessage}")
+      "{}"
+    }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"nsw_recall_at_10":$recallJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"reps_detail":$repsDetail,"errors":$errs,"nsw_recall_at_10":$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -217,6 +217,11 @@ object Queries {
     """(' ' || array_to_string(list_filter(string_split(text, ' '),
       |  w -> w <> 'a' AND w <> 'the' AND w <> ''), ' ') || ' ')""".stripMargin
 
+  /** Position stream under docs_sw's CUSTOM stop words (merge, a, the). */
+  private val swJoinedSql =
+    """(' ' || array_to_string(list_filter(string_split(text, ' '),
+      |  w -> w <> 'merge' AND w <> 'a' AND w <> 'the' AND w <> ''), ' ') || ' ')""".stripMargin
+
   private val textQueries: Seq[(String, Q, String)] = Seq(
     (
       "q_text_term", // P4 fielded term + tag AND
@@ -401,6 +406,24 @@ object Queries {
         |  CAST(n_chars AS DOUBLE) AS len, lang AS language
         |FROM documents WHERE n_chars >= 4000
         |ORDER BY len DESC, __key ASC LIMIT 50""".stripMargin
+    ),
+    (
+      // P11 × index config: SLOP on a custom-STOPWORDS index. "merge"
+      // is a DECLARED stop word of docs_sw, so it is dropped from the
+      // query and contributes NO proximity matcher (it occupies no
+      // position in the token stream either); the positional constraint
+      // applies to the two surviving words over the custom-filtered
+      // stream. A proximity path that matched under the DEFAULT
+      // analyzer would keep the "merge" matcher and return 0 rows.
+      "q_text_slop_stopwords",
+      (s: SparkSession, dir: String) =>
+        stopwordEng(s, dir).search("docs_sw", "@text:sort @text:merge @text:value",
+          SearchOptions(limit = (0, 300), noContent = true, slop = Some(1))),
+      s"""SELECT CAST(doc_id AS VARCHAR) AS __key
+         |FROM documents
+         |WHERE regexp_matches($swJoinedSql, ' sort( [a-z0-9]+)? value ')
+         |   OR regexp_matches($swJoinedSql, ' value( [a-z0-9]+)? sort ')
+         |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),
     (
       "q_text_slop_inorder", // P11: SLOP 2 INORDER

@@ -222,8 +222,8 @@ class SearchEngine {
       }
     }
     (opts.slop, parsed.filter) match {
-      case (Some(s), f) => df = applyProximity(df, schema, f, s, opts.inorder)
-      case (None, f) if opts.inorder => df = applyProximity(df, schema, f, Int.MaxValue, inorder = true)
+      case (Some(s), f) => df = applyProximity(df, schema, f, s, opts.inorder, analyzerCfg)
+      case (None, f) if opts.inorder => df = applyProximity(df, schema, f, Int.MaxValue, inorder = true, analyzerCfg)
       case _ =>
     }
     df
@@ -522,12 +522,20 @@ class SearchEngine {
    * positions (optionally in query order) in ONE text field.
    */
   private def applyProximity(df: DataFrame, schema: IndexSchema,
-                             filter: Predicate, slop: Int, inorder: Boolean): DataFrame = {
-    val textMatchers = collectTextMatchers(filter)
+                             filter: Predicate, slop: Int, inorder: Boolean,
+                             analyzerCfg: graft.text.Analyzer.Config): DataFrame = {
+    // Stop-word terms are removed from the query (search-query.md:152) —
+    // they occupy no position in the token stream, so they must not
+    // contribute a matcher either (a StemSpec("the") can never match and
+    // would wrongly reject every document).
+    val textMatchers = collectTextMatchers(filter).filterNot {
+      case Term(_, w) =>
+        analyzerCfg.stopWords.contains(graft.text.Analyzer.caseFold(w))
+      case _ => false
+    }
     if (textMatchers.size < 2) return df
     require(schema.analyzer.withOffsets,
       "SLOP/INORDER requires positions; the index was created NOOFFSETS")
-    val matcherSpecs = textMatchers.map(graft.text.Proximity.toSpec)
     // Positional constraints apply within a single field; fields named
     // by the matchers (or all text fields when unfielded).
     val fieldsInPlay: Seq[FieldDef] = {
@@ -535,9 +543,19 @@ class SearchEngine {
       if (named.nonEmpty) named.map(schema.fieldOrFail)
       else schema.textFields
     }
+    // Per-field matcher specs under that field's EFFECTIVE config (index
+    // analyzer + VERBATIM override + per-field NOSTEM) — identical to
+    // what PredicateCompiler applies on the plain term path.
     val cond = fieldsInPlay
-      .map(fd => graft.functions.proximity_match(
-        col(schema.tokensCol(fd.alias)), matcherSpecs, slop, inorder))
+      .map { fd =>
+        val eff = fd.ftype match {
+          case tf: TextField if tf.noStem => analyzerCfg.copy(stem = false)
+          case _ => analyzerCfg
+        }
+        val specs = textMatchers.map(graft.text.Proximity.toSpec(_, eff))
+        graft.functions.proximity_match(
+          col(schema.tokensCol(fd.alias)), specs, slop, inorder)
+      }
       .reduce(_ || _)
     df.filter(cond)
   }

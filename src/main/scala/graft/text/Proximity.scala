@@ -41,13 +41,22 @@ object Proximity {
     def matches(t: String): Boolean = t == words.head
   }
 
-  def toSpec(t: TextPredicate): Spec = t match {
-    case Term(_, w) => StemSpec(Analyzer.stemToken(w.toLowerCase, Analyzer.Default), Analyzer.Default)
-    case Prefix(_, p) => PrefixSpec(p.toLowerCase)
-    case Suffix(_, s) => SuffixSpec(s.toLowerCase)
-    case Infix(_, s) => InfixSpec(s.toLowerCase)
-    case Fuzzy(_, w, d) => FuzzySpec(w.toLowerCase, d)
-    case Phrase(_, ws) => PhraseSpec(ws.map(_.toLowerCase))
+  /**
+   * Builds the matcher for one predicate under the EFFECTIVE analyzer
+   * config of the field being matched — the same config the plain term
+   * path uses (index STOPWORDS/MINSTEMSIZE/NOSTEM + the query's
+   * VERBATIM override), so a SLOP query and a term query never disagree
+   * on what a word matches.
+   */
+  def toSpec(t: TextPredicate, cfg: Analyzer.Config): Spec = t match {
+    case Term(_, w) =>
+      val f = Analyzer.caseFold(w)
+      if (cfg.stem) StemSpec(Analyzer.stemToken(f, cfg), cfg) else ExactSpec(f)
+    case Prefix(_, p) => PrefixSpec(Analyzer.caseFold(p))
+    case Suffix(_, s) => SuffixSpec(Analyzer.caseFold(s))
+    case Infix(_, s) => InfixSpec(Analyzer.caseFold(s))
+    case Fuzzy(_, w, d) => FuzzySpec(Analyzer.caseFold(w), d)
+    case Phrase(_, ws) => PhraseSpec(ws.map(Analyzer.caseFold))
   }
 
   def matches(tokens: Seq[(String, Int)], specs: Seq[Spec],

@@ -132,6 +132,27 @@ class ParserSpec extends AnyFunSuite {
     assert(!Proximity.matches(toks, Seq(spec("quick"), spec("missing")), 9, false))
   }
 
+  test("proximity specs honor the index analyzer config (term-path agreement)") {
+    import graft.query.Term
+    // Custom config: "merge" is a stop word, stemming at MINSTEMSIZE 4.
+    val cfg = Analyzer.Default.copy(stopWords = Set("merge", "a", "the"))
+    // Term under the custom config stems exactly like the term path:
+    // "sorted" matches token "sort" (same stem group under cfg) …
+    val sortedSpec = Proximity.toSpec(Term(Some("text"), "sorted"), cfg)
+    assert(sortedSpec.matches("sort"))
+    assert(sortedSpec.matches("sorted"))
+    assert(!sortedSpec.matches("value"))
+    // … and a NOSTEM/VERBATIM config yields an EXACT matcher, not a
+    // stem group (the round-2 bug: proximity always used Default).
+    val verbatim = cfg.copy(stem = false)
+    val exactSpec = Proximity.toSpec(Term(Some("text"), "sorted"), verbatim)
+    assert(exactSpec.matches("sorted"))
+    assert(!exactSpec.matches("sort"))
+    // Unicode query words case-fold the same way the lexer does
+    // (caseFold, not toLowerCase — identical on ASCII, pinned here).
+    assert(Proximity.toSpec(Term(None, "SORT"), verbatim).matches("sort"))
+  }
+
   test("damerau-levenshtein") {
     import graft.functions.DamerauLevenshtein.distance
     assert(distance("hello", "hello") == 0)
