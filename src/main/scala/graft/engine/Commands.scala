@@ -195,6 +195,13 @@ final class Commands(
           val d = a.nextInt("DIALECT")
           require(d == 2, s"only DIALECT 2 is supported, got $d")
         case "VERBATIM" => opts = opts.copy(verbatim = true)
+        // Positional options (reference ft_search_parser.cc:232-236)
+        case "SLOP" =>
+          val s = a.nextInt("SLOP")
+          if (s < 0) throw new ExprParseException("SLOP must be non-negative")
+          opts = opts.copy(slop = Some(s))
+        case "INORDER" => opts = opts.copy(inorder = true)
+        case "WITHSORTKEYS" => opts = opts.copy(withSortKeys = true)
         case other => throw new ExprParseException(s"unknown FT.SEARCH option $other")
       }
     }

@@ -26,7 +26,11 @@ final case class SearchOptions(
     params: Map[String, ParamValue] = Map.empty,
     slop: Option[Int] = None,
     inorder: Boolean = false,
-    verbatim: Boolean = false)
+    verbatim: Boolean = false,
+    // WITHSORTKEYS (reference search.h:71, ft_search.cc:153-159): each
+    // result carries a `__sortkey` column = "#" + the SORTBY field's
+    // value ("" when missing / no SORTBY), mirroring the RESP shape.
+    withSortKeys: Boolean = false)
 
 /**
  * The engine facade: a catalog of named indexes (≈ SchemaManager,
@@ -339,13 +343,29 @@ class SearchEngine {
     val (offset, count) = opts.limit
     val paged = (if (offset > 0) sorted.offset(offset) else sorted).limit(count)
 
-    if (opts.noContent) paged.select(keyCol)
+    // WITHSORTKEYS: "#"-prefixed sort-key value per result
+    // (ft_search.cc:120-132 GetSortKeyValue — empty when the field is
+    // missing or no SORTBY was given).
+    val sortKeyCols: Seq[Column] =
+      if (!opts.withSortKeys) Nil
+      else Seq((opts.sortBy match {
+        case Some((field, _)) =>
+          val src = if (scoreName.contains(field)) col(field)
+                    else col(schema.fieldOrFail(field).alias)
+          concat(lit("#"), coalesce(src.cast("string"), lit("")))
+        case None => lit("#")
+      }).as("__sortkey"))
+
+    if (opts.noContent) paged.select(keyCol +: sortKeyCols: _*)
     else if (opts.returnFields.nonEmpty) {
-      val cols = keyCol +: opts.returnFields.map { case (f, as) =>
+      val cols = (keyCol +: sortKeyCols) ++ opts.returnFields.map { case (f, as) =>
         val src = if (scoreName.contains(f)) col(f) else col(schema.fieldOrFail(f).alias)
         src.as(as.getOrElse(f))
       }
       paged.select(cols: _*)
+    } else if (sortKeyCols.nonEmpty) {
+      val rest = paged.columns.filterNot(_ == schema.keyColumn).map(col)
+      paged.select((keyCol +: sortKeyCols) ++ rest: _*)
     } else paged
   }
 

@@ -176,6 +176,47 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[SearchEngine.SearchReply].total == 1)
   }
 
+  test("FT.SEARCH SLOP/INORDER argv equals the programmatic path") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("d1", "hash join plan cost"), // hash..join adjacent, in order
+      ("d2", "join with hash later maybe"), // join before hash, 1 apart
+      ("d3", "hash cost model row group join")) // 4 words apart
+      .toDF("pk", "txt")
+    val c2 = new Commands(engine, _ => (docs, col("pk")))
+    c2.execute(Seq("FT.CREATE", "prox_idx", "SCHEMA", "txt", "TEXT"))
+    def keys(r: Any): Seq[String] =
+      r.asInstanceOf[SearchEngine.SearchReply].rows.map(_.getString(0)).toSeq
+    // SLOP 1 unordered: d1 (0 between) and d2 (1 between), not d3
+    val viaArgv = keys(c2.execute(Seq("FT.SEARCH", "prox_idx",
+      "@txt:hash @txt:join", "SLOP", "1", "NOCONTENT")))
+    val viaApi = engine.searchReply("prox_idx", "@txt:hash @txt:join",
+      graft.engine.SearchOptions(noContent = true, slop = Some(1)))
+      .rows.map(_.getString(0)).toSeq
+    assert(viaArgv == Seq("d1", "d2") && viaApi == viaArgv)
+    // SLOP 1 INORDER: only d1 (d2 has them reversed)
+    val inorder = keys(c2.execute(Seq("FT.SEARCH", "prox_idx",
+      "@txt:hash @txt:join", "SLOP", "1", "INORDER", "NOCONTENT")))
+    assert(inorder == Seq("d1"))
+    intercept[Exception] {
+      c2.execute(Seq("FT.SEARCH", "prox_idx", "@txt:hash", "SLOP", "-1"))
+    }
+  }
+
+  test("WITHSORTKEYS adds the #-prefixed sort key per result (search.h:71)") {
+    cmds.execute(create)
+    val reply = cmds.execute(Seq("FT.SEARCH", "products", "@price:[5 30]",
+      "SORTBY", "price", "DESC", "WITHSORTKEYS", "NOCONTENT"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(reply.rows.head.schema.fieldNames.toSeq == Seq("__key", "__sortkey"))
+    assert(reply.rows.map(_.getString(0)).toSeq == Seq("p2", "p3", "p1"))
+    assert(reply.rows.map(_.getString(1)).toSeq == Seq("#24.5", "#15.0", "#9.99"))
+    // no SORTBY → empty sort key, still present (GetSortKeyValue "" path)
+    val noSort = cmds.execute(Seq("FT.SEARCH", "products", "@price:[5 30]",
+      "WITHSORTKEYS", "NOCONTENT")).asInstanceOf[SearchEngine.SearchReply]
+    assert(noSort.rows.forall(_.getString(1) == "#"))
+  }
+
   test("NOOFFSETS: phrase queries are rejected, terms still work") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("d1", "hash join plan")).toDF("pk", "txt")
