@@ -39,6 +39,13 @@ object Queries {
         graft.text.PostingIndex.build(docs, piSchema, "text"), tmp)
       e.registerPosting("documents_pi", "text",
         graft.text.PostingIndex.load(spark, tmp))
+      // TAG posting on `source` (reference tag radix postings): tag
+      // lookups on documents_pi read posting slices, not tag arrays.
+      val tagTmp = java.nio.file.Files.createTempDirectory("graft-tag-posting").toString
+      graft.text.PostingIndex.save(
+        graft.text.PostingIndex.buildTags(docs, piSchema, "source"), tagTmp)
+      e.registerPosting("documents_pi", "source",
+        graft.text.PostingIndex.load(spark, tagTmp))
       true
     })
     e
@@ -380,6 +387,24 @@ object Queries {
         |WHERE list_contains(string_split(text, ' '), 'scan')
         |  AND lower(source) IN ('src1','src2')
         |ORDER BY __key ASC LIMIT 200""".stripMargin
+    ),
+    (
+      // TAG posting fetch (reference tag.h:33-44): exact + prefix tag
+      // patterns retrieve keys from the term-sorted tag posting
+      // (equality / StringStartsWith pushed filters → row-group
+      // pruning) semi-joined to the docs; the numeric conjunct stays
+      // columnar. Same results as the full tag-array scan — the oracle
+      // pins that equivalence.
+      "q_tag_posting",
+      (s: SparkSession, dir: String) =>
+        postingEng(s, dir).search("documents_pi",
+          "@source:{src0 | src1*} @n_chars:[150 +inf]",
+          SearchOptions(limit = (0, 300), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE (lower(source) = 'src0' OR lower(source) LIKE 'src1%')
+        |  AND n_chars >= 150
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),
     (
       // VERBATIM must hit ORIGINAL tokens, not stem groups: "merge"

@@ -208,17 +208,41 @@ class SearchEngine {
         case Term(f, w) =>
           postingFields(f).isDefined &&
             !analyzerCfg.stopWords.contains(Analyzer.caseFold(w))
+        case TagMatch(f, _) =>
+          // TAG postings (reference tag radix postings, tag.h:33-44):
+          // a registered tag posting serves both exact and prefix
+          // patterns — stored terms are already normalized.
+          postings.contains((schema.name, f)) &&
+            schema.fieldOrFail(f).ftype.isInstanceOf[TagField]
         case _ => false
       }
-      routed.foreach { case Term(f, w) =>
-        val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
-        val keys = postingFields(f).get
-          .map(fa => postings((schema.name, fa))
-            .filter(col("term") === stemmed)
-            .select(col("__key").as(schema.keyColumn)))
-          .reduce(_ unionByName _)
-        df = df.join(keys, Seq(schema.keyColumn), "left_semi")
-      case _ => // partition() guarantees only Terms land here
+      routed.foreach {
+        case Term(f, w) =>
+          val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
+          val keys = postingFields(f).get
+            .map(fa => postings((schema.name, fa))
+              .filter(col("term") === stemmed)
+              .select(col("__key").as(schema.keyColumn)))
+            .reduce(_ unionByName _)
+          df = df.join(keys, Seq(schema.keyColumn), "left_semi")
+        case TagMatch(f, patterns) =>
+          val cs = schema.fieldOrFail(f).ftype match {
+            case TagField(_, c) => c
+            case _ => false
+          }
+          def norm(s: String) = if (cs) s else Analyzer.asciiLower(s)
+          // OR of equality / prefix conditions — each pushable, so the
+          // term-sorted posting scan reads only the matching slices.
+          val cond = patterns.map { p =>
+            val v = norm(p.value.trim)
+            if (p.isPrefix) col("term").startsWith(v) else col("term") === v
+          }.reduce(_ || _)
+          // no distinct(): left_semi tolerates duplicate keys, and the
+          // dedup shuffle would cost more than it saves
+          val keys = postings((schema.name, f)).filter(cond)
+            .select(col("__key").as(schema.keyColumn))
+          df = df.join(keys, Seq(schema.keyColumn), "left_semi")
+        case _ => // partition() guarantees only Term/TagMatch land here
       }
       if (residual.nonEmpty) {
         val rest = if (residual.size == 1) residual.head else And(residual)

@@ -41,6 +41,21 @@ object PostingIndex {
     enrichedDocs.select(col(schema.keyColumn).as("__key"),
       explode(col(s"__${fieldAlias}__terms")).as("term"))
 
+  /**
+   * Posting relation for a TAG field — the analogue of the reference's
+   * per-tag radix postings (src/indexes/tag.h:33-44). Terms are the
+   * already-normalized tag values (trimmed, ASCII-folded unless
+   * CASESENSITIVE — [[graft.sources.Documents.enrich]]), so an exact
+   * tag lookup is `term = v` and a prefix lookup `term LIKE 'v%'`:
+   * both reach the term-sorted parquet as pushed filters (equality and
+   * StringStartsWith respectively) and row-group-prune, instead of
+   * scanning every document's tag arrays.
+   */
+  def buildTags(enrichedDocs: DataFrame, schema: IndexSchema,
+                fieldAlias: String): DataFrame =
+    enrichedDocs.select(col(schema.keyColumn).as("__key"),
+      explode(col(schema.tagsCol(fieldAlias))).as("term"))
+
   /** Term-sorted parquet layout: row-group/file stats prune lookups. */
   def save(posting: DataFrame, path: String, numPartitions: Int = 32): Unit =
     posting

@@ -38,6 +38,58 @@ class PostingIndexSpec extends AnyFunSuite {
       s"term equality not pushed:\n$plan")
   }
 
+  test("tag posting: exact + prefix parity with tag-array scan; both push") {
+    val engine = Fixtures.engine(spark, sf)
+    val (schema, docs) = engine.index("documents")
+    val posting = PostingIndex.buildTags(docs, schema, "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tag-posting").toString
+    PostingIndex.save(posting, tmp, numPartitions = 4)
+    val loaded = PostingIndex.load(spark, tmp)
+
+    // exact tag: posting keys == tag-array scan keys
+    val viaPosting = loaded.filter(col("term") === "src3")
+      .select("__key").collect().map(_.getString(0)).toSet
+    val viaScan = docs.filter(array_contains(col("__source__tags"), "src3"))
+      .select("__key").collect().map(_.getString(0)).toSet
+    assert(viaPosting == viaScan && viaPosting.nonEmpty)
+
+    // prefix tag: startsWith over the sorted posting, same keys
+    val pPosting = loaded.filter(col("term").startsWith("src1"))
+      .select("__key").collect().map(_.getString(0)).toSet
+    val pScan = docs.filter(exists(col("__source__tags"), _.startsWith("src1")))
+      .select("__key").collect().map(_.getString(0)).toSet
+    assert(pPosting == pScan && pPosting.nonEmpty)
+
+    // both predicate shapes reach the parquet scan as pushed filters
+    val eqPlan = loaded.filter(col("term") === "src3")
+      .queryExecution.executedPlan.toString
+    assert(eqPlan.contains("EqualTo(term,src3)"), s"equality not pushed:\n$eqPlan")
+    val swPlan = loaded.filter(col("term").startsWith("src1"))
+      .queryExecution.executedPlan.toString
+    assert(swPlan.contains("StringStartsWith(term,src1)"),
+      s"prefix not pushed:\n$swPlan")
+  }
+
+  test("engine routes tag conjuncts through a registered tag posting") {
+    val withPosting = Fixtures.engine(spark, sf)
+    val (schema, docs) = withPosting.index("documents")
+    withPosting.registerPosting("documents", "source",
+      PostingIndex.buildTags(docs, schema, "source"))
+    val plain = Fixtures.engine(spark, sf)
+
+    val q = "@source:{src0 | src1*} @n_chars:[100 +inf]"
+    val opts = SearchOptions(limit = (0, 500), noContent = true)
+    val routed = withPosting.search("documents", q, opts)
+    val scanned = plain.search("documents", q, opts)
+    assert(routed.collect().map(_.getString(0)).toSeq ==
+      scanned.collect().map(_.getString(0)).toSeq)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // under OR/NOT the tag stays columnar (complement needs the scan)
+    val orQ = withPosting.search("documents",
+      "(@source:{src0} | @n_chars:[100 200])", opts)
+    assert(!orQ.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
   test("engine routes AND'ed fielded terms through a registered posting") {
     val withPosting = Fixtures.engine(spark, sf)
     val (schema, docs) = withPosting.index("documents")
