@@ -283,22 +283,29 @@ class SearchEngine {
 
         // Hybrid planner (planner.cc:21-46): pre-filter (exact KNN over
         // qualified keys) iff qualified ≤ ratio × N; otherwise, when an
-        // ANN graph is attached, beam-search + post-filter. The
-        // qualified-count probe is LIMIT-bounded so the scan
-        // short-circuits at the threshold instead of counting everything.
+        // ANN graph is attached, beam-search + post-filter.
+        //
+        // Single-pass prologue: the filtered KEY SET materializes once
+        // (select(key).persist + count) and feeds the planner probe,
+        // the Bloom sizing, AND the Bloom build — where this used to be
+        // three separate scans of the filtered plan (LIMIT-bounded
+        // probe, count, bloomFilter). Keys-only keeps the cache tiny at
+        // scale (no document columns); the cache is released the moment
+        // the Bloom is built. In the prefilter regime (qualified ≤
+        // threshold) the filter is selective, so the full count costs
+        // what the old short-circuit probe did anyway.
         val ann = annIndexes.get((indexName, knn.field))
-        val useAnn = ann.isDefined && {
-          parsed.isMatchAll || {
-            val n = docCount(indexName)
-            val threshold = math.max(1L, (prefilterThresholdRatio * n).toLong)
-            // LIMIT takes an Int: when the threshold itself exceeds
-            // Int.MaxValue (N ≳ 2×10¹² at the default ratio) fall back
-            // to a full count rather than overflowing the probe bound.
-            if (threshold < Int.MaxValue)
-              df.limit((threshold + 1).toInt).count() > threshold
-            else df.count() > threshold
-          }
-        }
+        val qualifiedKeys: Option[(DataFrame, Long)] =
+          if (ann.isDefined && !parsed.isMatchAll) {
+            val keys = df.select(keyCol)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            Some((keys, keys.count()))
+          } else None
+        val useAnn = ann.isDefined && (parsed.isMatchAll || {
+          val n = docCount(indexName)
+          val threshold = math.max(1L, (prefilterThresholdRatio * n).toLong)
+          qualifiedKeys.get._2 > threshold
+        })
         def exactKnn(base: DataFrame): DataFrame = base
           .filter(col(fd.alias).isNotNull)
           .withColumn(name, vector_distance(col(fd.alias),
@@ -318,14 +325,16 @@ class SearchEngine {
           // against the filtered docs removes Bloom false positives
           // exactly.
           val keyFilter: Option[String => Boolean] =
-            if (parsed.isMatchAll) None
-            else {
-              val qualified = df.count() // one pass over the filtered plan
-              val bloom = df.stat.bloomFilter(schema.keyColumn,
+            qualifiedKeys.map { case (keys, qualified) =>
+              // reads the cached key set, not the filtered plan
+              val bloom = keys.stat.bloomFilter(schema.keyColumn,
                 math.max(qualified, 64L), 0.01)
               val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
-              Some((k: String) => bloomBc.value.mightContain(k))
+              (k: String) => bloomBc.value.mightContain(k)
             }
+          // bloomFilter is an action — the key cache has served its
+          // three consumers and can go before the beam runs.
+          qualifiedKeys.foreach(_._1.unpersist(blocking = false))
           val overFetch = if (parsed.isMatchAll) knn.k else knn.k * 2 // FP slack
           // Per-query EF_RUNTIME overrides the schema default
           // (reference COMMANDS.md:64-66, ft_search_parser.cc).
@@ -347,6 +356,7 @@ class SearchEngine {
           df = if (parsed.isMatchAll || annResult.count() >= knn.k) annResult
                else exactKnn(df)
         } else {
+          qualifiedKeys.foreach(_._1.unpersist(blocking = false))
           df = exactKnn(df)
         }
       case None =>

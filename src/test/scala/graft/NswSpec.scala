@@ -138,4 +138,51 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(overlap >= 8, s"inline-filter recall $overlap/10")
     } finally ann.unpersistIndex()
   }
+
+  test("inline filter prologue is single-pass (job budget)") {
+    val dir = "/root/testdata/sf0.001"
+    val engine = Fixtures.engine(spark, dir)
+    val embs = engine.index("embeddings_l2")._2
+    val ann = graft.pipeline.Nsw.build(embs, "__key", "vec", metric = "L2",
+      numPartitions = 4, m = 12, efConstruction = 100)
+    try {
+      engine.registerAnn("embeddings_l2", "vec", ann)
+      val opts = graft.engine.SearchOptions(
+        params = Map("q" -> graft.query.VectorParam(Queries.queryVec)))
+      val q = "@label:[0 4]=>[KNN 10 @vec $q]"
+      engine.search("embeddings_l2", q, opts).collect() // warm docCount memo
+      // Count Dataset ACTIONS (one QueryExecutionListener event each —
+      // unaffected by AQE splitting an action into many scheduler jobs).
+      val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+          actions.add(funcName); ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        // eager segment of search(): qualified-keys materialization (1
+        // count), Bloom build over the CACHED keys (1), beam+join
+        // localCheckpoint (1), completeness count on the checkpoint (1)
+        // = 4 actions, exactly ONE of which scans the filtered relation.
+        // The old three-scan prologue (LIMIT probe + count + bloomFilter
+        // all over the filtered plan) was 5 actions / 3 scans.
+        engine.search("embeddings_l2", q, opts)
+        // the listener bus is async; poll until the count is stable
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val now = actions.size()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        import scala.jdk.CollectionConverters._
+        assert(actions.size() <= 4,
+          s"inline prologue ran ${actions.size()} actions (> 4): " +
+            actions.asScala.mkString(", "))
+      } finally spark.listenerManager.unregister(listener)
+    } finally ann.unpersistIndex()
+  }
 }
