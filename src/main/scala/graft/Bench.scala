@@ -107,7 +107,36 @@ object Bench {
       "{}"
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"reps_detail":$repsDetail,"errors":$errs,"nsw_recall_at_10":$recallJson,"sf":"$sfDir"}""")
+    // Beam-cost report: distance evals per query on ONE local graph of
+    // the whole corpus (node-0 entry — kept after measuring pivot /
+    // multi-layer entry selection as a net loss; NswEntryExperiment).
+    // ~ef·M and flat in n is the healthy shape; partition-proportional
+    // cost would mean the graph degenerated to a scan.
+    val evalsJson = try {
+      val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("cast(vec_id as string)", "cast(embedding as array<float>)")
+        .collect()
+      val keys = rows.map(_.getString(0))
+      val vecs = rows.map(_.getSeq[Float](1).toArray)
+      val g = graft.pipeline.Nsw.buildLocal(keys, vecs, m = 16,
+        efConstruction = 200, metric = "L2")
+      val queries = vecs.take(20)
+      Seq(10, 50, 200).map { ef =>
+        var evals = 0L
+        queries.foreach { qv =>
+          val st = new graft.pipeline.Nsw.SearchStats
+          graft.pipeline.Nsw.searchLocal(g.vecs, g.adj.map(_.toIndexedSeq),
+            qv, ef, -1, "L2", stats = st)
+          evals += st.distEvals
+        }
+        s""""ef$ef":${evals / queries.length}"""
+      }.mkString("{", ",", s""","n":${keys.length}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] beam-cost report FAILED: ${e.getMessage}")
+      "{}"
+    }
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"reps_detail":$repsDetail,"errors":$errs,"nsw_recall_at_10":$recallJson,"nsw_beam_evals_per_query":$evalsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

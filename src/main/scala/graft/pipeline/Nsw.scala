@@ -87,14 +87,26 @@ object Nsw {
     PartGraph(keys, vecs, adj.map(_.toArray))
   }
 
+  /** Mutable cell for beam instrumentation (distance evals ≈ hops·M). */
+  final class SearchStats { var distEvals: Long = 0L }
+
   /** Beam (best-first) search over the local graph: returns up to `ef`
     * (distance, nodeIdx) sorted ascending. `limitIdx` restricts to
-    * nodes < limitIdx (used during incremental construction). */
+    * nodes < limitIdx (used during incremental construction).
+    *
+    * Entry is node 0 BY MEASUREMENT, not omission: greedy-insertion
+    * NSW gives early nodes long-range links (Malkov et al. §4), so the
+    * node-0 descent costs a near-constant ~200 distance evals from
+    * n=20k to n=100k. √n-pivot entry selection and (by the same
+    * arithmetic) hnswlib-style multi-layer descent were measured to
+    * ADD 7-119% evals at every (n, ef) operating point — see
+    * NswEntryExperiment and STATUS.md "entry selection". */
   private[graft] def searchLocal(vecs: Array[Array[Float]],
                                     adj: IndexedSeq[scala.collection.Seq[Int]],
                                     q: Array[Float], ef: Int, limitIdx: Int,
                                     metric: String,
-                                    admit: Option[Int => Boolean] = None): Array[(Double, Int)] = {
+                                    admit: Option[Int => Boolean] = None,
+                                    stats: SearchStats = null): Array[(Double, Int)] = {
     val d = dist(metric) _
     val bound = if (limitIdx <= 0) vecs.length else math.min(limitIdx, vecs.length)
     if (bound == 0) return Array.empty
@@ -109,6 +121,7 @@ object Nsw {
       Ordering.by[(Double, Int), Double](_._1))
     val entry = 0
     val d0 = d(q, vecs(entry))
+    if (stats != null) stats.distEvals += 1
     cand.enqueue((d0, entry)); visited.set(entry)
     if (admits(entry)) res.enqueue((d0, entry))
     while (cand.nonEmpty) {
@@ -120,6 +133,7 @@ object Nsw {
           if (nb < bound && !visited.get(nb)) {
             visited.set(nb)
             val dn = d(q, vecs(nb))
+            if (stats != null) stats.distEvals += 1
             if (res.size < ef || dn < res.head._1) {
               cand.enqueue((dn, nb))
               if (admits(nb)) {

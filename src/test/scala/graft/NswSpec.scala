@@ -27,6 +27,37 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
   // runs next (the forked test JVM cleans up on exit).
   override def afterAll(): Unit = ()
 
+  test("beam cost: touches ~ef·M nodes from node-0 entry, not the partition") {
+    // Pins the scale property the header claims (and that made pivot /
+    // multi-layer entry selection a measured loss — NswEntryExperiment):
+    // at 20k nodes a low-ef beam evaluates a few hundred distances, and
+    // its results still agree with exact search.
+    val rnd = new scala.util.Random(11)
+    val n = 20000
+    val vecs = Array.fill(n)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val keys = vecs.indices.map(_.toString).toArray
+    val g = Nsw.buildLocal(keys, vecs, m = 8, efConstruction = 60, metric = "L2")
+    val queries = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    def exactTop(q: Array[Float], k: Int): Set[Int] =
+      vecs.zipWithIndex.map { case (v, i) =>
+        (v.zip(q).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)
+      }.sortBy(t => (t._1, t._2)).take(k).map(_._2).toSet
+    var evals = 0L; var recallSum = 0.0
+    queries.foreach { q =>
+      val st = new Nsw.SearchStats
+      val got = Nsw.searchLocal(g.vecs, g.adj.map(_.toIndexedSeq), q,
+        ef = 100, limitIdx = -1, "L2", stats = st).take(10).map(_._2).toSet
+      evals += st.distEvals
+      recallSum += got.intersect(exactTop(q, 10)).size / 10.0
+    }
+    val perQuery = evals / queries.length
+    assert(recallSum / queries.length >= 0.9,
+      s"recall ${recallSum / queries.length} < 0.9")
+    // ef·M-ish (100 × 2·8 = 1600) with generous slack; a regression to
+    // partition-proportional cost (20k) trips this immediately.
+    assert(perQuery < 4000, s"beam evaluated $perQuery distances per query")
+  }
+
   test("local graph search is exact when ef covers the partition") {
     val rnd = new scala.util.Random(3)
     val vecs = Array.fill(200)(Array.fill(16)(rnd.nextGaussian().toFloat))
