@@ -27,7 +27,8 @@ object StatefulDedup {
   def bandKeys(simhash: Long): Seq[Long] =
     (0 until 4).map(j => (j.toLong << 16) | ((simhash >>> (j * 16)) & 0xFFFFL))
 
-  def process(maxHamming: Int, maxStatePerBand: Int = 1024)(
+  def process(maxHamming: Int, maxStatePerBand: Int = 1024,
+              stateTtl: Option[String] = Some("1 hour"))(
       bandKey: Long, docs: Iterator[DocIn],
       state: GroupState[BandState]): Iterator[DocOut] = {
     if (state.hasTimedOut) {
@@ -48,7 +49,7 @@ object StatefulDedup {
       }
     }
     state.update(BandState(seen))
-    state.setTimeoutDuration("1 hour")
+    stateTtl.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
@@ -60,15 +61,29 @@ object StatefulDedup {
    * that reduction is a stateless `GROUP BY doc_key` the consumer (or
    * a foreachBatch sink) applies. The shuffle key is the band —
    * bounded groups, bounded state, processing-time TTL.
+   *
+   * `stateTtl = None` disables the processing-time timeout. Use that
+   * for drain-style runs (`Trigger.AvailableNow`): with a
+   * ProcessingTimeTimeout registered, Spark's `shouldRunAnotherBatch`
+   * answers true on every clock advance, so an AvailableNow query
+   * NEVER terminates on its own — it keeps scheduling empty batches
+   * until the JVM dies (observed as hundreds of epochs and a
+   * stopped-SparkContext/INTERNAL_ERROR at shutdown). TTL is for
+   * continuous (ProcessingTime-trigger) pipelines, where expiring idle
+   * bands is exactly what bounds total state.
    */
   def dedupDecisions(spark: SparkSession, docs: Dataset[(String, Long)],
-                     maxHamming: Int = 3): Dataset[DocOut] = {
+                     maxHamming: Int = 3,
+                     stateTtl: Option[String] = Some("1 hour")): Dataset[DocOut] = {
     import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.flatMap { case (key, sim) =>
       bandKeys(sim).map(bk => DocIn(bk, key, sim))
     }
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout())(process(maxHamming))
+        timeout)(process(maxHamming, stateTtl = stateTtl))
   }
 }

@@ -130,7 +130,7 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.StructField("__key", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType)))
     val q = Ingest.start(spark, changes, statePath, ckpt, docSchema)
-    q.awaitTermination(60000)
+    try { q.processAllAvailable() } finally q.stop()
 
     val result = Ingest.readState(spark, statePath)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -176,7 +176,7 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = agg.writeStream.format("memory").queryName("win_stats")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    try { q.processAllAvailable() } finally q.stop()
     // append mode emits only watermark-closed windows: the 10:00-10:15 ones
     val rows = spark.sql("SELECT * FROM win_stats ORDER BY event_type").collect()
     assert(rows.map(_.getAs[String]("event_type")).toSeq == Seq("click", "view"))
@@ -210,11 +210,25 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     stream.addData(("d1", s1), ("d4", s4))
     stream.addData(("d2", s1), ("d3", s3)) // later batch: dupes of d1
 
+    // TTL ON here to pin the real operator shape (ProcessingTimeTimeout
+    // path). That combination never self-terminates under AvailableNow —
+    // shouldRunAnotherBatch stays true on every clock advance, so the
+    // query re-triggers forever and even processAllAvailable() never
+    // latches (see StatefulDedup scaladoc). The test therefore polls
+    // the sink for the expected 16 decisions (4 docs × 4 bands) and
+    // stops the query explicitly.
     val decisions = StatefulDedup.dedupDecisions(spark, stream.toDS(), maxHamming = 3)
     val q = decisions.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def sunk(): Long =
+        spark.sql("SELECT count(*) FROM dedup_out").collect()(0).getLong(0)
+      while (sunk() < 16 && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(sunk() == 16, s"expected 16 band decisions, got ${sunk()}")
+    } finally q.stop()
 
     val dup = spark.sql(
       """SELECT doc_key, max(CAST(is_duplicate AS INT)) AS dup,
@@ -224,5 +238,24 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup("d4") == (false, ""))
     assert(dup("d2")._1 && dup("d2")._2 == "d1") // exact dup, later batch (state)
     assert(dup("d3")._1 && dup("d3")._2 == "d1") // hamming-2 dup
+  }
+
+  test("drain mode (stateTtl=None): AvailableNow self-terminates cleanly") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    stream.addData(("a", 1L), ("b", 1L))
+    val decisions = graft.streaming.StatefulDedup.dedupDecisions(
+      spark, stream.toDS(), maxHamming = 0, stateTtl = None)
+    val q = decisions.writeStream.format("memory").queryName("dedup_drain")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // With NoTimeout the AvailableNow query terminates on its own
+    // (this is what a ProcessingTimeTimeout state registration breaks).
+    val terminated = q.awaitTermination(60000)
+    assert(terminated, "AvailableNow drain query did not self-terminate")
+    assert(q.exception.isEmpty, s"drain query failed: ${q.exception}")
+    val n = spark.sql("SELECT count(*) FROM dedup_drain").collect()(0).getLong(0)
+    assert(n == 8) // 2 docs × 4 bands
   }
 }
