@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
  */
 object Nsw {
 
-  /** One partition's graph: parallel arrays + flattened adjacency. */
+  /** One partition's graph: parallel arrays + flattened adjacency.
+    * `pid` is the hash-partition this graph owns (routing key for
+    * incremental upserts); `removed` are dead node INDICES (a deleted
+    * or superseded key's node stays in the arrays for navigation,
+    * hnswlib-style mark-delete, but is never admitted to results). */
   final case class PartGraph(
+      pid: Int,
       keys: Array[String],
       vecs: Array[Array[Float]],
-      adj: Array[Array[Int]])
+      adj: Array[Array[Int]],
+      removed: Array[Int])
 
   final case class Hit(__key: String, distance: Double)
 
@@ -55,36 +61,86 @@ object Nsw {
     }
   }
 
+  /** Insert node `i` (vecs(i)/adj(i) already allocated) into the graph
+    * of nodes < i: beam-search its `efConstruction` nearest, keep the
+    * best `m` as bidirectional edges, prune lists back to 2m. Shared
+    * by full construction and incremental [[upsert]]. */
+  private def insertNode(vecs: Array[Array[Float]],
+                         adj: Array[scala.collection.mutable.ArrayBuffer[Int]],
+                         i: Int, m: Int, efConstruction: Int,
+                         metric: String): Unit = {
+    if (i == 0) return // first node of an empty graph: no neighbors yet
+    val d = dist(metric) _
+    val maxM = 2 * m
+    val found = searchLocal(vecs, adj, vecs(i), efConstruction, i, metric)
+    found.take(m).foreach { case (_, j) =>
+      adj(i) += j
+      adj(j) += i
+      if (adj(j).length > maxM) {
+        // prune j's list to its maxM closest (simple distance prune)
+        val pruned = adj(j).map(x => (d(vecs(j), vecs(x)), x))
+          .sortBy(t => (t._1, t._2)).take(maxM).map(_._2)
+        adj(j).clear(); adj(j) ++= pruned
+      }
+    }
+  }
+
   /**
-   * Greedy NSW construction for one partition's vectors: each node is
-   * inserted by beam-searching the current graph for its
-   * `efConstruction` nearest, keeping the best `m` as bidirectional
-   * edges, pruning lists back to `maxM`. O(n · ef · M) distance evals.
+   * Greedy NSW construction for one partition's vectors: repeated
+   * [[insertNode]]. O(n · ef · M) distance evals.
    */
   private[graft] def buildLocal(keys: Array[String], vecs: Array[Array[Float]],
                                    m: Int, efConstruction: Int,
                                    metric: String): PartGraph = {
-    val d = dist(metric) _
     val n = vecs.length
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    val maxM = 2 * m
     var i = 1
     while (i < n) {
-      val found = searchLocal(vecs, adj, vecs(i), efConstruction, i, metric)
-      val nearest = found.take(m)
-      nearest.foreach { case (_, j) =>
-        adj(i) += j
-        adj(j) += i
-        if (adj(j).length > maxM) {
-          // prune j's list to its maxM closest (simple distance prune)
-          val pruned = adj(j).map(x => (d(vecs(j), vecs(x)), x))
-            .sortBy(t => (t._1, t._2)).take(maxM).map(_._2)
-          adj(j).clear(); adj(j) ++= pruned
-        }
-      }
+      insertNode(vecs, adj, i, m, efConstruction, metric)
       i += 1
     }
-    PartGraph(keys, vecs, adj.map(_.toArray))
+    PartGraph(0, keys, vecs, adj.map(_.toArray), Array.empty)
+  }
+
+  /**
+   * Apply one routed change slice to one partition graph. Upsert =
+   * mark the key's current node removed + insert a fresh node via the
+   * construction path; delete = mark removed (the node keeps serving
+   * as a navigation waypoint, hnswlib mark-delete). Deterministic:
+   * changes apply in key order. Callers dedupe per key first
+   * (last-write-wins — [[graft.streaming.Ingest.mergeBatch]] shape).
+   */
+  private[graft] def applyLocal(g: PartGraph,
+                                changes: Array[(String, String, Array[Float])],
+                                m: Int, efConstruction: Int,
+                                metric: String): PartGraph = {
+    val nOld = g.keys.length
+    val nUp = changes.count(_._1 == "upsert")
+    val cap = nOld + nUp
+    val keys = java.util.Arrays.copyOf(g.keys.asInstanceOf[Array[AnyRef]], cap)
+      .asInstanceOf[Array[String]]
+    val vecs = java.util.Arrays.copyOf(g.vecs.asInstanceOf[Array[AnyRef]], cap)
+      .asInstanceOf[Array[Array[Float]]]
+    val adj = Array.fill(cap)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < nOld) { adj(i) ++= g.adj(i); i += 1 }
+    val removed = new java.util.BitSet(cap)
+    g.removed.foreach(removed.set)
+    val liveIdx = scala.collection.mutable.HashMap.empty[String, Int]
+    i = 0
+    while (i < nOld) { if (!removed.get(i)) liveIdx(g.keys(i)) = i; i += 1 }
+    var n = nOld
+    changes.sortBy(_._2).foreach { case (op, key, vec) =>
+      liveIdx.remove(key).foreach(removed.set) // supersede / delete
+      if (op == "upsert") {
+        keys(n) = key; vecs(n) = vec
+        insertNode(vecs, adj, n, m, efConstruction, metric)
+        liveIdx(key) = n
+        n += 1
+      }
+    }
+    PartGraph(g.pid, keys.take(n), vecs.take(n), adj.take(n).map(_.toArray),
+      (0 until n).filter(removed.get).toArray)
   }
 
   /** Mutable cell for beam instrumentation (distance evals ≈ hops·M). */
@@ -148,9 +204,12 @@ object Nsw {
     res.dequeueAll.toArray.sortBy(t => (t._1, t._2))
   }
 
-  /** A built, persisted index: one PartGraph row per partition. */
+  /** A built, persisted index: one PartGraph row per partition.
+    * `nParts` is the hash-partitioning modulus vectors were routed
+    * with at build time — [[upsert]] must route changes identically
+    * (0 marks a legacy save whose routing is unknown). */
   final case class NswIndex(graphs: Dataset[PartGraph], metric: String,
-                            m: Int) {
+                            m: Int, nParts: Int) {
 
     /** ANN top-k: one beam search per partition graph, global merge via
       * orderBy+limit (distributed bounded heaps). `ef` ≈ EF_RUNTIME. */
@@ -175,10 +234,22 @@ object Nsw {
       val effEf = math.max(ef, k)
       val hits = graphs.flatMap { g =>
         if (g.keys.isEmpty) Iterator.empty
-        else Nsw.searchLocal(g.vecs, g.adj.map(_.toIndexedSeq), query,
-            effEf, limitIdx = -1, metricL,
-            admit = keyFilter.map(f => (i: Int) => f(g.keys(i))))
-          .iterator.take(effEf).map { case (dd, idx) => Hit(g.keys(idx), dd) }
+        else {
+          // removed nodes stay navigable but are never admitted
+          val admit: Option[Int => Boolean] =
+            if (g.removed.isEmpty) keyFilter.map(f => (i: Int) => f(g.keys(i)))
+            else {
+              val dead = new java.util.BitSet(g.keys.length)
+              g.removed.foreach(dead.set)
+              keyFilter match {
+                case Some(f) => Some((i: Int) => !dead.get(i) && f(g.keys(i)))
+                case None => Some((i: Int) => !dead.get(i))
+              }
+            }
+          Nsw.searchLocal(g.vecs, g.adj.map(_.toIndexedSeq), query,
+              effEf, limitIdx = -1, metricL, admit = admit)
+            .iterator.take(effEf).map { case (dd, idx) => Hit(g.keys(idx), dd) }
+        }
       }
       hits.toDF()
         .orderBy(col("distance").asc, col("__key").asc)
@@ -198,18 +269,29 @@ object Nsw {
     index.graphs.write.mode("overwrite").parquet(s"$path/graphs")
     val oos = new java.io.ObjectOutputStream(
       new java.io.FileOutputStream(s"$path/meta.bin"))
-    try { oos.writeObject((index.metric, index.m)) } finally oos.close()
+    try { oos.writeObject((index.metric, index.m, index.nParts)) }
+    finally oos.close()
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): NswIndex = {
     import spark.implicits._
     val ois = new java.io.ObjectInputStream(
       new java.io.FileInputStream(s"$path/meta.bin"))
-    val (metric, m) = try ois.readObject().asInstanceOf[(String, Int)]
-      finally ois.close()
-    val graphs = spark.read.parquet(s"$path/graphs").as[PartGraph]
+    val (metric, m, nParts) = try ois.readObject() match {
+      case (a: String, b: Int, c: Int) => (a, b, c)
+      case (a: String, b: Int) => (a, b, 0) // legacy save: no routing info
+    } finally ois.close()
+    val raw = spark.read.parquet(s"$path/graphs")
+    // legacy saves predate pid/removed — searchable, not upsertable
+    val filled = Seq("pid" -> "0", "removed" -> "array()")
+      .foldLeft(raw) { case (df, (c, default)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, org.apache.spark.sql.functions.expr(default)
+          .cast(if (c == "pid") "int" else "array<int>"))
+      }
+    val graphs = filled.as[PartGraph]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    NswIndex(graphs, metric, m)
+    NswIndex(graphs, metric, m, nParts)
   }
 
   /**
@@ -239,9 +321,60 @@ object Nsw {
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else Iterator.single(
-          buildLocal(rows.map(_._1), rows.map(_._2), m, efConstruction, metric))
+          buildLocal(rows.map(_._1), rows.map(_._2), m, efConstruction, metric)
+            .copy(pid = org.apache.spark.TaskContext.getPartitionId()))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    NswIndex(graphs, metric, m)
+    NswIndex(graphs, metric, m, parts)
+  }
+
+  /**
+   * Incremental maintenance (reference per-mutation path,
+   * src/index_schema.cc:964 ProcessMutation → vector index add/remove):
+   * apply one deduped change batch (`op` ∈ upsert|delete, `__key`,
+   * vector column named `vec`) WITHOUT rebuilding untouched partition
+   * graphs — changes route to their build-time hash partition
+   * (`pmod(hash(key), nParts)`, identical to the `repartition` the
+   * build used, which deletes depend on), cogroup against the graph
+   * rows, and only cogroups that received changes run [[applyLocal]];
+   * every other graph row passes through by reference. Upserted keys'
+   * old nodes and deleted keys become mark-removed waypoints; the
+   * per-partition live count shrinks/grows accordingly — rebuild
+   * (compact) when removed-fraction or partition size degrade, the
+   * same trade the posting delta makes.
+   *
+   * Returns a NEW materialized index; the input index's cache is
+   * released (its `graphs` handle must not be reused).
+   */
+  def upsert(idx: NswIndex, changes: DataFrame,
+             efConstruction: Int = 200): NswIndex = {
+    require(idx.nParts > 0,
+      "legacy NSW save has no routing info; rebuild required before upsert")
+    val spark = idx.graphs.sparkSession
+    import spark.implicits._
+    val metricL = idx.metric
+    val mL = idx.m
+    val efL = efConstruction
+    val routed = changes
+      .select(col("op").cast("string").as("op"),
+        col("__key").cast("string").as("__key"),
+        col("vec").cast("array<float>").as("vec"))
+      .withColumn("pid",
+        pmod(hash(col("__key")), lit(idx.nParts)).cast("int"))
+      .as[(String, String, Array[Float], Int)]
+    val newGraphs = idx.graphs.groupByKey(_.pid)
+      .cogroup(routed.groupByKey(_._4)) { (pid, gs, cs) =>
+        val slice = cs.map(t => (t._1, t._2, t._3)).toArray
+        if (slice.isEmpty) gs // untouched partition: row passes through
+        else {
+          val g = if (gs.hasNext) gs.next()
+            else PartGraph(pid, Array.empty, Array.empty, Array.empty, Array.empty)
+          Iterator.single(applyLocal(g, slice, mL, efL, metricL))
+        }
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newGraphs.count() // materialize before releasing the old generation
+    idx.graphs.unpersist(blocking = false)
+    NswIndex(newGraphs, idx.metric, idx.m, idx.nParts)
   }
 }

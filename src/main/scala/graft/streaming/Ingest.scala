@@ -76,12 +76,7 @@ object Ingest {
     val cols = state.columns.filter(c => c != "op" && c != "__seq")
     // newest change per key wins (max __seq; arbitrary-but-stable
     // tiebreak on op to keep the merge deterministic)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__key").orderBy(col("__seq").desc, col("op").asc)
-    val latest = changes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val latest = dedupePerKey(changes)
     val survivors = state.join(latest.select("__key"), Seq("__key"), "left_anti")
     val upserts = latest.filter(col("op") === "upsert")
       .select(cols.map(col).toIndexedSeq: _*)
@@ -101,7 +96,8 @@ object Ingest {
   def start(spark: SparkSession, changes: DataFrame, statePath: String,
             checkpointPath: String,
             docSchema: org.apache.spark.sql.types.StructType,
-            nBuckets: Int = 64): StreamingQuery = {
+            nBuckets: Int = 64,
+            onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
     val stateSchema = docSchema.add("__bucket", org.apache.spark.sql.types.LongType)
     changes.writeStream
       .outputMode("update")
@@ -137,9 +133,25 @@ object Ingest {
                 s"$statePath/__bucket=$b"), true)
             }
           } finally { merged.unpersist(blocking = false); () }
+          // Derived-index maintenance (reference per-mutation path,
+          // index_schema.cc:964): hand the deduped change batch —
+          // latest op per key, original change-feed columns — to the
+          // caller so posting stores ([[graft.text.PostingStore]]) and
+          // ANN graphs ([[graft.pipeline.Nsw.upsert]]) stay fresh
+          // without a rebuild. Runs AFTER the state commit so an
+          // index-maintenance failure never loses document data.
+          onBatch(dedupePerKey(batch))
         }
         ()
       }
       .start()
+  }
+
+  /** Latest change per key (the same LWW rule [[mergeBatch]] applies). */
+  def dedupePerKey(changes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__key").orderBy(col("__seq").desc, col("op").asc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 }
