@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,11 +13,11 @@ import org.apache.spark.sql.functions._
  * store keeps it fresh with LSM-style segments, never rewriting the
  * big term-sorted main per batch:
  *
- *  - `main/`  — term-sorted posting parquet ([[PostingIndex.save]]
+ *  - `main/g<G>/`  — term-sorted posting parquet ([[PostingIndex.save]]
  *    layout: PushedFilter + row-group pruning on `term`);
- *  - `delta/` — recent (term, __key) rows, small, scanned whole;
- *  - `tomb/`  — keys changed since the last compaction (their rows in
- *    main are dead).
+ *  - `delta/v<g>/` — recent (term, __key) rows, small, scanned whole;
+ *  - `tomb/v<g>/`  — keys changed since the last compaction (their
+ *    rows in main are dead).
  *
  * `view = (main ANTI-JOIN tomb ON __key) UNION delta`: the main branch
  * still prunes by term (the anti-join applies after the pruned scan;
@@ -26,40 +27,29 @@ import org.apache.spark.sql.functions._
  * run it when |delta| or |tomb| stops being "small" relative to the
  * lookup budget (the LSM compaction trade every updatable store makes).
  *
- * Segment rewrites are versioned (`delta/v3`, never in-place): the new
- * version is fully written before the superseded one is deleted, so a
- * crash mid-batch leaves a readable store. Callers re-acquire [[view]]
- * after [[applyBatch]]/[[compact]] — a previously returned DataFrame
- * points at the deleted segment files.
+ * Crash safety is manifest-based, not ordering-based: every mutation
+ * writes NEW versioned directories, then commits by atomically
+ * renaming a MANIFEST file naming the live (mainGen, segGen) pair.
+ * A crash at any point leaves the previous MANIFEST — and therefore
+ * the previous consistent state — intact; [[open]] reads the manifest
+ * and garbage-collects any orphan directories a crash left behind.
+ * Callers re-acquire [[view]] after [[applyBatch]]/[[compact]] — a
+ * previously returned DataFrame points at deleted segment files.
  */
 final class PostingStore private (spark: SparkSession, dir: String,
-                                  private var gen: Int) {
+                                  private var mainGen: Int,
+                                  private var segGen: Int) {
 
-  private def mainPath = s"$dir/main"
-  private def deltaPath(g: Int) = s"$dir/delta/v$g"
-  private def tombPath(g: Int) = s"$dir/tomb/v$g"
+  import PostingStore._
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
-  private def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-  private def rm(p: String): Unit = {
-    fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
-  }
-
-  private def readOr(p: String, cols: Seq[String]): DataFrame =
-    if (exists(p)) spark.read.parquet(p)
-    else {
-      val schema = org.apache.spark.sql.types.StructType(cols.map(
-        org.apache.spark.sql.types.StructField(_,
-          org.apache.spark.sql.types.StringType)))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    }
+  private def fs: FileSystem =
+    FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
 
   /** The current consistent posting relation (term, __key). */
   def view: DataFrame = {
-    val main = spark.read.parquet(mainPath)
-    val tomb = readOr(tombPath(gen), Seq("__key"))
-    val delta = readOr(deltaPath(gen), Seq("term", "__key"))
+    val main = spark.read.parquet(mainPath(dir, mainGen))
+    val tomb = readOr(spark, fs, tombPath(dir, segGen), Seq("__key"))
+    val delta = readOr(spark, fs, deltaPath(dir, segGen), Seq("term", "__key"))
     main.join(tomb, Seq("__key"), "left_anti").unionByName(delta)
   }
 
@@ -70,59 +60,120 @@ final class PostingStore private (spark: SparkSession, dir: String,
    * every key the batch upserted OR deleted.
    */
   def applyBatch(upserts: DataFrame, changedKeys: DataFrame): Unit = {
-    val next = gen + 1
+    val next = segGen + 1
     val keys = changedKeys.select(col("__key")).distinct()
-    val newTomb = readOr(tombPath(gen), Seq("__key"))
+    val newTomb = readOr(spark, fs, tombPath(dir, segGen), Seq("__key"))
       .unionByName(keys).distinct()
-    val newDelta = readOr(deltaPath(gen), Seq("term", "__key"))
+    val newDelta = readOr(spark, fs, deltaPath(dir, segGen), Seq("term", "__key"))
       .join(keys, Seq("__key"), "left_anti") // superseded rows die
       .unionByName(upserts.select(col("term"), col("__key")))
-    newTomb.write.mode("overwrite").parquet(tombPath(next))
-    newDelta.write.mode("overwrite").parquet(deltaPath(next))
-    val prev = gen
-    gen = next
-    rm(tombPath(prev)); rm(deltaPath(prev))
+    newTomb.write.mode("overwrite").parquet(tombPath(dir, next))
+    newDelta.write.mode("overwrite").parquet(deltaPath(dir, next))
+    commit(spark, dir, mainGen, next) // atomic MANIFEST swap = commit point
+    val prev = segGen
+    segGen = next
+    rm(fs, tombPath(dir, prev)); rm(fs, deltaPath(dir, prev))
   }
 
   /** Fold delta + tombstones into a fresh term-sorted main. */
   def compact(numPartitions: Int = 32): Unit = {
-    val tmp = s"$dir/main_next"
-    PostingIndex.save(view, tmp, numPartitions)
-    rm(mainPath)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(mainPath))
-    val prev = gen
-    gen = prev + 1 // empty segments (nothing written ⇒ readOr gives empty)
-    rm(tombPath(prev)); rm(deltaPath(prev))
+    val nextMain = mainGen + 1
+    val nextSeg = segGen + 1 // no files at nextSeg ⇒ empty segments
+    PostingIndex.save(view, mainPath(dir, nextMain), numPartitions)
+    commit(spark, dir, nextMain, nextSeg)
+    val (pm, ps) = (mainGen, segGen)
+    mainGen = nextMain; segGen = nextSeg
+    rm(fs, mainPath(dir, pm)); rm(fs, tombPath(dir, ps)); rm(fs, deltaPath(dir, ps))
   }
 
   /** Rows currently in the delta segment (compaction sizing signal). */
-  def deltaSize: Long =
-    if (exists(deltaPath(gen))) spark.read.parquet(deltaPath(gen)).count() else 0L
+  def deltaSize: Long = {
+    val p = deltaPath(dir, segGen)
+    if (fs.exists(new Path(p))) spark.read.parquet(p).count() else 0L
+  }
+
+  /** Tombstoned keys since the last compaction (compaction signal). */
+  def tombSize: Long = {
+    val p = tombPath(dir, segGen)
+    if (fs.exists(new Path(p))) spark.read.parquet(p).count() else 0L
+  }
 }
 
 object PostingStore {
+
+  private def mainPath(dir: String, g: Int) = s"$dir/main/g$g"
+  private def deltaPath(dir: String, g: Int) = s"$dir/delta/v$g"
+  private def tombPath(dir: String, g: Int) = s"$dir/tomb/v$g"
+  private def manifestPath(dir: String) = new Path(s"$dir/MANIFEST")
+
+  private def rm(fs: FileSystem, p: String): Unit = {
+    fs.delete(new Path(p), true); ()
+  }
+
+  private def readOr(spark: SparkSession, fs: FileSystem, p: String,
+                     cols: Seq[String]): DataFrame =
+    if (fs.exists(new Path(p))) spark.read.parquet(p)
+    else {
+      val schema = org.apache.spark.sql.types.StructType(cols.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+
+  /** Commit point: MANIFEST names the live generations. Written to a
+    * temp name then renamed — rename of a FILE is atomic on local FS
+    * and HDFS, so a reader (or a crash) sees the old or the new
+    * manifest, never a torn one. */
+  private def commit(spark: SparkSession, dir: String,
+                     mainGen: Int, segGen: Int): Unit = {
+    val fs = FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$mainGen $segGen".getBytes("UTF-8")) finally out.close()
+    fs.delete(manifestPath(dir), false)
+    if (!fs.rename(tmp, manifestPath(dir)))
+      throw new java.io.IOException(s"MANIFEST commit failed at $dir")
+  }
+
+  private def readManifest(fs: FileSystem, dir: String): (Int, Int) = {
+    val in = fs.open(manifestPath(dir))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val Array(m, s) = txt.trim.split(" ")
+    (m.toInt, s.toInt)
+  }
 
   /** Create a store at `dir` from an initial posting relation (e.g.
     * [[PostingIndex.build]] over the backfilled corpus). */
   def init(spark: SparkSession, posting: DataFrame, dir: String,
            numPartitions: Int = 32): PostingStore = {
-    PostingIndex.save(posting, s"$dir/main", numPartitions)
-    new PostingStore(spark, dir, 0)
+    PostingIndex.save(posting, mainPath(dir, 0), numPartitions)
+    commit(spark, dir, 0, 0)
+    new PostingStore(spark, dir, 0, 0)
   }
 
-  /** Re-open an existing store (e.g. after a restart): the live
-    * delta/tomb version is whatever survived the last commit. */
+  /**
+   * Re-open an existing store (e.g. after a restart): the MANIFEST
+   * names the last COMMITTED generations; any directory it does not
+   * reference — a half-written segment or main from a crashed
+   * [[PostingStore.applyBatch]]/[[PostingStore.compact]], or a
+   * superseded generation whose deferred delete never ran — is
+   * garbage-collected here.
+   */
   def open(spark: SparkSession, dir: String): PostingStore = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = FileSystem.get(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
-    def liveGen(sub: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toInt)
-        .sorted.lastOption.getOrElse(0)
+    val (mainGen, segGen) = readManifest(fs, dir)
+    def gc(sub: String, prefix: String, live: Int): Unit = {
+      val p = new Path(s"$dir/$sub")
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n.drop(prefix.length).toIntOption.exists(_ != live))
+          fs.delete(st.getPath, true)
+      }
     }
-    new PostingStore(spark, dir, math.max(liveGen("delta"), liveGen("tomb")))
+    gc("main", "g", mainGen); gc("delta", "v", segGen); gc("tomb", "v", segGen)
+    new PostingStore(spark, dir, mainGen, segGen)
   }
 }
