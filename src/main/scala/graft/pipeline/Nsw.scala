@@ -113,7 +113,8 @@ object Nsw {
   private[graft] def applyLocal(g: PartGraph,
                                 changes: Array[(String, String, Array[Float])],
                                 m: Int, efConstruction: Int,
-                                metric: String): PartGraph = {
+                                metric: String,
+                                rebuildFraction: Double = 0.5): PartGraph = {
     val nOld = g.keys.length
     val nUp = changes.count(_._1 == "upsert")
     val cap = nOld + nUp
@@ -139,8 +140,19 @@ object Nsw {
         n += 1
       }
     }
-    PartGraph(g.pid, keys.take(n), vecs.take(n), adj.take(n).map(_.toArray),
-      (0 until n).filter(removed.get).toArray)
+    val deadCount = removed.cardinality()
+    // Dead-node compaction (the trade hnswlib makes with resizeIndex /
+    // the reference makes by mutating in place): mark-removed waypoints
+    // keep navigation cheap until they dominate the arrays — past the
+    // threshold, rebuild this partition's graph from its LIVE nodes so
+    // beam cost tracks the live count, not the churn history.
+    if (n > 0 && deadCount.toDouble / n > rebuildFraction) {
+      val live = (0 until n).filterNot(removed.get)
+      buildLocal(live.map(keys).toArray, live.map(vecs).toArray,
+        m, efConstruction, metric).copy(pid = g.pid)
+    } else
+      PartGraph(g.pid, keys.take(n), vecs.take(n), adj.take(n).map(_.toArray),
+        (0 until n).filter(removed.get).toArray)
   }
 
   /** Mutable cell for beam instrumentation (distance evals ≈ hops·M). */
@@ -338,16 +350,18 @@ object Nsw {
    * build used, which deletes depend on), cogroup against the graph
    * rows, and only cogroups that received changes run [[applyLocal]];
    * every other graph row passes through by reference. Upserted keys'
-   * old nodes and deleted keys become mark-removed waypoints; the
-   * per-partition live count shrinks/grows accordingly — rebuild
-   * (compact) when removed-fraction or partition size degrade, the
-   * same trade the posting delta makes.
+   * old nodes and deleted keys become mark-removed waypoints; when a
+   * partition's dead fraction exceeds `rebuildFraction` the cogroup
+   * rebuilds THAT partition from its live nodes (automatic compaction,
+   * the same trade the posting delta makes) — so beam cost tracks the
+   * live count under sustained churn, never the churn history.
    *
    * Returns a NEW materialized index; the input index's cache is
    * released (its `graphs` handle must not be reused).
    */
   def upsert(idx: NswIndex, changes: DataFrame,
-             efConstruction: Int = 200): NswIndex = {
+             efConstruction: Int = 200,
+             rebuildFraction: Double = 0.5): NswIndex = {
     require(idx.nParts > 0,
       "legacy NSW save has no routing info; rebuild required before upsert")
     val spark = idx.graphs.sparkSession
@@ -355,6 +369,7 @@ object Nsw {
     val metricL = idx.metric
     val mL = idx.m
     val efL = efConstruction
+    val rebuildF = rebuildFraction
     val routed = changes
       .select(col("op").cast("string").as("op"),
         col("__key").cast("string").as("__key"),
@@ -369,7 +384,7 @@ object Nsw {
         else {
           val g = if (gs.hasNext) gs.next()
             else PartGraph(pid, Array.empty, Array.empty, Array.empty, Array.empty)
-          Iterator.single(applyLocal(g, slice, mL, efL, metricL))
+          Iterator.single(applyLocal(g, slice, mL, efL, metricL, rebuildF))
         }
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
