@@ -548,9 +548,129 @@ object Queries {
   )
 
   // ---------------------------------------------------------------- //
+  // Incremental index maintenance (SURVEY §2.1 S1; reference          //
+  // per-mutation path index_schema.cc:964): the gates run a change    //
+  // stream through IndexMaintainer.onBatch — the same hook            //
+  // Ingest.start drives — and then query through the engine. The      //
+  // oracle sees only the FINAL corpus the changes describe, so a      //
+  // stale posting/graph (or a rebuilt-instead-of-maintained one       //
+  // hiding a bug) fails the compare.                                  //
+  // ---------------------------------------------------------------- //
+
+  private val incTextDone = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Engine where `documents_inc` postings were built on 2/3 of the
+    * corpus, then maintained through two onBatch calls: upserts of the
+    * held-out third, deletes of doc_id%13==0. The document RELATION
+    * stays the full corpus — exclusion of deleted docs must come from
+    * the maintained posting, which is the property under test. */
+  private[graft] def incTextEng(spark: SparkSession, dir: String): SearchEngine = {
+    val e = eng(spark, dir)
+    incTextDone.getOrElseUpdate(dir, {
+      val (schema0, docs) = e.index("documents")
+      val schema = schema0.copy(name = "documents_inc")
+      e.createIndex(schema, docs)
+      val raw = Fixtures.table(spark, dir, "documents")
+      val base = raw.filter(col("doc_id") % 3 =!= 0)
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-inc-posting").toString
+      val store = graft.text.PostingStore.init(spark,
+        graft.text.PostingIndex.build(
+          graft.sources.Documents.enrich(base, schema, keyExpr = Some(col("doc_id"))),
+          schema, "text"), storeDir)
+      val maintainer = new graft.streaming.IndexMaintainer(e, "documents_inc",
+        schema, postingStores = Map("text" -> store)).register()
+      maintainer.onBatch(raw.filter(col("doc_id") % 3 === 0)
+        .withColumn("op", lit("upsert"))
+        .withColumn("__key", col("doc_id").cast("string"))
+        .withColumn("__seq", lit(1L)))
+      maintainer.onBatch(raw.filter(col("doc_id") % 13 === 0)
+        .withColumn("op", lit("delete"))
+        .withColumn("__key", col("doc_id").cast("string"))
+        .withColumn("__seq", lit(2L)))
+      true
+    })
+    e
+  }
+
+  private val incAnnDone = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Engine where `embeddings_inc`'s NSW graph was built on 2/3 of the
+    * vectors, then maintained through onBatch: upserts of the held-out
+    * third, deletes of vec_id%5==0 — queries must reflect both without
+    * a rebuild. */
+  private[graft] def incAnnEng(spark: SparkSession, dir: String): SearchEngine = {
+    val e = eng(spark, dir)
+    incAnnDone.getOrElseUpdate(dir, {
+      val schema = IndexSchema("embeddings_inc", Seq(
+        FieldDef("label", NumericField),
+        FieldDef("embedding", "vec", VectorField(dim = 64, metric = DistanceMetric.L2))))
+      val raw = Fixtures.table(spark, dir, "embeddings")
+      val enriched = graft.sources.Documents.enrich(raw, schema,
+        keyExpr = Some(col("vec_id")))
+      e.createIndex(schema, enriched)
+      val nsw = graft.pipeline.Nsw.build(
+        enriched.filter(col("vec_id") % 3 =!= 0), "__key", "vec",
+        metric = "L2", numPartitions = 8)
+      val maintainer = new graft.streaming.IndexMaintainer(e, "embeddings_inc",
+        schema, annIndexes = Map("vec" -> nsw)).register()
+      maintainer.onBatch(raw.filter(col("vec_id") % 3 === 0)
+        .withColumn("op", lit("upsert"))
+        .withColumn("__key", col("vec_id").cast("string"))
+        .withColumn("__seq", lit(1L)))
+      maintainer.onBatch(raw.filter(col("vec_id") % 5 === 0)
+        .withColumn("op", lit("delete"))
+        .withColumn("__key", col("vec_id").cast("string"))
+        .withColumn("__seq", lit(2L)))
+      true
+    })
+    e
+  }
+
+  private val maintenanceQueries: Seq[(String, Q, String)] = Seq(
+    (
+      // S1 text maintenance: term lookup routed through the MAINTAINED
+      // posting store view (main ⊖ tomb ∪ delta). The oracle excludes
+      // deleted docs even though the scanned relation still holds them —
+      // only a correct tombstone/delta state passes.
+      "q_incremental_text",
+      (s: SparkSession, dir: String) =>
+        incTextEng(s, dir).search("documents_inc", "@text:scanning @lang:{en}",
+          SearchOptions(limit = (0, 300), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'scan')
+        |  AND lower(lang) = 'en' AND doc_id % 13 <> 0
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
+      // S1 vector maintenance: match-all KNN through the MAINTAINED NSW
+      // graph. Approximate results → the oracle-checked contract is the
+      // property set: full k, recall ≥ 0.9 vs exact KNN over the
+      // post-change corpus, and NO deleted key served (the beam walks
+      // deleted nodes as waypoints but must never admit them).
+      "q_incremental_ann",
+      (s: SparkSession, dir: String) => {
+        val e = incAnnEng(s, dir)
+        val opts = SearchOptions(limit = (0, 10), params = qParams)
+        val ann = e.search("embeddings_inc", "*=>[KNN 10 @vec $q EF_RUNTIME 200]", opts)
+          .select(col("__key")).collect().map(_.getString(0))
+        val exact = graft.pipeline.Ann.topK(
+          Fixtures.table(s, dir, "embeddings").filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", queryVec, k = 10, metric = "L2")
+          .collect().map(_.getString(0)).toSet
+        val deleted = ann.exists(k => k.toLong % 5 == 0)
+        val recallOk = ann.toSet.intersect(exact).size >= 9
+        val sp = s
+        import sp.implicits._
+        Seq((ann.length.toDouble, recallOk, !deleted))
+          .toDF("n_results", "recall_ok", "no_deleted")
+      },
+      "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok, TRUE AS no_deleted"
+    )
+  )
+
+  // ---------------------------------------------------------------- //
 
   private def allTriples: Seq[(String, Q, String)] =
-    searchQueries ++ textQueries ++ vectorQueries
+    searchQueries ++ textQueries ++ vectorQueries ++ maintenanceQueries
 
   def all: Map[String, Q] =
     allTriples.map { case (n, q, _) => n -> q }.toMap ++ AggregateQueries.all ++

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.SearchEngine
+import graft.model._
+import graft.pipeline.Nsw
+import graft.sources.Documents
+import graft.text.{PostingIndex, PostingStore}
+
+/**
+ * Derived-index maintenance for one index under continuous ingest —
+ * the consumer [[Ingest.start]]'s `onBatch` hook was built for, and
+ * the Spark-native form of the reference's per-mutation index updates
+ * (src/index_schema.cc:964 ProcessMutation fans each keyspace event
+ * out to every attached attribute index; text two-phase commit
+ * src/indexes/text/text_index.h:94-99).
+ *
+ * Per deduped change batch (latest op per key — [[Ingest.dedupePerKey]]
+ * shape, original change-feed columns):
+ *
+ *  - every attached [[PostingStore]] (TEXT or TAG field) receives the
+ *    batch's posting rows + changed keys ([[PostingStore.applyBatch]],
+ *    O(|batch| + segments), never O(corpus)), auto-compacts once the
+ *    delta + tombstone segments exceed `compactRowThreshold` (the LSM
+ *    policy: lookups pay O(segments) on top of the pruned main scan,
+ *    so segments must stay bounded), and re-registers its fresh view
+ *    with the engine;
+ *  - every attached NSW graph receives the routed vector changes
+ *    ([[Nsw.upsert]] — untouched partitions pass through; dead-heavy
+ *    partitions rebuild locally) and re-registers. An upserted doc
+ *    whose vector is missing/wrong-dim DELETES the key from the ANN
+ *    index (enrichment nulls it — reference index_base.h:43-47
+ *    untracked semantics);
+ *  - optionally the document relation itself is re-registered from
+ *    `docsSource` (a parquet-backed DataFrame resolves its file list
+ *    at creation, so a stale handle would miss the batch's writes).
+ *
+ * After `onBatch` returns, FT.SEARCH text/tag/KNN queries through the
+ * engine reflect the batch without any index rebuild.
+ */
+final class IndexMaintainer(
+    engine: SearchEngine,
+    indexName: String,
+    schema: IndexSchema,
+    postingStores: Map[String, PostingStore] = Map.empty,
+    annIndexes: Map[String, Nsw.NswIndex] = Map.empty,
+    docsSource: Option[() => DataFrame] = None,
+    compactRowThreshold: Long = 100000) {
+
+  private val ann = scala.collection.mutable.HashMap.from(annIndexes)
+
+  /** Current ANN index for a field (advances as batches apply). */
+  def annIndex(field: String): Nsw.NswIndex = ann(field)
+
+  /** Register the initial views/graphs with the engine (call once,
+    * before the stream starts — queries work from the first batch on). */
+  def register(): this.type = {
+    postingStores.foreach { case (f, s) =>
+      engine.registerPosting(indexName, f, s.view) }
+    ann.foreach { case (f, idx) => engine.registerAnn(indexName, f, idx) }
+    this
+  }
+
+  /** The `onBatch` hook for [[Ingest.start]]. */
+  def onBatch(batch: DataFrame): Unit = {
+    if (postingStores.isEmpty && ann.isEmpty && docsSource.isEmpty) return
+    val upserts = batch.filter(col("op") === "upsert").drop("op", "__seq")
+    val enriched = Documents.enrich(upserts, schema)
+    val changedKeys = batch.select(col("__key").cast("string").as("__key"))
+
+    postingStores.foreach { case (field, store) =>
+      val rows = schema.fieldOrFail(field).ftype match {
+        case _: TextField => PostingIndex.build(enriched, schema, field)
+        case _: TagField => PostingIndex.buildTags(enriched, schema, field)
+        case t => throw new IllegalArgumentException(
+          s"posting maintenance needs TEXT or TAG, $field is $t")
+      }
+      store.applyBatch(rows, changedKeys)
+      if (store.deltaSize + store.tombSize >= compactRowThreshold)
+        store.compact()
+      engine.registerPosting(indexName, field, store.view)
+    }
+
+    ann.keys.toSeq.foreach { field =>
+      val alias = schema.fieldOrFail(field).alias
+      val up = enriched.select(
+        when(col(alias).isNotNull, lit("upsert")).otherwise(lit("delete")).as("op"),
+        col(schema.keyColumn).cast("string").as("__key"),
+        col(alias).cast("array<float>").as("vec"))
+      val del = batch.filter(col("op") === "delete").select(
+        lit("delete").as("op"), col("__key").cast("string").as("__key"),
+        lit(null).cast("array<float>").as("vec"))
+      val next = Nsw.upsert(ann(field), up.unionByName(del))
+      ann(field) = next
+      engine.registerAnn(indexName, field, next)
+    }
+
+    docsSource.foreach { src =>
+      engine.createIndex(schema, Documents.enrich(src(), schema))
+    }
+    ()
+  }
+}

@@ -8,7 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.model._
 import graft.pipeline.Multimodal
-import graft.streaming.Ingest
+import graft.streaming.{IndexMaintainer, Ingest}
 
 class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -157,6 +157,126 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = e.search("live", "@price:[10 +inf]").collect()
     assert(hits.map(_.getString(0)).toSeq == Seq("k2"))
   }
+  test("onBatch wiring: stream upserts/deletes reflect in posting + ANN queries without rebuild") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val statePath = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+
+    val schema = IndexSchema("live2", Seq(
+      FieldDef("body", TextField()),
+      FieldDef("emb", VectorField(dim = 4, metric = DistanceMetric.L2))))
+    val init = Seq(
+      ("k1", "alpha beta gamma", Array(0f, 0f, 0f, 1f)),
+      ("k2", "delta epsilon quantum", Array(0f, 0f, 1f, 0f)),
+      ("k3", "zeta eta theta", Array(0f, 1f, 0f, 0f)),
+      ("k4", "iota kappa lambda", Array(1f, 0f, 0f, 0f)),
+      ("k5", "mu nu xi", Array(1f, 1f, 0f, 0f)),
+      ("k6", "omicron pi rho", Array(0f, 1f, 1f, 0f)))
+      .toDF("__key", "body", "emb")
+    Ingest.backfill(init, statePath)
+
+    val enrichedInit = graft.sources.Documents.enrich(init, schema)
+    val storeDir = s"$tmp/posting"
+    val store = graft.text.PostingStore.init(spark,
+      graft.text.PostingIndex.build(enrichedInit, schema, "body"), storeDir,
+      numPartitions = 2)
+    val nsw = graft.pipeline.Nsw.build(enrichedInit, "__key", "emb",
+      metric = "L2", numPartitions = 2, m = 4, efConstruction = 20)
+
+    val engine = new graft.engine.SearchEngine
+    engine.createIndex(schema, graft.sources.Documents.enrich(
+      Ingest.readState(spark, statePath), schema))
+    val maintainer = new IndexMaintainer(engine, "live2", schema,
+      postingStores = Map("body" -> store),
+      annIndexes = Map("emb" -> nsw),
+      docsSource = Some(() => Ingest.readState(spark, statePath))).register()
+
+    def textHits(term: String): Set[String] =
+      engine.search("live2", s"@body:$term").collect()
+        .map(_.getAs[String]("__key")).toSet
+    def knnTop(v: Array[Float], k: Int): Seq[String] =
+      engine.search("live2", s"*=>[KNN $k @emb $$q EF_RUNTIME 50]",
+        graft.engine.SearchOptions(limit = (0, k),
+          params = Map("q" -> graft.query.VectorParam(v)))).collect()
+        .map(_.getAs[String]("__key")).toSeq
+
+    assert(textHits("quantum") == Set("k2"))
+    assert(knnTop(Array(0f, 0f, 0f, 1f), 1) == Seq("k1"))
+
+    // stream: supersede k2 (term disappears), add k7 (term + new
+    // vector), delete k1 (its exact-match vector must stop answering)
+    val stream = MemoryStream[(String, String, String, Array[Float], Long)]
+    stream.addData(
+      ("upsert", "k2", "plain boring words", Array(0f, 0f, 1f, 0f), 1L),
+      ("upsert", "k7", "quantum flux capacitor", Array(0.1f, 0f, 0f, 1f), 2L),
+      ("delete", "k1", null, null, 3L))
+    val changes = stream.toDF().toDF("op", "__key", "body", "emb", "__seq")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("emb",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val q = Ingest.start(spark, changes, statePath, ckpt, docSchema,
+      onBatch = maintainer.onBatch)
+    try { q.processAllAvailable() } finally q.stop()
+
+    // posting queries reflect the batch: supersede removed k2's term,
+    // k7's new doc is indexed — no rebuild ran
+    assert(textHits("quantum") == Set("k7"))
+    assert(textHits("boring") == Set("k2"))
+    // ANN: the deleted doc no longer answers its own exact vector; the
+    // new doc does (nearest to its slightly-shifted vector)
+    val top = knnTop(Array(0f, 0f, 0f, 1f), 2)
+    assert(!top.contains("k1"), s"deleted key still served: $top")
+    assert(top.head == "k7", s"upserted vector not found: $top")
+    // and the document relation itself advanced (new doc queryable)
+    assert(engine.search("live2", "*").collect()
+      .map(_.getAs[String]("__key")).toSet ==
+      Set("k2", "k3", "k4", "k5", "k6", "k7"))
+  }
+
+  test("long change stream: auto-compaction keeps posting segments bounded") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val schema = IndexSchema("churn", Seq(FieldDef("body", TextField())))
+    def corpus(round: Int): DataFrame =
+      (1 to 30).map(i => (s"k$i", s"word$i round$round shared")).toDF("__key", "body")
+    val store = graft.text.PostingStore.init(spark,
+      graft.text.PostingIndex.build(
+        graft.sources.Documents.enrich(corpus(0), schema), schema, "body"),
+      s"$tmp/posting", numPartitions = 2)
+    val engine = new graft.engine.SearchEngine
+    engine.createIndex(schema, graft.sources.Documents.enrich(corpus(0), schema))
+    val maintainer = new IndexMaintainer(engine, "churn", schema,
+      postingStores = Map("body" -> store),
+      compactRowThreshold = 60).register()
+
+    // 8 rounds × full supersede of 10 docs: without compaction the
+    // tombstones alone would reach 10 keys and the delta 8×30 rows;
+    // with the threshold policy the segments stay bounded every round —
+    // lookup cost (pruned main + O(segments)) stays flat under churn.
+    var maxSegRows = 0L
+    (1 to 8).foreach { r =>
+      val batch = (1 to 10)
+        .map(i => ("upsert", s"k$i", s"word$i round$r shared", r.toLong))
+        .toDF("op", "__key", "body", "__seq")
+      maintainer.onBatch(batch)
+      maxSegRows = math.max(maxSegRows, store.deltaSize + store.tombSize)
+    }
+    assert(maxSegRows <= 60 + 40, // threshold + one batch's contribution
+      s"segments grew to $maxSegRows rows — compaction policy broken")
+    // and the relation is still exactly the rebuild of the final corpus
+    val expected = graft.text.PostingIndex.build(
+      graft.sources.Documents.enrich(
+        (1 to 10).map(i => (s"k$i", s"word$i round8 shared")).toDF("__key", "body")
+          .unionByName((11 to 30).map(i => (s"k$i", s"word$i round0 shared")).toDF("__key", "body")),
+        schema), schema, "body")
+    def asSet(df: DataFrame) = df.select("term", "__key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(asSet(store.view) == asSet(expected))
+  }
+
   test("windowed stats: event-time windows with watermark, streaming plan") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
