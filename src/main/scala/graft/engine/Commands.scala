@@ -57,6 +57,7 @@ final class Commands(
     val name = a.next()
     var prefixes: Seq[String] = Nil
     var skipScan = false
+    var postingsDir: Option[String] = None
     // Index-level text options (reference ft_create_parser.cc:640-725):
     // flexible order before SCHEMA, defaults per the reference.
     var analyzerCfg = graft.text.Analyzer.Default
@@ -90,6 +91,11 @@ final class Commands(
         case "LANGUAGE" =>
           a.next(); val l = a.next()
           require(l.equalsIgnoreCase("ENGLISH"), s"unsupported LANGUAGE $l")
+        // Engine extension (no reference syntax — the reference ALWAYS
+        // builds postings in RAM; here they are opt-in storage): build +
+        // register term-sorted posting relations for every TEXT/TAG
+        // field under the given directory.
+        case "POSTINGS" => a.next(); postingsDir = Some(a.next())
         case "SCHEMA" => a.next(); done = true
         case other => throw new ExprParseException(s"unexpected token $other (expected SCHEMA)")
       }
@@ -151,8 +157,14 @@ final class Commands(
     val schema = IndexSchema(name, fields.result(), analyzer = analyzerCfg)
     val (raw, keyExpr) = source(prefixes)
     val bound = if (skipScan) raw.limit(0) else raw
+    // TEXT-bearing indexes default resident, like the reference's
+    // always-in-memory text index — otherwise every query re-runs the
+    // analyzer over the corpus (tokenize-on-read, a per-query cost the
+    // reference never pays).
     engine.createIndex(schema,
-      graft.sources.Documents.enrich(bound, schema, keyExpr = Some(keyExpr)))
+      graft.sources.Documents.enrich(bound, schema, keyExpr = Some(keyExpr)),
+      resident = schema.textFields.nonEmpty)
+    postingsDir.foreach(d => engine.buildPostings(name, d))
     "OK"
   }
 

@@ -77,6 +77,43 @@ class SearchEngine {
   }
 
   /**
+   * Build, save (term-sorted layout) and register posting relations
+   * for an index's TEXT and TAG fields in one step — the FT.CREATE-
+   * driven form of [[registerPosting]], so any index (not just ones a
+   * caller hand-built postings for) gets the reference's radix-posting
+   * retrieval shape (text_index.h:57-88, tag.h:33-44). `fields`
+   * defaults to every TEXT + TAG field. NOSTEM text fields are skipped:
+   * postings hold stem sets and those fields match original tokens.
+   */
+  def buildPostings(indexName: String, dir: String,
+                    fields: Seq[String] = Nil,
+                    numPartitions: Int = 32): this.type = {
+    val (schema, docs) = index(indexName)
+    val targets =
+      if (fields.nonEmpty) fields.map(schema.fieldOrFail)
+      else schema.fields.filter(fd => fd.ftype match {
+        case tf: TextField => !tf.noStem
+        case _: TagField => true
+        case _ => false
+      })
+    targets.foreach { fd =>
+      val posting = fd.ftype match {
+        case _: TextField =>
+          graft.text.PostingIndex.build(docs, schema, fd.alias)
+        case _: TagField =>
+          graft.text.PostingIndex.buildTags(docs, schema, fd.alias)
+        case t => throw new IllegalArgumentException(
+          s"postings need TEXT or TAG, ${fd.alias} is $t")
+      }
+      val path = s"$dir/${fd.alias}"
+      graft.text.PostingIndex.save(posting, path, numPartitions)
+      registerPosting(indexName, fd.alias,
+        graft.text.PostingIndex.load(docs.sparkSession, path))
+    }
+    this
+  }
+
+  /**
    * Attach a built ANN graph to a vector field — the analogue of
    * declaring the field HNSW instead of FLAT. With one attached,
    * [[search]] applies the reference's hybrid planner rule
@@ -174,10 +211,14 @@ class SearchEngine {
     val compiler = new PredicateCompiler(schema, analyzerCfg)
     var df = docs
     if (!parsed.isMatchAll) {
-      // Route fielded Term conjuncts with a registered posting through
-      // posting lookup + semi-join; everything else compiles to the
-      // columnar predicate as usual. OR/NOT trees keep the column path
-      // (a posting fetch under negation/union needs the complement).
+      // Route posting-servable conjuncts through posting lookup +
+      // semi-join; everything else compiles to the columnar predicate
+      // as usual. A conjunct routes when it is a Term/TagMatch leaf
+      // with a registered posting, or an OR tree whose EVERY leaf is
+      // such (the reference's X3 concat-fetchers-plus-dedup,
+      // src/query/search.cc:349-359,644-652 — here the fetcher union
+      // is a posting-keys union and the dedup is the semi-join).
+      // NOT trees keep the column path (complement needs the scan).
       val conjuncts = parsed.filter match {
         case And(cs) => cs
         case p => Seq(p)
@@ -204,50 +245,62 @@ class SearchEngine {
             else None
         }
       }
-      val (routed, residual) = conjuncts.partition {
-        case Term(f, w) =>
-          postingFields(f).isDefined &&
-            !analyzerCfg.stopWords.contains(Analyzer.caseFold(w))
-        case TagMatch(f, _) =>
-          // TAG postings (reference tag radix postings, tag.h:33-44):
-          // a registered tag posting serves both exact and prefix
-          // patterns — stored terms are already normalized.
-          postings.contains((schema.name, f)) &&
-            schema.fieldOrFail(f).ftype.isInstanceOf[TagField]
-        case _ => false
+      def termKeys(f: Option[String], w: String): DataFrame = {
+        val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
+        postingFields(f).get
+          .map(fa => postings((schema.name, fa))
+            .filter(col("term") === stemmed)
+            .select(col("__key").as(schema.keyColumn)))
+          .reduce(_ unionByName _)
       }
-      routed.foreach {
-        case Term(f, w) =>
-          val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
-          val keys = postingFields(f).get
-            .map(fa => postings((schema.name, fa))
-              .filter(col("term") === stemmed)
-              .select(col("__key").as(schema.keyColumn)))
-            .reduce(_ unionByName _)
-          df = df.join(keys, Seq(schema.keyColumn), "left_semi")
-        case TagMatch(f, patterns) =>
-          val cs = schema.fieldOrFail(f).ftype match {
-            case TagField(_, c) => c
-            case _ => false
-          }
-          def norm(s: String) = if (cs) s else Analyzer.asciiLower(s)
-          // OR of equality / prefix conditions — each pushable, so the
-          // term-sorted posting scan reads only the matching slices.
-          val cond = patterns.map { p =>
-            val v = norm(p.value.trim)
-            if (p.isPrefix) col("term").startsWith(v) else col("term") === v
-          }.reduce(_ || _)
-          // no distinct(): left_semi tolerates duplicate keys, and the
-          // dedup shuffle would cost more than it saves
-          val keys = postings((schema.name, f)).filter(cond)
-            .select(col("__key").as(schema.keyColumn))
-          df = df.join(keys, Seq(schema.keyColumn), "left_semi")
-        case _ => // partition() guarantees only Term/TagMatch land here
+      def tagKeys(f: String, patterns: Seq[TagPattern]): DataFrame = {
+        val cs = schema.fieldOrFail(f).ftype match {
+          case TagField(_, c) => c
+          case _ => false
+        }
+        def norm(s: String) = if (cs) s else Analyzer.asciiLower(s)
+        // OR of equality / prefix conditions — each pushable, so the
+        // term-sorted posting scan reads only the matching slices.
+        val cond = patterns.map { p =>
+          val v = norm(p.value.trim)
+          if (p.isPrefix) col("term").startsWith(v) else col("term") === v
+        }.reduce(_ || _)
+        // no distinct(): left_semi tolerates duplicate keys, and the
+        // dedup shuffle would cost more than it saves
+        postings((schema.name, f)).filter(cond)
+          .select(col("__key").as(schema.keyColumn))
       }
-      if (residual.nonEmpty) {
-        val rest = if (residual.size == 1) residual.head else And(residual)
-        df = df.filter(compiler.compile(rest))
+      /** Key relation for a posting-servable sub-tree, None if any leaf
+        * needs the columnar scan. */
+      def keysFor(p: Predicate): Option[DataFrame] = p match {
+        case Term(f, w) if postingFields(f).isDefined &&
+            !analyzerCfg.stopWords.contains(Analyzer.caseFold(w)) =>
+          Some(termKeys(f, w))
+        case TagMatch(f, patterns)
+            // TAG postings (reference tag radix postings, tag.h:33-44):
+            // a registered tag posting serves both exact and prefix
+            // patterns — stored terms are already normalized.
+            if postings.contains((schema.name, f)) &&
+              schema.fieldOrFail(f).ftype.isInstanceOf[TagField] =>
+          Some(tagKeys(f, patterns))
+        case Or(cs) =>
+          val ks = cs.map(keysFor)
+          if (ks.nonEmpty && ks.forall(_.isDefined))
+            Some(ks.map(_.get).reduce(_ unionByName _))
+          else None
+        case _ => None
       }
+      val routedKeys = conjuncts.flatMap(keysFor)
+      routedKeys.foreach { keys =>
+        df = df.join(keys, Seq(schema.keyColumn), "left_semi")
+      }
+      // Fetch-then-verify (reference search.cc: every retrieved doc is
+      // re-evaluated against the FULL predicate tree): the posting
+      // semi-joins prune what gets scanned, the compiled predicate owns
+      // the semantics — which also keeps results exact when the key
+      // column is not unique (two rows sharing a key must not admit
+      // each other through the other's postings).
+      df = df.filter(compiler.compile(parsed.filter))
     }
     (opts.slop, parsed.filter) match {
       case (Some(s), f) => df = applyProximity(df, schema, f, s, opts.inorder, analyzerCfg)

@@ -90,6 +90,39 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(!orQ.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   }
 
+  test("engine routes OR trees of routable leaves through a posting union (X3)") {
+    val withPosting = Fixtures.engine(spark, sf)
+    withPosting.buildPostings("documents",
+      java.nio.file.Files.createTempDirectory("graft-pi-or").toString)
+    val plain = Fixtures.engine(spark, sf)
+
+    val q = "(@source:{src0} | @text:merging) @n_chars:[100 +inf]"
+    val opts = SearchOptions(limit = (0, 500), noContent = true)
+    val routed = withPosting.search("documents", q, opts)
+    val scanned = plain.search("documents", q, opts)
+    assert(routed.collect().map(_.getString(0)).toSeq ==
+      scanned.collect().map(_.getString(0)).toSeq)
+    // plan shape: fetcher union semi-joined once; the posting scans
+    // carry their predicates down to the term-sorted parquet
+    val opt = routed.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi") && opt.contains("Union"), s"no fetcher union:\n$opt")
+    val phys = routed.queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(term,src0)") && phys.contains("EqualTo(term,merg)"),
+      s"posting predicates not pushed:\n$phys")
+    // an OR with ANY unroutable leaf stays columnar (complement/scan)
+    val mixed = withPosting.search("documents",
+      "(@source:{src0} | @n_chars:[100 200])", opts)
+    assert(!mixed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // nested OR of routable leaves routes too
+    val nested = withPosting.search("documents",
+      "((@source:{src0} | @lang:{en}) | @text:merging) @n_chars:[100 +inf]", opts)
+    val nestedPlain = plain.search("documents",
+      "((@source:{src0} | @lang:{en}) | @text:merging) @n_chars:[100 +inf]", opts)
+    assert(nested.collect().map(_.getString(0)).toSeq ==
+      nestedPlain.collect().map(_.getString(0)).toSeq)
+    assert(nested.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
   test("engine routes AND'ed fielded terms through a registered posting") {
     val withPosting = Fixtures.engine(spark, sf)
     val (schema, docs) = withPosting.index("documents")
