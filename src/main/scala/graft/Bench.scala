@@ -17,13 +17,18 @@ import org.apache.spark.sql.SparkSession
  *    `localCheckpoint` blocks from dedup-family queries cannot
  *    accumulate across the session and slow later queries;
  *  - per-rep wall times are published (`reps_detail`) so a suspicious
- *    median can be adjudicated from the artifact alone.
+ *    median can be adjudicated from the artifact alone — together with
+ *    per-rep GC time (`gc_ms_detail`) and post-rep storage-memory
+ *    footprint (`storage_mb_detail`): a slow rep with a matching GC
+ *    spike is a session stall, not a plan regression.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // median of 5: up to two session stalls (GC, broadcast cleanup)
+    // cannot own a query's reported number
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,29 +48,43 @@ object Bench {
       }
     }
 
-    /** One timed run. Returns elapsed seconds and, on failure, the error
-      * (elapsed time of a failed run is reported but never enters the
-      * median). The result handle is unpersisted afterwards so
+    /** Sum of JVM GC wall time (all collectors), monotonic. */
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    /** Bytes of persisted blocks currently in storage memory — the
+      * accumulated-fixture-cache signal for stall adjudication. */
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+
+    /** One timed run. Returns (elapsed sec, GC ms spent DURING the rep,
+      * storage bytes after, error). A failed rep's time is reported but
+      * never enters the median. The result handle is unpersisted so
       * localCheckpoint blocks are released before the next rep. */
-    def timeOnce(fn: Queries.Q): (Double, Option[String]) = {
+    def timeOnce(fn: Queries.Q): (Double, Long, Long, Option[String]) = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val err =
         try { val df = fn(spark, sfDir); df.count(); df.unpersist(blocking = false); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0, storageBytes(), err)
     }
 
-    case class QResult(median: Double, repTimes: Seq[Double], err: Option[String])
+    case class QResult(median: Double, repTimes: Seq[Double],
+                       gcMs: Seq[Long], storageMb: Seq[Long], err: Option[String])
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOnce(fn) // untimed warm-up: caches, codegen, broadcast reuse
       val runs = Seq.fill(reps)(timeOnce(fn))
-      val ok = runs.collect { case (t, None) => t }.sorted
-      val firstErr = runs.collectFirst { case (_, Some(e)) => e }
+      val ok = runs.collect { case (t, _, _, None) => t }.sorted
+      val firstErr = runs.collectFirst { case (_, _, _, Some(e)) => e }
       val median = if (ok.nonEmpty) ok(ok.length / 2) else -1.0
-      name -> QResult(median, runs.map(_._1), firstErr)
+      name -> QResult(median, runs.map(_._1), runs.map(_._2),
+        runs.map(_._3 >> 20), firstErr)
     }
 
     def fmt(d: Double): String = f"$d%.4f"
@@ -74,7 +93,16 @@ object Bench {
     val repsDetail = results.map { case (k, r) =>
       "\"" + k + "\":" + r.repTimes.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, QResult(_, _, Some(e))) =>
+    // stall adjudication from the artifact alone: a slow rep with a
+    // matching gc_ms spike is a session stall, not a plan change; a
+    // storage_mb ramp across queries is fixture-cache accumulation
+    val gcDetail = results.map { case (k, r) =>
+      "\"" + k + "\":" + r.gcMs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val storageDetail = results.map { case (k, r) =>
+      "\"" + k + "\":" + r.storageMb.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, QResult(_, _, _, _, Some(e))) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.median).filter(_ >= 0).sum
@@ -113,8 +141,12 @@ object Bench {
     // ~ef·M and flat in n is the healthy shape; partition-proportional
     // cost would mean the graph degenerated to a scan.
     val evalsJson = try {
+      // bounded driver collect: a deterministic ≤50k sample (the graph
+      // shape/beam cost report needs a single local graph, not the
+      // table — a full collect would OOM the driver at larger sf)
       val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .selectExpr("cast(vec_id as string)", "cast(embedding as array<float>)")
+        .orderBy("vec_id").limit(50000)
         .collect()
       val keys = rows.map(_.getString(0))
       val vecs = rows.map(_.getSeq[Float](1).toArray)
@@ -136,7 +168,7 @@ object Bench {
       "{}"
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"reps_detail":$repsDetail,"errors":$errs,"nsw_recall_at_10":$recallJson,"nsw_beam_evals_per_query":$evalsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"stat":"median","queries":$qs,"reps_detail":$repsDetail,"gc_ms_detail":$gcDetail,"storage_mb_detail":$storageDetail,"errors":$errs,"nsw_recall_at_10":$recallJson,"nsw_beam_evals_per_query":$evalsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
