@@ -98,7 +98,7 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
 
   private def compileText(t: TextPredicate): Column = t match {
     case Term(field, word) =>
-      val w = Analyzer.caseFold(word)
+      val w = Analyzer.caseFold(word, analyzer)
       if (analyzer.stopWords.contains(w))
         // Stop-word terms are removed from the query (search-query.md:152).
         lit(true)
@@ -118,23 +118,23 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
           tokenMatch(fd, w, graft.functions.TokenMatch.Exact)
       }
     case Prefix(field, p) =>
-      val pl = Analyzer.caseFold(p)
+      val pl = Analyzer.caseFold(p, analyzer)
       overTextFields(field)(tokenMatch(_, pl, graft.functions.TokenMatch.Prefix))
     case Suffix(field, sfx) =>
-      val sl = Analyzer.caseFold(sfx)
+      val sl = Analyzer.caseFold(sfx, analyzer)
       overTextFields(field)(tokenMatch(_, sl, graft.functions.TokenMatch.Suffix))
     case Infix(field, in) =>
-      val il = Analyzer.caseFold(in)
+      val il = Analyzer.caseFold(in, analyzer)
       overTextFields(field)(tokenMatch(_, il, graft.functions.TokenMatch.Infix))
     case Fuzzy(field, word, maxDist) =>
-      val wl = Analyzer.caseFold(word)
+      val wl = Analyzer.caseFold(word, analyzer)
       overTextFields(field)(tokenMatch(_, wl, graft.functions.TokenMatch.Fuzzy, maxDist))
     case Phrase(field, words) =>
       // Adjacency on post-stop-word positions ⟺ substring match on the
       // space-joined token string (" t0 t1 t2 ").
       require(analyzer.withOffsets,
         "phrase matching requires positions; the index was created NOOFFSETS")
-      val needle = words.map(Analyzer.caseFold).mkString(" ", " ", " ")
+      val needle = words.map(Analyzer.caseFold(_, analyzer)).mkString(" ", " ", " ")
       overTextFields(field)(fd => col(s"__${fd.alias}__joined").contains(needle))
   }
 }

@@ -96,6 +96,11 @@ final class Commands(
         // register term-sorted posting relations for every TEXT/TAG
         // field under the given directory.
         case "POSTINGS" => a.next(); postingsDir = Some(a.next())
+        // Engine extension: ICU-parity full case folding (ß→ss class);
+        // the reference always folds this way (unicode_normalizer.cc),
+        // here it is opt-in to keep existing simple-fold indexes stable.
+        case "UNICODEFOLD" =>
+          a.next(); analyzerCfg = analyzerCfg.copy(fullFold = true)
         case "SCHEMA" => a.next(); done = true
         case other => throw new ExprParseException(s"unexpected token $other (expected SCHEMA)")
       }

@@ -246,7 +246,7 @@ class SearchEngine {
         }
       }
       def termKeys(f: Option[String], w: String): DataFrame = {
-        val stemmed = Analyzer.stemToken(Analyzer.caseFold(w), analyzerCfg)
+        val stemmed = Analyzer.stemToken(Analyzer.caseFold(w, analyzerCfg), analyzerCfg)
         postingFields(f).get
           .map(fa => postings((schema.name, fa))
             .filter(col("term") === stemmed)
@@ -274,7 +274,7 @@ class SearchEngine {
         * needs the columnar scan. */
       def keysFor(p: Predicate): Option[DataFrame] = p match {
         case Term(f, w) if postingFields(f).isDefined &&
-            !analyzerCfg.stopWords.contains(Analyzer.caseFold(w)) =>
+            !analyzerCfg.stopWords.contains(Analyzer.caseFold(w, analyzerCfg)) =>
           Some(termKeys(f, w))
         case TagMatch(f, patterns)
             // TAG postings (reference tag radix postings, tag.h:33-44):
@@ -637,7 +637,7 @@ class SearchEngine {
     // would wrongly reject every document).
     val textMatchers = collectTextMatchers(filter).filterNot {
       case Term(_, w) =>
-        analyzerCfg.stopWords.contains(graft.text.Analyzer.caseFold(w))
+        analyzerCfg.stopWords.contains(graft.text.Analyzer.caseFold(w, analyzerCfg))
       case _ => false
     }
     if (textMatchers.size < 2) return df

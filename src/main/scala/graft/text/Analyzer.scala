@@ -29,7 +29,14 @@ object Analyzer {
       // WITHOFFSETS/NOOFFSETS (ft_create_parser.cc:98-99): without
       // offsets the index stores no positions, so phrase and
       // SLOP/INORDER queries are rejected at compile time.
-      withOffsets: Boolean = true)
+      withOffsets: Boolean = true,
+      // ICU-style FULL case folding (the reference's CaseFoldInPlace,
+      // src/indexes/text/unicode_normalizer.cc:22-28 = icu foldCase):
+      // applies the multi-char special folds (ß→ss class) simple
+      // lowercasing misses. Off by default — the two paths agree
+      // wherever the special-fold table doesn't apply, and the simple
+      // fold is the established behavior for existing indexes.
+      fullFold: Boolean = false)
 
   val Default: Config = Config()
   /** No stemming, no stop words — used for exact-oracle test queries. */
@@ -76,6 +83,68 @@ object Analyzer {
     } else s.toLowerCase(java.util.Locale.ROOT)
   }
 
+  /** Config-aware fold: simple ROOT lowercase, or ICU-parity full
+    * folding when the index declares it. */
+  def caseFold(s: String, cfg: Config): String =
+    if (cfg.fullFold) fullCaseFold(s) else caseFold(s)
+
+  /**
+   * FULL case folding, matching ICU `foldCase()` (U_FOLD_CASE_DEFAULT)
+   * — the one Unicode API the reference's normalizer actually
+   * implements (unicode_normalizer.cc:22-28) — on the scripts its
+   * corpora use: the multi-char F-folds for Latin (ß→ss, ﬁ→fi, ŉ, ǰ,
+   * ẖ ẗ ẘ ẙ ẚ), Greek monotonic (ς→σ, ΐ, ΰ), Armenian ligatures (ﬓ-ﬗ,
+   * և) plus the C-folds simple lowercasing misses (µ→μ, ſ→s, İ→i̇).
+   * Per-codepoint processing deliberately skips java.lang's contextual
+   * final-sigma rule — folding is context-free. Documented residual
+   * deltas vs ICU: polytonic-Greek iota-subscript F-folds (ᾼ→αι class)
+   * and archaic scripts whose fold targets uppercase (Cherokee).
+   */
+  def fullCaseFold(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) caseFold(s)
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 4)
+      i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val special = SpecialFolds.get(cp)
+        if (special.isDefined) sb.append(special.get)
+        else sb.appendCodePoint(Character.toLowerCase(cp))
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  /** Unicode CaseFolding F-entries (+ divergent C-entries) for the
+    * Latin / Greek-monotonic / Armenian repertoire. */
+  private val SpecialFolds: Map[Int, String] = Map(
+    0x00DF -> "ss",             // ß LATIN SMALL SHARP S
+    0x1E9E -> "ss",             // ẞ LATIN CAPITAL SHARP S
+    0x0130 -> "i̇",        // İ I WITH DOT ABOVE
+    0x0149 -> "ʼn",        // ŉ N PRECEDED BY APOSTROPHE
+    0x01F0 -> "ǰ",        // ǰ J WITH CARON
+    0x017F -> "s",              // ſ LONG S
+    0x1E9B -> "ṡ",         // ẛ LONG S WITH DOT ABOVE
+    0x1E96 -> "ẖ",
+    0x1E97 -> "ẗ",
+    0x1E98 -> "ẘ",
+    0x1E99 -> "ẙ",
+    0x1E9A -> "aʾ",
+    0x00B5 -> "μ",         // µ MICRO SIGN → GREEK MU
+    0x0390 -> "ΐ", // ΐ
+    0x03B0 -> "ΰ", // ΰ
+    0x03C2 -> "σ",         // ς FINAL SIGMA (context-free fold)
+    0xFB00 -> "ff", 0xFB01 -> "fi", 0xFB02 -> "fl",
+    0xFB03 -> "ffi", 0xFB04 -> "ffl", 0xFB05 -> "st", 0xFB06 -> "st",
+    0x0587 -> "եւ",   // և ARMENIAN ECH-YIWN
+    0xFB13 -> "մն", 0xFB14 -> "մե",
+    0xFB15 -> "մի", 0xFB16 -> "վն",
+    0xFB17 -> "մխ")
+
   /**
    * Raw word split (pre stop-word/stem): contiguous non-punctuation,
    * non-whitespace runs, lowercased. Backslash escapes a punctuation
@@ -85,7 +154,7 @@ object Analyzer {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var i = 0
-    def flush(): Unit = { if (sb.nonEmpty) { out += caseFold(sb.toString); sb.clear() } }
+    def flush(): Unit = { if (sb.nonEmpty) { out += caseFold(sb.toString, cfg); sb.clear() } }
     while (i < text.length) {
       val c = text.charAt(i)
       if (c == '\\' && i + 1 < text.length &&

@@ -50,13 +50,13 @@ object Proximity {
    */
   def toSpec(t: TextPredicate, cfg: Analyzer.Config): Spec = t match {
     case Term(_, w) =>
-      val f = Analyzer.caseFold(w)
+      val f = Analyzer.caseFold(w, cfg)
       if (cfg.stem) StemSpec(Analyzer.stemToken(f, cfg), cfg) else ExactSpec(f)
-    case Prefix(_, p) => PrefixSpec(Analyzer.caseFold(p))
-    case Suffix(_, s) => SuffixSpec(Analyzer.caseFold(s))
-    case Infix(_, s) => InfixSpec(Analyzer.caseFold(s))
-    case Fuzzy(_, w, d) => FuzzySpec(Analyzer.caseFold(w), d)
-    case Phrase(_, ws) => PhraseSpec(ws.map(Analyzer.caseFold))
+    case Prefix(_, p) => PrefixSpec(Analyzer.caseFold(p, cfg))
+    case Suffix(_, s) => SuffixSpec(Analyzer.caseFold(s, cfg))
+    case Infix(_, s) => InfixSpec(Analyzer.caseFold(s, cfg))
+    case Fuzzy(_, w, d) => FuzzySpec(Analyzer.caseFold(w, cfg), d)
+    case Phrase(_, ws) => PhraseSpec(ws.map(Analyzer.caseFold(_, cfg)))
   }
 
   def matches(tokens: Seq[(String, Int)], specs: Seq[Spec],

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Analyzer
+
+/**
+ * ICU-parity FULL case folding (reference CaseFoldInPlace =
+ * icu::UnicodeString::foldCase, src/indexes/text/unicode_normalizer.cc:
+ * 22-28) behind the analyzer config — and the default simple-fold path
+ * pinned unchanged.
+ */
+class AnalyzerFoldSpec extends AnyFunSuite {
+
+  private val full = Analyzer.Default.copy(fullFold = true)
+
+  test("default path unchanged: simple ROOT lowercase, no special folds") {
+    assert(Analyzer.caseFold("Straße") == "straße") // ß survives
+    assert(Analyzer.caseFold("HELLO") == "hello")
+    assert(Analyzer.caseFold("Straße", Analyzer.Default) == "straße")
+  }
+
+  test("full fold: ß→ss class (the divergence the round-3 verdict named)") {
+    assert(Analyzer.fullCaseFold("Straße") == "strasse")
+    assert(Analyzer.fullCaseFold("STRASSE") == "strasse")
+    assert(Analyzer.fullCaseFold("GROẞ") == "gross") // capital sharp s
+    // the three spellings of the same word now collide, as under ICU
+    assert(Set("Straße", "STRASSE", "strasse").map(Analyzer.fullCaseFold).size == 1)
+  }
+
+  test("full fold: ligatures, micro, long s, final sigma, İ") {
+    assert(Analyzer.fullCaseFold("ﬁle") == "file")      // U+FB01
+    assert(Analyzer.fullCaseFold("eﬀort") == "effort")  // U+FB00
+    assert(Analyzer.fullCaseFold("5µm") == "5μm")       // micro → mu
+    assert(Analyzer.fullCaseFold("ſtreet") == "street") // long s
+    // fold is context-free: final sigma → σ even word-finally (ICU
+    // foldCase semantics, NOT java's contextual toLowerCase)
+    assert(Analyzer.fullCaseFold("ΟΔΟΣ") == "οδοσ")
+    assert(Analyzer.fullCaseFold("ΟΔΟΣ") == Analyzer.fullCaseFold("οδος"))
+    // İ folds to i + COMBINING DOT ABOVE (default mode, non-Turkic)
+    assert(Analyzer.fullCaseFold("İstanbul") == "i̇stanbul")
+    // dotless ı folds to itself (it must NOT become plain i)
+    assert(Analyzer.fullCaseFold("ılık") == "ılık")
+  }
+
+  test("full fold is idempotent and ASCII fast path intact") {
+    val samples = Seq("Straße", "ﬁle", "ΟΔΟΣ", "İs", "plain ASCII Works")
+    samples.foreach { s =>
+      val once = Analyzer.fullCaseFold(s)
+      assert(Analyzer.fullCaseFold(once) == once, s"not idempotent on $s")
+    }
+    assert(Analyzer.fullCaseFold("MiXeD") == "mixed")
+  }
+
+  test("end-to-end: a fullFold index matches ss-queries against ß-documents") {
+    val spark = TestSpark.spark
+    val sp = spark; import sp.implicits._
+    val schema = graft.model.IndexSchema("de", Seq(
+      graft.model.FieldDef("body", graft.model.TextField())),
+      analyzer = full)
+    val docs = Seq(
+      ("d1", "die Straße ist lang"),
+      ("d2", "the street is long"),
+      ("d3", "eine GROẞE Sache")).toDF("__key", "body")
+    val e = new graft.engine.SearchEngine
+    e.createIndex(schema, graft.sources.Documents.enrich(docs, schema))
+    def hits(q: String): Set[String] =
+      e.search("de", q).collect().map(_.getAs[String]("__key")).toSet
+    // query side folds identically: strasse ≡ Straße, grosse ≡ GROẞE
+    assert(hits("@body:strasse") == Set("d1"))
+    assert(hits("@body:Straße") == Set("d1"))
+    assert(hits("@body:grosse") == Set("d3"))
+    // the default-analyzer index does NOT conflate them (pinned delta)
+    val plainSchema = schema.copy(name = "de_plain", analyzer = Analyzer.Default)
+    e.createIndex(plainSchema, graft.sources.Documents.enrich(docs, plainSchema))
+    assert(e.search("de_plain", "@body:strasse").collect().isEmpty)
+
+    // FT.CREATE UNICODEFOLD declares the same config through argv
+    val cmds = new graft.engine.Commands(e,
+      _ => (docs, org.apache.spark.sql.functions.col("__key")))
+    cmds.execute(Seq("FT.CREATE", "de_cmd", "UNICODEFOLD",
+      "SCHEMA", "body", "TEXT"))
+    val reply = cmds.execute(Seq("FT.SEARCH", "de_cmd", "@body:strasse"))
+      .asInstanceOf[graft.engine.SearchEngine.SearchReply]
+    assert(reply.total == 1 &&
+      reply.rows.map(_.getAs[String]("__key")).toSeq == Seq("d1"))
+  }
+}
