@@ -45,6 +45,9 @@ final class Commands(
       case "FT.DROPINDEX" => engine.dropIndex(argv(1)); "OK"
       case "FT._LIST" => engine.listIndexes
       case "FT.INFO" => engine.info(argv(1)) // scope/consistency args ≡ LOCAL here
+      // Server INFO, SEARCH section (reference metrics surface,
+      // src/metrics.h:29-80): engine-wide counters as (metric, value).
+      case "INFO" => engine.metricsInfo(source(Nil)._1.sparkSession)
       case "FT.SEARCH" => ftSearch(new Args(argv.tail))
       case "FT.AGGREGATE" => ftAggregate(new Args(argv.tail))
       case other => throw new ExprParseException(s"unknown command $other")
@@ -169,6 +172,10 @@ final class Commands(
     engine.createIndex(schema,
       graft.sources.Documents.enrich(bound, schema, keyExpr = Some(keyExpr)),
       resident = schema.textFields.nonEmpty)
+    // SKIPINITIALSCAN: the index starts EMPTY awaiting the stream — the
+    // initial fill has not happened (FT.INFO backfill fields,
+    // index_schema.cc:1244-1263); a full initial scan means ready.
+    if (skipScan) engine.reportBackfill(name, 0L, 1L)
     postingsDir.foreach(d => engine.buildPostings(name, d))
     "OK"
   }

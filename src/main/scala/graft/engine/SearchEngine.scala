@@ -47,6 +47,16 @@ object SearchEngine {
   /** Full FT.SEARCH reply: pre-LIMIT total + page (S7/R6). */
   final case class SearchReply(total: Long, rows: Array[org.apache.spark.sql.Row])
 
+  /** Index build state (reference index_schema.h:102-109, FT.INFO
+    * fields index_schema.cc:1244-1263): `state` is "ready" or
+    * "backfill_in_progress"; percent counts the initial fill only —
+    * steady-state mutations are not backfill (index_schema.h:557). */
+  final case class BuildState(state: String,
+                              backfillInProgress: Boolean,
+                              backfillCompletePercent: Double,
+                              mutationQueueSize: Long)
+  val Ready: BuildState = BuildState("ready", false, 100.0, 0L)
+
   /** Restore an index saved by [[SearchEngine.saveIndex]] into `engine`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                 engine: SearchEngine): SearchEngine = {
@@ -155,6 +165,7 @@ class SearchEngine {
     if (catalog.remove(name).isEmpty)
       throw new IllegalArgumentException(s"no such index: $name")
     docCounts.remove(name)
+    buildStates.remove(name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
     postings.filterInPlace { case ((idx, _), _) => idx != name }
     ()
@@ -162,6 +173,33 @@ class SearchEngine {
 
   /** FT._LIST analogue. */
   def listIndexes: Seq[String] = catalog.keys.toSeq
+
+  private val buildStates = scala.collection.mutable.HashMap.empty[String, SearchEngine.BuildState]
+
+  /** Current build state (defaults to ready — batch-registered indexes
+    * are fully built the moment createIndex returns). */
+  def buildState(indexName: String): SearchEngine.BuildState =
+    buildStates.getOrElse(indexName, SearchEngine.Ready)
+
+  /** Report initial-fill progress (C3: the coordinator merges these
+    * across nodes; here one engine = one scope). `scanned`/`total`
+    * drive the percent; a later [[markReady]] (or a full scan) ends the
+    * backfill. */
+  def reportBackfill(indexName: String, scanned: Long, total: Long,
+                     queued: Long = 0L): this.type = {
+    val pct =
+      if (total <= 0L) 0.0
+      else math.min(100.0, scanned.toDouble / total * 100.0)
+    buildStates(indexName) =
+      if (pct >= 100.0) SearchEngine.Ready.copy(mutationQueueSize = queued)
+      else SearchEngine.BuildState("backfill_in_progress", true, pct, queued)
+    this
+  }
+
+  def markReady(indexName: String): this.type = {
+    buildStates(indexName) = SearchEngine.Ready
+    this
+  }
 
   private val docCounts = scala.collection.mutable.HashMap.empty[String, Long]
   /** Memoized N for the planner's selectivity threshold. */
@@ -570,8 +608,21 @@ class SearchEngine {
       }
       (indexName, fd.alias, fd.identifier, ftype, stats.getLong(i + 1))
     }
+    val bs = buildState(indexName)
     fieldRows.toDF("index_name", "field", "identifier", "field_type", "num_tracked")
       .withColumn("num_docs", lit(stats.getLong(0)))
+      // build-state block (reference FT.INFO, index_schema.cc:1244-1263)
+      .withColumn("state", lit(bs.state))
+      .withColumn("backfill_in_progress", lit(bs.backfillInProgress))
+      .withColumn("backfill_complete_percent", lit(bs.backfillCompletePercent))
+      .withColumn("mutation_queue_size", lit(bs.mutationQueueSize))
+  }
+
+  /** Engine-wide metrics snapshot as a DataFrame — the `INFO SEARCH`
+    * section surface (reference src/metrics.h:29-80). */
+  def metricsInfo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Metrics.snapshot().toDF("metric", "value")
   }
 
   /**

@@ -100,6 +100,10 @@ final class IndexMaintainer(
     docsSource.foreach { src =>
       engine.createIndex(schema, Documents.enrich(src(), schema))
     }
+    // a batch fully applied means the index serves current data — for a
+    // SKIPINITIALSCAN index the stream IS the initial fill (FT.INFO
+    // state flips to ready; steady-state mutations are not backfill)
+    engine.markReady(indexName)
     ()
   }
 }

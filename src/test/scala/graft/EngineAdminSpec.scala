@@ -49,6 +49,39 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byField("ts_sec").getAs[Long]("num_tracked") == 1000L)
   }
 
+  test("FT.INFO build state: ready by default, backfill via SKIPINITIALSCAN, metrics via INFO") {
+    // batch-registered index: built the moment createIndex returns
+    val ready = engine.info("part").collect().head
+    assert(ready.getAs[String]("state") == "ready")
+    assert(!ready.getAs[Boolean]("backfill_in_progress"))
+    assert(ready.getAs[Double]("backfill_complete_percent") == 100.0)
+    assert(ready.getAs[Long]("mutation_queue_size") == 0L)
+
+    // SKIPINITIALSCAN: empty index awaiting its stream → backfilling
+    val e = new SearchEngine
+    val cmds = new graft.engine.Commands(e,
+      _ => (Fixtures.table(spark, "/root/testdata/sf0.001", "documents"),
+        col("doc_id")))
+    cmds.execute(Seq("FT.CREATE", "pending", "SKIPINITIALSCAN",
+      "SCHEMA", "n_chars", "NUMERIC"))
+    val bf = e.info("pending").collect().head
+    assert(bf.getAs[String]("state") == "backfill_in_progress")
+    assert(bf.getAs[Boolean]("backfill_in_progress"))
+    assert(bf.getAs[Double]("backfill_complete_percent") == 0.0)
+    // progress report → percent moves; completion → ready
+    e.reportBackfill("pending", 50, 100)
+    assert(e.info("pending").collect().head
+      .getAs[Double]("backfill_complete_percent") == 50.0)
+    e.markReady("pending")
+    assert(e.info("pending").collect().head.getAs[String]("state") == "ready")
+
+    // INFO (SEARCH section): the Metrics snapshot as (metric, value)
+    val m = cmds.execute(Seq("INFO"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.contains("query_successful_requests_cnt"))
+  }
+
   test("index save/load round-trip preserves query results (S5)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
     engine.saveIndex("part", tmp)
