@@ -71,6 +71,7 @@ class SearchEngine {
   private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
   private val annIndexes = scala.collection.mutable.HashMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
   private val postings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
+  private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -83,6 +84,21 @@ class SearchEngine {
   def registerPosting(indexName: String, field: String,
                       posting: DataFrame): this.type = {
     postings((indexName, field)) = posting
+    postingStats.remove((indexName, field)) // stats describe the OLD relation
+    this
+  }
+
+  /**
+   * Per-term document frequencies for a registered posting — the
+   * analogue of the reference's O(1) posting-list sizes on radix nodes,
+   * which its planner reads for min-child / cardinality decisions
+   * WITHOUT touching the lists. With stats present the routing guard
+   * estimates from this map; without, it falls back to counting the
+   * pruned posting slice (one small job).
+   */
+  def registerPostingStats(indexName: String, field: String,
+                           termCounts: Map[String, Long]): this.type = {
+    postingStats((indexName, field)) = termCounts
     this
   }
 
@@ -117,8 +133,16 @@ class SearchEngine {
       }
       val path = s"$dir/${fd.alias}"
       graft.text.PostingIndex.save(posting, path, numPartitions)
-      registerPosting(indexName, fd.alias,
-        graft.text.PostingIndex.load(docs.sparkSession, path))
+      val loaded = graft.text.PostingIndex.load(docs.sparkSession, path)
+      registerPosting(indexName, fd.alias, loaded)
+      // Term frequencies as planner metadata (reference: posting-list
+      // sizes live on the radix nodes). Bounded driver footprint: a
+      // vocabulary past the cap keeps the count-the-slice fallback.
+      val stats = loaded.groupBy(col("term")).count()
+        .limit(1000001).collect()
+      if (stats.length <= 1000000)
+        registerPostingStats(indexName, fd.alias,
+          stats.map(r => r.getString(0) -> r.getLong(1)).toMap)
     }
     this
   }
@@ -141,6 +165,14 @@ class SearchEngine {
   /** Pre-filter iff qualified ≤ ratio × N (planner.cc default 0.001;
     * exact path also used when no ANN graph is attached). */
   var prefilterThresholdRatio: Double = 0.001
+
+  /** Posting fetch is only taken when the fetched key slice is ≤ this
+    * fraction of the corpus — the reference planner's cardinality rule
+    * (its query planner fetches the SMALLEST child and scans when
+    * estimates are large, src/query/search.cc min-child selection): at
+    * scale, joining back a half-corpus key set costs more than the
+    * scan the columnar predicate already pays. */
+  var postingRouteMaxSelectivity: Double = 0.25
 
   /** FT.CREATE analogue: register an enriched document DataFrame.
     * `resident = true` persists the enriched table (derived tag/token/
@@ -168,6 +200,7 @@ class SearchEngine {
     buildStates.remove(name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
     postings.filterInPlace { case ((idx, _), _) => idx != name }
+    postingStats.filterInPlace { case ((idx, _), _) => idx != name }
     ()
   }
 
@@ -328,7 +361,48 @@ class SearchEngine {
           else None
         case _ => None
       }
-      val routedKeys = conjuncts.flatMap(keysFor)
+      // Cardinality guard (reference planner behavior): a fetcher only
+      // wins when its posting slice is selective. Like the reference,
+      // the estimate reads O(1) metadata where available — the
+      // registered per-term frequencies (its radix nodes carry posting
+      // sizes) — and an OR's cardinality is the SUM of its branches: a
+      // cheap upper bound that can only over-reject into the
+      // always-correct scan path, never under-reject into a bad join.
+      // Fields without stats (e.g. an incrementally-maintained store
+      // view) pay one count of the pruned slice instead.
+      def statEstimate(p: Predicate): Option[Long] = p match {
+        case Term(f, w) =>
+          val stemmed = Analyzer.stemToken(Analyzer.caseFold(w, analyzerCfg), analyzerCfg)
+          val fields = postingFields(f).get
+          val perField = fields.map(fa => postingStats.get((schema.name, fa))
+            .map(_.getOrElse(stemmed, 0L)))
+          if (perField.forall(_.isDefined)) Some(perField.flatten.sum) else None
+        case TagMatch(f, patterns) =>
+          postingStats.get((schema.name, f)).map { stats =>
+            val cs = schema.fieldOrFail(f).ftype match {
+              case TagField(_, c) => c
+              case _ => false
+            }
+            def norm(s: String) = if (cs) s else Analyzer.asciiLower(s)
+            patterns.map { p =>
+              val v = norm(p.value.trim)
+              if (p.isPrefix) stats.iterator.collect {
+                case (t, c) if t.startsWith(v) => c }.sum
+              else stats.getOrElse(v, 0L)
+            }.sum
+          }
+        case Or(cs) =>
+          val es = cs.map(statEstimate)
+          if (es.forall(_.isDefined)) Some(es.flatten.sum) else None
+        case _ => None
+      }
+      val maxKeys = math.max(1L,
+        (postingRouteMaxSelectivity * docCount(schema.name)).toLong)
+      val routedKeys = conjuncts.flatMap { c =>
+        keysFor(c).filter { keys =>
+          statEstimate(c).getOrElse(keys.count()) <= maxKeys
+        }
+      }
       routedKeys.foreach { keys =>
         df = df.join(keys, Seq(schema.keyColumn), "left_semi")
       }

@@ -77,7 +77,7 @@ class PostingIndexSpec extends AnyFunSuite {
       PostingIndex.buildTags(docs, schema, "source"))
     val plain = Fixtures.engine(spark, sf)
 
-    val q = "@source:{src0 | src1*} @n_chars:[100 +inf]"
+    val q = "@source:{src0 | src2*} @n_chars:[100 +inf]"
     val opts = SearchOptions(limit = (0, 500), noContent = true)
     val routed = withPosting.search("documents", q, opts)
     val scanned = plain.search("documents", q, opts)
@@ -94,6 +94,10 @@ class PostingIndexSpec extends AnyFunSuite {
     val withPosting = Fixtures.engine(spark, sf)
     withPosting.buildPostings("documents",
       java.nio.file.Files.createTempDirectory("graft-pi-or").toString)
+    // this test pins the routing MECHANICS; the corpus terms are
+    // unselective by construction, so lift the cardinality guard here
+    // (guard behavior has its own test below)
+    withPosting.postingRouteMaxSelectivity = 1.0
     val plain = Fixtures.engine(spark, sf)
 
     val q = "(@source:{src0} | @text:merging) @n_chars:[100 +inf]"
@@ -113,14 +117,35 @@ class PostingIndexSpec extends AnyFunSuite {
     val mixed = withPosting.search("documents",
       "(@source:{src0} | @n_chars:[100 200])", opts)
     assert(!mixed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
-    // nested OR of routable leaves routes too
+    // nested OR of routable leaves routes too (selective leaves: the
+    // guard's estimate SUMS branch cardinalities, reference-style)
     val nested = withPosting.search("documents",
-      "((@source:{src0} | @lang:{en}) | @text:merging) @n_chars:[100 +inf]", opts)
+      "((@source:{src0} | @source:{src1}) | @text:dup) @n_chars:[100 +inf]", opts)
     val nestedPlain = plain.search("documents",
-      "((@source:{src0} | @lang:{en}) | @text:merging) @n_chars:[100 +inf]", opts)
+      "((@source:{src0} | @source:{src1}) | @text:dup) @n_chars:[100 +inf]", opts)
     assert(nested.collect().map(_.getString(0)).toSeq ==
       nestedPlain.collect().map(_.getString(0)).toSeq)
     assert(nested.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("cardinality guard: unselective posting slices fall back to the scan") {
+    // The reference planner fetches by posting only when the slice is
+    // small (min-child selection); joining back half the corpus loses
+    // to the scan. 'dup' hits 5% of docs -> routes; 'merging' stems to
+    // a ~77% term -> the fetch is rejected and the columnar predicate
+    // serves it. Results identical either way.
+    val e = Fixtures.engine(spark, sf)
+    e.buildPostings("documents",
+      java.nio.file.Files.createTempDirectory("graft-pi-guard").toString)
+    val opts = SearchOptions(limit = (0, 500), noContent = true)
+    val selective = e.search("documents", "@text:dup @n_chars:[100 +inf]", opts)
+    assert(selective.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val unselective = e.search("documents", "@text:merging @n_chars:[100 +inf]", opts)
+    assert(!unselective.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val plain = Fixtures.engine(spark, sf)
+    assert(unselective.collect().map(_.getString(0)).toSeq ==
+      plain.search("documents", "@text:merging @n_chars:[100 +inf]", opts)
+        .collect().map(_.getString(0)).toSeq)
   }
 
   test("engine routes AND'ed fielded terms through a registered posting") {
@@ -128,6 +153,7 @@ class PostingIndexSpec extends AnyFunSuite {
     val (schema, docs) = withPosting.index("documents")
     withPosting.registerPosting("documents", "text",
       PostingIndex.build(docs, schema, "text"))
+    withPosting.postingRouteMaxSelectivity = 1.0 // mechanics, not planning
     val plain = Fixtures.engine(spark, sf)
 
     val q = "@text:merging @lang:{en} @n_chars:[100 +inf]" // stemmed term + verify filters
