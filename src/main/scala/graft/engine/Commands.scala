@@ -124,7 +124,7 @@ final class Commands(
           }
           TagField(sep, cs)
         case "TEXT" =>
-          var noStem = false; var minStem = -1; var weight = 1.0; var suffix = true
+          var noStem = false; var minStem = -1; var weight = 1.0; var suffix = false
           var more = true
           while (more && a.hasNext) a.peek.toUpperCase match {
             case "NOSTEM" => a.next(); noStem = true

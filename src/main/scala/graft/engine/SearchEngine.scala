@@ -72,6 +72,8 @@ class SearchEngine {
   private val annIndexes = scala.collection.mutable.HashMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
   private val postings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
   private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
+  private val suffixPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
+  private val tokenStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -102,14 +104,36 @@ class SearchEngine {
     this
   }
 
+  /** Attach a suffix posting ([[graft.text.PostingIndex.buildSuffixes]],
+    * the WITHSUFFIXTRIE analogue) to a TEXT field: prefix/suffix/infix
+    * predicates then retrieve by pushed-filter posting scan + semi-join
+    * instead of scanning every document's token arrays. */
+  def registerSuffixPosting(indexName: String, field: String,
+                            posting: DataFrame): this.type = {
+    suffixPostings((indexName, field)) = posting
+    tokenStats.remove((indexName, field))
+    this
+  }
+
+  /** Distinct-token document frequencies for pattern-cardinality
+    * estimates (prefix/suffix/infix sum the matching tokens' counts). */
+  def registerTokenStats(indexName: String, field: String,
+                         counts: Map[String, Long]): this.type = {
+    tokenStats((indexName, field)) = counts
+    this
+  }
+
   /**
    * Build, save (term-sorted layout) and register posting relations
    * for an index's TEXT and TAG fields in one step — the FT.CREATE-
    * driven form of [[registerPosting]], so any index (not just ones a
    * caller hand-built postings for) gets the reference's radix-posting
    * retrieval shape (text_index.h:57-88, tag.h:33-44). `fields`
-   * defaults to every TEXT + TAG field. NOSTEM text fields are skipped:
-   * postings hold stem sets and those fields match original tokens.
+   * defaults to every TEXT + TAG field. TEXT fields get a stem posting
+   * (unless NOSTEM — those match original tokens) plus, when
+   * WITHSUFFIXTRIE, a suffix posting for pattern queries; TAG fields
+   * get a normalized-value posting. Per-term/token frequency maps are
+   * collected alongside as planner metadata.
    */
   def buildPostings(indexName: String, dir: String,
                     fields: Seq[String] = Nil,
@@ -118,31 +142,52 @@ class SearchEngine {
     val targets =
       if (fields.nonEmpty) fields.map(schema.fieldOrFail)
       else schema.fields.filter(fd => fd.ftype match {
-        case tf: TextField => !tf.noStem
-        case _: TagField => true
+        case _: TextField | _: TagField => true
         case _ => false
       })
+    // Term frequencies as planner metadata (reference: posting-list
+    // sizes live on the radix nodes). Bounded driver footprint: a
+    // vocabulary past the cap keeps the count-the-slice fallback.
+    def collectStats(df: DataFrame): Option[Map[String, Long]] = {
+      val rows = df.groupBy(col("term")).count().limit(1000001).collect()
+      if (rows.length <= 1000000)
+        Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      else None
+    }
+    def saveLoad(posting: DataFrame, path: String): DataFrame = {
+      graft.text.PostingIndex.save(posting, path, numPartitions)
+      graft.text.PostingIndex.load(docs.sparkSession, path)
+    }
     targets.foreach { fd =>
-      val posting = fd.ftype match {
-        case _: TextField =>
-          graft.text.PostingIndex.build(docs, schema, fd.alias)
+      fd.ftype match {
+        case tf: TextField =>
+          // stem posting — skipped for NOSTEM fields (they match
+          // original tokens; postings hold stem sets)
+          if (!tf.noStem) {
+            val loaded = saveLoad(
+              graft.text.PostingIndex.build(docs, schema, fd.alias),
+              s"$dir/${fd.alias}")
+            registerPosting(indexName, fd.alias, loaded)
+            collectStats(loaded).foreach(registerPostingStats(indexName, fd.alias, _))
+          }
+          // WITHSUFFIXTRIE (suffix.h): suffix posting for `p*` `*s` `*i*`
+          if (tf.withSuffixTrie) {
+            val sLoaded = saveLoad(
+              graft.text.PostingIndex.buildSuffixes(docs, schema, fd.alias),
+              s"$dir/${fd.alias}__suffix")
+            registerSuffixPosting(indexName, fd.alias, sLoaded)
+            collectStats(sLoaded.filter(col("full")))
+              .foreach(registerTokenStats(indexName, fd.alias, _))
+          }
         case _: TagField =>
-          graft.text.PostingIndex.buildTags(docs, schema, fd.alias)
+          val loaded = saveLoad(
+            graft.text.PostingIndex.buildTags(docs, schema, fd.alias),
+            s"$dir/${fd.alias}")
+          registerPosting(indexName, fd.alias, loaded)
+          collectStats(loaded).foreach(registerPostingStats(indexName, fd.alias, _))
         case t => throw new IllegalArgumentException(
           s"postings need TEXT or TAG, ${fd.alias} is $t")
       }
-      val path = s"$dir/${fd.alias}"
-      graft.text.PostingIndex.save(posting, path, numPartitions)
-      val loaded = graft.text.PostingIndex.load(docs.sparkSession, path)
-      registerPosting(indexName, fd.alias, loaded)
-      // Term frequencies as planner metadata (reference: posting-list
-      // sizes live on the radix nodes). Bounded driver footprint: a
-      // vocabulary past the cap keeps the count-the-slice fallback.
-      val stats = loaded.groupBy(col("term")).count()
-        .limit(1000001).collect()
-      if (stats.length <= 1000000)
-        registerPostingStats(indexName, fd.alias,
-          stats.map(r => r.getString(0) -> r.getLong(1)).toMap)
     }
     this
   }
@@ -201,6 +246,8 @@ class SearchEngine {
     annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
     postings.filterInPlace { case ((idx, _), _) => idx != name }
     postingStats.filterInPlace { case ((idx, _), _) => idx != name }
+    suffixPostings.filterInPlace { case ((idx, _), _) => idx != name }
+    tokenStats.filterInPlace { case ((idx, _), _) => idx != name }
     ()
   }
 
@@ -341,6 +388,24 @@ class SearchEngine {
         postings((schema.name, f)).filter(cond)
           .select(col("__key").as(schema.keyColumn))
       }
+      // Suffix-posting routing (WITHSUFFIXTRIE, reference suffix.h):
+      // fielded or unfielded pattern predicates retrieve from the
+      // suffix posting when every target field has one registered.
+      def suffixFields(field: Option[String]): Option[Seq[String]] = field match {
+        case Some(f) =>
+          if (suffixPostings.contains((schema.name, f))) Some(Seq(f)) else None
+        case None =>
+          val tfs = schema.textFields.map(_.alias)
+          if (tfs.nonEmpty &&
+              tfs.forall(f => suffixPostings.contains((schema.name, f))))
+            Some(tfs)
+          else None
+      }
+      def suffixKeys(field: Option[String])(cond: Column): DataFrame =
+        suffixFields(field).get
+          .map(fa => suffixPostings((schema.name, fa)).filter(cond)
+            .select(col("__key").as(schema.keyColumn)))
+          .reduce(_ unionByName _)
       /** Key relation for a posting-servable sub-tree, None if any leaf
         * needs the columnar scan. */
       def keysFor(p: Predicate): Option[DataFrame] = p match {
@@ -354,6 +419,19 @@ class SearchEngine {
             if postings.contains((schema.name, f)) &&
               schema.fieldOrFail(f).ftype.isInstanceOf[TagField] =>
           Some(tagKeys(f, patterns))
+        // Pattern classes over the suffix posting — each a pushed
+        // filter on the term-sorted parquet: prefix = StartsWith over
+        // full-token rows; suffix s = EqualTo (a token ends with s ⟺
+        // one of its suffixes IS s); infix i = StartsWith (a token
+        // contains i ⟺ one of its suffixes starts with i).
+        case Prefix(f, p) if suffixFields(f).isDefined =>
+          val v = Analyzer.caseFold(p, analyzerCfg)
+          Some(suffixKeys(f)(col("term").startsWith(v) && col("full")))
+        case Suffix(f, sfx) if suffixFields(f).isDefined =>
+          Some(suffixKeys(f)(col("term") === Analyzer.caseFold(sfx, analyzerCfg)))
+        case Infix(f, in) if suffixFields(f).isDefined =>
+          Some(suffixKeys(f)(col("term").startsWith(
+            Analyzer.caseFold(in, analyzerCfg))))
         case Or(cs) =>
           val ks = cs.map(keysFor)
           if (ks.nonEmpty && ks.forall(_.isDefined))
@@ -370,6 +448,15 @@ class SearchEngine {
       // always-correct scan path, never under-reject into a bad join.
       // Fields without stats (e.g. an incrementally-maintained store
       // view) pay one count of the pruned slice instead.
+      /** Pattern cardinality from the distinct-token frequency map
+        * (O(vocabulary) driver scan — the map is collection-capped). */
+      def patternEstimate(field: Option[String], v: String,
+                          m: (String, String) => Boolean): Option[Long] = {
+        val fields = suffixFields(field).get
+        val per = fields.map(fa => tokenStats.get((schema.name, fa))
+          .map(_.iterator.collect { case (t, c) if m(t, v) => c }.sum))
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
       def statEstimate(p: Predicate): Option[Long] = p match {
         case Term(f, w) =>
           val stemmed = Analyzer.stemToken(Analyzer.caseFold(w, analyzerCfg), analyzerCfg)
@@ -391,6 +478,12 @@ class SearchEngine {
               else stats.getOrElse(v, 0L)
             }.sum
           }
+        case Prefix(f, p) => patternEstimate(f, Analyzer.caseFold(p, analyzerCfg),
+          (tok, v) => tok.startsWith(v))
+        case Suffix(f, sfx) => patternEstimate(f, Analyzer.caseFold(sfx, analyzerCfg),
+          (tok, v) => tok.endsWith(v))
+        case Infix(f, in) => patternEstimate(f, Analyzer.caseFold(in, analyzerCfg),
+          (tok, v) => tok.contains(v))
         case Or(cs) =>
           val es = cs.map(statEstimate)
           if (es.forall(_.isDefined)) Some(es.flatten.sum) else None

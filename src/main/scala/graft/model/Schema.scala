@@ -29,7 +29,10 @@ final case class TagField(separator: String = ",", caseSensitive: Boolean = fals
  */
 final case class TextField(
     noStem: Boolean = false,
-    withSuffixTrie: Boolean = true,
+    // Opt-in like the reference (ft_create_parser.cc:512 defaults
+    // with_suffix_trie=false): gates only the suffix-posting
+    // accelerator — pattern predicates stay correct either way.
+    withSuffixTrie: Boolean = false,
     // ≤ 0 = inherit the index-level MINSTEMSIZE (IndexSchema.analyzer);
     // the reference declares MINSTEMSIZE per index, not per field.
     minStemSize: Int = -1,

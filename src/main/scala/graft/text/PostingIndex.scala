@@ -56,6 +56,38 @@ object PostingIndex {
     enrichedDocs.select(col(schema.keyColumn).as("__key"),
       explode(col(schema.tagsCol(fieldAlias))).as("term"))
 
+  /**
+   * Suffix posting for a TEXT field — the storage form of the
+   * reference's WITHSUFFIXTRIE (src/indexes/text/suffix.h: a trie over
+   * every suffix of every indexed word, answering `pre*`, `*suf` and
+   * `*in*` without scanning the vocabulary). Here: one row per suffix
+   * of each distinct ORIGINAL token (post stop-word, pre-stem — the
+   * same stream pattern matchers run on), `full` marking the row whose
+   * suffix is the whole token. Term-sorted parquet makes all three
+   * pattern classes storage-pruned:
+   *
+   *  - prefix `p*`:  `term STARTSWITH p AND full` (pushed StartsWith);
+   *  - suffix `*s`:  `term = s`                  (pushed EqualTo);
+   *  - infix  `*i*`: `term STARTSWITH i`         (pushed StartsWith —
+   *    a token contains i ⟺ one of its suffixes starts with i).
+   *
+   * Size is Σ|token| rows ≈ 5-7× the token posting — the same
+   * space-for-navigation trade the reference's trie makes in RAM.
+   */
+  def buildSuffixes(enrichedDocs: DataFrame, schema: IndexSchema,
+                    fieldAlias: String): DataFrame = {
+    val toks = enrichedDocs.select(col(schema.keyColumn).as("__key"),
+      explode(array_distinct(transform(col(schema.tokensCol(fieldAlias)),
+        t => t.getField("_1")))).as("tok"))
+    toks.select(col("__key"),
+        explode(expr(
+          "transform(sequence(0, length(tok) - 1), i -> substring(tok, i + 1))"))
+          .as("term"),
+        col("tok"))
+      .withColumn("full", col("term") === col("tok"))
+      .drop("tok")
+  }
+
   /** Term-sorted parquet layout: row-group/file stats prune lookups. */
   def save(posting: DataFrame, path: String, numPartitions: Int = 32): Unit =
     posting

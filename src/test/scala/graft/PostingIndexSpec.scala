@@ -128,6 +128,49 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(nested.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   }
 
+  test("suffix posting (WITHSUFFIXTRIE): prefix/suffix/infix route with pushed filters") {
+    val e = Fixtures.engine(spark, sf)
+    e.buildPostings("documents",
+      java.nio.file.Files.createTempDirectory("graft-pi-sfx").toString)
+    e.postingRouteMaxSelectivity = 1.0 // mechanics on the tiny corpus vocab
+    val plain = Fixtures.engine(spark, sf)
+    val opts = SearchOptions(limit = (0, 500), noContent = true)
+
+    // parity on all three pattern classes vs the columnar token scan
+    for (q <- Seq("@text:sca* @lang:{fr}", "@text:*dow @lang:{es}",
+                  "@text:*ark* @lang:{zh}")) {
+      val routed = e.search("documents", q, opts)
+      assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        s"$q did not route")
+      assert(routed.collect().map(_.getString(0)).toSeq ==
+        plain.search("documents", q, opts).collect().map(_.getString(0)).toSeq,
+        s"$q parity broke")
+    }
+    // predicate shapes reach the suffix-posting parquet scan:
+    // prefix/infix as StringStartsWith, suffix as EqualTo
+    val pre = e.search("documents", "@text:sca* @lang:{fr}", opts)
+      .queryExecution.executedPlan.toString
+    assert(pre.contains("StringStartsWith(term,sca)"), s"prefix not pushed:\n$pre")
+    val suf = e.search("documents", "@text:*dow @lang:{es}", opts)
+      .queryExecution.executedPlan.toString
+    assert(suf.contains("EqualTo(term,dow)"), s"suffix not pushed:\n$suf")
+    val inf = e.search("documents", "@text:*ark* @lang:{zh}", opts)
+      .queryExecution.executedPlan.toString
+    assert(inf.contains("StringStartsWith(term,ark)"), s"infix not pushed:\n$inf")
+
+    // pattern cardinality estimates come from token stats: at the
+    // default threshold the broad 's*' prefix (most of the corpus)
+    // falls back to the scan, no count job needed
+    e.postingRouteMaxSelectivity = 0.25
+    // (numeric conjunct: never routable, so LeftSemi can only come
+    // from the pattern leaf under test)
+    val broad = e.search("documents", "@text:s* @n_chars:[100 +inf]", opts)
+    assert(!broad.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // 'dup' is 5% of docs: du* routes even at the default threshold
+    val narrow = e.search("documents", "@text:du* @n_chars:[100 +inf]", opts)
+    assert(narrow.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
   test("cardinality guard: unselective posting slices fall back to the scan") {
     // The reference planner fetches by posting only when the slice is
     // small (min-child selection); joining back half the corpus loses
