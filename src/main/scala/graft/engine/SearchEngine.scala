@@ -74,6 +74,10 @@ class SearchEngine {
   private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
   private val suffixPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
   private val tokenStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
+  /** Estimated cardinalities of the last query's routed conjuncts, in
+    * semi-join order (ascending = min-child first). Planner telemetry
+    * for specs; not part of the public surface. */
+  private[graft] var lastRouteEstimates: Seq[Long] = Nil
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -328,6 +332,7 @@ class SearchEngine {
       if (opts.verbatim) schema.analyzer.copy(stem = false) else schema.analyzer
     val compiler = new PredicateCompiler(schema, analyzerCfg)
     var df = docs
+    lastRouteEstimates = Nil
     if (!parsed.isMatchAll) {
       // Route posting-servable conjuncts through posting lookup +
       // semi-join; everything else compiles to the columnar predicate
@@ -491,12 +496,19 @@ class SearchEngine {
       }
       val maxKeys = math.max(1L,
         (postingRouteMaxSelectivity * docCount(schema.name)).toLong)
-      val routedKeys = conjuncts.flatMap { c =>
-        keysFor(c).filter { keys =>
-          statEstimate(c).getOrElse(keys.count()) <= maxKeys
-        }
-      }
-      routedKeys.foreach { keys =>
+      // Min-child ordering (reference X2: the AND picks its SMALLEST
+      // fetcher to drive retrieval, search.cc EvaluateFilterAsPrimary):
+      // routed conjuncts semi-join in ascending estimated cardinality,
+      // so the tightest slice prunes the probe side before the wider
+      // ones run. Estimates are already on the driver (stats maps); a
+      // statless conjunct pays its one count and sorts by it.
+      val routed = conjuncts
+        .flatMap(c => keysFor(c).map(keys =>
+          (keys, statEstimate(c).getOrElse(keys.count()))))
+        .filter(_._2 <= maxKeys)
+        .sortBy(_._2)
+      lastRouteEstimates = routed.map(_._2)
+      routed.foreach { case (keys, _) =>
         df = df.join(keys, Seq(schema.keyColumn), "left_semi")
       }
       // Fetch-then-verify (reference search.cc: every retrieved doc is

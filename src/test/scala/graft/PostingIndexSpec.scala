@@ -171,6 +171,29 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(narrow.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   }
 
+  test("min-child ordering: routed conjuncts semi-join smallest-first") {
+    val e = Fixtures.engine(spark, sf)
+    e.buildPostings("documents",
+      java.nio.file.Files.createTempDirectory("graft-pi-minchild").toString)
+    e.postingRouteMaxSelectivity = 1.0 // both conjuncts must route
+    val opts = SearchOptions(limit = (0, 500), noContent = true)
+
+    // written WIDE-first: the lang tag (~1/5 of docs) precedes the rare
+    // term (~5%); the planner must reorder so the term drives
+    val routed = e.search("documents", "@lang:{en} @text:dup", opts)
+    assert(e.lastRouteEstimates.length == 2, s"both should route: ${e.lastRouteEstimates}")
+    assert(e.lastRouteEstimates == e.lastRouteEstimates.sorted,
+      s"not min-child ordered: ${e.lastRouteEstimates}")
+    // and the estimates genuinely differ, so the sort meant something
+    assert(e.lastRouteEstimates.distinct.length == 2)
+
+    // parity with the plain columnar scan
+    val plain = Fixtures.engine(spark, sf)
+    assert(routed.collect().map(_.getString(0)).toSeq ==
+      plain.search("documents", "@lang:{en} @text:dup", opts)
+        .collect().map(_.getString(0)).toSeq)
+  }
+
   test("cardinality guard: unselective posting slices fall back to the scan") {
     // The reference planner fetches by posting only when the slice is
     // small (min-child selection); joining back half the corpus loses
