@@ -235,6 +235,9 @@ class SearchEngine {
       if (resident) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docs
     catalog(schema.name) = (schema, stored)
+    // the routing guard's N describes the registered relation; a
+    // re-registration (e.g. maintainer refresh) must re-measure it
+    docCounts.remove(schema.name)
     this
   }
 

@@ -51,6 +51,36 @@ final class IndexMaintainer(
 
   private val ann = scala.collection.mutable.HashMap.from(annIndexes)
 
+  /** Per-field term→count guard stats for the maintained views.
+    * Exact at [[register]] and after each compaction; between
+    * compactions [[onBatch]] adds the batch's term counts WITHOUT
+    * subtracting superseded rows — an additive UPPER bound (the view
+    * anti-joins dead rows out, the stats don't). Sound for the routing
+    * guard: over-estimates can only over-reject into the always-correct
+    * columnar scan, never under-reject into an oversized semi-join.
+    * Absent entry = vocabulary exceeded [[statsCap]]; the engine then
+    * prices that field by counting the pruned slice. */
+  private val stats = scala.collection.mutable.HashMap.empty[String, Map[String, Long]]
+  private val statsCap = 1000000
+
+  private def exactStats(view: DataFrame): Option[Map[String, Long]] = {
+    val rows = view.groupBy(col("term")).count().limit(statsCap + 1).collect()
+    if (rows.length <= statsCap)
+      Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    else None
+  }
+
+  /** Record + publish stats for `field` (engine stats were cleared by
+    * the preceding registerPosting — the fresh view owns them now). */
+  private def setStats(field: String, s: Option[Map[String, Long]]): Unit =
+    s match {
+      case Some(m) =>
+        stats(field) = m
+        engine.registerPostingStats(indexName, field, m)
+        ()
+      case None => stats.remove(field); ()
+    }
+
   /** Current ANN index for a field (advances as batches apply). */
   def annIndex(field: String): Nsw.NswIndex = ann(field)
 
@@ -58,7 +88,9 @@ final class IndexMaintainer(
     * before the stream starts — queries work from the first batch on). */
   def register(): this.type = {
     postingStores.foreach { case (f, s) =>
-      engine.registerPosting(indexName, f, s.view) }
+      engine.registerPosting(indexName, f, s.view)
+      setStats(f, exactStats(s.view))
+    }
     ann.foreach { case (f, idx) => engine.registerAnn(indexName, f, idx) }
     this
   }
@@ -77,10 +109,24 @@ final class IndexMaintainer(
         case t => throw new IllegalArgumentException(
           s"posting maintenance needs TEXT or TAG, $field is $t")
       }
+      // batch term counts BEFORE applyBatch consumes the rows (small:
+      // O(|batch| vocabulary) on the driver, like the reference bumping
+      // its radix posting sizes per mutation)
+      val batchCounts =
+        if (stats.contains(field))
+          rows.groupBy(col("term")).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+        else Array.empty[(String, Long)]
       store.applyBatch(rows, changedKeys)
-      if (store.deltaSize + store.tombSize >= compactRowThreshold)
-        store.compact()
+      val compacted = store.deltaSize + store.tombSize >= compactRowThreshold
+      if (compacted) store.compact()
       engine.registerPosting(indexName, field, store.view)
+      if (compacted) setStats(field, exactStats(store.view))
+      else stats.get(field).foreach { m =>
+        val merged = batchCounts.foldLeft(m) { case (acc, (t, c)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + c) }
+        setStats(field, if (merged.size <= statsCap) Some(merged) else None)
+      }
     }
 
     ann.keys.toSeq.foreach { field =>

@@ -277,6 +277,62 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(store.view) == asSet(expected))
   }
 
+  test("maintainer keeps guard stats: additive upper bound, exact after compaction") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maintstats").toString
+    val schema = IndexSchema("mstats", Seq(FieldDef("body", TextField())))
+    var corpus = (1 to 20).map(i => (s"k$i", s"tok$i common")).toDF("__key", "body")
+    val store = graft.text.PostingStore.init(spark,
+      graft.text.PostingIndex.build(
+        graft.sources.Documents.enrich(corpus, schema), schema, "body"),
+      s"$tmp/posting", numPartitions = 2)
+    val engine = new graft.engine.SearchEngine
+    engine.createIndex(schema, graft.sources.Documents.enrich(corpus, schema))
+    val maintainer = new IndexMaintainer(engine, "mstats", schema,
+      postingStores = Map("body" -> store),
+      docsSource = Some(() => corpus),
+      compactRowThreshold = 1000).register()
+    val opts = graft.engine.SearchOptions(noContent = true)
+
+    // register() published exact stats: a singleton term routes with
+    // estimate 1 and NO slice-count fallback ran (estimates are O(1))
+    assert(engine.search("mstats", "@body:tok1", opts).collect()
+      .map(_.getString(0)).toSeq == Seq("k1"))
+    assert(engine.lastRouteEstimates == Seq(1L))
+
+    // supersede k1: its old term's doc disappears, a new term arrives
+    corpus = corpus.filter(col("__key") =!= "k1")
+      .unionByName(Seq(("k1", "fresh1 common")).toDF("__key", "body"))
+    maintainer.onBatch(
+      Seq(("upsert", "k1", "fresh1 common", 1L)).toDF("op", "__key", "body", "__seq"))
+
+    // the NEW term is priced from the maintained map (estimate 1) and
+    // the query answers through the maintained view, no rebuild
+    assert(engine.search("mstats", "@body:fresh1", opts).collect()
+      .map(_.getString(0)).toSeq == Seq("k1"))
+    assert(engine.lastRouteEstimates == Seq(1L))
+    // the dead term keeps its count (additive upper bound — routing
+    // stays sound, the view itself already dropped the row)
+    assert(engine.search("mstats", "@body:tok1", opts).collect().isEmpty)
+    assert(engine.lastRouteEstimates == Seq(1L))
+
+    // force a compaction: stats snap back to exact — the dead term now
+    // prices at 0 (routes trivially, still empty)
+    val burst = (2 to 12).map(i => ("upsert", s"k$i", s"tok$i common extra", 2L))
+      .toDF("op", "__key", "body", "__seq")
+    corpus = corpus.filter(!col("__key").isin((2 to 12).map(i => s"k$i"): _*))
+      .unionByName((2 to 12).map(i => (s"k$i", s"tok$i common extra")).toDF("__key", "body"))
+    val mt = new IndexMaintainer(engine, "mstats", schema,
+      postingStores = Map("body" -> store),
+      docsSource = Some(() => corpus),
+      compactRowThreshold = 1) // any batch triggers compact
+    mt.onBatch(burst)
+    assert(store.deltaSize == 0 && store.tombSize == 0, "compaction did not run")
+    assert(engine.search("mstats", "@body:tok1", opts).collect().isEmpty)
+    assert(engine.lastRouteEstimates == Seq(0L),
+      s"stats not exact after compaction: ${engine.lastRouteEstimates}")
+  }
+
   test("windowed stats: event-time windows with watermark, streaming plan") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
