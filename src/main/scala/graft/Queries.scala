@@ -581,12 +581,18 @@ object Queries {
       val raw = Fixtures.table(spark, dir, "documents")
       val base = raw.filter(col("doc_id") % 3 =!= 0)
       val storeDir = java.nio.file.Files.createTempDirectory("graft-inc-posting").toString
+      val enrichedBase = graft.sources.Documents.enrich(base, schema,
+        keyExpr = Some(col("doc_id")))
       val store = graft.text.PostingStore.init(spark,
-        graft.text.PostingIndex.build(
-          graft.sources.Documents.enrich(base, schema, keyExpr = Some(col("doc_id"))),
-          schema, "text"), storeDir)
+        graft.text.PostingIndex.build(enrichedBase, schema, "text"), storeDir)
+      // suffix store: the WITHSUFFIXTRIE posting maintained through the
+      // same batches — pattern routing must track churn too
+      val sfxStore = graft.text.PostingStore.init(spark,
+        graft.text.PostingIndex.buildSuffixes(enrichedBase, schema, "text"),
+        s"$storeDir/__suffix")
       val maintainer = new graft.streaming.IndexMaintainer(e, "documents_inc",
-        schema, postingStores = Map("text" -> store)).register()
+        schema, postingStores = Map("text" -> store),
+        suffixStores = Map("text" -> sfxStore)).register()
       maintainer.onBatch(raw.filter(col("doc_id") % 3 === 0)
         .withColumn("op", lit("upsert"))
         .withColumn("__key", col("doc_id").cast("string"))
@@ -702,6 +708,22 @@ object Queries {
       """SELECT CAST(doc_id AS VARCHAR) AS __key
         |FROM documents
         |WHERE list_contains(string_split(text, ' '), 'dup')
+        |  AND lower(lang) = 'en' AND doc_id % 13 <> 0
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
+      // S1 pattern maintenance: prefix query routed through the
+      // MAINTAINED suffix store view. Deleted docs are still in the
+      // scanned relation and still match the pattern columnar-side —
+      // only correct suffix-store tombstones (and live routing; a scan
+      // fallback would re-admit them) keep them out.
+      "q_incremental_pattern",
+      (s: SparkSession, dir: String) =>
+        incTextEng(s, dir).search("documents_inc", "@text:du* @lang:{en}",
+          SearchOptions(limit = (0, 300), noContent = true)),
+      """SELECT CAST(doc_id AS VARCHAR) AS __key
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), w -> w LIKE 'du%')) > 0
         |  AND lower(lang) = 'en' AND doc_id % 13 <> 0
         |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),

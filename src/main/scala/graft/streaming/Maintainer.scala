@@ -47,7 +47,13 @@ final class IndexMaintainer(
     postingStores: Map[String, PostingStore] = Map.empty,
     annIndexes: Map[String, Nsw.NswIndex] = Map.empty,
     docsSource: Option[() => DataFrame] = None,
-    compactRowThreshold: Long = 100000) {
+    compactRowThreshold: Long = 100000,
+    // Suffix-posting stores (WITHSUFFIXTRIE fields): maintained like
+    // the term stores but from buildSuffixes rows; without one, a
+    // registered suffix posting would go stale under ingest and
+    // pattern routing would MISS new documents (fetch-then-verify can
+    // drop false positives but cannot resurrect unfetched keys).
+    suffixStores: Map[String, PostingStore] = Map.empty) {
 
   private val ann = scala.collection.mutable.HashMap.from(annIndexes)
 
@@ -59,27 +65,56 @@ final class IndexMaintainer(
     * guard: over-estimates can only over-reject into the always-correct
     * columnar scan, never under-reject into an oversized semi-join.
     * Absent entry = vocabulary exceeded [[statsCap]]; the engine then
-    * prices that field by counting the pruned slice. */
-  private val stats = scala.collection.mutable.HashMap.empty[String, Map[String, Long]]
-  private val statsCap = 1000000
-
-  private def exactStats(view: DataFrame): Option[Map[String, Long]] = {
-    val rows = view.groupBy(col("term")).count().limit(statsCap + 1).collect()
-    if (rows.length <= statsCap)
-      Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
-    else None
-  }
-
-  /** Record + publish stats for `field` (engine stats were cleared by
-    * the preceding registerPosting — the fresh view owns them now). */
-  private def setStats(field: String, s: Option[Map[String, Long]]): Unit =
-    s match {
-      case Some(m) =>
-        stats(field) = m
-        engine.registerPostingStats(indexName, field, m)
-        ()
-      case None => stats.remove(field); ()
+    * prices that field by counting the pruned slice. One instance per
+    * posting kind (term stats vs distinct-token stats). */
+  private final class GuardStats(publish: (String, Map[String, Long]) => Unit) {
+    val m = scala.collection.mutable.HashMap.empty[String, Map[String, Long]]
+    def set(field: String, s: Option[Map[String, Long]]): Unit = s match {
+      case Some(x) => m(field) = x; publish(field, x)
+      case None => m.remove(field); ()
     }
+    def exact(field: String, statRows: DataFrame): Unit = {
+      val rows = statRows.groupBy(col("term")).count().limit(statsCap + 1).collect()
+      set(field,
+        if (rows.length <= statsCap)
+          Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+        else None)
+    }
+    def add(field: String, batchCounts: Array[(String, Long)]): Unit =
+      m.get(field).foreach { m0 =>
+        val merged = batchCounts.foldLeft(m0) { case (acc, (t, c)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + c) }
+        set(field, if (merged.size <= statsCap) Some(merged) else None)
+      }
+  }
+  private val statsCap = 1000000
+  private val termStats = new GuardStats(
+    (f, m) => { engine.registerPostingStats(indexName, f, m); () })
+  private val tokenStats = new GuardStats(
+    (f, m) => { engine.registerTokenStats(indexName, f, m); () })
+
+  /** Apply one batch's rows to a store: stats sample before the rows
+    * are consumed, LSM apply, threshold compaction, view + stats
+    * re-registration. Shared by the term/tag and suffix paths. */
+  private def maintainStore(field: String, store: PostingStore,
+                            rows: DataFrame, changedKeys: DataFrame,
+                            stats: GuardStats, statRows: DataFrame => DataFrame,
+                            registerView: DataFrame => Unit): Unit = {
+    // batch term counts BEFORE applyBatch consumes the rows (small:
+    // O(|batch| vocabulary) on the driver, like the reference bumping
+    // its radix posting sizes per mutation)
+    val batchCounts =
+      if (stats.m.contains(field))
+        statRows(rows).groupBy(col("term")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+      else Array.empty[(String, Long)]
+    store.applyBatch(rows, changedKeys)
+    val compacted = store.deltaSize + store.tombSize >= compactRowThreshold
+    if (compacted) store.compact()
+    registerView(store.view)
+    if (compacted) stats.exact(field, statRows(store.view))
+    else stats.add(field, batchCounts)
+  }
 
   /** Current ANN index for a field (advances as batches apply). */
   def annIndex(field: String): Nsw.NswIndex = ann(field)
@@ -89,7 +124,11 @@ final class IndexMaintainer(
   def register(): this.type = {
     postingStores.foreach { case (f, s) =>
       engine.registerPosting(indexName, f, s.view)
-      setStats(f, exactStats(s.view))
+      termStats.exact(f, s.view)
+    }
+    suffixStores.foreach { case (f, s) =>
+      engine.registerSuffixPosting(indexName, f, s.view)
+      tokenStats.exact(f, s.view.filter(col("full")))
     }
     ann.foreach { case (f, idx) => engine.registerAnn(indexName, f, idx) }
     this
@@ -97,7 +136,8 @@ final class IndexMaintainer(
 
   /** The `onBatch` hook for [[Ingest.start]]. */
   def onBatch(batch: DataFrame): Unit = {
-    if (postingStores.isEmpty && ann.isEmpty && docsSource.isEmpty) return
+    if (postingStores.isEmpty && suffixStores.isEmpty && ann.isEmpty &&
+        docsSource.isEmpty) return
     val upserts = batch.filter(col("op") === "upsert").drop("op", "__seq")
     val enriched = Documents.enrich(upserts, schema)
     val changedKeys = batch.select(col("__key").cast("string").as("__key"))
@@ -109,24 +149,17 @@ final class IndexMaintainer(
         case t => throw new IllegalArgumentException(
           s"posting maintenance needs TEXT or TAG, $field is $t")
       }
-      // batch term counts BEFORE applyBatch consumes the rows (small:
-      // O(|batch| vocabulary) on the driver, like the reference bumping
-      // its radix posting sizes per mutation)
-      val batchCounts =
-        if (stats.contains(field))
-          rows.groupBy(col("term")).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1))
-        else Array.empty[(String, Long)]
-      store.applyBatch(rows, changedKeys)
-      val compacted = store.deltaSize + store.tombSize >= compactRowThreshold
-      if (compacted) store.compact()
-      engine.registerPosting(indexName, field, store.view)
-      if (compacted) setStats(field, exactStats(store.view))
-      else stats.get(field).foreach { m =>
-        val merged = batchCounts.foldLeft(m) { case (acc, (t, c)) =>
-          acc.updated(t, acc.getOrElse(t, 0L) + c) }
-        setStats(field, if (merged.size <= statsCap) Some(merged) else None)
-      }
+      maintainStore(field, store, rows, changedKeys, termStats, identity,
+        v => { engine.registerPosting(indexName, field, v); () })
+    }
+
+    suffixStores.foreach { case (field, store) =>
+      require(schema.fieldOrFail(field).ftype.isInstanceOf[TextField],
+        s"suffix maintenance needs TEXT, $field is not")
+      maintainStore(field, store,
+        PostingIndex.buildSuffixes(enriched, schema, field), changedKeys,
+        tokenStats, _.filter(col("full")),
+        v => { engine.registerSuffixPosting(indexName, field, v); () })
     }
 
     ann.keys.toSeq.foreach { field =>

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
  *
  *  - `main/g<G>/`  — term-sorted posting parquet ([[PostingIndex.save]]
  *    layout: PushedFilter + row-group pruning on `term`);
- *  - `delta/v<g>/` — recent (term, __key) rows, small, scanned whole;
+ *  - `delta/v<g>/` — recent posting rows, small, scanned whole;
+ *    (row schema follows the initial posting: term/__key, plus `full`
+ *    for suffix postings — the store is shape-agnostic)
  *  - `tomb/v<g>/`  — keys changed since the last compaction (their
  *    rows in main are dead).
  *
@@ -45,28 +47,34 @@ final class PostingStore private (spark: SparkSession, dir: String,
   private def fs: FileSystem =
     FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
 
-  /** The current consistent posting relation (term, __key). */
+  /** Row schema of the maintained relation — whatever the initial
+    * posting carried (term/__key for term and tag postings; +`full`
+    * for suffix postings). Invariant across generations. */
+  private lazy val rowSchema: org.apache.spark.sql.types.StructType =
+    spark.read.parquet(mainPath(dir, mainGen)).schema
+
+  /** The current consistent posting relation (rowSchema columns). */
   def view: DataFrame = {
     val main = spark.read.parquet(mainPath(dir, mainGen))
-    val tomb = readOr(spark, fs, tombPath(dir, segGen), Seq("__key"))
-    val delta = readOr(spark, fs, deltaPath(dir, segGen), Seq("term", "__key"))
+    val tomb = readOr(spark, fs, tombPath(dir, segGen), keySchema)
+    val delta = readOr(spark, fs, deltaPath(dir, segGen), rowSchema)
     main.join(tomb, Seq("__key"), "left_anti").unionByName(delta)
   }
 
   /**
    * Fold one ingest micro-batch in: `upserts` carries the NEW posting
-   * rows (term, __key) of every upserted document (empty term set ⇒ no
-   * rows, key still tombstoned via `changedKeys`); `changedKeys` is
+   * rows (rowSchema shape) of every upserted document (empty term set ⇒
+   * no rows, key still tombstoned via `changedKeys`); `changedKeys` is
    * every key the batch upserted OR deleted.
    */
   def applyBatch(upserts: DataFrame, changedKeys: DataFrame): Unit = {
     val next = segGen + 1
     val keys = changedKeys.select(col("__key")).distinct()
-    val newTomb = readOr(spark, fs, tombPath(dir, segGen), Seq("__key"))
+    val newTomb = readOr(spark, fs, tombPath(dir, segGen), keySchema)
       .unionByName(keys).distinct()
-    val newDelta = readOr(spark, fs, deltaPath(dir, segGen), Seq("term", "__key"))
+    val newDelta = readOr(spark, fs, deltaPath(dir, segGen), rowSchema)
       .join(keys, Seq("__key"), "left_anti") // superseded rows die
-      .unionByName(upserts.select(col("term"), col("__key")))
+      .unionByName(upserts.select(rowSchema.fieldNames.toSeq.map(col): _*))
     newTomb.write.mode("overwrite").parquet(tombPath(dir, next))
     newDelta.write.mode("overwrite").parquet(deltaPath(dir, next))
     commit(spark, dir, mainGen, next) // atomic MANIFEST swap = commit point
@@ -110,15 +118,15 @@ object PostingStore {
     fs.delete(new Path(p), true); ()
   }
 
+  private val keySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("__key",
+      org.apache.spark.sql.types.StringType)))
+
   private def readOr(spark: SparkSession, fs: FileSystem, p: String,
-                     cols: Seq[String]): DataFrame =
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (fs.exists(new Path(p))) spark.read.parquet(p)
-    else {
-      val schema = org.apache.spark.sql.types.StructType(cols.map(
-        org.apache.spark.sql.types.StructField(_,
-          org.apache.spark.sql.types.StringType)))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    }
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
   /** Commit point: MANIFEST names the live generations. Written to a
     * temp name then renamed — rename of a FILE is atomic on local FS

@@ -277,6 +277,60 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(store.view) == asSet(expected))
   }
 
+  test("suffix store maintenance: pattern queries reflect churn without rebuild") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sfxstore").toString
+    val schema = IndexSchema("sfx", Seq(
+      FieldDef("body", TextField(withSuffixTrie = true))))
+    // fillers keep N large enough that the additive upper bound for
+    // *dow (which counts a superseded token until compaction) stays
+    // under the guard threshold after churn
+    val fillers = (5 to 8).map(i => (s"k$i", s"filler$i payload"))
+    var corpus = (Seq(("k1", "alpha window"), ("k2", "beta shadow"),
+      ("k3", "gamma meadow")) ++ fillers).toDF("__key", "body")
+    val store = graft.text.PostingStore.init(spark,
+      graft.text.PostingIndex.buildSuffixes(
+        graft.sources.Documents.enrich(corpus, schema), schema, "body"),
+      s"$tmp/sfx", numPartitions = 2)
+    val engine = new graft.engine.SearchEngine
+    engine.createIndex(schema, graft.sources.Documents.enrich(corpus, schema))
+    engine.postingRouteMaxSelectivity = 1.0
+    val maintainer = new IndexMaintainer(engine, "sfx", schema,
+      suffixStores = Map("body" -> store),
+      docsSource = Some(() => corpus)).register()
+
+    def hits(q: String): (Set[String], Boolean) = {
+      val df = engine.search("sfx", q, graft.engine.SearchOptions(noContent = true))
+      (df.collect().map(_.getString(0)).toSet,
+        df.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    }
+    val (r0, routed0) = hits("@body:*dow")
+    assert(routed0, "suffix pattern did not route through the store view")
+    assert(r0 == Set("k1", "k2", "k3")) // window/shadow/meadow
+
+    // churn: supersede k2 (loses *dow), add k4 (gains it), delete k3
+    corpus = (Seq(("k1", "alpha window"), ("k2", "beta harbor"),
+      ("k4", "delta widow")) ++ fillers).toDF("__key", "body")
+    maintainer.onBatch(Seq(
+      ("upsert", "k2", "beta harbor", 1L),
+      ("upsert", "k4", "delta widow", 2L),
+      ("delete", "k3", null, 3L)).toDF("op", "__key", "body", "__seq"))
+
+    val (r1, routed1) = hits("@body:*dow")
+    assert(routed1, "maintained view lost routing")
+    assert(r1 == Set("k1", "k4"), s"stale suffix posting: $r1")
+    // all three pattern classes answer through the maintained view
+    assert(hits("@body:wi*")._1 == Set("k1", "k4"))   // window, widow
+    assert(hits("@body:*arb*")._1 == Set("k2"))       // harbor
+    // view ≡ suffix rebuild over the final corpus
+    val rebuilt = graft.text.PostingIndex.buildSuffixes(
+      graft.sources.Documents.enrich(corpus, schema), schema, "body")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "__key", "full").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(asSet(store.view) == asSet(rebuilt))
+  }
+
   test("maintainer keeps guard stats: additive upper bound, exact after compaction") {
     val sp = spark; import sp.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-maintstats").toString
