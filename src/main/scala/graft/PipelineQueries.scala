@@ -71,6 +71,32 @@ object PipelineQueries {
          |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
     },
 
+    // Same pairs through the SALTED plan: every shingle shared by > 2
+    // docs pair-generates via triangle tasks (4 groups → 10 tasks)
+    // instead of one join key — the skew path a 100 TB corpus needs
+    // when a hot shingle would otherwise pin one straggler partition.
+    // Identical oracle as p_dedup_ngram_jaccard: salting is exact.
+    q("p_dedup_ngram_salted") { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        shingleN = 2, threshold = 0.3,
+        saltAbove = Some(2), saltGroups = 4)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    } {
+      s"""WITH d AS (
+         |  SELECT doc_id, $bigramSql AS sh
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |p AS (
+         |  SELECT CAST(a.doc_id AS VARCHAR) AS key_a,
+         |    CAST(b.doc_id AS VARCHAR) AS key_b,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT * FROM p WHERE jaccard >= 0.3
+         |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
+    },
+
     // MinHash+LSH candidates verified by exact Jaccard. Oracle-able
     // here: precision is exact, and every qualifying pair in the
     // corpus has J ≥ 0.81, where 32-band/4-row LSH miss probability is

@@ -187,10 +187,22 @@ object Dedup {
    * carries no near-dup signal but turns the self-join quadratic on
    * that key; pass None only for exact-Jaccard oracle runs on corpora
    * known to be skew-free.
+   *
+   * `saltAbove` keeps the MIDDLE band exact instead of relying on the
+   * cap alone: shingles with frequency in (saltAbove, maxShingleFreq]
+   * are pair-generated through triangle-task salting — rows split into
+   * `saltGroups` groups by key hash, each unordered group-pair (i ≤ j)
+   * becomes one join task, and a doc pair materializes in EXACTLY the
+   * task ({min,max} of its two groups) — so one hot key's quadratic
+   * pair work spreads over g(g+1)/2 tasks instead of one straggler
+   * partition. Same pairs, same Jaccard, different plan; None (default)
+   * keeps the single self-join.
    */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                         shingleN: Int = 2, threshold: Double = 0.5,
-                        maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
+                        maxShingleFreq: Option[Int] = Some(1000),
+                        saltAbove: Option[Int] = None,
+                        saltGroups: Int = 8): DataFrame = {
     val base = df.select(col(keyCol).as("k"),
       hashedShingles(col(textCol), shingleN).as("sh"))
     val sizes = base.select(col("k"), size(col("sh")).as("sz"))
@@ -199,9 +211,37 @@ object Dedup {
       val hot = posting.groupBy("s").count().filter(col("count") > cap).select("s")
       posting = posting.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    val common = posting.as("a")
-      .join(posting.as("b"), col("a.s") === col("b.s") && col("a.k") < col("b.k"))
-      .groupBy(col("a.k").as("key_a"), col("b.k").as("key_b"))
+    def pairsOf(p: DataFrame): DataFrame = p.as("a")
+      .join(p.as("b"), col("a.s") === col("b.s") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+    val perShingle = saltAbove match {
+      case None => pairsOf(posting)
+      case Some(t) =>
+        val hotSet = posting.groupBy("s").count()
+          .filter(col("count") > t).select("s")
+        val cold = posting.join(broadcast(hotSet), Seq("s"), "left_anti")
+        val hot = posting.join(broadcast(hotSet), Seq("s"), "left_semi")
+        val g = saltGroups
+        // row group by key hash; replicate into every task whose pair
+        // contains the group (g tasks/row — the triangle row covers)
+        val salted = hot
+          .withColumn("grp", pmod(hash(col("k")), lit(g)).cast("int"))
+          .withColumn("t", explode(array((0 until g).map(j =>
+            struct(least(col("grp"), lit(j)).as("ti"),
+              greatest(col("grp"), lit(j)).as("tj"))): _*)))
+        // diagonal task (i,i) pairs only its own group; off-diagonal
+        // (i,j) pairs only across groups — each doc pair survives in
+        // exactly one task, so no pair is double-counted
+        val hotPairs = salted.as("a").join(salted.as("b"),
+          col("a.s") === col("b.s") && col("a.t") === col("b.t") &&
+            col("a.k") < col("b.k") &&
+            when(col("a.t.ti") === col("a.t.tj"),
+              col("a.grp") === col("b.grp"))
+              .otherwise(col("a.grp") =!= col("b.grp")))
+          .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+        pairsOf(cold).unionByName(hotPairs)
+    }
+    val common = perShingle.groupBy(col("key_a"), col("key_b"))
       .agg(count(lit(1)).cast("double").as("common"))
     common
       .join(sizes.select(col("k").as("key_a"), col("sz").as("sz_a")), "key_a")

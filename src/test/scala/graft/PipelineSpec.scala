@@ -137,6 +137,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop == uncapped)
   }
 
+  test("salted shingle join: exact parity with the plain self-join on a skewed corpus") {
+    val sp = spark; import sp.implicits._
+    // "common filler" appears in EVERY doc — the hot key the salting
+    // spreads; distinctive bigrams stay cold
+    val docs = (Seq(
+      (1L, "common filler alpha beta gamma delta epsilon zeta"),
+      (2L, "common filler alpha beta gamma delta epsilon eta"),
+      (3L, "common filler alpha beta gamma delta theta iota")) ++
+      (4L to 40L).map(i => (i, s"common filler unique$i words$i here$i now$i")))
+      .toDF("doc_id", "text")
+    def run(salt: Option[Int], g: Int = 4) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.2, maxShingleFreq = None,
+        saltAbove = salt, saltGroups = g)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    val plain = run(None)
+    // salt EVERYTHING hot (threshold 2 → "common filler" + the shared
+    // alpha..epsilon run all route through the triangle tasks)
+    assert(run(Some(2)) == plain, "salted pairs diverge from plain join")
+    // degenerate group counts still exact (g=1 → one task; g > rows)
+    assert(run(Some(2), g = 1) == plain)
+    assert(run(Some(2), g = 64) == plain)
+    assert(plain.exists(p => p._1 == "1" && p._2 == "2"))
+  }
+
   test("IVF search: nProbe=all equals exact top-k; nProbe=2 has sane recall") {
     val dir = "/root/testdata/sf0.001"
     val embs = Fixtures.table(spark, dir, "embeddings")
