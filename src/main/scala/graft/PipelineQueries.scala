@@ -71,16 +71,22 @@ object PipelineQueries {
          |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
     },
 
-    // Same pairs through the SALTED plan: every shingle shared by > 2
-    // docs pair-generates via triangle tasks (4 groups → 10 tasks)
-    // instead of one join key — the skew path a 100 TB corpus needs
-    // when a hot shingle would otherwise pin one straggler partition.
-    // Identical oracle as p_dedup_ngram_jaccard: salting is exact.
+    // Same pairs through the SALTED plan: shingles shared by > 8 docs
+    // pair-generate via triangle tasks (4 groups → 10 tasks) instead
+    // of one join key — the path a 100 TB corpus needs when a hot
+    // shingle would otherwise pin one straggler partition. NOTE on the
+    // bench number: the synthetic corpus has a ~925-shingle vocabulary
+    // and ~97% of shingles exceed the threshold at sf0.1, so this gate
+    // measures the WORST case — 100% of rows routed through salting —
+    // at ~2x the plain join (replication factor g). On a Zipf real-text
+    // vocabulary the hot band is a tiny row fraction and the cold
+    // majority keeps the plain self-join. Identical oracle as
+    // p_dedup_ngram_jaccard: salting is exact.
     q("p_dedup_ngram_salted") { (s, dir) =>
       Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
         shingleN = 2, threshold = 0.3,
-        saltAbove = Some(2), saltGroups = 4)
+        saltAbove = Some(8), saltGroups = 4)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
     } {
