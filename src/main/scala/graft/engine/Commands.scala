@@ -61,6 +61,8 @@ final class Commands(
     var prefixes: Seq[String] = Nil
     var skipScan = false
     var postingsDir: Option[String] = None
+    var score = 1.0
+    var scoreField: Option[String] = None
     // Index-level text options (reference ft_create_parser.cc:640-725):
     // flexible order before SCHEMA, defaults per the reference.
     var analyzerCfg = graft.text.Analyzer.Default
@@ -104,6 +106,22 @@ final class Commands(
         // here it is opt-in to keep existing simple-fold indexes stable.
         case "UNICODEFOLD" =>
           a.next(); analyzerCfg = analyzerCfg.copy(fullFold = true)
+        // Per-document score plumbing (reference ft_create_parser.cc
+        // ParseScore:284-301, SCORE_FIELD:302-310; index_schema.cc:
+        // 631-645 stores it per key): parsed, validated and surfaced by
+        // FT.INFO — like the reference, no scorer consumes it yet.
+        case "SCORE" =>
+          a.next(); val v = a.next().toDouble
+          if (v < 0.0 || v > 1.0)
+            throw new ExprParseException(
+              s"`$v` is not supported. The value must be between 0.0 and 1.0")
+          score = v
+        case "SCORE_FIELD" => a.next(); scoreField = Some(a.next())
+        // Rejected with the reference's error shape
+        // (ft_create_parser.cc NotSupportedParamErrorMsg: FILTER:647-651,
+        // LANGUAGE_FIELD:279-283, PAYLOAD_FIELD:689-695).
+        case p @ ("FILTER" | "LANGUAGE_FIELD" | "PAYLOAD_FIELD") =>
+          throw new ExprParseException(s"The parameter `$p` is not supported")
         case "SCHEMA" => a.next(); done = true
         case other => throw new ExprParseException(s"unexpected token $other (expected SCHEMA)")
       }
@@ -162,7 +180,8 @@ final class Commands(
       if (a.peekIs("SORTABLE")) a.next() // accepted & ignored, as the reference
       fields += FieldDef(identifier, alias, ftype)
     }
-    val schema = IndexSchema(name, fields.result(), analyzer = analyzerCfg)
+    val schema = IndexSchema(name, fields.result(), analyzer = analyzerCfg,
+      score = score, scoreField = scoreField)
     val (raw, keyExpr) = source(prefixes)
     val bound = if (skipScan) raw.limit(0) else raw
     // TEXT-bearing indexes default resident, like the reference's

@@ -798,6 +798,10 @@ class SearchEngine {
       .withColumn("backfill_in_progress", lit(bs.backfillInProgress))
       .withColumn("backfill_complete_percent", lit(bs.backfillCompletePercent))
       .withColumn("mutation_queue_size", lit(bs.mutationQueueSize))
+      // score plumbing (reference FT.INFO "score_field" reply,
+      // index_schema.cc:1214-1216)
+      .withColumn("score", lit(schema.score))
+      .withColumn("score_field", lit(schema.scoreField.orNull))
   }
 
   /** Engine-wide metrics snapshot as a DataFrame — the `INFO SEARCH`

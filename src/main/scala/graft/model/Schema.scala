@@ -90,7 +90,13 @@ final case class IndexSchema(
     // Index-level text options: STOPWORDS/NOSTOPWORDS, PUNCTUATION,
     // MINSTEMSIZE, NOSTEM, WITHOFFSETS/NOOFFSETS
     // (reference ft_create_parser.cc:96-106, 640-725).
-    analyzer: graft.text.Analyzer.Config = graft.text.Analyzer.Default) {
+    analyzer: graft.text.Analyzer.Config = graft.text.Analyzer.Default,
+    // Per-document score plumbing (reference index_schema.cc:631-645:
+    // SCORE default / SCORE_FIELD override stored per key, surfaced by
+    // FT.INFO; no scoring algorithm consumes it in the query path yet —
+    // parity means store + surface, not invent a scorer).
+    score: Double = 1.0,
+    scoreField: Option[String] = None) {
 
   private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
 

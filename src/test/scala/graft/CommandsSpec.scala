@@ -56,6 +56,32 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[String]("identifier") == "colors"))
   }
 
+  test("SCORE/SCORE_FIELD stored + surfaced; unsupported params rejected like the reference") {
+    // parsed, validated, surfaced by FT.INFO (ft_create_parser.cc
+    // ParseScore; index_schema.cc:1214-1216) — no scorer consumes them
+    assert(cmds.execute(Seq("FT.CREATE", "scored", "SCORE", "0.5",
+      "SCORE_FIELD", "price", "SCHEMA", "price", "NUMERIC")) == "OK")
+    val info = cmds.execute(Seq("FT.INFO", "scored"))
+      .asInstanceOf[DataFrame].collect()
+    assert(info.head.getAs[Double]("score") == 0.5)
+    assert(info.head.getAs[String]("score_field") == "price")
+    engine.dropIndex("scored")
+    // SCORE outside [0,1] → the reference's error shape
+    val bad = intercept[Exception] {
+      cmds.execute(Seq("FT.CREATE", "s2", "SCORE", "1.5",
+        "SCHEMA", "price", "NUMERIC"))
+    }
+    assert(bad.getMessage.contains("must be between 0.0 and 1.0"))
+    // FILTER / LANGUAGE_FIELD / PAYLOAD_FIELD → explicit not-supported
+    // (ft_create_parser.cc NotSupportedParamErrorMsg)
+    for (p <- Seq("FILTER", "LANGUAGE_FIELD", "PAYLOAD_FIELD")) {
+      val e = intercept[Exception] {
+        cmds.execute(Seq("FT.CREATE", "s3", p, "x", "SCHEMA", "price", "NUMERIC"))
+      }
+      assert(e.getMessage.contains(s"The parameter `$p` is not supported"))
+    }
+  }
+
   test("FT.SEARCH with options: filter, sort, paging, RETURN AS, total count") {
     cmds.execute(create)
     val reply = cmds.execute(Seq("FT.SEARCH", "products",
