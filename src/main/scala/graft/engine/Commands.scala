@@ -181,7 +181,7 @@ final class Commands(
       fields += FieldDef(identifier, alias, ftype)
     }
     val schema = IndexSchema(name, fields.result(), analyzer = analyzerCfg,
-      score = score, scoreField = scoreField)
+      docScore = score, docScoreField = scoreField)
     val (raw, keyExpr) = source(prefixes)
     val bound = if (skipScan) raw.limit(0) else raw
     // TEXT-bearing indexes default resident, like the reference's
@@ -254,16 +254,28 @@ final class Commands(
   private def ftAggregate(a: Args): DataFrame = {
     val index = a.next()
     val query = a.next()
-    // PARAMS may appear among the stages; everything else passes through
+    // Non-stage options may appear among the stages (reference
+    // ft_aggregate_parser.cc:240-251): PARAMS/TIMEOUT/DIALECT, the
+    // filter-text options SLOP/INORDER/VERBATIM (flow into the query's
+    // text parsing, search.cc:1040-1042), and ADDSCORES (parsed flag
+    // the reference exec never reads — accepted, no effect). Everything
+    // else passes through as a stage token.
     val stageTokens = Seq.newBuilder[String]
-    var params = Map.empty[String, ParamValue]
+    var opts = SearchOptions()
     while (a.hasNext) {
-      if (a.peekIs("PARAMS")) { a.next(); params = parseParams(a) }
+      if (a.peekIs("PARAMS")) { a.next(); opts = opts.copy(params = parseParams(a)) }
       else if (a.peekIs("TIMEOUT")) { a.next(); a.nextInt("TIMEOUT"); () }
       else if (a.peekIs("DIALECT")) { a.next(); require(a.nextInt("DIALECT") == 2) }
+      else if (a.peekIs("VERBATIM")) { a.next(); opts = opts.copy(verbatim = true) }
+      else if (a.peekIs("INORDER")) { a.next(); opts = opts.copy(inorder = true) }
+      else if (a.peekIs("SLOP")) {
+        a.next(); val s = a.nextInt("SLOP")
+        if (s < 0) throw new ExprParseException("SLOP must be non-negative")
+        opts = opts.copy(slop = Some(s))
+      }
+      else if (a.peekIs("ADDSCORES")) { a.next() }
       else stageTokens += a.next()
     }
-    engine.aggregate(index, query, stageTokens.result(),
-      SearchOptions(params = params))
+    engine.aggregate(index, query, stageTokens.result(), opts)
   }
 }

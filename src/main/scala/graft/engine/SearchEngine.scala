@@ -800,8 +800,8 @@ class SearchEngine {
       .withColumn("mutation_queue_size", lit(bs.mutationQueueSize))
       // score plumbing (reference FT.INFO "score_field" reply,
       // index_schema.cc:1214-1216)
-      .withColumn("score", lit(schema.score))
-      .withColumn("score_field", lit(schema.scoreField.orNull))
+      .withColumn("score", lit(schema.docScore))
+      .withColumn("score_field", lit(schema.docScoreField.orNull))
   }
 
   /** Engine-wide metrics snapshot as a DataFrame — the `INFO SEARCH`

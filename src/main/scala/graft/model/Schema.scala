@@ -94,9 +94,10 @@ final case class IndexSchema(
     // Per-document score plumbing (reference index_schema.cc:631-645:
     // SCORE default / SCORE_FIELD override stored per key, surfaced by
     // FT.INFO; no scoring algorithm consumes it in the query path yet —
-    // parity means store + surface, not invent a scorer).
-    score: Double = 1.0,
-    scoreField: Option[String] = None) {
+    // parity means store + surface, not invent a scorer). Named
+    // docScore* to stay clear of scoreField(vectorAlias) below.
+    docScore: Double = 1.0,
+    docScoreField: Option[String] = None) {
 
   private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
 

@@ -118,6 +118,31 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("avg2x") - (19.98 + 49.0 + 30.0) / 3) < 1e-9)
   }
 
+  test("FT.AGGREGATE non-stage options among stages: SLOP/INORDER/VERBATIM/ADDSCORES") {
+    cmds.execute(create)
+    // ADDSCORES parses as a flag with no effect (the reference parses
+    // addscores_ and its exec never reads it); VERBATIM flows into the
+    // query's text parsing (search.cc:1040-1042) — 'training' must NOT
+    // stem-match 'train' under it
+    val verbatim = cmds.execute(Seq("FT.AGGREGATE", "products", "@descr:train",
+      "ADDSCORES",
+      "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n",
+      "VERBATIM")).asInstanceOf[DataFrame]
+    assert(verbatim.collect().head.getAs[Double]("n") == 0.0)
+    val stemmed = cmds.execute(Seq("FT.AGGREGATE", "products", "@descr:train",
+      "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n")).asInstanceOf[DataFrame]
+    assert(stemmed.collect().head.getAs[Double]("n") == 1.0) // gpu training cluster
+    // SLOP/INORDER apply the proximity constraint before stage 0
+    val near = cmds.execute(Seq("FT.AGGREGATE", "products", "@descr:gpu @descr:cluster",
+      "SLOP", "1", "INORDER",
+      "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n")).asInstanceOf[DataFrame]
+    assert(near.collect().head.getAs[Double]("n") == 1.0) // one word apart in p3
+    val far = cmds.execute(Seq("FT.AGGREGATE", "products", "@descr:fast @descr:node",
+      "SLOP", "0", "INORDER",
+      "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n")).asInstanceOf[DataFrame]
+    assert(far.collect().head.getAs[Double]("n") == 0.0) // two words apart in p1
+  }
+
   test("RETURN 0 behaves as NOCONTENT; SKIPINITIALSCAN registers empty") {
     cmds.execute(create)
     val reply = cmds.execute(Seq("FT.SEARCH", "products", "@price:[0 100]",
