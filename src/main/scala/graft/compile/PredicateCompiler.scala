@@ -87,6 +87,39 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
   private def overTextFields(field: Option[String])(one: FieldDef => Column): Column =
     textFieldsOf(field).map(fd => coalesce(one(fd), lit(false))).reduce(_ || _)
 
+  /**
+   * Suffix-trie-backed target resolution (reference filter_parser.cc:
+   * 782-815 `SetupTextFieldConfiguration(with_suffix=true)`): a fielded
+   * suffix search on a NOSUFFIXTRIE field is an error; an unfielded one
+   * searches ONLY the WITHSUFFIXTRIE text fields and errors when the
+   * index has none. Same messages as the reference. Applied to Suffix
+   * and to Infix — the reference rejects infix outright today
+   * ("Unsupported query operation", filter_parser.cc:745); supporting
+   * it under the suffix-trie rules is this engine's extension.
+   */
+  private def suffixFieldsOf(field: Option[String]): Seq[FieldDef] = {
+    def hasTrie(fd: FieldDef) = fd.ftype match {
+      case tf: TextField => tf.withSuffixTrie
+      case _ => false
+    }
+    field match {
+      case Some(f) =>
+        val fd = schema.fieldOrFail(f)
+        require(fd.ftype.isInstanceOf[TextField], s"$f is not TEXT")
+        if (!hasTrie(fd))
+          throw new IllegalArgumentException("Field does not support suffix search")
+        Seq(fd)
+      case None =>
+        val tfs = schema.textFields.filter(hasTrie)
+        if (tfs.isEmpty)
+          throw new IllegalArgumentException("No fields support suffix search")
+        tfs
+    }
+  }
+
+  private def overSuffixFields(field: Option[String])(one: FieldDef => Column): Column =
+    suffixFieldsOf(field).map(fd => coalesce(one(fd), lit(false))).reduce(_ || _)
+
   // Pattern matchers run as ONE native pass over the token-struct array
   // (graft.functions.TokenMatch) — the transform+exists HOF pair
   // interprets two lambdas per (token × row).
@@ -122,10 +155,10 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       overTextFields(field)(tokenMatch(_, pl, graft.functions.TokenMatch.Prefix))
     case Suffix(field, sfx) =>
       val sl = Analyzer.caseFold(sfx, analyzer)
-      overTextFields(field)(tokenMatch(_, sl, graft.functions.TokenMatch.Suffix))
+      overSuffixFields(field)(tokenMatch(_, sl, graft.functions.TokenMatch.Suffix))
     case Infix(field, in) =>
       val il = Analyzer.caseFold(in, analyzer)
-      overTextFields(field)(tokenMatch(_, il, graft.functions.TokenMatch.Infix))
+      overSuffixFields(field)(tokenMatch(_, il, graft.functions.TokenMatch.Infix))
     case Fuzzy(field, word, maxDist) =>
       val wl = Analyzer.caseFold(word, analyzer)
       overTextFields(field)(tokenMatch(_, wl, graft.functions.TokenMatch.Fuzzy, maxDist))

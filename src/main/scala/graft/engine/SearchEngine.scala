@@ -399,18 +399,32 @@ class SearchEngine {
       // Suffix-posting routing (WITHSUFFIXTRIE, reference suffix.h):
       // fielded or unfielded pattern predicates retrieve from the
       // suffix posting when every target field has one registered.
+      // Unfielded targets are the TRIE-BACKED text fields only — the
+      // set the compiler searches (filter_parser.cc:798-806 restricts
+      // the field mask the same way).
+      def allHavePostings(tfs: Seq[String]): Option[Seq[String]] =
+        if (tfs.nonEmpty &&
+            tfs.forall(f => suffixPostings.contains((schema.name, f))))
+          Some(tfs)
+        else None
       def suffixFields(field: Option[String]): Option[Seq[String]] = field match {
-        case Some(f) =>
-          if (suffixPostings.contains((schema.name, f))) Some(Seq(f)) else None
-        case None =>
-          val tfs = schema.textFields.map(_.alias)
-          if (tfs.nonEmpty &&
-              tfs.forall(f => suffixPostings.contains((schema.name, f))))
-            Some(tfs)
-          else None
+        case Some(f) => allHavePostings(Seq(f))
+        case None => allHavePostings(schema.textFields.filter(_.ftype match {
+          case tf: TextField => tf.withSuffixTrie
+          case _ => false
+        }).map(_.alias))
       }
-      def suffixKeys(field: Option[String])(cond: Column): DataFrame =
-        suffixFields(field).get
+      // Prefix does NOT require the trie (filter_parser.cc:757 passes
+      // with_suffix=false): its compile targets are ALL text fields, so
+      // an unfielded prefix routes only when every text field has a
+      // suffix posting — otherwise the fetch would miss matches in
+      // posting-less fields.
+      def prefixFields(field: Option[String]): Option[Seq[String]] = field match {
+        case Some(f) => allHavePostings(Seq(f))
+        case None => allHavePostings(schema.textFields.map(_.alias))
+      }
+      def suffixKeys(fields: Seq[String])(cond: Column): DataFrame =
+        fields
           .map(fa => suffixPostings((schema.name, fa)).filter(cond)
             .select(col("__key").as(schema.keyColumn)))
           .reduce(_ unionByName _)
@@ -432,13 +446,15 @@ class SearchEngine {
         // full-token rows; suffix s = EqualTo (a token ends with s ⟺
         // one of its suffixes IS s); infix i = StartsWith (a token
         // contains i ⟺ one of its suffixes starts with i).
-        case Prefix(f, p) if suffixFields(f).isDefined =>
+        case Prefix(f, p) if prefixFields(f).isDefined =>
           val v = Analyzer.caseFold(p, analyzerCfg)
-          Some(suffixKeys(f)(col("term").startsWith(v) && col("full")))
+          Some(suffixKeys(prefixFields(f).get)(
+            col("term").startsWith(v) && col("full")))
         case Suffix(f, sfx) if suffixFields(f).isDefined =>
-          Some(suffixKeys(f)(col("term") === Analyzer.caseFold(sfx, analyzerCfg)))
+          Some(suffixKeys(suffixFields(f).get)(
+            col("term") === Analyzer.caseFold(sfx, analyzerCfg)))
         case Infix(f, in) if suffixFields(f).isDefined =>
-          Some(suffixKeys(f)(col("term").startsWith(
+          Some(suffixKeys(suffixFields(f).get)(col("term").startsWith(
             Analyzer.caseFold(in, analyzerCfg))))
         case Or(cs) =>
           val ks = cs.map(keysFor)
@@ -458,9 +474,8 @@ class SearchEngine {
       // view) pay one count of the pruned slice instead.
       /** Pattern cardinality from the distinct-token frequency map
         * (O(vocabulary) driver scan — the map is collection-capped). */
-      def patternEstimate(field: Option[String], v: String,
+      def patternEstimate(fields: Seq[String], v: String,
                           m: (String, String) => Boolean): Option[Long] = {
-        val fields = suffixFields(field).get
         val per = fields.map(fa => tokenStats.get((schema.name, fa))
           .map(_.iterator.collect { case (t, c) if m(t, v) => c }.sum))
         if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
@@ -486,12 +501,12 @@ class SearchEngine {
               else stats.getOrElse(v, 0L)
             }.sum
           }
-        case Prefix(f, p) => patternEstimate(f, Analyzer.caseFold(p, analyzerCfg),
-          (tok, v) => tok.startsWith(v))
-        case Suffix(f, sfx) => patternEstimate(f, Analyzer.caseFold(sfx, analyzerCfg),
-          (tok, v) => tok.endsWith(v))
-        case Infix(f, in) => patternEstimate(f, Analyzer.caseFold(in, analyzerCfg),
-          (tok, v) => tok.contains(v))
+        case Prefix(f, p) => patternEstimate(prefixFields(f).get,
+          Analyzer.caseFold(p, analyzerCfg), (tok, v) => tok.startsWith(v))
+        case Suffix(f, sfx) => patternEstimate(suffixFields(f).get,
+          Analyzer.caseFold(sfx, analyzerCfg), (tok, v) => tok.endsWith(v))
+        case Infix(f, in) => patternEstimate(suffixFields(f).get,
+          Analyzer.caseFold(in, analyzerCfg), (tok, v) => tok.contains(v))
         case Or(cs) =>
           val es = cs.map(statEstimate)
           if (es.forall(_.isDefined)) Some(es.flatten.sum) else None

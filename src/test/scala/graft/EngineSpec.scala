@@ -47,6 +47,42 @@ class EngineSpec extends AnyFunSuite {
     assert(withYear == Set("k2", "k3"))
   }
 
+  test("suffix search requires WITHSUFFIXTRIE (filter_parser.cc:782-815)") {
+    val docs = Seq(
+      ("k1", "window pane", "meadow view"),
+      ("k2", "harbor light", "shadow play")
+    ).toDF("__key", "plain", "trie")
+    val schema = IndexSchema("sfxrules", Seq(
+      FieldDef("plain", TextField()), // withSuffixTrie = false (reference default)
+      FieldDef("trie", TextField(withSuffixTrie = true))))
+    val e = new SearchEngine().createIndex(schema, Documents.enrich(docs, schema))
+    def run(q: String): Set[String] =
+      e.search("sfxrules", q, SearchOptions(limit = (0, 10), noContent = true))
+        .collect().map(_.getString(0)).toSet
+
+    // fielded suffix/infix on a NOSUFFIXTRIE field → the reference error
+    for (q <- Seq("@plain:*dow", "@plain:*arbo*")) {
+      val err = intercept[Exception](run(q))
+      assert(err.getMessage.contains("Field does not support suffix search"), q)
+    }
+    // fielded on the trie field works
+    assert(run("@trie:*dow") == Set("k1", "k2")) // meadow, shadow
+    // unfielded suffix searches ONLY trie-backed fields: 'window'
+    // (plain field, k1) must not match, meadow/shadow do
+    assert(run("*dow") == Set("k1", "k2"))
+    assert(run("*pane") == Set.empty) // only in the plain field → invisible
+    // prefix needs no trie (with_suffix=false in the reference parser)
+    assert(run("@plain:win*") == Set("k1"))
+    assert(run("win*") == Set("k1"))
+    // an index with NO trie fields rejects unfielded suffix outright
+    val schema2 = IndexSchema("notrie", Seq(FieldDef("plain", TextField())))
+    val e2 = new SearchEngine().createIndex(schema2,
+      Documents.enrich(docs.select("__key", "plain"), schema2))
+    val err2 = intercept[Exception](
+      e2.search("notrie", "*dow", SearchOptions(noContent = true)).collect())
+    assert(err2.getMessage.contains("No fields support suffix search"))
+  }
+
   test("stop-word term is dropped from the query") {
     val hits = engine.search("documents", "@text:the @lang:{en}",
       SearchOptions(limit = (0, 1000), noContent = true)).count()
