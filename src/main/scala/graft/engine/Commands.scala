@@ -147,7 +147,12 @@ final class Commands(
           while (more && a.hasNext) a.peek.toUpperCase match {
             case "NOSTEM" => a.next(); noStem = true
             case "MINSTEMSIZE" => a.next(); minStem = a.nextInt("MINSTEMSIZE")
-            case "WEIGHT" => a.next(); weight = a.next().toDouble
+            case "WEIGHT" =>
+              // parsed but only 1.0 is accepted, like the reference
+              // (ft_create_parser.cc:526-531)
+              a.next(); weight = a.next().toDouble
+              if (weight != 1.0) throw new ExprParseException(
+                "The `WEIGHT` clause with a value other than `1.0` is not supported.")
             case "WITHSUFFIXTRIE" => a.next(); suffix = true
             case "NOSUFFIXTRIE" => a.next(); suffix = false
             case _ => more = false

@@ -40,6 +40,64 @@ import graft.text.{PostingIndex, PostingStore}
  * After `onBatch` returns, FT.SEARCH text/tag/KNN queries through the
  * engine reflect the batch without any index rebuild.
  */
+object IndexMaintainer {
+
+  /**
+   * Build every maintainable derived index for a registered index from
+   * its CURRENT corpus and return a registered maintainer — the
+   * Spark-native form of the reference attaching all per-field indexes
+   * at FT.CREATE time and keeping them fresh per keyspace event
+   * (index_schema.cc:964 fans each mutation to every attribute index):
+   *
+   *  - TAG fields and stemmed TEXT fields → a term [[PostingStore]]
+   *    under `dir/<alias>` (NOSTEM text matches original tokens, which
+   *    postings — stem sets — cannot serve: skipped);
+   *  - WITHSUFFIXTRIE text fields → a suffix store under
+   *    `dir/<alias>__suffix`;
+   *  - VECTOR fields → an NSW graph built with the field's declared
+   *    M / EF_CONSTRUCTION / metric.
+   *
+   * Wire the result into [[Ingest.start]]: `onBatch = m.onBatch`.
+   */
+  def forIndex(engine: SearchEngine, indexName: String, dir: String,
+               docsSource: Option[() => DataFrame] = None,
+               compactRowThreshold: Long = 100000,
+               numPartitions: Int = 32): IndexMaintainer = {
+    val (schema, docs) = engine.index(indexName)
+    val spark = docs.sparkSession
+    def store(alias: String, posting: DataFrame, sub: String = "") =
+      PostingStore.init(spark, posting, s"$dir/$alias$sub", numPartitions)
+    val termStores = schema.fields.flatMap { fd =>
+      fd.ftype match {
+        case _: TagField =>
+          Some(fd.alias -> store(fd.alias,
+            PostingIndex.buildTags(docs, schema, fd.alias)))
+        case tf: TextField if !tf.noStem =>
+          Some(fd.alias -> store(fd.alias,
+            PostingIndex.build(docs, schema, fd.alias)))
+        case _ => None
+      }
+    }.toMap
+    val sfxStores = schema.fields.collect {
+      case fd if (fd.ftype match {
+        case tf: TextField => tf.withSuffixTrie
+        case _ => false
+      }) =>
+        fd.alias -> store(fd.alias,
+          PostingIndex.buildSuffixes(docs, schema, fd.alias), "__suffix")
+    }.toMap
+    val graphs = schema.fields.collect {
+      case fd if fd.ftype.isInstanceOf[VectorField] =>
+        val vf = fd.ftype.asInstanceOf[VectorField]
+        fd.alias -> Nsw.build(docs, schema.keyColumn, fd.alias,
+          metric = vf.metric.name, numPartitions = numPartitions,
+          m = vf.hnswM, efConstruction = vf.efConstruction)
+    }.toMap
+    new IndexMaintainer(engine, indexName, schema, termStores, graphs,
+      docsSource, compactRowThreshold, sfxStores).register()
+  }
+}
+
 final class IndexMaintainer(
     engine: SearchEngine,
     indexName: String,

@@ -387,6 +387,65 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stats not exact after compaction: ${engine.lastRouteEstimates}")
   }
 
+  test("IndexMaintainer.forIndex: one call builds + maintains every derived index") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-forindex").toString
+    val schema = IndexSchema("auto", Seq(
+      FieldDef("cat", TagField()),
+      FieldDef("body", TextField(withSuffixTrie = true)),
+      FieldDef("emb", VectorField(dim = 4, metric = DistanceMetric.L2))))
+    var corpus = Seq(
+      ("k1", "tools", "window cleaner", Array(0f, 0f, 0f, 1f)),
+      ("k2", "toys", "shadow puppet", Array(0f, 0f, 1f, 0f)),
+      ("k3", "tools", "meadow rake", Array(0f, 1f, 0f, 0f)),
+      ("k4", "misc", "quantum gadget", Array(1f, 0f, 0f, 0f)))
+      .toDF("__key", "cat", "body", "emb")
+    val engine = new graft.engine.SearchEngine
+    engine.createIndex(schema, graft.sources.Documents.enrich(corpus, schema))
+    engine.postingRouteMaxSelectivity = 1.0
+    val m = IndexMaintainer.forIndex(engine, "auto", tmp,
+      docsSource = Some(() => corpus), numPartitions = 2)
+
+    def keys(q: String, opts: graft.engine.SearchOptions =
+        graft.engine.SearchOptions(noContent = true)): Seq[String] =
+      engine.search("auto", q, opts).collect()
+        .map(_.getAs[String]("__key")).toSeq
+    // term, tag, suffix-pattern and KNN all served from factory-built
+    // structures (semi-join presence pins the posting routes)
+    val term = engine.search("auto", "@body:shadow",
+      graft.engine.SearchOptions(noContent = true))
+    assert(term.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(term.collect().map(_.getAs[String]("__key")).toSeq == Seq("k2"))
+    assert(keys("@cat:{tools}").toSet == Set("k1", "k3"))
+    assert(keys("@body:*dow").toSet == Set("k1", "k2", "k3"))
+    val knnOpts = graft.engine.SearchOptions(limit = (0, 1),
+      params = Map("q" -> graft.query.VectorParam(Array(0f, 0f, 0f, 1f))))
+    assert(keys("*=>[KNN 1 @emb $q EF_RUNTIME 50]", knnOpts) == Seq("k1"))
+
+    // one batch flows through every maintained structure
+    corpus = Seq(
+      ("k1", "tools", "window cleaner", Array(0f, 0f, 0f, 1f)),
+      ("k2", "toys", "bright kite", Array(0f, 0f, 1f, 0f)),     // supersede
+      ("k5", "tools", "widow spider", Array(0.1f, 0f, 0f, 1f))) // add
+      .toDF("__key", "cat", "body", "emb")                      // k3,k4 deleted
+    m.onBatch(Seq(
+      ("upsert", "k2", "toys", "bright kite", Array(0f, 0f, 1f, 0f), 1L),
+      ("upsert", "k5", "tools", "widow spider", Array(0.1f, 0f, 0f, 1f), 2L),
+      ("delete", "k3", null, null, null, 3L),
+      ("delete", "k4", null, null, null, 4L))
+      .toDF("op", "__key", "cat", "body", "emb", "__seq"))
+
+    assert(keys("@body:shadow").isEmpty)                   // superseded away
+    assert(keys("@body:kite") == Seq("k2"))                // new term
+    assert(keys("@body:*dow").toSet == Set("k1", "k5"))    // window, widow
+    assert(keys("@cat:{tools}").toSet == Set("k1", "k5"))  // k3 deleted
+    val knn2 = graft.engine.SearchOptions(limit = (0, 2),
+      params = Map("q" -> graft.query.VectorParam(Array(1f, 0f, 0f, 0f))))
+    val top = keys("*=>[KNN 2 @emb $q EF_RUNTIME 50]", knn2)
+    assert(!top.contains("k4"), s"deleted vector still served: $top")
+    assert(top.contains("k5"), s"upserted vector missing: $top")
+  }
+
   test("windowed stats: event-time windows with watermark, streaming plan") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
