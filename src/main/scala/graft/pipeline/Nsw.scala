@@ -354,14 +354,30 @@ object Nsw {
    * partition's dead fraction exceeds `rebuildFraction` the cogroup
    * rebuilds THAT partition from its live nodes (automatic compaction,
    * the same trade the posting delta makes) — so beam cost tracks the
-   * live count under sustained churn, never the churn history.
+   * live count under sustained churn, never the churn history. When
+   * GROWTH pushes a partition's live count past `maxGraphSize`, nParts
+   * doubles and every graph splits locally (see the split block below) —
+   * so per-partition build/search budgets hold under unbounded adds.
    *
    * Returns a NEW materialized index; the input index's cache is
    * released (its `graphs` handle must not be reused).
    */
+  /** JVM-side mirror of the routing column `pmod(hash(__key), n)` —
+    * Murmur3 seed 42 over the key's UTF-8 bytes, exactly Spark's
+    * `hash()` expression. [[upsert]]'s split path asserts the two
+    * agree on every node it moves. */
+  private[graft] def routePid(key: String, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType, 42L).toInt
+    val r = h % n
+    if (r < 0) r + n else r
+  }
+
   def upsert(idx: NswIndex, changes: DataFrame,
              efConstruction: Int = 200,
-             rebuildFraction: Double = 0.5): NswIndex = {
+             rebuildFraction: Double = 0.5,
+             maxGraphSize: Int = 250000): NswIndex = {
     require(idx.nParts > 0,
       "legacy NSW save has no routing info; rebuild required before upsert")
     val spark = idx.graphs.sparkSession
@@ -390,6 +406,41 @@ object Nsw {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newGraphs.count() // materialize before releasing the old generation
     idx.graphs.unpersist(blocking = false)
-    NswIndex(newGraphs, idx.metric, idx.m, idx.nParts)
+
+    // Growth bound: sustained adds would otherwise grow partition
+    // graphs past the memory/build budget the build sized for. When a
+    // partition's LIVE count exceeds maxGraphSize, DOUBLE nParts:
+    // pmod(h, 2n) = pmod(h, n) + n·bit, so every graph splits LOCALLY
+    // into pids {i, i+n} from its own live nodes — no data crosses
+    // partitions, no shuffle, and future routing stays pure
+    // pmod(hash(key), nParts). Doublings amortize: log2(growth) splits
+    // over the life of the stream, each a parallel local rebuild.
+    var out = NswIndex(newGraphs, idx.metric, idx.m, idx.nParts)
+    var liveMax = out.graphs
+      .map(g => g.keys.length - g.removed.length).collect()
+      .foldLeft(0)(math.max)
+    while (liveMax > maxGraphSize) {
+      val n = out.nParts
+      val twoN = n * 2
+      val prev = out.graphs
+      val split = prev.flatMap { g =>
+        val dead = g.removed.toSet
+        val live = g.keys.indices.filterNot(dead)
+        live.groupBy(i => routePid(g.keys(i), twoN)).iterator.map {
+          case (pid2, is) =>
+            require(pid2 == g.pid || pid2 == g.pid + n,
+              s"split routing diverged: node of p${g.pid} hashed to p$pid2")
+            buildLocal(is.map(g.keys).toArray, is.map(g.vecs).toArray,
+              mL, efL, metricL).copy(pid = pid2)
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count()
+      prev.unpersist(blocking = false)
+      out = NswIndex(split, out.metric, out.m, twoN)
+      liveMax = out.graphs
+        .map(g => g.keys.length - g.removed.length).collect()
+        .foldLeft(0)(math.max)
+    }
+    out
   }
 }

@@ -160,6 +160,51 @@ class NswUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx2.unpersistIndex()
   }
 
+  test("growth: nParts doubles when a partition exceeds maxGraphSize (local pmod split)") {
+    val sp = spark; import sp.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => math.sin(i * 31.0 + j * 7.0).toFloat)
+    val base = (1 to 40).map(i => (s"k$i", vec(i))).toDF("__key", "vec")
+    val idx = Nsw.build(base, "__key", "vec", metric = "L2",
+      numPartitions = 2, m = 6, efConstruction = 40)
+    assert(idx.nParts == 2)
+
+    // 120 adds → ~80 live per partition; cap 32 forces doubling until
+    // every partition is back under budget (2 → 4 → 8)
+    val adds = (41 to 160).map(i => ("upsert", s"k$i", vec(i)))
+    val grown = Nsw.upsert(idx, changesDf(adds), efConstruction = 40,
+      maxGraphSize = 32)
+    try {
+      assert(grown.nParts >= 4 && (grown.nParts & (grown.nParts - 1)) == 0,
+        s"expected a power-of-two doubling, got ${grown.nParts}")
+      val sizes = grown.graphs.collect().map(g => (g.pid, g.keys.length - g.removed.length))
+      assert(sizes.forall(_._2 <= 32),
+        s"partition over budget after split: ${sizes.mkString(",")}")
+      assert(sizes.map(_._2).sum == 160, "nodes lost or duplicated in the split")
+      // routing stays pure pmod(hash, nParts): every node sits where a
+      // fresh route would send it — future deletes depend on this
+      sizes.foreach { case (pid, _) => assert(pid >= 0 && pid < grown.nParts) }
+      val misrouted = grown.graphs.collect().flatMap { g =>
+        val dead = g.removed.toSet
+        g.keys.indices.filterNot(dead)
+          .filter(i => Nsw.routePid(g.keys(i), grown.nParts) != g.pid)
+          .map(i => g.keys(i) -> g.pid)
+      }
+      assert(misrouted.isEmpty, s"misrouted after split: ${misrouted.take(5).toSeq}")
+      // the split graphs still answer: exact match returns its own key,
+      // and a routed delete through the NEW nParts takes effect
+      val hit = grown.search(vec(150), k = 1, ef = 100).collect().head
+      assert(hit.getAs[String]("__key") == "k150")
+      val afterDel = Nsw.upsert(grown,
+        changesDf(Seq(("delete", "k150", null))), efConstruction = 40,
+        maxGraphSize = 32)
+      try {
+        val top = afterDel.search(vec(150), k = 1, ef = 100).collect().head
+        assert(top.getAs[String]("__key") != "k150", "deleted key served after split")
+      } finally afterDel.graphs.unpersist(blocking = false)
+    } finally ()
+  }
+
   test("sustained churn: dead-node compaction keeps graphs near live size") {
     // Local-level pin (fast): churn one graph through many
     // delete+reinsert rounds; the automatic rebuild (dead fraction >
