@@ -677,6 +677,23 @@ object Queries {
         |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),
     (
+      // P9 via X2: a phrase-only query fetches candidates from the
+      // RAREST phrase word's stem posting (a doc holding original word
+      // w necessarily carries stemToken(w) — superset fetch) and the
+      // columnar phrase predicate verifies adjacency. At 100 TB a
+      // phrase query reads one posting slice, never the corpus.
+      // ("dup" is ~5% of docs at every SF, so the fetch passes the
+      // cardinality guard; "agg" alone is ~76% and must NOT drive it.)
+      "q_phrase_posting",
+      (s: SparkSession, dir: String) =>
+        postingEng(s, dir).search("documents_pi", "@text:\"agg dup\"",
+          SearchOptions(limit = (0, 100), noContent = true)),
+      s"""SELECT CAST(doc_id AS VARCHAR) AS __key
+         |FROM documents
+         |WHERE contains($docJoinedSql, ' agg dup ')
+         |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
       // FT.CREATE POSTINGS + the cardinality guard: the index HAS tag
       // postings (create-time registration the round-3 verdict called
       // out as missing for non-fixture indexes), but this OR covers

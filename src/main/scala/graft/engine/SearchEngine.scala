@@ -456,6 +456,22 @@ class SearchEngine {
         case Infix(f, in) if suffixFields(f).isDefined =>
           Some(suffixKeys(suffixFields(f).get)(col("term").startsWith(
             Analyzer.caseFold(in, analyzerCfg))))
+        // Phrase: a doc holding original word w necessarily has
+        // stemToken(w) in its stem set, so the term posting of any
+        // phrase word is a SUPERSET fetch for the phrase — fetch on the
+        // RAREST word (min-child, reference X2) and let the columnar
+        // phrase predicate verify adjacency. Stop words never reach the
+        // stem posting (analyzer drops them), so they can't drive the
+        // fetch; an all-stop-word phrase keeps the scan.
+        case Phrase(f, words) if postingFields(f).isDefined =>
+          val cand = words.map(w => Analyzer.caseFold(w, analyzerCfg))
+            .filterNot(analyzerCfg.stopWords.contains)
+          if (cand.isEmpty) None
+          else {
+            val best = cand.minBy(w =>
+              statEstimate(Term(f, w)).getOrElse(Long.MaxValue))
+            Some(termKeys(f, best))
+          }
         case Or(cs) =>
           val ks = cs.map(keysFor)
           if (ks.nonEmpty && ks.forall(_.isDefined))
@@ -507,6 +523,14 @@ class SearchEngine {
           Analyzer.caseFold(sfx, analyzerCfg), (tok, v) => tok.endsWith(v))
         case Infix(f, in) => patternEstimate(suffixFields(f).get,
           Analyzer.caseFold(in, analyzerCfg), (tok, v) => tok.contains(v))
+        case Phrase(f, words) =>
+          // the fetch is the rarest word's stem slice: its estimate IS
+          // the fetched-relation size (an upper bound on phrase hits)
+          val es = words.map(w => Analyzer.caseFold(w, analyzerCfg))
+            .filterNot(analyzerCfg.stopWords.contains)
+            .map(w => statEstimate(Term(f, w)))
+          if (es.nonEmpty && es.forall(_.isDefined)) Some(es.flatten.min)
+          else None
         case Or(cs) =>
           val es = cs.map(statEstimate)
           if (es.forall(_.isDefined)) Some(es.flatten.sum) else None

@@ -171,6 +171,38 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(narrow.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   }
 
+  test("phrase routes via the rarest word's stem posting (superset fetch + verify)") {
+    val e = Fixtures.engine(spark, sf)
+    e.buildPostings("documents",
+      java.nio.file.Files.createTempDirectory("graft-pi-phrase").toString)
+    val plain = Fixtures.engine(spark, sf)
+    val opts = SearchOptions(limit = (0, 300), noContent = true)
+
+    // "dup" (~5% of docs) drives the fetch under the DEFAULT guard;
+    // "agg" (~76%) must not — and the phrase itself stays exact
+    val routed = e.search("documents", "@text:\"agg dup\"", opts)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "phrase did not route through a term posting")
+    val exp = plain.search("documents", "@text:\"agg dup\"", opts)
+      .collect().map(_.getString(0)).toSeq
+    assert(routed.collect().map(_.getString(0)).toSeq == exp && exp.nonEmpty)
+
+    // unfielded phrase: same fetch across all text fields
+    val unfielded = e.search("documents", "\"agg dup\"", opts)
+    assert(unfielded.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(unfielded.collect().map(_.getString(0)).toSeq ==
+      plain.search("documents", "\"agg dup\"", opts)
+        .collect().map(_.getString(0)).toSeq)
+
+    // an all-common-words phrase rejects the fetch (guard) but stays
+    // correct on the scan path
+    val common = e.search("documents", "@text:\"hash join\"", opts)
+    assert(!common.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(common.collect().map(_.getString(0)).toSeq ==
+      plain.search("documents", "@text:\"hash join\"", opts)
+        .collect().map(_.getString(0)).toSeq)
+  }
+
   test("min-child ordering: routed conjuncts semi-join smallest-first") {
     val e = Fixtures.engine(spark, sf)
     e.buildPostings("documents",
