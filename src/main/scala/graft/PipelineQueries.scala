@@ -26,6 +26,27 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Fixtures.table(s, dir, "embeddings")
 
+  private val ivfStores = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfStore]
+  /** Maintained-IVF fixture: built on vec_id%3!=0, one batch upserts
+    * the held-out third and deletes vec_id%5==0 of the REST (disjoint
+    * ops — the Ingest.dedupePerKey contract). Memoized per dir so
+    * bench reps measure the query, not the build. */
+  private def ivfStore(s: SparkSession, dir: String): Ann.IvfStore =
+    ivfStores.getOrElseUpdate(dir, {
+      val e = embs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+      val store = Ann.initIvfStore(e.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", nCells = 16, path)
+      val adds = e.filter(col("vec_id") % 3 === 0)
+        .select(lit("upsert").as("op"), col("vec_id").cast("string").as("__key"),
+          col("embedding").cast("array<float>").as("vec"))
+      val dels = e.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 5 === 0)
+        .select(lit("delete").as("op"), col("vec_id").cast("string").as("__key"),
+          lit(null).cast("array<float>").as("vec"))
+      store.applyBatch(adds.unionByName(dels))
+      store
+    })
+
   private def q(name: String)(fn: Queries.Q)(oracle: String): (String, Queries.Q, Option[String]) =
     (name, fn, Some(oracle))
   private def qNoOracle(name: String)(fn: Queries.Q): (String, Queries.Q, Option[String]) =
@@ -178,6 +199,29 @@ object PipelineQueries {
       val ivf = Ann.buildIvf(embs(s, dir), "vec_id", "embedding", nCells = 16)
       ivf.search(Queries.queryVec, k = 20, nProbe = 4, metric = "COSINE")
         .withColumn("distance", round(col("distance"), 4))
+    },
+
+    // MAINTAINED IVF, exact-oracled: the store is built on 2/3 of the
+    // vectors, then one batch upserts the held-out third and deletes
+    // %5==0 of the rest (cell-partitioned LSM segments — probes prune
+    // main AND delta dirs). FULL probes make the search exact, so
+    // DuckDB's top-k over the post-change corpus is a hash-equal
+    // oracle: a stale tombstone, lost upsert, or wrong cell assignment
+    // all break the compare.
+    q("p_ann_ivf_inc") { (s, dir) =>
+      val ivf = ivfStore(s, dir)
+      ivf.view.search(Queries.queryVec, k = 20,
+          nProbe = ivf.centroids.length, metric = "COSINE")
+        .withColumn("distance", round(col("distance"), 4))
+    } {
+      val vecSql = Queries.queryVec.map(v => f"$v%.3f")
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key,
+         |  round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql), 4) AS distance
+         |FROM embeddings
+         |WHERE vec_id % 3 = 0 OR vec_id % 5 <> 0
+         |ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql) ASC,
+         |  __key ASC LIMIT 20""".stripMargin
     },
 
     // -------------------- text analysis ---------------------------- //

@@ -135,4 +135,69 @@ object Ann {
       finally ois.close()
     IvfIndex(spark.read.parquet(s"$path/cells"), centroids, keyCol, vecCol)
   }
+
+  // ------------------- maintained IVF (incremental) ------------------- //
+
+  /**
+   * Incrementally maintained IVF — the IVF counterpart of the
+   * maintained NSW path (reference per-mutation vector updates,
+   * index_schema.cc:964). Centroids FREEZE at init, so assignment stays
+   * the deterministic map-only [[cellId]] pass; rows live in a
+   * cell-partitioned [[graft.text.PostingStore]] (main ⊖ tomb ∪ delta
+   * with manifest commits), so probes prune the main AND the
+   * not-yet-compacted delta at storage level, and crash recovery /
+   * compaction come from the same machinery the text stores use.
+   * Distribution drift that invalidates the centroids is a re-init by
+   * design — same trade every frozen-coarse-quantizer IVF makes.
+   */
+  final case class IvfStore(store: graft.text.PostingStore,
+                            centroids: Array[Array[Double]]) {
+
+    /** The current consistent index over live rows. */
+    def view: IvfIndex = IvfIndex(store.view, centroids, "__key", "vec")
+
+    /** Apply one change batch: `changes` = (op: upsert|delete, __key,
+      * vec). Upserted vectors are assigned to their frozen cell
+      * map-side; superseded/deleted rows die via the store tombstone.
+      * Compacts when segments exceed `compactRowThreshold`. */
+    def applyBatch(changes: DataFrame,
+                   compactRowThreshold: Long = 100000): Unit = {
+      val ups = changes.filter(col("op") === "upsert")
+        .select(col("__key").cast("string").as("__key"),
+          col("vec").cast(ArrayType(FloatType)).as("vec"))
+        .withColumn("cell_id", cellId(col("vec"), centroids))
+      val keys = changes.select(col("__key").cast("string").as("__key"))
+      store.applyBatch(ups, keys)
+      if (store.deltaSize + store.tombSize >= compactRowThreshold)
+        store.compact()
+    }
+  }
+
+  /** Create a maintained IVF store at `path` from the initial corpus:
+    * k-means centroids (bounded sample), map-only assignment, cell-
+    * partitioned main, centroids serialized alongside the manifest. */
+  def initIvfStore(df: DataFrame, keyCol: String, vecCol: String,
+                   nCells: Int, path: String): IvfStore = {
+    val centroids = kmeansCentroids(df, vecCol, nCells)
+    val assigned = df.select(col(keyCol).cast("string").as("__key"),
+        col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+      .withColumn("cell_id", cellId(col("vec"), centroids))
+    val store = graft.text.PostingStore.init(df.sparkSession, assigned,
+      s"$path/store", layout = graft.text.PostingStore.CellLayout)
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$path/centroids.bin"))
+    try oos.writeObject(centroids) finally oos.close()
+    IvfStore(store, centroids)
+  }
+
+  /** Re-open a maintained IVF store (restart path): manifest names the
+    * committed generations, orphans GC, centroids deserialize. */
+  def openIvfStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfStore = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.FileInputStream(s"$path/centroids.bin"))
+    val centroids = try ois.readObject().asInstanceOf[Array[Array[Double]]]
+      finally ois.close()
+    IvfStore(graft.text.PostingStore.open(spark, s"$path/store"), centroids)
+  }
 }

@@ -40,7 +40,8 @@ import org.apache.spark.sql.functions._
  */
 final class PostingStore private (spark: SparkSession, dir: String,
                                   private var mainGen: Int,
-                                  private var segGen: Int) {
+                                  private var segGen: Int,
+                                  val layout: String) {
 
   import PostingStore._
 
@@ -76,19 +77,28 @@ final class PostingStore private (spark: SparkSession, dir: String,
       .join(keys, Seq("__key"), "left_anti") // superseded rows die
       .unionByName(upserts.select(rowSchema.fieldNames.toSeq.map(col): _*))
     newTomb.write.mode("overwrite").parquet(tombPath(dir, next))
-    newDelta.write.mode("overwrite").parquet(deltaPath(dir, next))
-    commit(spark, dir, mainGen, next) // atomic MANIFEST swap = commit point
+    writeDelta(newDelta, deltaPath(dir, next))
+    commit(spark, dir, mainGen, next, layout) // atomic MANIFEST swap = commit point
     val prev = segGen
     segGen = next
     rm(fs, tombPath(dir, prev)); rm(fs, deltaPath(dir, prev))
   }
 
-  /** Fold delta + tombstones into a fresh term-sorted main. */
+  /** Delta files keep the layout's pruning: cell-partitioned stores
+    * write delta under `cell_id=` dirs too, so probes prune BOTH the
+    * main and the not-yet-compacted rows at storage level. */
+  private def writeDelta(df: DataFrame, path: String): Unit = layout match {
+    case PostingStore.CellLayout =>
+      df.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    case _ => df.write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold delta + tombstones into a fresh main in the store's layout. */
   def compact(numPartitions: Int = 32): Unit = {
     val nextMain = mainGen + 1
     val nextSeg = segGen + 1 // no files at nextSeg ⇒ empty segments
-    PostingIndex.save(view, mainPath(dir, nextMain), numPartitions)
-    commit(spark, dir, nextMain, nextSeg)
+    PostingStore.writeMain(view, mainPath(dir, nextMain), layout, numPartitions)
+    commit(spark, dir, nextMain, nextSeg, layout)
     val (pm, ps) = (mainGen, segGen)
     mainGen = nextMain; segGen = nextSeg
     rm(fs, mainPath(dir, pm)); rm(fs, tombPath(dir, ps)); rm(fs, deltaPath(dir, ps))
@@ -108,6 +118,22 @@ final class PostingStore private (spark: SparkSession, dir: String,
 }
 
 object PostingStore {
+
+  /** Term-sorted layout ([[PostingIndex.save]]): pushed term filters +
+    * row-group pruning. The default; what every text/tag store uses. */
+  val TermLayout = "term"
+  /** Cell-partitioned layout (`partitionBy("cell_id")`): rows land in
+    * `cell_id=<n>/` dirs, probes prune at the partition level. Used by
+    * the maintained IVF store ([[graft.pipeline.Ann.initIvfStore]]). */
+  val CellLayout = "cell"
+
+  private[text] def writeMain(df: DataFrame, path: String, layout: String,
+                              numPartitions: Int): Unit = layout match {
+    case TermLayout => PostingIndex.save(df, path, numPartitions)
+    case CellLayout =>
+      df.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    case other => throw new IllegalArgumentException(s"unknown layout: $other")
+  }
 
   private def mainPath(dir: String, g: Int) = s"$dir/main/g$g"
   private def deltaPath(dir: String, g: Int) = s"$dir/delta/v$g"
@@ -133,32 +159,39 @@ object PostingStore {
     * and HDFS, so a reader (or a crash) sees the old or the new
     * manifest, never a torn one. */
   private def commit(spark: SparkSession, dir: String,
-                     mainGen: Int, segGen: Int): Unit = {
+                     mainGen: Int, segGen: Int,
+                     layout: String = TermLayout): Unit = {
     val fs = FileSystem.get(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$dir/MANIFEST.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$mainGen $segGen".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$mainGen $segGen $layout".getBytes("UTF-8")) finally out.close()
     fs.delete(manifestPath(dir), false)
     if (!fs.rename(tmp, manifestPath(dir)))
       throw new java.io.IOException(s"MANIFEST commit failed at $dir")
   }
 
-  private def readManifest(fs: FileSystem, dir: String): (Int, Int) = {
+  /** (mainGen, segGen, layout); two-token manifests predate layouts —
+    * they are all term stores. */
+  private def readManifest(fs: FileSystem, dir: String): (Int, Int, String) = {
     val in = fs.open(manifestPath(dir))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-    val Array(m, s) = txt.trim.split(" ")
-    (m.toInt, s.toInt)
+    txt.trim.split(" ") match {
+      case Array(m, s) => (m.toInt, s.toInt, TermLayout)
+      case Array(m, s, l) => (m.toInt, s.toInt, l)
+      case _ => throw new java.io.IOException(s"torn MANIFEST at $dir")
+    }
   }
 
   /** Create a store at `dir` from an initial posting relation (e.g.
     * [[PostingIndex.build]] over the backfilled corpus). */
   def init(spark: SparkSession, posting: DataFrame, dir: String,
-           numPartitions: Int = 32): PostingStore = {
-    PostingIndex.save(posting, mainPath(dir, 0), numPartitions)
-    commit(spark, dir, 0, 0)
-    new PostingStore(spark, dir, 0, 0)
+           numPartitions: Int = 32,
+           layout: String = TermLayout): PostingStore = {
+    writeMain(posting, mainPath(dir, 0), layout, numPartitions)
+    commit(spark, dir, 0, 0, layout)
+    new PostingStore(spark, dir, 0, 0, layout)
   }
 
   /**
@@ -172,7 +205,7 @@ object PostingStore {
   def open(spark: SparkSession, dir: String): PostingStore = {
     val fs = FileSystem.get(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
-    val (mainGen, segGen) = readManifest(fs, dir)
+    val (mainGen, segGen, layout) = readManifest(fs, dir)
     def gc(sub: String, prefix: String, live: Int): Unit = {
       val p = new Path(s"$dir/$sub")
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
@@ -182,6 +215,6 @@ object PostingStore {
       }
     }
     gc("main", "g", mainGen); gc("delta", "v", segGen); gc("tomb", "v", segGen)
-    new PostingStore(spark, dir, mainGen, segGen)
+    new PostingStore(spark, dir, mainGen, segGen, layout)
   }
 }

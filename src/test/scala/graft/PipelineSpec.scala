@@ -163,6 +163,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.exists(p => p._1 == "1" && p._2 == "2"))
   }
 
+  test("maintained IVF: full-probe view == exact KNN after churn; reopen + pruning hold") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    val ivf = Ann.initIvfStore(embs.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", nCells = 8, path)
+
+    // DISJOINT change sets (the store contract is one op per key per
+    // batch — Ingest.dedupePerKey guarantees it upstream): adds the
+    // held-out third, shifts %10==1 of the rest, deletes %7==2 of what
+    // remains
+    val isAdd = col("vec_id") % 3 === 0
+    val isUpd = !isAdd && col("vec_id") % 10 === 1
+    val isDel = !isAdd && col("vec_id") % 10 =!= 1 && col("vec_id") % 7 === 2
+    val adds = embs.filter(isAdd)
+      .select(lit("upsert").as("op"), col("vec_id").cast("string").as("__key"),
+        col("embedding").cast("array<float>").as("vec"))
+    val updates = embs.filter(isUpd)
+      .select(lit("upsert").as("op"), col("vec_id").cast("string").as("__key"),
+        expr("transform(embedding, x -> cast(x + 10.0 as float))").as("vec"))
+    val deletes = embs.filter(isDel)
+      .select(lit("delete").as("op"), col("vec_id").cast("string").as("__key"),
+        lit(null).cast("array<float>").as("vec"))
+    ivf.applyBatch(adds.unionByName(updates).unionByName(deletes))
+
+    // the corpus the changes describe
+    val merged = embs.filter(!isDel)
+      .select(col("vec_id").cast("string").as("__key"),
+        when(isUpd, expr("transform(embedding, x -> cast(x + 10.0 as float))"))
+          .otherwise(col("embedding").cast("array<float>")).as("vec"))
+    val q = Array.tabulate(64)(i => math.cos(i * 0.37).toFloat)
+    // full probes ⇒ maintained view must EQUAL exact KNN (keys + order)
+    val got = ivf.view.search(q, k = 15, nProbe = 8, metric = "L2")
+      .collect().map(_.getString(0)).toSeq
+    val exact = Ann.topK(merged, "__key", "vec", q, k = 15, metric = "L2")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == exact, s"maintained IVF diverged from exact\n$got\n$exact")
+
+    // reopen from disk (manifest) — same result
+    val re = Ann.openIvfStore(spark, path)
+    assert(re.view.search(q, k = 15, nProbe = 8, metric = "L2")
+      .collect().map(_.getString(0)).toSeq == got)
+
+    // partition pruning reaches BOTH branches: a 2-probe search scans
+    // only the probed cell_id dirs of main and delta
+    val pruned = re.view.search(q, k = 5, nProbe = 2, metric = "L2")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("cell_id"), s"no partition filter:\n$pruned")
+
+    // compaction keeps the view identical and empties the segments
+    re.store.compact()
+    assert(re.store.deltaSize == 0 && re.store.tombSize == 0)
+    assert(re.view.search(q, k = 15, nProbe = 8, metric = "L2")
+      .collect().map(_.getString(0)).toSeq == got)
+  }
+
   test("IVF search: nProbe=all equals exact top-k; nProbe=2 has sane recall") {
     val dir = "/root/testdata/sf0.001"
     val embs = Fixtures.table(spark, dir, "embeddings")
