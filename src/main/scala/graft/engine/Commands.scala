@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.model._
 import graft.query.{ExprParseException, ParamValue, StringParam}
+import graft.streaming.IndexMaintainer
 
 /**
  * Command-string front-end: the reference's full client API surface
@@ -23,6 +24,17 @@ import graft.query.{ExprParseException, ParamValue, StringParam}
 final class Commands(
     engine: SearchEngine,
     source: Seq[String] => (DataFrame, Column)) {
+
+  // Maintainers created by FT.CREATE MAINTAIN — retrieved by the caller
+  // to wire into the ingest stream (Ingest.start(onBatch = _)); the
+  // argv analogue of the reference attaching per-field indexes at
+  // create time and updating them per mutation (index_schema.cc:964).
+  private val maintainerByIndex =
+    scala.collection.concurrent.TrieMap.empty[String, IndexMaintainer]
+
+  /** The maintainer FT.CREATE MAINTAIN registered for an index. */
+  def maintainer(indexName: String): Option[IndexMaintainer] =
+    maintainerByIndex.get(indexName)
 
   private final class Args(tokens: Seq[String]) {
     private var i = 0
@@ -61,6 +73,7 @@ final class Commands(
     var prefixes: Seq[String] = Nil
     var skipScan = false
     var postingsDir: Option[String] = None
+    var maintainDir: Option[String] = None
     var score = 1.0
     var scoreField: Option[String] = None
     // Index-level text options (reference ft_create_parser.cc:640-725):
@@ -101,6 +114,12 @@ final class Commands(
         // register term-sorted posting relations for every TEXT/TAG
         // field under the given directory.
         case "POSTINGS" => a.next(); postingsDir = Some(a.next())
+        // Engine extension: build + register EVERY maintainable derived
+        // index (term/suffix posting stores, NSW graphs) under the given
+        // directory and keep a registered IndexMaintainer — the argv
+        // reach into the incremental layer ([[IndexMaintainer.forIndex]];
+        // wire `maintainer(name).get.onBatch` into Ingest.start).
+        case "MAINTAIN" => a.next(); maintainDir = Some(a.next())
         // Engine extension: ICU-parity full case folding (ß→ss class);
         // the reference always folds this way (unicode_normalizer.cc),
         // here it is opt-in to keep existing simple-fold indexes stable.
@@ -201,6 +220,17 @@ final class Commands(
     // index_schema.cc:1244-1263); a full initial scan means ready.
     if (skipScan) engine.reportBackfill(name, 0L, 1L)
     postingsDir.foreach(d => engine.buildPostings(name, d))
+    // docsSource re-resolves the bound source per batch (a parquet-backed
+    // DataFrame pins its file list at creation; a stale handle would miss
+    // the batch's writes) with the key column pre-applied — onBatch's
+    // enrich path keys off schema.keyColumn when present.
+    maintainDir.foreach { d =>
+      maintainerByIndex(name) = IndexMaintainer.forIndex(engine, name, d,
+        docsSource = Some(() => {
+          val (raw2, key2) = source(prefixes)
+          raw2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
+        }))
+    }
     "OK"
   }
 

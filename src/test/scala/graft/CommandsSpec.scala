@@ -268,6 +268,40 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noSort.rows.forall(_.getString(1) == "#"))
   }
 
+  test("FT.CREATE MAINTAIN registers an IndexMaintainer; batches reflect without re-create") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cmd-maintain").toString
+    // the intended deployment: the index binds to an Ingest-maintained
+    // state dir, MAINTAIN keeps the derived indexes fresh per batch
+    val statePath = s"$tmp/state"
+    graft.streaming.Ingest.backfill(
+      Seq(("d1", "hash join plan"), ("d2", "sort merge join"))
+        .toDF("__key", "txt"), statePath, nBuckets = 4)
+    val c2 = new Commands(engine,
+      _ => (graft.streaming.Ingest.readState(spark, statePath), col("__key")))
+    c2.execute(Seq("FT.CREATE", "maint_idx", "MAINTAIN", s"$tmp/derived",
+      "SCHEMA", "txt", "TEXT"))
+    assert(c2.maintainer("maint_idx").isDefined)
+    assert(c2.maintainer("no_such_idx").isEmpty)
+    // term queries route through the registered maintained posting view
+    assert(c2.execute(Seq("FT.SEARCH", "maint_idx", "@txt:hash"))
+      .asInstanceOf[SearchEngine.SearchReply].total == 1)
+    // one change batch (Ingest contract: state commits first, then
+    // onBatch): d3 adds, d1 dies — visible through FT.SEARCH with no
+    // FT.CREATE / rebuild in between
+    val batch = Seq(
+      ("upsert", "d3", "hash aggregate path", 1L),
+      ("delete", "d1", null.asInstanceOf[String], 2L))
+      .toDF("op", "__key", "txt", "__seq")
+    graft.streaming.Ingest.backfill(
+      Seq(("d2", "sort merge join"), ("d3", "hash aggregate path"))
+        .toDF("__key", "txt"), statePath, nBuckets = 4)
+    c2.maintainer("maint_idx").get.onBatch(batch)
+    val after = c2.execute(Seq("FT.SEARCH", "maint_idx", "@txt:hash", "NOCONTENT"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(after.rows.map(_.getString(0)).toSet == Set("d3"))
+  }
+
   test("NOOFFSETS: phrase queries are rejected, terms still work") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("d1", "hash join plan")).toDF("pk", "txt")
