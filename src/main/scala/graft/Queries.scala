@@ -590,9 +590,15 @@ object Queries {
       val sfxStore = graft.text.PostingStore.init(spark,
         graft.text.PostingIndex.buildSuffixes(enrichedBase, schema, "text"),
         s"$storeDir/__suffix")
+      // positional store: phrase adjacency maintained through the same
+      // batches — phrase routing must track churn too
+      val posStore = graft.text.PostingStore.init(spark,
+        graft.text.PostingIndex.buildPositions(enrichedBase, schema, "text"),
+        s"$storeDir/__pos")
       val maintainer = new graft.streaming.IndexMaintainer(e, "documents_inc",
         schema, postingStores = Map("text" -> store),
-        suffixStores = Map("text" -> sfxStore)).register()
+        suffixStores = Map("text" -> sfxStore),
+        positionalStores = Map("text" -> posStore)).register()
       maintainer.onBatch(raw.filter(col("doc_id") % 3 === 0)
         .withColumn("op", lit("upsert"))
         .withColumn("__key", col("doc_id").cast("string"))
@@ -677,13 +683,19 @@ object Queries {
         |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),
     (
-      // P9 via X2: a phrase-only query fetches candidates from the
-      // RAREST phrase word's stem posting (a doc holding original word
-      // w necessarily carries stemToken(w) — superset fetch) and the
-      // columnar phrase predicate verifies adjacency. At 100 TB a
-      // phrase query reads one posting slice, never the corpus.
-      // ("dup" is ~5% of docs at every SF, so the fetch passes the
-      // cardinality guard; "agg" alone is ~76% and must NOT drive it.)
+      // P9 via positional postings (reference postings-with-offsets,
+      // text_index.h:57-88): the phrase's per-word occurrence slices
+      // come from the SAVED term-sorted positional posting (pushed
+      // EqualTo per word) and adjacency resolves posting-side by
+      // chained (__key, pos + i) semi-joins — no document text is read
+      // to find candidates. At 100 TB a phrase query reads its words'
+      // posting slices, never the corpus. ("dup" is ~5% of docs at
+      // every SF, so the min-occurrence estimate passes the cardinality
+      // guard.) The stem-posting superset-fetch fallback — used when an
+      // index has term postings but no positional ones — is spec-pinned
+      // in PostingIndexSpec. Oracle = the same phrase over the joined
+      // token stream: posting-side adjacency must equal the columnar
+      // semantics exactly.
       "q_phrase_posting",
       (s: SparkSession, dir: String) =>
         postingEng(s, dir).search("documents_pi", "@text:\"agg dup\"",
@@ -743,6 +755,21 @@ object Queries {
         |WHERE len(list_filter(string_split(text, ' '), w -> w LIKE 'du%')) > 0
         |  AND lower(lang) = 'en' AND doc_id % 13 <> 0
         |ORDER BY __key ASC LIMIT 300""".stripMargin
+    ),
+    (
+      // S1 phrase maintenance: adjacency served by the MAINTAINED
+      // positional store view. Deleted docs are still in the scanned
+      // relation and still contain the phrase columnar-side — only
+      // correct positional tombstones (and live routing; a scan
+      // fallback would re-admit them) keep them out.
+      "q_incremental_phrase",
+      (s: SparkSession, dir: String) =>
+        incTextEng(s, dir).search("documents_inc", "@text:\"agg dup\"",
+          SearchOptions(limit = (0, 300), noContent = true)),
+      s"""SELECT CAST(doc_id AS VARCHAR) AS __key
+         |FROM documents
+         |WHERE contains($docJoinedSql, ' agg dup ') AND doc_id % 13 <> 0
+         |ORDER BY __key ASC LIMIT 300""".stripMargin
     ),
     (
       // S1 vector maintenance: match-all KNN through the MAINTAINED NSW

@@ -74,6 +74,8 @@ class SearchEngine {
   private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
   private val suffixPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
   private val tokenStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
+  private val posPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
+  private val posStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
   /** Estimated cardinalities of the last query's routed conjuncts, in
     * semi-join order (ascending = min-child first). Planner telemetry
     * for specs; not part of the public surface. */
@@ -124,6 +126,27 @@ class SearchEngine {
   def registerTokenStats(indexName: String, field: String,
                          counts: Map[String, Long]): this.type = {
     tokenStats((indexName, field)) = counts
+    this
+  }
+
+  /** Attach a positional posting ([[graft.text.PostingIndex
+    * .buildPositions]], the WITHOFFSETS analogue — text_index.h:57-88
+    * keeps word positions in each posting): Phrase predicates then
+    * resolve adjacency posting-side (per-word slices chained on
+    * `(__key, pos + i)`) instead of fetching a superset slice and
+    * reading candidate documents' text. */
+  def registerPositionalPosting(indexName: String, field: String,
+                                posting: DataFrame): this.type = {
+    posPostings((indexName, field)) = posting
+    posStats.remove((indexName, field))
+    this
+  }
+
+  /** Per-term OCCURRENCE counts for a positional posting (≥ document
+    * frequency — a sound upper bound for the routing guard). */
+  def registerPositionalStats(indexName: String, field: String,
+                              counts: Map[String, Long]): this.type = {
+    posStats((indexName, field)) = counts
     this
   }
 
@@ -182,6 +205,16 @@ class SearchEngine {
             registerSuffixPosting(indexName, fd.alias, sLoaded)
             collectStats(sLoaded.filter(col("full")))
               .foreach(registerTokenStats(indexName, fd.alias, _))
+          }
+          // WITHOFFSETS (default, ft_create_parser.cc:98-99): positional
+          // posting so phrases resolve adjacency posting-side — the
+          // reference always stores offsets unless NOOFFSETS
+          if (schema.analyzer.withOffsets) {
+            val pLoaded = saveLoad(
+              graft.text.PostingIndex.buildPositions(docs, schema, fd.alias),
+              s"$dir/${fd.alias}__pos")
+            registerPositionalPosting(indexName, fd.alias, pLoaded)
+            collectStats(pLoaded).foreach(registerPositionalStats(indexName, fd.alias, _))
           }
         case _: TagField =>
           val loaded = saveLoad(
@@ -255,6 +288,8 @@ class SearchEngine {
     postingStats.filterInPlace { case ((idx, _), _) => idx != name }
     suffixPostings.filterInPlace { case ((idx, _), _) => idx != name }
     tokenStats.filterInPlace { case ((idx, _), _) => idx != name }
+    posPostings.filterInPlace { case ((idx, _), _) => idx != name }
+    posStats.filterInPlace { case ((idx, _), _) => idx != name }
     ()
   }
 
@@ -428,6 +463,48 @@ class SearchEngine {
           .map(fa => suffixPostings((schema.name, fa)).filter(cond)
             .select(col("__key").as(schema.keyColumn)))
           .reduce(_ unionByName _)
+      // Positional route (WITHOFFSETS postings — the reference keeps
+      // word positions inside each posting, text_index.h:57-88, and its
+      // phrase iterator walks them): a phrase's targets are ALL text
+      // fields when unfielded, so routing requires a positional posting
+      // on every target.
+      def phraseFields(field: Option[String]): Option[Seq[String]] = {
+        val tfs = field.map(Seq(_)).getOrElse(schema.textFields.map(_.alias))
+        if (tfs.nonEmpty &&
+            tfs.forall(f => posPostings.contains((schema.name, f))))
+          Some(tfs)
+        else None
+      }
+      /** Adjacency posting-side: each word's slice carries positions
+        * normalized to the phrase anchor (`pos - wordIndex`), so a
+        * match is keys sharing one anchor position across ALL words —
+        * chained (__key, anchor) semi-joins. Slices join RAREST-first
+        * (min-child inside the phrase, reference X2): the running set
+        * starts at the smallest slice instead of dragging a common
+        * word's occurrences through the chain. Every slice is a pushed
+        * EqualTo on term-sorted parquet; no document text is read. The
+        * columnar verify below owns final semantics. */
+      def phraseKeys(fields: Seq[String], words: Seq[String]): DataFrame = {
+        val folded = words.map(w => Analyzer.caseFold(w, analyzerCfg))
+        fields.map { fa =>
+          val pp = posPostings((schema.name, fa))
+          val stats = posStats.get((schema.name, fa))
+          val order = stats match {
+            case Some(m) => folded.indices.sortBy(i => m.getOrElse(folded(i), 0L))
+            case None => folded.indices
+          }
+          def slice(i: Int): DataFrame = pp.filter(col("term") === folded(i))
+          val head = slice(order.head)
+            .select(col("__key"), (col("pos") - order.head).as("__anchor"))
+          order.tail.foldLeft(head) { case (acc, i) =>
+            val nxt = slice(i)
+              .select(col("__key").as("__key_r"), (col("pos") - i).as("__anchor_r"))
+            acc.join(nxt,
+              acc("__key") === nxt("__key_r") && acc("__anchor") === nxt("__anchor_r"),
+              "left_semi")
+          }.select(col("__key").as(schema.keyColumn))
+        }.reduce(_ unionByName _)
+      }
       /** Key relation for a posting-servable sub-tree, None if any leaf
         * needs the columnar scan. */
       def keysFor(p: Predicate): Option[DataFrame] = p match {
@@ -456,13 +533,20 @@ class SearchEngine {
         case Infix(f, in) if suffixFields(f).isDefined =>
           Some(suffixKeys(suffixFields(f).get)(col("term").startsWith(
             Analyzer.caseFold(in, analyzerCfg))))
-        // Phrase: a doc holding original word w necessarily has
-        // stemToken(w) in its stem set, so the term posting of any
-        // phrase word is a SUPERSET fetch for the phrase — fetch on the
-        // RAREST word (min-child, reference X2) and let the columnar
-        // phrase predicate verify adjacency. Stop words never reach the
-        // stem posting (analyzer drops them), so they can't drive the
-        // fetch; an all-stop-word phrase keeps the scan.
+        // Phrase, positional route: every word's occurrence slice
+        // exists in the positional posting (terms are the post-stop-word
+        // token stream), so adjacency resolves entirely posting-side —
+        // including correctly-empty results for phrases containing stop
+        // words or out-of-vocabulary words (their slices are empty).
+        case Phrase(f, words) if phraseFields(f).isDefined =>
+          Some(phraseKeys(phraseFields(f).get, words))
+        // Phrase, stem-posting fallback: a doc holding original word w
+        // necessarily has stemToken(w) in its stem set, so the term
+        // posting of any phrase word is a SUPERSET fetch for the phrase
+        // — fetch on the RAREST word (min-child, reference X2) and let
+        // the columnar phrase predicate verify adjacency. Stop words
+        // never reach the stem posting (analyzer drops them), so they
+        // can't drive the fetch; an all-stop-word phrase keeps the scan.
         case Phrase(f, words) if postingFields(f).isDefined =>
           val cand = words.map(w => Analyzer.caseFold(w, analyzerCfg))
             .filterNot(analyzerCfg.stopWords.contains)
@@ -523,6 +607,17 @@ class SearchEngine {
           Analyzer.caseFold(sfx, analyzerCfg), (tok, v) => tok.endsWith(v))
         case Infix(f, in) => patternEstimate(suffixFields(f).get,
           Analyzer.caseFold(in, analyzerCfg), (tok, v) => tok.contains(v))
+        case Phrase(f, words) if phraseFields(f).isDefined =>
+          // positional route: the adjacency chain's output ⊆ every
+          // word's occurrence slice — min occurrence count bounds it
+          val fields = phraseFields(f).get
+          val per = words.map(w => Analyzer.caseFold(w, analyzerCfg)).map { w =>
+            val counts = fields.map(fa =>
+              posStats.get((schema.name, fa)).map(_.getOrElse(w, 0L)))
+            if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+          }
+          if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.min)
+          else None
         case Phrase(f, words) =>
           // the fetch is the rarest word's stem slice: its estimate IS
           // the fetched-relation size (an upper bound on phrase hits)

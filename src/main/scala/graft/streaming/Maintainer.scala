@@ -86,6 +86,16 @@ object IndexMaintainer {
         fd.alias -> store(fd.alias,
           PostingIndex.buildSuffixes(docs, schema, fd.alias), "__suffix")
     }.toMap
+    // WITHOFFSETS (the default): positional postings so phrases resolve
+    // adjacency posting-side (text_index.h:57-88 keeps offsets in RAM;
+    // NOOFFSETS indexes reject phrases, so no store to maintain)
+    val posStores =
+      if (!schema.analyzer.withOffsets) Map.empty[String, PostingStore]
+      else schema.fields.collect {
+        case fd if fd.ftype.isInstanceOf[TextField] =>
+          fd.alias -> store(fd.alias,
+            PostingIndex.buildPositions(docs, schema, fd.alias), "__pos")
+      }.toMap
     val graphs = schema.fields.collect {
       case fd if fd.ftype.isInstanceOf[VectorField] =>
         val vf = fd.ftype.asInstanceOf[VectorField]
@@ -94,7 +104,7 @@ object IndexMaintainer {
           m = vf.hnswM, efConstruction = vf.efConstruction)
     }.toMap
     new IndexMaintainer(engine, indexName, schema, termStores, graphs,
-      docsSource, compactRowThreshold, sfxStores).register()
+      docsSource, compactRowThreshold, sfxStores, posStores).register()
   }
 }
 
@@ -111,7 +121,10 @@ final class IndexMaintainer(
     // registered suffix posting would go stale under ingest and
     // pattern routing would MISS new documents (fetch-then-verify can
     // drop false positives but cannot resurrect unfetched keys).
-    suffixStores: Map[String, PostingStore] = Map.empty) {
+    suffixStores: Map[String, PostingStore] = Map.empty,
+    // Positional stores (WITHOFFSETS fields): same staleness argument —
+    // a stale positional posting would miss new documents' phrases.
+    positionalStores: Map[String, PostingStore] = Map.empty) {
 
   private val ann = scala.collection.mutable.HashMap.from(annIndexes)
 
@@ -150,6 +163,8 @@ final class IndexMaintainer(
     (f, m) => { engine.registerPostingStats(indexName, f, m); () })
   private val tokenStats = new GuardStats(
     (f, m) => { engine.registerTokenStats(indexName, f, m); () })
+  private val positionStats = new GuardStats(
+    (f, m) => { engine.registerPositionalStats(indexName, f, m); () })
 
   /** Apply one batch's rows to a store: stats sample before the rows
     * are consumed, LSM apply, threshold compaction, view + stats
@@ -188,6 +203,10 @@ final class IndexMaintainer(
       engine.registerSuffixPosting(indexName, f, s.view)
       tokenStats.exact(f, s.view.filter(col("full")))
     }
+    positionalStores.foreach { case (f, s) =>
+      engine.registerPositionalPosting(indexName, f, s.view)
+      positionStats.exact(f, s.view)
+    }
     ann.foreach { case (f, idx) => engine.registerAnn(indexName, f, idx) }
     this
   }
@@ -195,7 +214,7 @@ final class IndexMaintainer(
   /** The `onBatch` hook for [[Ingest.start]]. */
   def onBatch(batch: DataFrame): Unit = {
     if (postingStores.isEmpty && suffixStores.isEmpty && ann.isEmpty &&
-        docsSource.isEmpty) return
+        positionalStores.isEmpty && docsSource.isEmpty) return
     val upserts = batch.filter(col("op") === "upsert").drop("op", "__seq")
     val enriched = Documents.enrich(upserts, schema)
     val changedKeys = batch.select(col("__key").cast("string").as("__key"))
@@ -218,6 +237,15 @@ final class IndexMaintainer(
         PostingIndex.buildSuffixes(enriched, schema, field), changedKeys,
         tokenStats, _.filter(col("full")),
         v => { engine.registerSuffixPosting(indexName, field, v); () })
+    }
+
+    positionalStores.foreach { case (field, store) =>
+      require(schema.fieldOrFail(field).ftype.isInstanceOf[TextField],
+        s"positional maintenance needs TEXT, $field is not")
+      maintainStore(field, store,
+        PostingIndex.buildPositions(enriched, schema, field), changedKeys,
+        positionStats, identity,
+        v => { engine.registerPositionalPosting(indexName, field, v); () })
     }
 
     ann.keys.toSeq.foreach { field =>

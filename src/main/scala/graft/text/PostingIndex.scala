@@ -88,6 +88,32 @@ object PostingIndex {
       .drop("tok")
   }
 
+  /**
+   * Positional posting for a TEXT field — the storage form of the
+   * reference's postings-with-offsets (src/indexes/text/text_index.h:
+   * 57-88 keeps word positions inside each posting; WITHOFFSETS,
+   * ft_create_parser.cc:98-99). One row per token OCCURRENCE:
+   * `(term, __key, pos)`, where `term` is the case-folded ORIGINAL
+   * token (post stop-word — the stream phrase adjacency is defined
+   * over) and `pos` its post-stop-word position.
+   *
+   * A phrase `w1 … wn` then resolves entirely posting-side: fetch each
+   * word's slice (pushed EqualTo on the term-sorted parquet) and chain
+   * semi-joins on `(__key, pos + i)` — adjacency in the token stream ⟺
+   * consecutive positions ([[Analyzer.tokenize]] assigns positions
+   * after stop-word removal). No document text is read to find
+   * candidates; the columnar verify then runs only on true matches.
+   *
+   * Size is one row per corpus token occurrence — the same
+   * space-for-navigation trade the reference's offset postings make.
+   */
+  def buildPositions(enrichedDocs: DataFrame, schema: IndexSchema,
+                     fieldAlias: String): DataFrame =
+    enrichedDocs
+      .select(col(schema.keyColumn).as("__key"),
+        explode(col(schema.tokensCol(fieldAlias))).as("tp"))
+      .select(col("tp._1").as("term"), col("__key"), col("tp._2").as("pos"))
+
   /** Term-sorted parquet layout: row-group/file stats prune lookups. */
   def save(posting: DataFrame, path: String, numPartitions: Int = 32): Unit =
     posting

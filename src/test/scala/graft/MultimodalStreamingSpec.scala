@@ -418,6 +418,11 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(term.collect().map(_.getAs[String]("__key")).toSeq == Seq("k2"))
     assert(keys("@cat:{tools}").toSet == Set("k1", "k3"))
     assert(keys("@body:*dow").toSet == Set("k1", "k2", "k3"))
+    // phrase served by the factory-built POSITIONAL posting
+    val phr = engine.search("auto", "@body:\"window cleaner\"",
+      graft.engine.SearchOptions(noContent = true))
+    assert(phr.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(phr.collect().map(_.getAs[String]("__key")).toSeq == Seq("k1"))
     val knnOpts = graft.engine.SearchOptions(limit = (0, 1),
       params = Map("q" -> graft.query.VectorParam(Array(0f, 0f, 0f, 1f))))
     assert(keys("*=>[KNN 1 @emb $q EF_RUNTIME 50]", knnOpts) == Seq("k1"))
@@ -439,6 +444,10 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys("@body:kite") == Seq("k2"))                // new term
     assert(keys("@body:*dow").toSet == Set("k1", "k5"))    // window, widow
     assert(keys("@cat:{tools}").toSet == Set("k1", "k5"))  // k3 deleted
+    // maintained positional posting: the new doc's phrase matches, a
+    // superseded doc's phrase does not
+    assert(keys("@body:\"widow spider\"") == Seq("k5"))
+    assert(keys("@body:\"shadow puppet\"").isEmpty)
     val knn2 = graft.engine.SearchOptions(limit = (0, 2),
       params = Map("q" -> graft.query.VectorParam(Array(1f, 0f, 0f, 0f))))
     val top = keys("*=>[KNN 2 @emb $q EF_RUNTIME 50]", knn2)

@@ -171,18 +171,23 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(narrow.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   }
 
-  test("phrase routes via the rarest word's stem posting (superset fetch + verify)") {
+  test("phrase routes via positional postings (adjacency posting-side)") {
     val e = Fixtures.engine(spark, sf)
     e.buildPostings("documents",
       java.nio.file.Files.createTempDirectory("graft-pi-phrase").toString)
     val plain = Fixtures.engine(spark, sf)
     val opts = SearchOptions(limit = (0, 300), noContent = true)
 
-    // "dup" (~5% of docs) drives the fetch under the DEFAULT guard;
-    // "agg" (~76%) must not — and the phrase itself stays exact
+    // buildPostings registered a positional posting (WITHOFFSETS is the
+    // index default), so the phrase fetch is the per-word slices chained
+    // on (__key, pos + i) — both words' EqualTo must reach the posting
+    // parquet, and "dup"'s min-occurrence estimate admits the route
     val routed = e.search("documents", "@text:\"agg dup\"", opts)
     assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
-      "phrase did not route through a term posting")
+      "phrase did not route through the positional posting")
+    val phys = routed.queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(term,agg)") && phys.contains("EqualTo(term,dup)"),
+      s"per-word slices not pushed:\n$phys")
     val exp = plain.search("documents", "@text:\"agg dup\"", opts)
       .collect().map(_.getString(0)).toSeq
     assert(routed.collect().map(_.getString(0)).toSeq == exp && exp.nonEmpty)
@@ -200,6 +205,70 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(!common.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
     assert(common.collect().map(_.getString(0)).toSeq ==
       plain.search("documents", "@text:\"hash join\"", opts)
+        .collect().map(_.getString(0)).toSeq)
+  }
+
+  test("positional adjacency is exact posting-side (order, gaps, stop words)") {
+    val sp = spark; import sp.implicits._
+    val schema = graft.model.IndexSchema("phr", Seq(
+      graft.model.FieldDef("txt", graft.model.TextField())))
+    val docs = graft.sources.Documents.enrich(Seq(
+      ("d1", "alpha beta gamma"),     // phrase in order
+      ("d2", "beta alpha gamma"),     // reversed — no match
+      ("d3", "alpha filler beta"),    // gap — no match
+      ("d4", "alpha the beta"),       // stop word removed → adjacent again
+      ("d5", "gamma alpha beta"))     // phrase at the end
+      .toDF("__key", "txt"), schema)
+    val e = new SearchEngine
+    e.createIndex(schema, docs, resident = true)
+    e.buildPostings("phr",
+      java.nio.file.Files.createTempDirectory("graft-pi-adj").toString)
+    e.postingRouteMaxSelectivity = 1.0 // tiny corpus: mechanics, not planning
+    val plain = new SearchEngine
+    plain.createIndex(schema, docs, resident = true)
+    val opts = SearchOptions(limit = (0, 10), noContent = true)
+
+    def keys(eng: SearchEngine, q: String) =
+      eng.search("phr", q, opts).collect().map(_.getString(0)).toSet
+    // adjacency after stop-word removal: d4's "the" drops, so
+    // alpha/beta sit at consecutive positions (the same stream the
+    // columnar __joined verify is defined over)
+    val q2 = "@txt:\"alpha beta\""
+    assert(keys(e, q2) == Set("d1", "d4", "d5") && keys(e, q2) == keys(plain, q2))
+    val routedPlan = e.search("phr", q2, opts).queryExecution.optimizedPlan.toString
+    assert(routedPlan.contains("LeftSemi"), "tiny phrase did not route")
+    // 3-word phrase: two chained position joins
+    val q3 = "@txt:\"alpha beta gamma\""
+    assert(keys(e, q3) == Set("d1") && keys(e, q3) == keys(plain, q3))
+    // a phrase QUOTING a stop word matches nothing (the indexed stream
+    // has no stop words) — the positional route is exact-empty here too
+    val qs = "@txt:\"alpha the\""
+    assert(keys(e, qs) == Set.empty && keys(plain, qs) == Set.empty)
+  }
+
+  test("phrase falls back to the rarest stem posting without positional postings") {
+    val e = Fixtures.engine(spark, sf)
+    val (schema, docs) = e.index("documents")
+    val p = PostingIndex.build(docs, schema, "text")
+    e.registerPosting("documents", "text", p)
+    e.registerPostingStats("documents", "text",
+      p.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val plain = Fixtures.engine(spark, sf)
+    val opts = SearchOptions(limit = (0, 300), noContent = true)
+
+    // no positional posting registered → superset fetch on the rarest
+    // word's stem slice ("dup", ~5%), columnar verify owns adjacency
+    val routed = e.search("documents", "@text:\"agg dup\"", opts)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "stem fallback did not route")
+    // (the posting is registered unsaved here, so the term filter shows
+    // as an in-plan Filter over the explode, not a parquet PushedFilter)
+    val phys = routed.queryExecution.executedPlan.toString
+    assert(phys.contains(" = dup)") && !phys.contains(" = agg)"),
+      s"fetch should be the rarest word's slice only:\n$phys")
+    assert(routed.collect().map(_.getString(0)).toSeq ==
+      plain.search("documents", "@text:\"agg dup\"", opts)
         .collect().map(_.getString(0)).toSeq)
   }
 
