@@ -96,9 +96,10 @@ object Analyzer {
    * ẖ ẗ ẘ ẙ ẚ), Greek monotonic (ς→σ, ΐ, ΰ), Armenian ligatures (ﬓ-ﬗ,
    * և) plus the C-folds simple lowercasing misses (µ→μ, ſ→s, İ→i̇).
    * Per-codepoint processing deliberately skips java.lang's contextual
-   * final-sigma rule — folding is context-free. Documented residual
-   * deltas vs ICU: polytonic-Greek iota-subscript F-folds (ᾼ→αι class)
-   * and archaic scripts whose fold targets uppercase (Cherokee).
+   * final-sigma rule — folding is context-free. Cherokee folds to the
+   * UPPERCASE syllabary like ICU (CaseFolding.txt C-entries). Documented
+   * residual delta vs ICU: polytonic-Greek iota-subscript F-folds
+   * (ᾼ→αι class).
    */
   def fullCaseFold(s: String): String = {
     var i = 0
@@ -112,6 +113,14 @@ object Analyzer {
         val cp = s.codePointAt(i)
         val special = SpecialFolds.get(cp)
         if (special.isDefined) sb.append(special.get)
+        // Cherokee folds TO UPPERCASE (Unicode CaseFolding.txt C-entries:
+        // the syllabary predates its lowercase, so ICU folds small
+        // letters up): ꭰ-ꮿ → Ꭰ-Ᏼ and ᏸ-ᏽ → Ᏸ-Ᏽ; uppercase stays.
+        // Without this, java's toLowerCase folds the OPPOSITE way —
+        // self-consistent but byte-divergent from ICU.
+        else if (cp >= 0xAB70 && cp <= 0xABBF) sb.appendCodePoint(cp - 0xAB70 + 0x13A0)
+        else if (cp >= 0x13F8 && cp <= 0x13FD) sb.appendCodePoint(cp - 8)
+        else if (cp >= 0x13A0 && cp <= 0x13F5) sb.appendCodePoint(cp)
         else sb.appendCodePoint(Character.toLowerCase(cp))
         i += Character.charCount(cp)
       }

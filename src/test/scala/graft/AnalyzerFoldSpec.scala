@@ -43,6 +43,19 @@ class AnalyzerFoldSpec extends AnyFunSuite {
     assert(Analyzer.fullCaseFold("ılık") == "ılık")
   }
 
+  test("full fold: Cherokee folds UP to the syllabary (CaseFolding.txt C-entries)") {
+    // ꭰꮃꮣ (small letters, U+AB70 block) fold to Ꭰ-block uppercase —
+    // java's toLowerCase would fold the opposite way
+    assert(Analyzer.fullCaseFold("ꭰꮃꮣ") == "ᎠᎳᏓ")
+    // uppercase syllabary is already the fold target: unchanged
+    assert(Analyzer.fullCaseFold("ᎠᎳᏓ") == "ᎠᎳᏓ")
+    // the archaic-addition range ᏸ-ᏽ folds to Ᏸ-Ᏽ (U+13F8-FD → -8)
+    assert(Analyzer.fullCaseFold("ᏸᏽ") == "ᏰᏵ")
+    // both cases of the same text collide, as under ICU
+    assert(Analyzer.fullCaseFold("ꭰꮃ") ==
+      Analyzer.fullCaseFold("ᎠᎳ"))
+  }
+
   test("full fold is idempotent and ASCII fast path intact") {
     val samples = Seq("Straße", "ﬁle", "ΟΔΟΣ", "İs", "plain ASCII Works")
     samples.foreach { s =>
