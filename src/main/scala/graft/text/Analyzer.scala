@@ -97,9 +97,9 @@ object Analyzer {
    * և) plus the C-folds simple lowercasing misses (µ→μ, ſ→s, İ→i̇).
    * Per-codepoint processing deliberately skips java.lang's contextual
    * final-sigma rule — folding is context-free. Cherokee folds to the
-   * UPPERCASE syllabary like ICU (CaseFolding.txt C-entries). Documented
-   * residual delta vs ICU: polytonic-Greek iota-subscript F-folds
-   * (ᾼ→αι class).
+   * UPPERCASE syllabary like ICU (CaseFolding.txt C-entries), and the
+   * polytonic-Greek iota-subscript F-folds (ᾼ→αι class) derive from
+   * the JDK's canonical-decomposition data.
    */
   def fullCaseFold(s: String): String = {
     var i = 0
@@ -121,12 +121,36 @@ object Analyzer {
         else if (cp >= 0xAB70 && cp <= 0xABBF) sb.appendCodePoint(cp - 0xAB70 + 0x13A0)
         else if (cp >= 0x13F8 && cp <= 0x13FD) sb.appendCodePoint(cp - 8)
         else if (cp >= 0x13A0 && cp <= 0x13F5) sb.appendCodePoint(cp)
+        // Polytonic-Greek iota-subscript F-folds (ᾼ→αι class): derived
+        // from the JDK's own decomposition data instead of a hand table
+        else if (cp >= 0x1F80 && cp <= 0x1FFC && iotaSubscriptFold(cp).isDefined)
+          sb.append(iotaSubscriptFold(cp).get)
         else sb.appendCodePoint(Character.toLowerCase(cp))
         i += Character.charCount(cp)
       }
       sb.toString
     }
   }
+
+  /**
+   * F-fold for a precomposed character carrying COMBINING GREEK
+   * YPOGEGRAMMENI (U+0345): Unicode defines these folds as the base
+   * letter's fold followed by ι (CaseFolding.txt, e.g. ᾼ; F; 03B1 03B9).
+   * Derived from the JDK's canonical-decomposition data — NFD exposes
+   * the 0345 mark, the remainder lowercases and NFC-recomposes back to
+   * the precomposed base ICU emits (ᾷ → ᾶι). Cached per codepoint.
+   */
+  private val iotaFoldCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[String]]()
+  private def iotaSubscriptFold(cp: Int): Option[String] =
+    iotaFoldCache.computeIfAbsent(cp, { cp =>
+      val nfd = java.text.Normalizer.normalize(
+        new String(Character.toChars(cp)), java.text.Normalizer.Form.NFD)
+      if (nfd.indexOf('ͅ') < 0) None
+      else Some(java.text.Normalizer.normalize(
+        nfd.filter(_ != 'ͅ').toLowerCase(java.util.Locale.ROOT),
+        java.text.Normalizer.Form.NFC) + "ι")
+    })
 
   /** Unicode CaseFolding F-entries (+ divergent C-entries) for the
     * Latin / Greek-monotonic / Armenian repertoire. */
@@ -147,6 +171,7 @@ object Analyzer {
     0x0390 -> "ΐ", // ΐ
     0x03B0 -> "ΰ", // ΰ
     0x03C2 -> "σ",         // ς FINAL SIGMA (context-free fold)
+    0x0345 -> "ι",         // bare COMBINING YPOGEGRAMMENI → iota
     0xFB00 -> "ff", 0xFB01 -> "fi", 0xFB02 -> "fl",
     0xFB03 -> "ffi", 0xFB04 -> "ffl", 0xFB05 -> "st", 0xFB06 -> "st",
     0x0587 -> "եւ",   // և ARMENIAN ECH-YIWN

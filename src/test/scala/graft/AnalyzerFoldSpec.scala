@@ -56,8 +56,24 @@ class AnalyzerFoldSpec extends AnyFunSuite {
       Analyzer.fullCaseFold("ᎠᎳ"))
   }
 
+  test("full fold: polytonic-Greek iota subscripts expand to base + ι") {
+    // F-entries of CaseFolding.txt: the ypogegrammeni expands to a
+    // trailing ι (values cross-checked against the UCD)
+    assert(Analyzer.fullCaseFold("ᾀ") == "ἀι")   // U+1F80 → 1F00 3B9
+    assert(Analyzer.fullCaseFold("ᾼ") == "αι")   // U+1FBC → 03B1 3B9
+    assert(Analyzer.fullCaseFold("ᾷ") == "ᾶι")   // U+1FB7 → 1FB6 3B9
+    assert(Analyzer.fullCaseFold("ῌ") == "ηι")   // U+1FCC → 03B7 3B9
+    assert(Analyzer.fullCaseFold("ῼ") == "ωι")   // U+1FFC → 03C9 3B9
+    assert(Analyzer.fullCaseFold("ᾴ") == "άι")   // U+1FB4 → 03AC 3B9
+    // ᾶ carries no subscript: plain lowercase passthrough
+    assert(Analyzer.fullCaseFold("ᾶ") == "ᾶ")
+    // both cases of ᾼ/ᾳ collide on the same fold, as under ICU
+    assert(Analyzer.fullCaseFold("ᾳ") == Analyzer.fullCaseFold("ᾼ"))
+  }
+
   test("full fold is idempotent and ASCII fast path intact") {
-    val samples = Seq("Straße", "ﬁle", "ΟΔΟΣ", "İs", "plain ASCII Works")
+    val samples = Seq("Straße", "ﬁle", "ΟΔΟΣ", "İs", "plain ASCII Works",
+      "ᾀᾼᾷ", "ꭰꮃ")
     samples.foreach { s =>
       val once = Analyzer.fullCaseFold(s)
       assert(Analyzer.fullCaseFold(once) == once, s"not idempotent on $s")
