@@ -151,7 +151,21 @@ object Ann {
    * design — same trade every frozen-coarse-quantizer IVF makes.
    */
   final case class IvfStore(store: graft.text.PostingStore,
-                            centroids: Array[Array[Double]]) {
+                            centroids: Array[Array[Double]],
+                            // Mean assignment distance over the INIT
+                            // corpus sample — the drift baseline. None
+                            // on stores saved before drift tracking.
+                            baselineAssignDist: Option[Double] = None) {
+
+    /** Ratio of the latest batch's mean assignment distance to the
+      * init-time baseline — the frozen-coarse-quantizer health signal.
+      * A sustained ratio ≫ 1 means incoming vectors land far from
+      * every centroid (the distribution moved): recall per probe
+      * degrades and the right response is a re-init (new k-means, new
+      * store) — the same trade every frozen-quantizer IVF makes.
+      * Updated by [[applyBatch]]; None before the first upsert batch
+      * (or when no baseline was recorded). */
+    @volatile var lastDriftRatio: Option[Double] = None
 
     /** The current consistent index over live rows. */
     def view: IvfIndex = IvfIndex(store.view, centroids, "__key", "vec")
@@ -159,7 +173,8 @@ object Ann {
     /** Apply one change batch: `changes` = (op: upsert|delete, __key,
       * vec). Upserted vectors are assigned to their frozen cell
       * map-side; superseded/deleted rows die via the store tombstone.
-      * Compacts when segments exceed `compactRowThreshold`. */
+      * Compacts when segments exceed `compactRowThreshold`; refreshes
+      * [[lastDriftRatio]] from the batch's assignment distances. */
     def applyBatch(changes: DataFrame,
                    compactRowThreshold: Long = 100000): Unit = {
       val ups = changes.filter(col("op") === "upsert")
@@ -167,10 +182,32 @@ object Ann {
           col("vec").cast(ArrayType(FloatType)).as("vec"))
         .withColumn("cell_id", cellId(col("vec"), centroids))
       val keys = changes.select(col("__key").cast("string").as("__key"))
+      // measure BEFORE applyBatch consumes the rows; one small avg job
+      // over the batch (the centroid table broadcasts)
+      val batchDist = baselineAssignDist.flatMap(_ =>
+        meanAssignDist(ups, centroids))
       store.applyBatch(ups, keys)
       if (store.deltaSize + store.tombSize >= compactRowThreshold)
         store.compact()
+      for (b <- baselineAssignDist; m <- batchDist)
+        lastDriftRatio = Some(m / math.max(b, 1e-12))
     }
+  }
+
+  /** Mean L2 distance from each vector to its ASSIGNED centroid —
+    * distributed avg over a broadcast join with the (tiny) centroid
+    * table. None when `assigned` is empty. */
+  private def meanAssignDist(assigned: DataFrame,
+                             centroids: Array[Array[Double]]): Option[Double] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+      .toDF("cell_id", "__centroid")
+    val row = assigned.join(broadcast(cdf), "cell_id")
+      .agg(avg(vector_distance(col("vec"), col("__centroid"), "L2")))
+      .collect().head
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
   }
 
   /** Create a maintained IVF store at `path` from the initial corpus:
@@ -187,7 +224,15 @@ object Ann {
     val oos = new java.io.ObjectOutputStream(
       new java.io.FileOutputStream(s"$path/centroids.bin"))
     try oos.writeObject(centroids) finally oos.close()
-    IvfStore(store, centroids)
+    // drift baseline: bounded sample of the init corpus's assignment
+    // distances, persisted beside the centroids (absent = no tracking)
+    val baseline = meanAssignDist(assigned.limit(4096), centroids)
+    baseline.foreach { b =>
+      val bo = new java.io.ObjectOutputStream(
+        new java.io.FileOutputStream(s"$path/drift.bin"))
+      try bo.writeObject(java.lang.Double.valueOf(b)) finally bo.close()
+    }
+    IvfStore(store, centroids, baseline)
   }
 
   /** Re-open a maintained IVF store (restart path): manifest names the
@@ -198,6 +243,15 @@ object Ann {
       new java.io.FileInputStream(s"$path/centroids.bin"))
     val centroids = try ois.readObject().asInstanceOf[Array[Array[Double]]]
       finally ois.close()
-    IvfStore(graft.text.PostingStore.open(spark, s"$path/store"), centroids)
+    val driftFile = new java.io.File(s"$path/drift.bin")
+    val baseline =
+      if (!driftFile.exists()) None
+      else {
+        val bi = new java.io.ObjectInputStream(new java.io.FileInputStream(driftFile))
+        try Some(bi.readObject().asInstanceOf[java.lang.Double].doubleValue())
+        finally bi.close()
+      }
+    IvfStore(graft.text.PostingStore.open(spark, s"$path/store"), centroids,
+      baseline)
   }
 }

@@ -219,6 +219,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq == got)
   }
 
+  test("maintained IVF: drift ratio flags a moved distribution, stays ~1 in-distribution") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    val ivf = Ann.initIvfStore(embs.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nCells = 8, path)
+    assert(ivf.baselineAssignDist.exists(_ > 0), "no baseline recorded at init")
+    assert(ivf.lastDriftRatio.isEmpty)
+
+    // in-distribution batch (the held-out half of the SAME corpus):
+    // mean assignment distance tracks the baseline
+    ivf.applyBatch(embs.filter(col("vec_id") % 2 === 1)
+      .select(lit("upsert").as("op"), col("vec_id").cast("string").as("__key"),
+        col("embedding").cast("array<float>").as("vec")))
+    val inDist = ivf.lastDriftRatio.get
+    assert(inDist > 0.5 && inDist < 1.5, s"in-distribution ratio off: $inDist")
+
+    // moved distribution: vectors shifted far outside every frozen cell
+    // → the ratio must flag it (re-init signal)
+    ivf.applyBatch(embs.filter(col("vec_id") % 2 === 1).limit(50)
+      .select(lit("upsert").as("op"),
+        concat(lit("m"), col("vec_id")).cast("string").as("__key"),
+        expr("transform(embedding, x -> cast(x + 100.0 as float))").as("vec")))
+    val moved = ivf.lastDriftRatio.get
+    assert(moved > 3.0, s"moved distribution not flagged: $moved")
+
+    // the baseline survives a reopen
+    val re = Ann.openIvfStore(spark, path)
+    assert(re.baselineAssignDist == ivf.baselineAssignDist)
+  }
+
   test("IVF search: nProbe=all equals exact top-k; nProbe=2 has sane recall") {
     val dir = "/root/testdata/sf0.001"
     val embs = Fixtures.table(spark, dir, "embeddings")
