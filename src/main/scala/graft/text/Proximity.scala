@@ -63,12 +63,125 @@ object Proximity {
               slop: Int, inorder: Boolean): Boolean = {
     val k = specs.length
     if (k == 0) return true
-    // candidate positions per matcher
+    // candidate positions per matcher (ascending: token-stream order)
     val cands: Array[Array[Int]] = specs.map { s =>
       tokens.filter(tp => s.matches(tp._1)).map(_._2).toArray
     }.toArray
     if (cands.exists(_.isEmpty)) return false
-    // backtracking over assignments (candidate lists are tiny in practice)
+    if (k == 1) return true
+    // Bounded algorithms — naive assignment backtracking is exponential
+    // when a long document repeats every query term and nothing lands
+    // in a window (the reject path must EXHAUST the cross product: one
+    // adversarial 100k-token doc would stall an executor task).
+    if (inorder) matchesInorder(cands, slop)
+    else if (k <= 62) matchesWindow(cands, slop)
+    else matchesBacktrack(cands, slop, inorder = false) // unreachable query sizes
+  }
+
+  /** INORDER: for each start in the first matcher's list, greedily take
+    * the smallest strictly-larger position per subsequent matcher —
+    * the minimal window end for that start (exchange argument), so the
+    * slop test against it is exact. Greedy ends are monotone in the
+    * start, so one exhausted matcher list ends the search.
+    * O(|c0| · k · log n). */
+  private def matchesInorder(cands: Array[Array[Int]], slop: Int): Boolean = {
+    val k = cands.length
+    var si = 0
+    while (si < cands(0).length) {
+      val start = cands(0)(si)
+      var cur = start
+      var i = 1
+      while (i < k) {
+        val c = cands(i)
+        val j = firstGreater(c, cur)
+        if (j >= c.length) return false // larger starts only push cur higher
+        cur = c(j); i += 1
+      }
+      if (cur.toLong - start - (k - 1) <= slop.toLong) return true
+      si += 1
+    }
+    false
+  }
+
+  /** First index in ascending `c` whose value is > `x` (binary search). */
+  private def firstGreater(c: Array[Int], x: Int): Int = {
+    var lo = 0; var hi = c.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (c(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Unordered: slide a window of span slop + (k−1) over the merged
+    * candidate positions; a window matches when a system of DISTINCT
+    * representatives exists (one position per matcher — bipartite
+    * augmenting-path matching, k ≤ 62 via Long masks). O(P · k² · w)
+    * with w ≤ window width — bounded, no exponential reject path. */
+  private def matchesWindow(cands: Array[Array[Int]], slop: Int): Boolean = {
+    val k = cands.length
+    val span = slop.toLong + (k - 1)
+    // merged distinct positions with the mask of matchers serving each
+    val maskByPos = scala.collection.mutable.TreeMap.empty[Int, Long]
+    var m = 0
+    while (m < k) {
+      val c = cands(m)
+      var j = 0
+      while (j < c.length) {
+        maskByPos.updateWith(c(j)) {
+          case Some(x) => Some(x | (1L << m)); case None => Some(1L << m)
+        }
+        j += 1
+      }
+      m += 1
+    }
+    val positions = maskByPos.keysIterator.toArray
+    val masks = positions.map(maskByPos)
+    val n = positions.length
+
+    def windowMatches(loIdx: Int, hiIdx: Int): Boolean = {
+      val w = hiIdx - loIdx + 1
+      if (w < k) return false
+      val matchOfPos = Array.fill(w)(-1)
+      def augment(matcher: Int, visited: Array[Boolean]): Boolean = {
+        var pi = 0
+        while (pi < w) {
+          if (!visited(pi) && (masks(loIdx + pi) & (1L << matcher)) != 0L) {
+            visited(pi) = true
+            if (matchOfPos(pi) < 0 || augment(matchOfPos(pi), visited)) {
+              matchOfPos(pi) = matcher; return true
+            }
+          }
+          pi += 1
+        }
+        false
+      }
+      var matcher = 0
+      while (matcher < k) {
+        if (!augment(matcher, new Array[Boolean](w))) return false
+        matcher += 1
+      }
+      true
+    }
+
+    if (positions(n - 1).toLong - positions(0) <= span)
+      return windowMatches(0, n - 1) // one window covers everything
+    var lo = 0
+    var hi = 0
+    while (hi < n) {
+      while (positions(hi).toLong - positions(lo) > span) lo += 1
+      if (windowMatches(lo, hi)) return true
+      hi += 1
+    }
+    false
+  }
+
+  /** The naive assignment search — the semantics MODEL (spec fuzzing
+    * compares the bounded algorithms against it) and the fallback for
+    * queries with more than 62 positional matchers. */
+  private[graft] def matchesBacktrack(cands: Array[Array[Int]], slop: Int,
+                                      inorder: Boolean): Boolean = {
+    val k = cands.length
     val chosen = new Array[Int](k)
     def rec(i: Int): Boolean = {
       if (i == k) {
