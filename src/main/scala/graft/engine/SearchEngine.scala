@@ -922,10 +922,20 @@ class SearchEngine {
           s"TEXT(noStem=${t.noStem},minStemSize=$mss)"
         case v: VectorField => s"VECTOR(dim=${v.dim},metric=${v.metric.name})"
       }
-      (indexName, fd.alias, fd.identifier, ftype, stats.getLong(i + 1))
+      // per-attribute attached index structures (the reference's FT.INFO
+      // attribute blocks name each field's index; here the derived
+      // relations are opt-in, so surface which ones are registered)
+      val attached = Seq(
+        postings.contains((indexName, fd.alias)) -> "posting",
+        suffixPostings.contains((indexName, fd.alias)) -> "suffix_posting",
+        posPostings.contains((indexName, fd.alias)) -> "positional_posting",
+        annIndexes.contains((indexName, fd.alias)) -> "ann_graph")
+        .collect { case (true, n) => n }.mkString(",")
+      (indexName, fd.alias, fd.identifier, ftype, stats.getLong(i + 1), attached)
     }
     val bs = buildState(indexName)
-    fieldRows.toDF("index_name", "field", "identifier", "field_type", "num_tracked")
+    fieldRows.toDF("index_name", "field", "identifier", "field_type",
+        "num_tracked", "attached_indexes")
       .withColumn("num_docs", lit(stats.getLong(0)))
       // build-state block (reference FT.INFO, index_schema.cc:1244-1263)
       .withColumn("state", lit(bs.state))

@@ -47,6 +47,21 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byField("prop_k").getAs[String]("field_type") == "NUMERIC")
     assert(byField("ts_sec").getAs[Long]("num_docs") == 1000L)
     assert(byField("ts_sec").getAs[Long]("num_tracked") == 1000L)
+    // no derived structures registered on this engine's events index
+    assert(byField("ts_sec").getAs[String]("attached_indexes") == "")
+  }
+
+  test("FT.INFO: attached_indexes names each field's registered structures") {
+    val e = Queries.postingEng(spark, "/root/testdata/sf0.001")
+    val byField = e.info("documents_pi").collect()
+      .map(r => r.getAs[String]("field") -> r.getAs[String]("attached_indexes"))
+      .toMap
+    // text (WITHSUFFIXTRIE + default offsets): stem + suffix + positional
+    assert(byField("text") == "posting,suffix_posting,positional_posting",
+      s"text attached: ${byField("text")}")
+    // tag fields: tag posting only
+    assert(byField("source") == "posting" && byField("lang") == "posting")
+    assert(byField("n_chars") == "")
   }
 
   test("FT.INFO build state: ready by default, backfill via SKIPINITIALSCAN, metrics via INFO") {
