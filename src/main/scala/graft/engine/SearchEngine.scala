@@ -230,6 +230,49 @@ class SearchEngine {
   }
 
   /**
+   * Re-attach posting relations previously SAVED by [[buildPostings]]
+   * under `dir` — the restart path (the reference's RDB load restores
+   * its indexes without a rebuild, rdb_serialization.cc): each
+   * `<alias>` / `<alias>__suffix` / `<alias>__pos` subdirectory loads
+   * as the matching posting kind for the field, and the per-term stats
+   * re-collect from the loaded relation (one small groupBy per posting
+   * — metadata-scale, not a rebuild of the posting itself).
+   */
+  def loadPostings(indexName: String, dir: String): this.type = {
+    val (schema, docs) = index(indexName)
+    val spark = docs.sparkSession
+    def collectStats(df: DataFrame): Option[Map[String, Long]] = {
+      val rows = df.groupBy(col("term")).count().limit(1000001).collect()
+      if (rows.length <= 1000000)
+        Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      else None
+    }
+    def sub(name: String): Option[DataFrame] = {
+      val p = new java.io.File(dir, name)
+      if (p.isDirectory) Some(graft.text.PostingIndex.load(spark, p.toString))
+      else None
+    }
+    schema.fields.foreach { fd =>
+      if (fd.ftype.isInstanceOf[TextField] || fd.ftype.isInstanceOf[TagField]) {
+        sub(fd.alias).foreach { loaded =>
+          registerPosting(indexName, fd.alias, loaded)
+          collectStats(loaded).foreach(registerPostingStats(indexName, fd.alias, _))
+        }
+        sub(s"${fd.alias}__suffix").foreach { loaded =>
+          registerSuffixPosting(indexName, fd.alias, loaded)
+          collectStats(loaded.filter(col("full")))
+            .foreach(registerTokenStats(indexName, fd.alias, _))
+        }
+        sub(s"${fd.alias}__pos").foreach { loaded =>
+          registerPositionalPosting(indexName, fd.alias, loaded)
+          collectStats(loaded).foreach(registerPositionalStats(indexName, fd.alias, _))
+        }
+      }
+    }
+    this
+  }
+
+  /**
    * Attach a built ANN graph to a vector field — the analogue of
    * declaring the field HNSW instead of FLAT. With one attached,
    * [[search]] applies the reference's hybrid planner rule

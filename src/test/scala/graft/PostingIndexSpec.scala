@@ -272,6 +272,40 @@ class PostingIndexSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSeq)
   }
 
+  test("loadPostings: a restart re-attaches saved postings without rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pi-reload").toString
+    val built = Fixtures.engine(spark, sf)
+    built.buildPostings("documents", dir)
+    val opts = SearchOptions(limit = (0, 300), noContent = true)
+    val q = "@text:dup @source:{src1|src2}"
+    val expect = built.search("documents", q, opts)
+      .collect().map(_.getString(0)).toSeq
+
+    // fresh engine (the restart): same index, postings re-ATTACHED from
+    // the saved term-sorted dirs — no build step
+    val restarted = new SearchEngine
+    val (schema, docs) = built.index("documents")
+    restarted.createIndex(schema, docs)
+    restarted.loadPostings("documents", dir)
+    val routed = restarted.search("documents", q, opts)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "re-attached postings did not route")
+    assert(routed.collect().map(_.getString(0)).toSeq == expect)
+    // every posting kind re-attached (stem + suffix + positional on the
+    // WITHSUFFIXTRIE text field; tag postings on the tag fields)
+    val attached = restarted.info("documents").collect()
+      .map(r => r.getAs[String]("field") -> r.getAs[String]("attached_indexes"))
+      .toMap
+    assert(attached("text") == "posting,suffix_posting,positional_posting")
+    assert(attached("source") == "posting")
+    // stats re-collected: the phrase route picks the rarest word again
+    val phr = restarted.search("documents", "@text:\"agg dup\"", opts)
+    assert(phr.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(phr.collect().map(_.getString(0)).toSeq ==
+      built.search("documents", "@text:\"agg dup\"", opts)
+        .collect().map(_.getString(0)).toSeq)
+  }
+
   test("min-child ordering: routed conjuncts semi-join smallest-first") {
     val e = Fixtures.engine(spark, sf)
     e.buildPostings("documents",
