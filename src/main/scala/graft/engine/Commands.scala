@@ -73,6 +73,7 @@ final class Commands(
     var prefixes: Seq[String] = Nil
     var skipScan = false
     var postingsDir: Option[String] = None
+    var postingsLoadDir: Option[String] = None
     var maintainDir: Option[String] = None
     var score = 1.0
     var scoreField: Option[String] = None
@@ -114,6 +115,10 @@ final class Commands(
         // register term-sorted posting relations for every TEXT/TAG
         // field under the given directory.
         case "POSTINGS" => a.next(); postingsDir = Some(a.next())
+        // Engine extension, restart path: re-ATTACH postings previously
+        // saved under the dir (no rebuild — the RDB-load shape). The
+        // caller owns snapshot/corpus consistency, exactly like an RDB.
+        case "POSTINGS_LOAD" => a.next(); postingsLoadDir = Some(a.next())
         // Engine extension: build + register EVERY maintainable derived
         // index (term/suffix posting stores, NSW graphs) under the given
         // directory and keep a registered IndexMaintainer — the argv
@@ -220,6 +225,7 @@ final class Commands(
     // index_schema.cc:1244-1263); a full initial scan means ready.
     if (skipScan) engine.reportBackfill(name, 0L, 1L)
     postingsDir.foreach(d => engine.buildPostings(name, d))
+    postingsLoadDir.foreach(d => engine.loadPostings(name, d))
     // docsSource re-resolves the bound source per batch (a parquet-backed
     // DataFrame pins its file list at creation; a stale handle would miss
     // the batch's writes) with the key column pre-applied — onBatch's

@@ -302,6 +302,27 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.rows.map(_.getString(0)).toSet == Set("d3"))
   }
 
+  test("FT.CREATE POSTINGS_LOAD re-attaches saved postings (restart path)") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("d1", "hash join plan"), ("d2", "sort merge join"))
+      .toDF("pk", "txt")
+    val dir = java.nio.file.Files.createTempDirectory("cmd-postings").toString
+    val c1 = new Commands(engine, _ => (docs, col("pk")))
+    c1.execute(Seq("FT.CREATE", "pl_idx", "POSTINGS", dir,
+      "SCHEMA", "txt", "TEXT"))
+    engine.dropIndex("pl_idx") // the restart: registrations are gone
+    val c2 = new Commands(engine, _ => (docs, col("pk")))
+    c2.execute(Seq("FT.CREATE", "pl_idx", "POSTINGS_LOAD", dir,
+      "SCHEMA", "txt", "TEXT"))
+    val info = c2.execute(Seq("FT.INFO", "pl_idx"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    assert(info.head.getAs[String]("attached_indexes")
+      == "posting,positional_posting")
+    val r = c2.execute(Seq("FT.SEARCH", "pl_idx", "@txt:\"hash join\"", "NOCONTENT"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(r.rows.map(_.getString(0)).toSeq == Seq("d1"))
+  }
+
   test("NOOFFSETS: phrase queries are rejected, terms still work") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("d1", "hash join plan")).toDF("pk", "txt")
