@@ -99,9 +99,57 @@ object IndexMaintainer {
     val graphs = schema.fields.collect {
       case fd if fd.ftype.isInstanceOf[VectorField] =>
         val vf = fd.ftype.asInstanceOf[VectorField]
-        fd.alias -> Nsw.build(docs, schema.keyColumn, fd.alias,
+        val g = Nsw.build(docs, schema.keyColumn, fd.alias,
           metric = vf.metric.name, numPartitions = numPartitions,
           m = vf.hnswM, efConstruction = vf.efConstruction)
+        // checkpoint the built graph beside the stores so [[openIndex]]
+        // restores without reconstruction (further checkpoints are the
+        // caller's policy via [[IndexMaintainer.saveAnn]], like RDB
+        // saves — stores need none: they commit per batch)
+        Nsw.save(g, s"$dir/${fd.alias}__nsw")
+        fd.alias -> g
+    }.toMap
+    new IndexMaintainer(engine, indexName, schema, termStores, graphs,
+      docsSource, compactRowThreshold, sfxStores, posStores).register()
+  }
+
+  /**
+   * Restart path: re-open the derived indexes [[forIndex]] persisted
+   * under `dir` — posting stores from their manifests (no rebuild;
+   * orphans GC), ANN graphs from the last [[IndexMaintainer.saveAnn]]
+   * checkpoint — and register everything. Catch-up: replay the change
+   * stream from the consumer's checkpoint; both `PostingStore
+   * .applyBatch` and `Nsw.upsert` delete-then-add per key, so
+   * re-applying an already-applied batch is IDEMPOTENT and at-least-
+   * once replay after a crash converges to the same state.
+   */
+  def openIndex(engine: SearchEngine, indexName: String, dir: String,
+                docsSource: Option[() => DataFrame] = None,
+                compactRowThreshold: Long = 100000): IndexMaintainer = {
+    val (schema, docs) = engine.index(indexName)
+    val spark = docs.sparkSession
+    def open(sub: String): Option[PostingStore] = {
+      val f = new java.io.File(dir, sub)
+      if (new java.io.File(f, "MANIFEST").isFile)
+        Some(PostingStore.open(spark, f.toString))
+      else None
+    }
+    val termStores = schema.fields.flatMap { fd =>
+      fd.ftype match {
+        case _: TagField => open(fd.alias).map(fd.alias -> _)
+        case tf: TextField if !tf.noStem => open(fd.alias).map(fd.alias -> _)
+        case _ => None
+      }
+    }.toMap
+    val sfxStores = schema.fields.flatMap(fd =>
+      open(s"${fd.alias}__suffix").map(fd.alias -> _)).toMap
+    val posStores = schema.fields.flatMap(fd =>
+      open(s"${fd.alias}__pos").map(fd.alias -> _)).toMap
+    val graphs = schema.fields.flatMap { fd =>
+      val p = new java.io.File(dir, s"${fd.alias}__nsw")
+      if (fd.ftype.isInstanceOf[VectorField] && p.isDirectory)
+        Some(fd.alias -> Nsw.load(spark, p.toString))
+      else None
     }.toMap
     new IndexMaintainer(engine, indexName, schema, termStores, graphs,
       docsSource, compactRowThreshold, sfxStores, posStores).register()
@@ -191,6 +239,14 @@ final class IndexMaintainer(
 
   /** Current ANN index for a field (advances as batches apply). */
   def annIndex(field: String): Nsw.NswIndex = ann(field)
+
+  /** Checkpoint every ANN graph under `dir` (`<alias>__nsw`) — the RDB
+    * save shape. Posting stores need no equivalent (they commit per
+    * batch); graphs are memory-resident between checkpoints, and
+    * [[IndexMaintainer.openIndex]] + idempotent stream replay covers
+    * the gap after a crash. */
+  def saveAnn(dir: String): Unit =
+    ann.foreach { case (f, idx) => Nsw.save(idx, s"$dir/${f}__nsw") }
 
   /** Register the initial views/graphs with the engine (call once,
     * before the stream starts — queries work from the first batch on). */

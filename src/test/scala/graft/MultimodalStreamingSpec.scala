@@ -455,6 +455,64 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.contains("k5"), s"upserted vector missing: $top")
   }
 
+  test("openIndex: maintained indexes survive a restart; batch replay is idempotent") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-reopen").toString
+    val schema = IndexSchema("surv", Seq(
+      FieldDef("body", TextField()),
+      FieldDef("emb", VectorField(dim = 4, metric = DistanceMetric.L2))))
+    var corpus = Seq(
+      ("k1", "quantum flux", Array(0f, 0f, 0f, 1f)),
+      ("k2", "boring words", Array(0f, 0f, 1f, 0f)),
+      ("k3", "meadow rake", Array(0f, 1f, 0f, 0f)))
+      .toDF("__key", "body", "emb")
+    val e1 = new graft.engine.SearchEngine
+    e1.createIndex(schema, graft.sources.Documents.enrich(corpus, schema))
+    e1.postingRouteMaxSelectivity = 1.0
+    val m1 = IndexMaintainer.forIndex(e1, "surv", tmp,
+      docsSource = Some(() => corpus), numPartitions = 2)
+    val batch = Seq(
+      ("upsert", "k4", "quantum gadget", Array(0.1f, 0f, 0f, 1f), 1L),
+      ("delete", "k1", null, null, 2L))
+      .toDF("op", "__key", "body", "emb", "__seq")
+    corpus = Seq(
+      ("k2", "boring words", Array(0f, 0f, 1f, 0f)),
+      ("k3", "meadow rake", Array(0f, 1f, 0f, 0f)),
+      ("k4", "quantum gadget", Array(0.1f, 0f, 0f, 1f)))
+      .toDF("__key", "body", "emb")
+    m1.onBatch(batch)
+    m1.saveAnn(tmp) // ANN checkpoint AFTER the batch (stores commit per batch)
+
+    // ---- the restart: new engine, stores re-OPENED, graph re-LOADED
+    val e2 = new graft.engine.SearchEngine
+    e2.createIndex(schema, graft.sources.Documents.enrich(corpus, schema))
+    e2.postingRouteMaxSelectivity = 1.0
+    val m2 = IndexMaintainer.openIndex(e2, "surv", tmp,
+      docsSource = Some(() => corpus))
+    def keys(q: String, opts: graft.engine.SearchOptions =
+        graft.engine.SearchOptions(noContent = true)): Seq[String] =
+      e2.search("surv", q, opts).collect().map(_.getAs[String]("__key")).toSeq
+    assert(keys("@body:quantum").toSet == Set("k4")) // k1 deleted, k4 added
+    assert(keys("@body:\"quantum gadget\"") == Seq("k4")) // positional store
+    val knn = graft.engine.SearchOptions(limit = (0, 1),
+      params = Map("q" -> graft.query.VectorParam(Array(0f, 0f, 0f, 1f))))
+    assert(keys("*=>[KNN 1 @emb $q EF_RUNTIME 50]", knn) == Seq("k4"))
+
+    // at-least-once replay: re-applying the SAME batch converges (the
+    // stores tombstone-then-add per key; the graph deletes-then-inserts)
+    m2.onBatch(batch)
+    assert(keys("@body:quantum").toSet == Set("k4"))
+    assert(keys("*=>[KNN 1 @emb $q EF_RUNTIME 50]", knn) == Seq("k4"))
+
+    // and fresh batches keep flowing after the reopen (state first,
+    // then onBatch — the Ingest contract)
+    corpus = corpus.unionByName(
+      Seq(("k5", "quantum leap", Array(0f, 0.1f, 0f, 1f))).toDF("__key", "body", "emb"))
+    m2.onBatch(Seq(("upsert", "k5", "quantum leap", Array(0f, 0.1f, 0f, 1f), 3L))
+      .toDF("op", "__key", "body", "emb", "__seq"))
+    assert(keys("@body:quantum").toSet == Set("k4", "k5"))
+  }
+
   test("windowed stats: event-time windows with watermark, streaming plan") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
