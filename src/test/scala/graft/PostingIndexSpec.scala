@@ -349,6 +349,57 @@ class PostingIndexSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSeq)
   }
 
+  test("differential fuzz: routed engine == columnar engine on random filter trees") {
+    // The routing layer (fetchers, OR-unions, guard accept/reject,
+    // min-child ordering, phrase chains, pattern classes) must NEVER
+    // change results — whatever the guard decides, routed ≡ columnar.
+    // Random trees over the corpus vocabulary pin the whole algebra,
+    // including the guard boundaries the fixed cases straddle.
+    val routedEng = Fixtures.engine(spark, sf)
+    routedEng.buildPostings("documents",
+      java.nio.file.Files.createTempDirectory("graft-pi-fuzz").toString)
+    val plain = Fixtures.engine(spark, sf)
+    val opts = SearchOptions(limit = (0, 1000), noContent = true)
+    val rnd = new scala.util.Random(0xBEEF)
+    val words = Vector("dup", "agg", "merge", "sort", "hash", "join",
+      "scan", "vector", "stream", "window", "zzzmissing")
+    val langs = Vector("en", "fr", "es", "de", "zh")
+    val sources = Vector("src0", "src1", "src2", "src3", "src4")
+
+    def leaf(): String = rnd.nextInt(9) match {
+      case 0 => s"@text:${words(rnd.nextInt(words.size))}"
+      case 1 => s"@lang:{${langs(rnd.nextInt(langs.size))}}"
+      case 2 => s"@source:{${sources(rnd.nextInt(sources.size))}" +
+        (if (rnd.nextBoolean()) s" | ${sources(rnd.nextInt(sources.size))}}" else "}")
+      case 3 => s"@n_chars:[${rnd.nextInt(300)} ${300 + rnd.nextInt(5000)}]"
+      case 4 => s"""@text:"${words(rnd.nextInt(5))} ${words(rnd.nextInt(5))}""""
+      case 5 => s"@text:${words(rnd.nextInt(words.size)).take(2 + rnd.nextInt(2))}*"
+      case 6 => s"@text:*${words(rnd.nextInt(words.size)).takeRight(2 + rnd.nextInt(2))}"
+      case 7 => s"@source:{src${rnd.nextInt(3)}*}"
+      case 8 => words(rnd.nextInt(words.size)) // unfielded term
+    }
+    def tree(depth: Int): String =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${tree(depth - 1)} ${tree(depth - 1)})"       // AND
+        case 1 => s"(${tree(depth - 1)} | ${tree(depth - 1)})"     // OR
+        case 2 => s"(${tree(depth - 1)} -${leaf()})"               // AND NOT
+        case 3 => leaf()
+      }
+
+    var checked = 0
+    for (i <- 0 until 120) {
+      val q = tree(1 + rnd.nextInt(2))
+      val got = routedEng.search("documents", q, opts)
+        .collect().map(_.getString(0)).toSeq
+      val exp = plain.search("documents", q, opts)
+        .collect().map(_.getString(0)).toSeq
+      assert(got == exp, s"query #$i diverged: $q\nrouted=$got\ncolumnar=$exp")
+      checked += 1
+    }
+    assert(checked == 120)
+  }
+
   test("engine routes AND'ed fielded terms through a registered posting") {
     val withPosting = Fixtures.engine(spark, sf)
     val (schema, docs) = withPosting.index("documents")
