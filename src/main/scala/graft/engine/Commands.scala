@@ -75,6 +75,7 @@ final class Commands(
     var postingsDir: Option[String] = None
     var postingsLoadDir: Option[String] = None
     var maintainDir: Option[String] = None
+    var maintainOpenDir: Option[String] = None
     var score = 1.0
     var scoreField: Option[String] = None
     // Index-level text options (reference ft_create_parser.cc:640-725):
@@ -125,6 +126,11 @@ final class Commands(
         // reach into the incremental layer ([[IndexMaintainer.forIndex]];
         // wire `maintainer(name).get.onBatch` into Ingest.start).
         case "MAINTAIN" => a.next(); maintainDir = Some(a.next())
+        // Engine extension, restart path: re-OPEN the maintained set a
+        // prior MAINTAIN persisted under the dir (stores via manifests,
+        // ANN via its last checkpoint) instead of rebuilding; catch-up
+        // is the caller's stream replay (idempotent per batch).
+        case "MAINTAIN_OPEN" => a.next(); maintainOpenDir = Some(a.next())
         // Engine extension: ICU-parity full case folding (ß→ss class);
         // the reference always folds this way (unicode_normalizer.cc),
         // here it is opt-in to keep existing simple-fold indexes stable.
@@ -230,12 +236,17 @@ final class Commands(
     // DataFrame pins its file list at creation; a stale handle would miss
     // the batch's writes) with the key column pre-applied — onBatch's
     // enrich path keys off schema.keyColumn when present.
+    def boundSource(): () => DataFrame = () => {
+      val (raw2, key2) = source(prefixes)
+      raw2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
+    }
     maintainDir.foreach { d =>
-      maintainerByIndex(name) = IndexMaintainer.forIndex(engine, name, d,
-        docsSource = Some(() => {
-          val (raw2, key2) = source(prefixes)
-          raw2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
-        }))
+      maintainerByIndex(name) =
+        IndexMaintainer.forIndex(engine, name, d, docsSource = Some(boundSource()))
+    }
+    maintainOpenDir.foreach { d =>
+      maintainerByIndex(name) =
+        IndexMaintainer.openIndex(engine, name, d, docsSource = Some(boundSource()))
     }
     "OK"
   }

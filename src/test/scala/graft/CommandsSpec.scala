@@ -302,6 +302,37 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.rows.map(_.getString(0)).toSet == Set("d3"))
   }
 
+  test("FT.CREATE MAINTAIN_OPEN reopens the maintained set after a restart") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cmd-maintain-open").toString
+    val statePath = s"$tmp/state"
+    graft.streaming.Ingest.backfill(
+      Seq(("d1", "hash join plan"), ("d2", "sort merge join"))
+        .toDF("__key", "txt"), statePath, nBuckets = 4)
+    def cmdsFor(): Commands = new Commands(engine,
+      _ => (graft.streaming.Ingest.readState(spark, statePath), col("__key")))
+    val c1 = cmdsFor()
+    c1.execute(Seq("FT.CREATE", "mo_idx", "MAINTAIN", s"$tmp/derived",
+      "SCHEMA", "txt", "TEXT"))
+    // advance state + apply one batch, then "restart"
+    graft.streaming.Ingest.backfill(
+      Seq(("d2", "sort merge join"), ("d3", "hash aggregate path"))
+        .toDF("__key", "txt"), statePath, nBuckets = 4)
+    c1.maintainer("mo_idx").get.onBatch(Seq(
+      ("upsert", "d3", "hash aggregate path", 1L),
+      ("delete", "d1", null.asInstanceOf[String], 2L))
+      .toDF("op", "__key", "txt", "__seq"))
+    engine.dropIndex("mo_idx")
+    val c2 = cmdsFor()
+    c2.execute(Seq("FT.CREATE", "mo_idx", "MAINTAIN_OPEN", s"$tmp/derived",
+      "SCHEMA", "txt", "TEXT"))
+    assert(c2.maintainer("mo_idx").isDefined)
+    // the reopened stores carry the pre-restart batch: d1 gone, d3 live
+    val r = c2.execute(Seq("FT.SEARCH", "mo_idx", "@txt:hash", "NOCONTENT"))
+      .asInstanceOf[SearchEngine.SearchReply]
+    assert(r.rows.map(_.getString(0)).toSeq == Seq("d3"))
+  }
+
   test("FT.CREATE POSTINGS_LOAD re-attaches saved postings (restart path)") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("d1", "hash join plan"), ("d2", "sort merge join"))
