@@ -14,6 +14,10 @@ object FilterParser {
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg at position $pos")
 
+  /** `query-string-terms-count` default (reference filter_parser.cc:44):
+    * max predicate-tree nodes per query. */
+  val MaxQueryTerms: Int = 1000
+
   /** `fuzzy-max-distance` config default (reference
     * filter_parser.cc:59-74: default 3, range 1..50) — caps the %-count
     * so adversarial queries can't request unbounded-cost edit-distance
@@ -102,6 +106,18 @@ object FilterParser {
   private final class P(s: String, params: Map[String, ParamValue],
                         fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance) {
     private var pos = 0
+    // Predicate-tree complexity cap (reference query-string-terms-count,
+    // filter_parser.cc:40-57: default 1000): counted per matcher/group so
+    // an adversarial query can neither blow the parser stack with deep
+    // nesting nor build an unboundedly wide plan.
+    private var nodeCount = 0
+    private def countNode(): Unit = {
+      nodeCount += 1
+      if (nodeCount > FilterParser.MaxQueryTerms)
+        throw ParseError(
+          "Query string is too complex: max number of terms can't exceed " +
+            FilterParser.MaxQueryTerms, pos)
+    }
 
     def parseFilter(): Predicate = {
       val p = parseOr()
@@ -134,12 +150,13 @@ object FilterParser {
 
     private def parseNot(): Predicate = {
       skipWs()
-      if (pos < s.length && peek == '-') { pos += 1; Not(parseNot()) }
+      if (pos < s.length && peek == '-') { pos += 1; countNode(); Not(parseNot()) }
       else parseMatcher()
     }
 
     private def parseMatcher(): Predicate = {
       skipWs()
+      countNode()
       if (pos >= s.length) throw ParseError("unexpected end of query", pos)
       peek match {
         case '(' =>

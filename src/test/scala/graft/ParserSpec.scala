@@ -153,6 +153,21 @@ class ParserSpec extends AnyFunSuite {
     assert(Proximity.toSpec(Term(None, "SORT"), verbatim).matches("sort"))
   }
 
+  test("query complexity cap: too many terms / too-deep nesting rejected") {
+    // reference query-string-terms-count (filter_parser.cc:40-57,
+    // default 1000): "Query string is too complex"
+    val wide = (1 to 1001).map(i => s"w$i").mkString(" ")
+    val e1 = intercept[Exception] { FilterParser.parse(wide) }
+    assert(e1.getMessage.contains("too complex"))
+    // adversarial deep nesting must error, not blow the parser stack
+    val deep = "(" * 5000 + "term" + ")" * 5000
+    val e2 = intercept[Exception] { FilterParser.parse(deep) }
+    assert(e2.getMessage.contains("too complex"))
+    // a large-but-legal query still parses
+    val ok = (1 to 999).map(i => s"w$i").mkString(" ")
+    assert(FilterParser.parse(ok).filter.isInstanceOf[graft.query.And])
+  }
+
   test("damerau-levenshtein") {
     import graft.functions.DamerauLevenshtein.distance
     assert(distance("hello", "hello") == 0)
