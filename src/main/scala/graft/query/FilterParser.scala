@@ -18,6 +18,11 @@ object FilterParser {
     * max predicate-tree nodes per query. */
   val MaxQueryTerms: Int = 1000
 
+  /** `tag-min-prefix-length` default (reference valkey_search_options
+    * .cc:344): a tag prefix pattern's length INCLUDING the trailing `*`
+    * must exceed this. */
+  val TagMinPrefixLength: Int = 2
+
   /** `fuzzy-max-distance` config default (reference
     * filter_parser.cc:59-74: default 3, range 1..50) — caps the %-count
     * so adversarial queries can't request unbounded-cost edit-distance
@@ -276,9 +281,17 @@ object FilterParser {
         sb.clear()
         if (t.startsWith("$")) t = stringParam(t.drop(1))
         if (t.nonEmpty) {
-          if (t.endsWith("*") && !t.endsWith("\\*"))
+          if (t.endsWith("*") && !t.endsWith("\\*")) {
+            // reference tag wildcard validation (tag.cc:66,156-168):
+            // `ab**` is malformed; prefixes at or under
+            // tag-min-prefix-length (length INCLUDING the `*`) reject
+            if (t.length >= 2 && t.charAt(t.length - 2) == '*')
+              throw ParseError(s"Tag string `$t` ends with multiple *.", pos)
+            if (t.length <= FilterParser.TagMinPrefixLength)
+              throw ParseError(
+                s"Tag string `$t` is too short for prefix wildcard.", pos)
             patterns += TagPattern(t.dropRight(1), isPrefix = true)
-          else patterns += TagPattern(t.replace("\\*", "*"), isPrefix = false)
+          } else patterns += TagPattern(t.replace("\\*", "*"), isPrefix = false)
         }
       }
       while (!done) {

@@ -168,6 +168,23 @@ class ParserSpec extends AnyFunSuite {
     assert(FilterParser.parse(ok).filter.isInstanceOf[graft.query.And])
   }
 
+  test("tag wildcard validation: multiple stars and short prefixes reject") {
+    // reference tag.cc:66 (IsValidPrefix) and tag.cc:163-167
+    // (tag-min-prefix-length, default 2 chars before the `*`)
+    val multi = intercept[Exception] { FilterParser.parse("@source:{ab**}") }
+    assert(multi.getMessage.contains("ends with multiple *"))
+    val short1 = intercept[Exception] { FilterParser.parse("@source:{a*}") }
+    assert(short1.getMessage.contains("too short for prefix wildcard"))
+    // two prefix chars is the boundary: accepted
+    val ok = FilterParser.parse("@source:{ab*}").filter
+      .asInstanceOf[graft.query.TagMatch]
+    assert(ok.patterns == Seq(graft.query.TagPattern("ab", isPrefix = true)))
+    // an escaped star is a literal, not a wildcard: no validation applies
+    val lit = FilterParser.parse("@source:{a\\*}").filter
+      .asInstanceOf[graft.query.TagMatch]
+    assert(lit.patterns == Seq(graft.query.TagPattern("a*", isPrefix = false)))
+  }
+
   test("damerau-levenshtein") {
     import graft.functions.DamerauLevenshtein.distance
     assert(distance("hello", "hello") == 0)
