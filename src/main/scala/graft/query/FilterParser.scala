@@ -23,6 +23,12 @@ object FilterParser {
     * must exceed this. */
   val TagMinPrefixLength: Int = 2
 
+  /** `max-vector-knn` default (reference ft_search_parser.cc:35). */
+  val MaxVectorKnn: Int = 10000
+
+  /** `max-vector-ef-runtime` default (reference ft_create_parser.cc:73). */
+  val MaxEfRuntime: Int = 1000000
+
   /** `fuzzy-max-distance` config default (reference
     * filter_parser.cc:59-74: default 3, range 1..50) — caps the %-count
     * so adversarial queries can't request unbounded-cost edit-distance
@@ -78,6 +84,12 @@ object FilterParser {
     toks match {
       case kw :: kStr :: fieldTok :: paramTok :: rest if kw.equalsIgnoreCase("KNN") =>
         val k = kStr.toInt
+        // reference Verify (ft_search_parser.cc:72-77; max-vector-knn
+        // default 10000): an unbounded k turns top-k into a full sort
+        if (k < 1 || k > MaxVectorKnn)
+          throw ParseError(
+            "KNN parameter must be a positive integer greater than 0 and " +
+              s"cannot exceed $MaxVectorKnn.", 0)
         if (!fieldTok.startsWith("@")) throw ParseError("KNN field must start with @", 0)
         if (!paramTok.startsWith("$")) throw ParseError("KNN vector must be a $param", 0)
         val vec = params.get(paramTok.drop(1)) match {
@@ -89,7 +101,15 @@ object FilterParser {
         var as: Option[String] = None
         var r = rest
         while (r.nonEmpty) r match {
-          case e :: v :: t if e.equalsIgnoreCase("EF_RUNTIME") => ef = Some(v.toInt); r = t
+          case e :: v :: t if e.equalsIgnoreCase("EF_RUNTIME") =>
+            val efv = v.toInt
+            // reference Verify (ft_search_parser.cc:63-71;
+            // max-vector-ef-runtime default 1000000)
+            if (efv < 1 || efv > MaxEfRuntime)
+              throw ParseError(
+                "`EF_RUNTIME` must be a positive integer greater than 0 and " +
+                  s"cannot exceed $MaxEfRuntime.", 0)
+            ef = Some(efv); r = t
           case a :: v :: t if a.equalsIgnoreCase("AS") => as = Some(v); r = t
           case other => throw ParseError(s"unexpected KNN token ${other.head}", 0)
         }

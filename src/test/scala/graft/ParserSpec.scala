@@ -185,6 +185,26 @@ class ParserSpec extends AnyFunSuite {
     assert(lit.patterns == Seq(graft.query.TagPattern("a*", isPrefix = false)))
   }
 
+  test("KNN parameter caps: k and EF_RUNTIME reject past the reference limits") {
+    val params = Map("v" -> (graft.query.VectorParam(Array(1f, 0f)): graft.query.ParamValue))
+    // valid at the boundary
+    assert(FilterParser.parse("*=>[KNN 10000 @vec $v]", params).knn.get.k == 10000)
+    val bigK = intercept[Exception] {
+      FilterParser.parse("*=>[KNN 10001 @vec $v]", params)
+    }
+    assert(bigK.getMessage.contains("cannot exceed 10000"))
+    val zeroK = intercept[Exception] {
+      FilterParser.parse("*=>[KNN 0 @vec $v]", params)
+    }
+    assert(zeroK.getMessage.contains("positive integer"))
+    val bigEf = intercept[Exception] {
+      FilterParser.parse("*=>[KNN 5 @vec $v EF_RUNTIME 1000001]", params)
+    }
+    assert(bigEf.getMessage.contains("EF_RUNTIME"))
+    assert(FilterParser.parse("*=>[KNN 5 @vec $v EF_RUNTIME 1000000]", params)
+      .knn.get.efRuntime.contains(1000000))
+  }
+
   test("damerau-levenshtein") {
     import graft.functions.DamerauLevenshtein.distance
     assert(distance("hello", "hello") == 0)
