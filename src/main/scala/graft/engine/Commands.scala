@@ -264,7 +264,13 @@ final class Commands(
     while (a.hasNext) {
       a.next().toUpperCase match {
         case "NOCONTENT" => opts = opts.copy(noContent = true)
-        case "TIMEOUT" => a.nextInt("TIMEOUT") // applied by executeWithTimeout callers
+        case "TIMEOUT" =>
+          // applied by executeWithTimeout callers; reference caps it
+          // (search.h:50 kMaxTimeoutMs)
+          val t = a.nextInt("TIMEOUT")
+          if (t < 0 || t > 60000) throw new ExprParseException(
+            "TIMEOUT must be a positive integer greater than 0 and " +
+              "cannot exceed 60000.")
         case "PARAMS" => opts = opts.copy(params = parseParams(a))
         case "LIMIT" =>
           val off = a.nextInt("LIMIT"); opts = opts.copy(limit = (off, a.nextInt("LIMIT")))
@@ -288,7 +294,9 @@ final class Commands(
             else opts.copy(returnFields = parsed)
         case "DIALECT" =>
           val d = a.nextInt("DIALECT")
-          require(d == 2, s"only DIALECT 2 is supported, got $d")
+          // reference Verify range (ft_search_parser.cc:85-88)
+          if (d < 2 || d > 4) throw new ExprParseException(
+            "DIALECT requires a non negative integer >=2 and <= 4")
         case "VERBATIM" => opts = opts.copy(verbatim = true)
         // Positional options (reference ft_search_parser.cc:232-236)
         case "SLOP" =>
@@ -317,7 +325,11 @@ final class Commands(
     while (a.hasNext) {
       if (a.peekIs("PARAMS")) { a.next(); opts = opts.copy(params = parseParams(a)) }
       else if (a.peekIs("TIMEOUT")) { a.next(); a.nextInt("TIMEOUT"); () }
-      else if (a.peekIs("DIALECT")) { a.next(); require(a.nextInt("DIALECT") == 2) }
+      else if (a.peekIs("DIALECT")) {
+        a.next(); val d = a.nextInt("DIALECT")
+        if (d < 2 || d > 4) throw new ExprParseException(
+          "DIALECT requires a non negative integer >=2 and <= 4")
+      }
       else if (a.peekIs("VERBATIM")) { a.next(); opts = opts.copy(verbatim = true) }
       else if (a.peekIs("INORDER")) { a.next(); opts = opts.copy(inorder = true) }
       else if (a.peekIs("SLOP")) {

@@ -158,11 +158,23 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { cmds.execute(Seq("FT.DROPINDEX", "empty_idx")) }
   }
 
-  test("DIALECT other than 2 is rejected (query/search.h:55)") {
+  test("DIALECT 2-4 accepted, others rejected; TIMEOUT capped (Verify parity)") {
     cmds.execute(create)
-    intercept[Exception] {
-      cmds.execute(Seq("FT.SEARCH", "products", "*", "DIALECT", "1"))
+    // reference Verify: dialect ∈ [2,4] (ft_search_parser.cc:85-88)
+    for (d <- Seq("2", "3", "4"))
+      cmds.execute(Seq("FT.SEARCH", "products", "*", "DIALECT", d))
+    for (d <- Seq("1", "5")) {
+      val e = intercept[Exception] {
+        cmds.execute(Seq("FT.SEARCH", "products", "*", "DIALECT", d))
+      }
+      assert(e.getMessage.contains("DIALECT requires"))
     }
+    // TIMEOUT cap (search.h:50 kMaxTimeoutMs = 60000)
+    cmds.execute(Seq("FT.SEARCH", "products", "*", "TIMEOUT", "60000"))
+    val t = intercept[Exception] {
+      cmds.execute(Seq("FT.SEARCH", "products", "*", "TIMEOUT", "60001"))
+    }
+    assert(t.getMessage.contains("cannot exceed 60000"))
   }
 
   test("index-level STOPWORDS: declared words drop from index and query") {
