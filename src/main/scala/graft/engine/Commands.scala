@@ -192,15 +192,18 @@ final class Commands(
           val algo = a.next().toUpperCase
           require(algo == "HNSW" || algo == "FLAT", s"VECTOR expects HNSW|FLAT, got $algo")
           val nAttrs = a.nextInt("VECTOR")
-          var dim = -1; var metric: DistanceMetric = DistanceMetric.L2
+          var dim = -1; var metric: Option[DistanceMetric] = None
+          var typed = false
           var m = 16; var efc = 200; var efr = 10
           var consumed = 0
           while (consumed < nAttrs) {
             val k = a.next().toUpperCase; val v = a.next(); consumed += 2
             k match {
               case "DIM" => dim = v.toInt
-              case "TYPE" => require(v.equalsIgnoreCase("FLOAT32"), "TYPE must be FLOAT32")
-              case "DISTANCE_METRIC" => metric = DistanceMetric.parse(v)
+              case "TYPE" =>
+                require(v.equalsIgnoreCase("FLOAT32"), "TYPE must be FLOAT32")
+                typed = true
+              case "DISTANCE_METRIC" => metric = Some(DistanceMetric.parse(v))
               case "INITIAL_CAP" => // capacity is storage-managed here
               case "M" => m = v.toInt
               case "EF_CONSTRUCTION" => efc = v.toInt
@@ -208,14 +211,45 @@ final class Commands(
               case other => throw new ExprParseException(s"unknown vector attr $other")
             }
           }
-          require(dim > 0, "VECTOR requires DIM")
-          VectorField(dim, metric, m, efc, efr)
+          // reference FTCreateVectorParameters/HNSWParameters::Verify
+          // (ft_create_parser.cc:777-832): required params + ranges,
+          // same error strings; defaults from valkey_search_options.
+          if (dim < 0) throw new ExprParseException("Missing dimensions parameter.")
+          if (dim < 1 || dim > 32768) throw new ExprParseException(
+            "The dimensions value must be a positive integer greater than 0 " +
+              "and less than or equal to 32768.")
+          if (!typed) throw new ExprParseException("Missing vector TYPE parameter.")
+          if (metric.isEmpty) throw new ExprParseException("Missing DISTANCE_METRIC parameter.")
+          if (algo == "HNSW") {
+            if (m < 2 || m > 2000000) throw new ExprParseException(
+              "M must be a positive integer greater than 2 and cannot exceed 2000000.")
+            if (efc < 1 || efc > 1000000) throw new ExprParseException(
+              "EF_CONSTRUCTION must be a positive integer greater than 0 and " +
+                "cannot exceed 1000000.")
+            if (efr < 1 || efr > 1000000) throw new ExprParseException(
+              "EF_RUNTIME must be a positive integer greater than 0 and " +
+                "cannot exceed 1000000.")
+          }
+          VectorField(dim, metric.get, m, efc, efr)
         case other => throw new ExprParseException(s"unknown field type $other")
       }
       if (a.peekIs("SORTABLE")) a.next() // accepted & ignored, as the reference
       fields += FieldDef(identifier, alias, ftype)
     }
-    val schema = IndexSchema(name, fields.result(), analyzer = analyzerCfg,
+    // schema-level validation (reference ft_create_parser.cc:746-763):
+    // duplicate identifiers, attribute count, text-field count
+    val defs = fields.result()
+    defs.groupBy(_.identifier).collectFirst { case (id, ds) if ds.size > 1 =>
+      throw new ExprParseException(s"Duplicate field in schema - $id")
+    }
+    if (defs.size > 1000) throw new ExprParseException(
+      "The maximum number of attributes cannot exceed 1000.")
+    if (defs.count(_.ftype.isInstanceOf[TextField]) > 64)
+      throw new ExprParseException(
+        "The maximum number of text fields cannot exceed 64.")
+    if (prefixes.size > 16) throw new ExprParseException(
+      "The maximum number of prefixes cannot exceed 16.")
+    val schema = IndexSchema(name, defs, analyzer = analyzerCfg,
       docScore = score, docScoreField = scoreField)
     val (raw, keyExpr) = source(prefixes)
     val bound = if (skipScan) raw.limit(0) else raw

@@ -366,6 +366,39 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.rows.map(_.getString(0)).toSeq == Seq("d1"))
   }
 
+  test("FT.CREATE validation parity: vector params, duplicate fields, prefix cap") {
+    def bad(tokens: Seq[String], msg: String): Unit = {
+      val e = intercept[Exception] { cmds.execute(tokens) }
+      assert(e.getMessage.contains(msg), s"expected `$msg` got `${e.getMessage}`")
+    }
+    def vec(attrs: String*): Seq[String] =
+      Seq("FT.CREATE", "vv", "SCHEMA", "emb", "VECTOR", "HNSW",
+        attrs.length.toString) ++ attrs
+    // required params (FTCreateVectorParameters::Verify)
+    bad(vec("TYPE", "FLOAT32", "DISTANCE_METRIC", "L2"), "Missing dimensions")
+    bad(vec("DIM", "4", "DISTANCE_METRIC", "L2"), "Missing vector TYPE")
+    bad(vec("DIM", "4", "TYPE", "FLOAT32"), "Missing DISTANCE_METRIC")
+    // ranges (HNSWParameters::Verify; max-vector-dimensions default)
+    bad(vec("DIM", "32769", "TYPE", "FLOAT32", "DISTANCE_METRIC", "L2"),
+      "less than or equal to 32768")
+    bad(vec("DIM", "4", "TYPE", "FLOAT32", "DISTANCE_METRIC", "L2", "M", "1"),
+      "greater than 2")
+    bad(vec("DIM", "4", "TYPE", "FLOAT32", "DISTANCE_METRIC", "L2",
+      "EF_CONSTRUCTION", "1000001"), "EF_CONSTRUCTION")
+    // duplicate identifier (ft_create_parser.cc:748-751)
+    bad(Seq("FT.CREATE", "dup_idx", "SCHEMA",
+      "price", "NUMERIC", "price", "TAG"), "Duplicate field in schema - price")
+    // prefix cap (max-prefixes default 16)
+    bad(Seq("FT.CREATE", "pfx_idx", "PREFIX", "17") ++
+      (1 to 17).map(i => s"p$i:") ++ Seq("SCHEMA", "price", "NUMERIC"),
+      "prefixes cannot exceed 16")
+    // aliasing the same identifier twice is still a duplicate; two
+    // different identifiers sharing nothing are fine
+    assert(cmds.execute(Seq("FT.CREATE", "ok_idx", "SCHEMA",
+      "price", "NUMERIC", "colors", "TAG")) == "OK")
+    engine.dropIndex("ok_idx")
+  }
+
   test("NOOFFSETS: phrase queries are rejected, terms still work") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("d1", "hash join plan")).toDF("pk", "txt")
