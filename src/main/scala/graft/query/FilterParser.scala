@@ -23,6 +23,10 @@ object FilterParser {
     * must exceed this. */
   val TagMinPrefixLength: Int = 2
 
+  /** `query-string-bytes` default (reference valkey_search_options
+    * .cc:65; enforced search.cc:1071). */
+  val MaxQueryStringBytes: Int = 10240
+
   /** `max-vector-knn` default (reference ft_search_parser.cc:35). */
   val MaxVectorKnn: Int = 10000
 
@@ -37,6 +41,11 @@ object FilterParser {
 
   def parse(query: String, params: Map[String, ParamValue] = Map.empty,
             fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance): ParsedQuery = {
+    // reference PreParseQueryString (search.cc:1069-1075)
+    if (query.getBytes(java.nio.charset.StandardCharsets.UTF_8).length >
+        MaxQueryStringBytes)
+      throw ParseError(
+        s"Query string is too long, max length is $MaxQueryStringBytes bytes.", 0)
     val arrow = findTopLevelArrow(query)
     arrow match {
       case Some(i) =>

@@ -166,6 +166,11 @@ class ParserSpec extends AnyFunSuite {
     // a large-but-legal query still parses
     val ok = (1 to 999).map(i => s"w$i").mkString(" ")
     assert(FilterParser.parse(ok).filter.isInstanceOf[graft.query.And])
+    // reference query-string-bytes (default 10240): a single oversized
+    // token can't slip past the terms cap
+    val long = "@text:" + "a" * 10300
+    val e3 = intercept[Exception] { FilterParser.parse(long) }
+    assert(e3.getMessage.contains("too long"))
   }
 
   test("tag wildcard validation: multiple stars and short prefixes reject") {
