@@ -339,6 +339,12 @@ final class Commands(
           opts = opts.copy(slop = Some(s))
         case "INORDER" => opts = opts.copy(inorder = true)
         case "WITHSORTKEYS" => opts = opts.copy(withSortKeys = true)
+        // Cluster scope/consistency hints (reference ft_search_parser
+        // .cc:208-221, search.h:66-70): accepted flags; a single Spark
+        // engine always behaves as LOCALONLY+CONSISTENT, so they carry
+        // no effect here — but a reference client may always send them.
+        case "LOCALONLY" | "ALLSHARDS" | "SOMESHARDS" |
+             "CONSISTENT" | "INCONSISTENT" => ()
         case other => throw new ExprParseException(s"unknown FT.SEARCH option $other")
       }
     }

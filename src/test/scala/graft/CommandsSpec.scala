@@ -175,6 +175,13 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cmds.execute(Seq("FT.SEARCH", "products", "*", "TIMEOUT", "60001"))
     }
     assert(t.getMessage.contains("cannot exceed 60000"))
+    // cluster scope/consistency flags accepted as no-ops (single-engine
+    // ≡ LOCALONLY+CONSISTENT); unknown options still reject
+    cmds.execute(Seq("FT.SEARCH", "products", "*",
+      "LOCALONLY", "SOMESHARDS", "CONSISTENT"))
+    intercept[Exception] {
+      cmds.execute(Seq("FT.SEARCH", "products", "*", "NOSUCHOPT"))
+    }
   }
 
   test("index-level STOPWORDS: declared words drop from index and query") {
