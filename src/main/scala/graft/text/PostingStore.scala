@@ -35,8 +35,16 @@ import org.apache.spark.sql.functions._
  * A crash at any point leaves the previous MANIFEST — and therefore
  * the previous consistent state — intact; [[open]] reads the manifest
  * and garbage-collects any orphan directories a crash left behind.
- * Callers re-acquire [[view]] after [[applyBatch]]/[[compact]] — a
- * previously returned DataFrame points at deleted segment files.
+ *
+ * Concurrent-reader grace: a superseded generation's files are NOT
+ * deleted at commit — they are queued and removed at the NEXT
+ * mutation, so a query that captured the previous [[view]] keeps its
+ * files for one full mutation interval (the reference's in-memory
+ * structures get this from locks; a file-backed store gets it from
+ * deferred deletion). Callers should still re-acquire [[view]] after
+ * each [[applyBatch]]/[[compact]] — only the freshest view sees the
+ * batch. [[open]] GCs everything non-live, including the deferred
+ * queue a crash left behind (no queries are in flight at restart).
  */
 final class PostingStore private (spark: SparkSession, dir: String,
                                   private var mainGen: Int,
@@ -47,6 +55,14 @@ final class PostingStore private (spark: SparkSession, dir: String,
 
   private def fs: FileSystem =
     FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+
+  // Deferred-deletion queue: paths superseded by the LAST mutation,
+  // removed at the NEXT one (one-mutation reader grace; see class doc).
+  private var pendingRm: Seq[String] = Nil
+  private def drainThenQueue(paths: Seq[String]): Unit = {
+    pendingRm.foreach(rm(fs, _))
+    pendingRm = paths
+  }
 
   /** Row schema of the maintained relation — whatever the initial
     * posting carried (term/__key for term and tag postings; +`full`
@@ -81,7 +97,7 @@ final class PostingStore private (spark: SparkSession, dir: String,
     commit(spark, dir, mainGen, next, layout) // atomic MANIFEST swap = commit point
     val prev = segGen
     segGen = next
-    rm(fs, tombPath(dir, prev)); rm(fs, deltaPath(dir, prev))
+    drainThenQueue(Seq(tombPath(dir, prev), deltaPath(dir, prev)))
   }
 
   /** Delta files keep the layout's pruning: cell-partitioned stores
@@ -101,7 +117,7 @@ final class PostingStore private (spark: SparkSession, dir: String,
     commit(spark, dir, nextMain, nextSeg, layout)
     val (pm, ps) = (mainGen, segGen)
     mainGen = nextMain; segGen = nextSeg
-    rm(fs, mainPath(dir, pm)); rm(fs, tombPath(dir, ps)); rm(fs, deltaPath(dir, ps))
+    drainThenQueue(Seq(mainPath(dir, pm), tombPath(dir, ps), deltaPath(dir, ps)))
   }
 
   /** Rows currently in the delta segment (compaction sizing signal). */

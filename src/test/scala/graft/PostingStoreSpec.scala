@@ -140,4 +140,32 @@ class PostingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters") && plan.contains("term"),
       s"no pushed term filter in:\n$plan")
   }
+
+  test("deferred deletion: a pre-mutation view survives one mutation interval") {
+    val dir = tmpDir()
+    val base = docs.filter(col("doc_id") % 3 === 1)
+    val store = PostingStore.init(spark, posting(base), dir, numPartitions = 2)
+    def batch(m: Int): Unit = {
+      val b = docs.filter(col("doc_id") % 3 === lit(m))
+      store.applyBatch(posting(b), b.select(col("doc_id").cast("string").as("__key")))
+    }
+    batch(2) // creates seg v1; v0 (empty-read paths) queued
+    val before = store.view // pins main/g0 + tomb/v1 + delta/v1 files
+    val pinned = asSet(before)
+    batch(0) // supersedes v1 → v1's files QUEUED, not deleted
+    // the captured view still reads every file it resolved (grace)
+    assert(asSet(before) == pinned, "pre-mutation view broke mid-grace")
+    assert(new java.io.File(s"$dir/delta/v1").exists(), "v1 deleted too early")
+    batch(1) // next mutation drains the queue → v1's files go
+    assert(!new java.io.File(s"$dir/delta/v1").exists(), "v1 not GC'd after grace")
+    assert(!new java.io.File(s"$dir/tomb/v1").exists())
+    // compact also defers: the old main survives until the next mutation
+    store.compact(numPartitions = 2)
+    assert(new java.io.File(s"$dir/main/g0").exists(), "old main deleted at compact")
+    batch(2)
+    assert(!new java.io.File(s"$dir/main/g0").exists(), "old main not GC'd")
+    // and the final view is still exactly the rebuild of the full corpus
+    // (every batch upserted its slice with unchanged content)
+    assert(asSet(store.view) == asSet(posting(docs)))
+  }
 }
