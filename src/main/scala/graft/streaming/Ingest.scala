@@ -32,8 +32,14 @@ import graft.model._
  * overwrite) — write amplification is O(touched buckets / nBuckets) of
  * the state instead of O(state) per batch, and the per-bucket merge
  * shuffles only the touched slice. In production the same dataflow
- * targets a MERGE-capable table format; hash-bucketed parquet is the
- * simplest durable store available in this container.
+ * targets a MERGE-capable table format — also for READER ISOLATION:
+ * dynamic partition overwrite replaces files in touched buckets in
+ * place, so a long-running query over the state can lose files
+ * mid-scan, where an ACID table format serves it a consistent
+ * snapshot. Hash-bucketed parquet is the simplest durable store
+ * available in this container. (The derived-index stores don't share
+ * the caveat — [[graft.text.PostingStore]] defers deletions a full
+ * mutation interval.)
  */
 object Ingest {
 

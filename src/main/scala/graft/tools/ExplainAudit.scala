@@ -15,7 +15,8 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_numeric_range", "a_groupby_reducers", "q_knn_l2", "p_dedup_minhash_lsh")
+      else Seq("q_numeric_range", "a_groupby_reducers", "q_knn_l2",
+        "p_dedup_minhash_lsh", "q_phrase_posting", "q_or_posting")
     names.foreach { n =>
       println(s"===================== $n =====================")
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
