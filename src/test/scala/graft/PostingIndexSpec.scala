@@ -217,7 +217,8 @@ class PostingIndexSpec extends AnyFunSuite {
       ("d2", "beta alpha gamma"),     // reversed — no match
       ("d3", "alpha filler beta"),    // gap — no match
       ("d4", "alpha the beta"),       // stop word removed → adjacent again
-      ("d5", "gamma alpha beta"))     // phrase at the end
+      ("d5", "gamma alpha beta"),     // phrase at the end
+      ("d6", "alpha alpha beta"))     // repeated word
       .toDF("__key", "txt"), schema)
     val e = new SearchEngine
     e.createIndex(schema, docs, resident = true)
@@ -234,7 +235,7 @@ class PostingIndexSpec extends AnyFunSuite {
     // alpha/beta sit at consecutive positions (the same stream the
     // columnar __joined verify is defined over)
     val q2 = "@txt:\"alpha beta\""
-    assert(keys(e, q2) == Set("d1", "d4", "d5") && keys(e, q2) == keys(plain, q2))
+    assert(keys(e, q2) == Set("d1", "d4", "d5", "d6") && keys(e, q2) == keys(plain, q2))
     val routedPlan = e.search("phr", q2, opts).queryExecution.optimizedPlan.toString
     assert(routedPlan.contains("LeftSemi"), "tiny phrase did not route")
     // 3-word phrase: two chained position joins
@@ -244,6 +245,12 @@ class PostingIndexSpec extends AnyFunSuite {
     // has no stop words) — the positional route is exact-empty here too
     val qs = "@txt:\"alpha the\""
     assert(keys(e, qs) == Set.empty && keys(plain, qs) == Set.empty)
+    // repeated word: both occurrences must sit at consecutive positions
+    // (two slices of the SAME term joined at different offsets)
+    val qr = "@txt:\"alpha alpha\""
+    assert(keys(e, qr) == Set("d6") && keys(e, qr) == keys(plain, qr))
+    val qr3 = "@txt:\"alpha alpha beta\""
+    assert(keys(e, qr3) == Set("d6") && keys(e, qr3) == keys(plain, qr3))
   }
 
   test("phrase falls back to the rarest stem posting without positional postings") {
