@@ -99,18 +99,21 @@ object IndexMaintainer {
     val graphs = schema.fields.collect {
       case fd if fd.ftype.isInstanceOf[VectorField] =>
         val vf = fd.ftype.asInstanceOf[VectorField]
-        val g = Nsw.build(docs, schema.keyColumn, fd.alias,
+        // built here; checkpointed beside the stores by the saveAnn
+        // below so [[openIndex]] restores without reconstruction
+        // (further checkpoints are the caller's policy via
+        // [[IndexMaintainer.saveAnn]], like RDB saves — stores need
+        // none: they commit per batch)
+        fd.alias -> Nsw.build(docs, schema.keyColumn, fd.alias,
           metric = vf.metric.name, numPartitions = numPartitions,
           m = vf.hnswM, efConstruction = vf.efConstruction)
-        // checkpoint the built graph beside the stores so [[openIndex]]
-        // restores without reconstruction (further checkpoints are the
-        // caller's policy via [[IndexMaintainer.saveAnn]], like RDB
-        // saves — stores need none: they commit per batch)
-        Nsw.save(g, s"$dir/${fd.alias}__nsw")
-        fd.alias -> g
     }.toMap
-    new IndexMaintainer(engine, indexName, schema, termStores, graphs,
+    val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
       docsSource, compactRowThreshold, sfxStores, posStores).register()
+    // record the build-time watermark so a restart BEFORE the first
+    // saveAnn still knows its replay point (= everything after build)
+    if (graphs.nonEmpty) m.saveAnn(dir)
+    m
   }
 
   /**
@@ -151,8 +154,18 @@ object IndexMaintainer {
         Some(fd.alias -> Nsw.load(spark, p.toString))
       else None
     }.toMap
-    new IndexMaintainer(engine, indexName, schema, termStores, graphs,
+    val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
       docsSource, compactRowThreshold, sfxStores, posStores).register()
+    // surface the replay watermark the last saveAnn recorded: the
+    // caller replays the change feed from the first __seq AFTER it
+    val seqFile = new java.io.File(dir, "ann_seq.bin")
+    if (seqFile.isFile) {
+      val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(seqFile))
+      try m.annCheckpointSeq =
+        Some(ois.readObject().asInstanceOf[java.lang.Long].longValue())
+      finally ois.close()
+    }
+    m
   }
 }
 
@@ -240,13 +253,30 @@ final class IndexMaintainer(
   /** Current ANN index for a field (advances as batches apply). */
   def annIndex(field: String): Nsw.NswIndex = ann(field)
 
-  /** Checkpoint every ANN graph under `dir` (`<alias>__nsw`) — the RDB
-    * save shape. Posting stores need no equivalent (they commit per
-    * batch); graphs are memory-resident between checkpoints, and
-    * [[IndexMaintainer.openIndex]] + idempotent stream replay covers
-    * the gap after a crash. */
-  def saveAnn(dir: String): Unit =
+  /** Highest `__seq` applied by [[onBatch]] so far (-1 before any
+    * batch). [[saveAnn]] persists it so a restart knows the replay
+    * point. */
+  @volatile private var appliedSeq: Long = -1L
+  /** The `__seq` recorded by the last [[saveAnn]] this maintainer was
+    * opened from (None for a fresh [[IndexMaintainer.forIndex]]).
+    * After [[IndexMaintainer.openIndex]], the caller must REPLAY the
+    * change feed from the first `__seq` greater than this — the
+    * posting stores are ahead (they commit per batch) but idempotent
+    * to the overlap, while the ANN graphs hold exactly this point. */
+  @volatile var annCheckpointSeq: Option[Long] = None
+
+  /** Checkpoint every ANN graph under `dir` (`<alias>__nsw`) plus the
+    * replay watermark (`ann_seq.bin`) — the RDB save shape. Posting
+    * stores need no equivalent (they commit per batch); graphs are
+    * memory-resident between checkpoints, and [[IndexMaintainer
+    * .openIndex]] + stream replay from the recorded watermark
+    * (idempotent per batch) covers the gap after a crash. */
+  def saveAnn(dir: String): Unit = {
     ann.foreach { case (f, idx) => Nsw.save(idx, s"$dir/${f}__nsw") }
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$dir/ann_seq.bin"))
+    try oos.writeObject(java.lang.Long.valueOf(appliedSeq)) finally oos.close()
+  }
 
   /** Register the initial views/graphs with the engine (call once,
     * before the stream starts — queries work from the first batch on). */
@@ -271,6 +301,11 @@ final class IndexMaintainer(
   def onBatch(batch: DataFrame): Unit = {
     if (postingStores.isEmpty && suffixStores.isEmpty && ann.isEmpty &&
         positionalStores.isEmpty && docsSource.isEmpty) return
+    // advance the replay watermark (one tiny agg over the micro-batch)
+    if (batch.columns.contains("__seq")) {
+      val row = batch.agg(max(col("__seq").cast("long"))).collect()(0)
+      if (!row.isNullAt(0)) appliedSeq = math.max(appliedSeq, row.getLong(0))
+    }
     val upserts = batch.filter(col("op") === "upsert").drop("op", "__seq")
     val enriched = Documents.enrich(upserts, schema)
     val changedKeys = batch.select(col("__key").cast("string").as("__key"))

@@ -489,6 +489,10 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     e2.postingRouteMaxSelectivity = 1.0
     val m2 = IndexMaintainer.openIndex(e2, "surv", tmp,
       docsSource = Some(() => corpus))
+    // the checkpoint carries its replay watermark: saveAnn ran after
+    // the __seq<=2 batch, so replay starts past 2
+    assert(m2.annCheckpointSeq.contains(2L),
+      s"watermark: ${m2.annCheckpointSeq}")
     def keys(q: String, opts: graft.engine.SearchOptions =
         graft.engine.SearchOptions(noContent = true)): Seq[String] =
       e2.search("surv", q, opts).collect().map(_.getAs[String]("__key")).toSeq
