@@ -54,7 +54,12 @@ final class Commands(
     require(argv.nonEmpty, "empty command")
     argv.head.toUpperCase match {
       case "FT.CREATE" => ftCreate(new Args(argv.tail))
-      case "FT.DROPINDEX" => engine.dropIndex(argv(1)); "OK"
+      case "FT.DROPINDEX" =>
+        engine.dropIndex(argv(1))
+        // a stale maintainer would re-register views for (and its
+        // docsSource branch re-CREATE) the dropped index on next batch
+        maintainerByIndex.remove(argv(1))
+        "OK"
       case "FT._LIST" => engine.listIndexes
       case "FT.INFO" => engine.info(argv(1)) // scope/consistency args ≡ LOCAL here
       // Server INFO, SEARCH section (reference metrics surface,
@@ -270,6 +275,17 @@ final class Commands(
     // DataFrame pins its file list at creation; a stale handle would miss
     // the batch's writes) with the key column pre-applied — onBatch's
     // enrich path keys off schema.keyColumn when present.
+    // SKIPINITIALSCAN means pre-existing source documents are NOT
+    // indexed until streamed — but the maintain wiring's docsSource
+    // re-registers the FULL bound source per batch, which would
+    // resurrect them all after one batch. Honoring skip semantics
+    // needs the Ingest STATE as docsSource (only streamed docs);
+    // Commands cannot know that path — wire IndexMaintainer manually
+    // for that deployment instead of silently breaking the contract.
+    if (skipScan && (maintainDir.isDefined || maintainOpenDir.isDefined))
+      throw new ExprParseException(
+        "SKIPINITIALSCAN cannot be combined with MAINTAIN/MAINTAIN_OPEN; " +
+          "wire IndexMaintainer with the ingest state as docsSource instead")
     def boundSource(): () => DataFrame = () => {
       val (raw2, key2) = source(prefixes)
       raw2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
@@ -364,7 +380,12 @@ final class Commands(
     var opts = SearchOptions()
     while (a.hasNext) {
       if (a.peekIs("PARAMS")) { a.next(); opts = opts.copy(params = parseParams(a)) }
-      else if (a.peekIs("TIMEOUT")) { a.next(); a.nextInt("TIMEOUT"); () }
+      else if (a.peekIs("TIMEOUT")) {
+        a.next(); val t = a.nextInt("TIMEOUT")
+        if (t < 0 || t > 60000) throw new ExprParseException(
+          "TIMEOUT must be a positive integer greater than 0 and " +
+            "cannot exceed 60000.")
+      }
       else if (a.peekIs("DIALECT")) {
         a.next(); val d = a.nextInt("DIALECT")
         if (d < 2 || d > 4) throw new ExprParseException(

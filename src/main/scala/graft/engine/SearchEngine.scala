@@ -162,6 +162,17 @@ class SearchEngine {
    * get a normalized-value posting. Per-term/token frequency maps are
    * collected alongside as planner metadata.
    */
+  /** Per-term frequencies as planner metadata (reference: posting-list
+    * sizes live on the radix nodes). Bounded driver footprint: a
+    * vocabulary past the cap keeps the count-the-slice fallback.
+    * Shared by [[buildPostings]] and [[loadPostings]]. */
+  private def collectStats(df: DataFrame): Option[Map[String, Long]] = {
+    val rows = df.groupBy(col("term")).count().limit(1000001).collect()
+    if (rows.length <= 1000000)
+      Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    else None
+  }
+
   def buildPostings(indexName: String, dir: String,
                     fields: Seq[String] = Nil,
                     numPartitions: Int = 32): this.type = {
@@ -172,15 +183,6 @@ class SearchEngine {
         case _: TextField | _: TagField => true
         case _ => false
       })
-    // Term frequencies as planner metadata (reference: posting-list
-    // sizes live on the radix nodes). Bounded driver footprint: a
-    // vocabulary past the cap keeps the count-the-slice fallback.
-    def collectStats(df: DataFrame): Option[Map[String, Long]] = {
-      val rows = df.groupBy(col("term")).count().limit(1000001).collect()
-      if (rows.length <= 1000000)
-        Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
-      else None
-    }
     def saveLoad(posting: DataFrame, path: String): DataFrame = {
       graft.text.PostingIndex.save(posting, path, numPartitions)
       graft.text.PostingIndex.load(docs.sparkSession, path)
@@ -241,12 +243,6 @@ class SearchEngine {
   def loadPostings(indexName: String, dir: String): this.type = {
     val (schema, docs) = index(indexName)
     val spark = docs.sparkSession
-    def collectStats(df: DataFrame): Option[Map[String, Long]] = {
-      val rows = df.groupBy(col("term")).count().limit(1000001).collect()
-      if (rows.length <= 1000000)
-        Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
-      else None
-    }
     def sub(name: String): Option[DataFrame] = {
       val p = new java.io.File(dir, name)
       if (p.isDirectory) Some(graft.text.PostingIndex.load(spark, p.toString))

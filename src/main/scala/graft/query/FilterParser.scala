@@ -313,13 +313,17 @@ object FilterParser {
           if (t.endsWith("*") && !t.endsWith("\\*")) {
             // reference tag wildcard validation (tag.cc:66,156-168):
             // `ab**` is malformed; prefixes at or under
-            // tag-min-prefix-length (length INCLUDING the `*`) reject
-            if (t.length >= 2 && t.charAt(t.length - 2) == '*')
+            // tag-min-prefix-length (length INCLUDING the `*`) reject.
+            // An ESCAPED star before the final `*` is a literal
+            // (`ab\**` = prefix search for "ab*"), not a double star.
+            if (t.length >= 2 && t.charAt(t.length - 2) == '*' &&
+                (t.length < 3 || t.charAt(t.length - 3) != '\\'))
               throw ParseError(s"Tag string `$t` ends with multiple *.", pos)
             if (t.length <= FilterParser.TagMinPrefixLength)
               throw ParseError(
                 s"Tag string `$t` is too short for prefix wildcard.", pos)
-            patterns += TagPattern(t.dropRight(1), isPrefix = true)
+            patterns += TagPattern(t.dropRight(1).replace("\\*", "*"),
+              isPrefix = true)
           } else patterns += TagPattern(t.replace("\\*", "*"), isPrefix = false)
         }
       }

@@ -148,22 +148,34 @@ object IndexMaintainer {
       open(s"${fd.alias}__suffix").map(fd.alias -> _)).toMap
     val posStores = schema.fields.flatMap(fd =>
       open(s"${fd.alias}__pos").map(fd.alias -> _)).toMap
-    val graphs = schema.fields.flatMap { fd =>
-      val p = new java.io.File(dir, s"${fd.alias}__nsw")
-      if (fd.ftype.isInstanceOf[VectorField] && p.isDirectory)
-        Some(fd.alias -> Nsw.load(spark, p.toString))
-      else None
-    }.toMap
+    // the replay watermark names the live checkpoint version
+    val seqFile = new java.io.File(dir, "ann_seq.bin")
+    val checkpointSeq: Option[Long] =
+      if (!seqFile.isFile) None
+      else {
+        val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(seqFile))
+        try Some(ois.readObject().asInstanceOf[java.lang.Long].longValue())
+        finally ois.close()
+      }
+    val graphs = checkpointSeq.map { seq =>
+      schema.fields.flatMap { fd =>
+        val p = new java.io.File(dir, s"${fd.alias}__nsw/v$seq")
+        if (fd.ftype.isInstanceOf[VectorField] && p.isDirectory)
+          Some(fd.alias -> Nsw.load(spark, p.toString))
+        else None
+      }.toMap
+    }.getOrElse(Map.empty)
     val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
       docsSource, compactRowThreshold, sfxStores, posStores).register()
-    // surface the replay watermark the last saveAnn recorded: the
-    // caller replays the change feed from the first __seq AFTER it
-    val seqFile = new java.io.File(dir, "ann_seq.bin")
-    if (seqFile.isFile) {
-      val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(seqFile))
-      try m.annCheckpointSeq =
-        Some(ois.readObject().asInstanceOf[java.lang.Long].longValue())
-      finally ois.close()
+    checkpointSeq.foreach { seq =>
+      // surface the replay point: the caller replays the change feed
+      // from the first __seq AFTER it. Seed the live watermark too —
+      // a saveAnn BEFORE the first replayed batch must re-stamp the
+      // checkpoint, not regress it to -1 — and pin the loaded version
+      // so saveAnn never writes over the live graphs' backing files.
+      m.annCheckpointSeq = Some(seq)
+      m.seedAppliedSeq(seq)
+      m.markOpenedVersion(seq)
     }
     m
   }
@@ -257,6 +269,8 @@ final class IndexMaintainer(
     * batch). [[saveAnn]] persists it so a restart knows the replay
     * point. */
   @volatile private var appliedSeq: Long = -1L
+  private[streaming] def seedAppliedSeq(seq: Long): Unit =
+    appliedSeq = math.max(appliedSeq, seq)
   /** The `__seq` recorded by the last [[saveAnn]] this maintainer was
     * opened from (None for a fresh [[IndexMaintainer.forIndex]]).
     * After [[IndexMaintainer.openIndex]], the caller must REPLAY the
@@ -265,17 +279,44 @@ final class IndexMaintainer(
     * to the overlap, while the ANN graphs hold exactly this point. */
   @volatile var annCheckpointSeq: Option[Long] = None
 
-  /** Checkpoint every ANN graph under `dir` (`<alias>__nsw`) plus the
-    * replay watermark (`ann_seq.bin`) — the RDB save shape. Posting
-    * stores need no equivalent (they commit per batch); graphs are
-    * memory-resident between checkpoints, and [[IndexMaintainer
-    * .openIndex]] + stream replay from the recorded watermark
-    * (idempotent per batch) covers the gap after a crash. */
+  /** The checkpoint version this maintainer's graphs were LOADED from
+    * (None when built fresh) — that version's files back the live
+    * in-memory Datasets and must never be overwritten or GC'd. */
+  private var openedAnnVersion: Option[Long] = None
+  private[streaming] def markOpenedVersion(v: Long): Unit =
+    openedAnnVersion = Some(v)
+
+  /** Checkpoint every ANN graph under `dir` (`<alias>__nsw/v<seq>` —
+    * VERSIONED: a loaded graph's Dataset lazily reads its checkpoint
+    * files, so writing over them would pull the files out from under
+    * the live index) plus the replay watermark (`ann_seq.bin`) — the
+    * RDB save shape. Posting stores need no equivalent (they commit
+    * per batch); graphs are memory-resident between checkpoints, and
+    * [[IndexMaintainer.openIndex]] + stream replay from the recorded
+    * watermark (idempotent per batch) covers the gap after a crash.
+    * Stale versions GC here, keeping the just-written one and the one
+    * the live graphs were opened from. */
   def saveAnn(dir: String): Unit = {
-    ann.foreach { case (f, idx) => Nsw.save(idx, s"$dir/${f}__nsw") }
+    val v = appliedSeq
+    if (!openedAnnVersion.contains(v)) { // same version ⇒ already on disk
+      ann.foreach { case (f, idx) => Nsw.save(idx, s"$dir/${f}__nsw/v$v") }
+      ann.keys.foreach { f =>
+        val base = new java.io.File(dir, s"${f}__nsw")
+        val keep = Set(s"v$v") ++ openedAnnVersion.map(ov => s"v$ov")
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("v") &&
+            !keep.contains(d.getName))
+          .foreach(deleteRecursively)
+      }
+    }
     val oos = new java.io.ObjectOutputStream(
       new java.io.FileOutputStream(s"$dir/ann_seq.bin"))
-    try oos.writeObject(java.lang.Long.valueOf(appliedSeq)) finally oos.close()
+    try oos.writeObject(java.lang.Long.valueOf(v)) finally oos.close()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** Register the initial views/graphs with the engine (call once,
@@ -301,11 +342,6 @@ final class IndexMaintainer(
   def onBatch(batch: DataFrame): Unit = {
     if (postingStores.isEmpty && suffixStores.isEmpty && ann.isEmpty &&
         positionalStores.isEmpty && docsSource.isEmpty) return
-    // advance the replay watermark (one tiny agg over the micro-batch)
-    if (batch.columns.contains("__seq")) {
-      val row = batch.agg(max(col("__seq").cast("long"))).collect()(0)
-      if (!row.isNullAt(0)) appliedSeq = math.max(appliedSeq, row.getLong(0))
-    }
     val upserts = batch.filter(col("op") === "upsert").drop("op", "__seq")
     val enriched = Documents.enrich(upserts, schema)
     val changedKeys = batch.select(col("__key").cast("string").as("__key"))
@@ -354,12 +390,27 @@ final class IndexMaintainer(
     }
 
     docsSource.foreach { src =>
-      engine.createIndex(schema, Documents.enrich(src(), schema))
+      // preserve the TEXT-index residency default a FT.CREATE
+      // registration had; unpersist the superseded relation (no-op if
+      // it was never persisted — an in-flight query over it would
+      // recompute, which is correct, just slower)
+      val old = engine.index(indexName)._2
+      engine.createIndex(schema, Documents.enrich(src(), schema),
+        resident = schema.textFields.nonEmpty)
+      old.unpersist(blocking = false)
+      ()
     }
     // a batch fully applied means the index serves current data — for a
     // SKIPINITIALSCAN index the stream IS the initial fill (FT.INFO
     // state flips to ready; steady-state mutations are not backfill)
     engine.markReady(indexName)
+    // advance the replay watermark LAST: a saveAnn racing with (or a
+    // failure interrupting) this batch must never stamp a seq whose
+    // changes the saved graphs do not hold
+    if (batch.columns.contains("__seq")) {
+      val row = batch.agg(max(col("__seq").cast("long"))).collect()(0)
+      if (!row.isNullAt(0)) appliedSeq = math.max(appliedSeq, row.getLong(0))
+    }
     ()
   }
 }

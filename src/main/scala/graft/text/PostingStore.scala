@@ -56,13 +56,19 @@ final class PostingStore private (spark: SparkSession, dir: String,
   private def fs: FileSystem =
     FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
 
-  // Deferred-deletion queue: paths superseded by the LAST mutation,
-  // removed at the NEXT one (one-mutation reader grace; see class doc).
+  // Deferred-deletion queue: superseded paths, removed at the NEXT
+  // applyBatch (one micro-batch interval of reader grace; see class
+  // doc). Only applyBatch DRAINS — compact() merely queues, because the
+  // auto-compaction policy runs it immediately AFTER an applyBatch in
+  // the same onBatch call, and draining there would delete the files
+  // that applyBatch queued moments earlier (zero elapsed grace).
   private var pendingRm: Seq[String] = Nil
   private def drainThenQueue(paths: Seq[String]): Unit = {
     pendingRm.foreach(rm(fs, _))
     pendingRm = paths
   }
+  private def queueOnly(paths: Seq[String]): Unit =
+    pendingRm = pendingRm ++ paths
 
   /** Row schema of the maintained relation — whatever the initial
     * posting carried (term/__key for term and tag postings; +`full`
@@ -117,7 +123,7 @@ final class PostingStore private (spark: SparkSession, dir: String,
     commit(spark, dir, nextMain, nextSeg, layout)
     val (pm, ps) = (mainGen, segGen)
     mainGen = nextMain; segGen = nextSeg
-    drainThenQueue(Seq(mainPath(dir, pm), tombPath(dir, ps), deltaPath(dir, ps)))
+    queueOnly(Seq(mainPath(dir, pm), tombPath(dir, ps), deltaPath(dir, ps)))
   }
 
   /** Rows currently in the delta segment (compaction sizing signal). */

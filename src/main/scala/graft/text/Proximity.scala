@@ -74,8 +74,7 @@ object Proximity {
     // in a window (the reject path must EXHAUST the cross product: one
     // adversarial 100k-token doc would stall an executor task).
     if (inorder) matchesInorder(cands, slop)
-    else if (k <= 62) matchesWindow(cands, slop)
-    else matchesBacktrack(cands, slop, inorder = false) // unreachable query sizes
+    else matchesWindow(cands, slop)
   }
 
   /** INORDER: for each start in the first matcher's list, greedily take
@@ -116,28 +115,26 @@ object Proximity {
   /** Unordered: slide a window of span slop + (k−1) over the merged
     * candidate positions; a window matches when a system of DISTINCT
     * representatives exists (one position per matcher — bipartite
-    * augmenting-path matching, k ≤ 62 via Long masks). O(P · k² · w)
-    * with w ≤ window width — bounded, no exponential reject path. */
+    * augmenting-path matching; per-position BitSets, so ANY matcher
+    * count stays on this path). O(P · k² · w) with w ≤ window width —
+    * bounded, no exponential reject path. */
   private def matchesWindow(cands: Array[Array[Int]], slop: Int): Boolean = {
     val k = cands.length
     val span = slop.toLong + (k - 1)
-    // merged distinct positions with the mask of matchers serving each
-    val maskByPos = scala.collection.mutable.TreeMap.empty[Int, Long]
+    // merged distinct positions; per position, the set of matchers it serves
+    val merged = scala.collection.mutable.TreeSet.empty[Int]
+    cands.foreach(_.foreach(merged.add))
+    val positions = merged.toArray
+    val n = positions.length
+    val rank = positions.zipWithIndex.toMap
+    val serves = Array.fill(n)(new java.util.BitSet(k))
     var m = 0
     while (m < k) {
       val c = cands(m)
       var j = 0
-      while (j < c.length) {
-        maskByPos.updateWith(c(j)) {
-          case Some(x) => Some(x | (1L << m)); case None => Some(1L << m)
-        }
-        j += 1
-      }
+      while (j < c.length) { serves(rank(c(j))).set(m); j += 1 }
       m += 1
     }
-    val positions = maskByPos.keysIterator.toArray
-    val masks = positions.map(maskByPos)
-    val n = positions.length
 
     def windowMatches(loIdx: Int, hiIdx: Int): Boolean = {
       val w = hiIdx - loIdx + 1
@@ -146,7 +143,7 @@ object Proximity {
       def augment(matcher: Int, visited: Array[Boolean]): Boolean = {
         var pi = 0
         while (pi < w) {
-          if (!visited(pi) && (masks(loIdx + pi) & (1L << matcher)) != 0L) {
+          if (!visited(pi) && serves(loIdx + pi).get(matcher)) {
             visited(pi) = true
             if (matchOfPos(pi) < 0 || augment(matchOfPos(pi), visited)) {
               matchOfPos(pi) = matcher; return true
@@ -176,9 +173,8 @@ object Proximity {
     false
   }
 
-  /** The naive assignment search — the semantics MODEL (spec fuzzing
-    * compares the bounded algorithms against it) and the fallback for
-    * queries with more than 62 positional matchers. */
+  /** The naive assignment search — the semantics MODEL spec fuzzing
+    * compares the bounded algorithms against (never on a query path). */
   private[graft] def matchesBacktrack(cands: Array[Array[Int]], slop: Int,
                                       inorder: Boolean): Boolean = {
     val k = cands.length

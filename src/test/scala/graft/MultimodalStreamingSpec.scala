@@ -493,6 +493,16 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the __seq<=2 batch, so replay starts past 2
     assert(m2.annCheckpointSeq.contains(2L),
       s"watermark: ${m2.annCheckpointSeq}")
+    // a saveAnn BEFORE the first replayed batch must NOT regress the
+    // persisted watermark (appliedSeq seeds from the checkpoint)
+    m2.saveAnn(tmp)
+    val reread = {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.FileInputStream(s"$tmp/ann_seq.bin"))
+      try ois.readObject().asInstanceOf[java.lang.Long].longValue()
+      finally ois.close()
+    }
+    assert(reread == 2L, s"watermark regressed to $reread")
     def keys(q: String, opts: graft.engine.SearchOptions =
         graft.engine.SearchOptions(noContent = true)): Seq[String] =
       e2.search("surv", q, opts).collect().map(_.getAs[String]("__key")).toSeq

@@ -159,11 +159,21 @@ class PostingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     batch(1) // next mutation drains the queue → v1's files go
     assert(!new java.io.File(s"$dir/delta/v1").exists(), "v1 not GC'd after grace")
     assert(!new java.io.File(s"$dir/tomb/v1").exists())
-    // compact also defers: the old main survives until the next mutation
+    // compact QUEUES without draining: the auto-compaction policy runs
+    // it immediately after an applyBatch, so draining there would
+    // delete the files that applyBatch queued moments earlier — the
+    // just-superseded delta must survive a back-to-back compact
     store.compact(numPartitions = 2)
     assert(new java.io.File(s"$dir/main/g0").exists(), "old main deleted at compact")
+    // v2 was queued by the LAST applyBatch — a draining compact would
+    // have deleted it with zero elapsed grace; v3 was live at compact
+    assert(new java.io.File(s"$dir/delta/v2").exists(),
+      "applyBatch-queued files drained by the same-call compact")
+    assert(new java.io.File(s"$dir/delta/v3").exists())
     batch(2)
     assert(!new java.io.File(s"$dir/main/g0").exists(), "old main not GC'd")
+    assert(!new java.io.File(s"$dir/delta/v2").exists())
+    assert(!new java.io.File(s"$dir/delta/v3").exists())
     // and the final view is still exactly the rebuild of the full corpus
     // (every batch upserted its slice with unchanged content)
     assert(asSet(store.view) == asSet(posting(docs)))
