@@ -244,8 +244,11 @@ class SearchEngine {
     val (schema, docs) = index(indexName)
     val spark = docs.sparkSession
     def sub(name: String): Option[DataFrame] = {
-      val p = new java.io.File(dir, name)
-      if (p.isDirectory) Some(graft.text.PostingIndex.load(spark, p.toString))
+      // Hadoop FS probe (not java.io.File): on a non-local scheme a
+      // File probe silently sees nothing and the restart attaches no
+      // postings — same contract as PostingStore/FsIO.
+      if (graft.util.FsIO.isDir(spark, s"$dir/$name"))
+        Some(graft.text.PostingIndex.load(spark, s"$dir/$name"))
       else None
     }
     schema.fields.foreach { fd =>

@@ -122,17 +122,16 @@ object Ann {
   def saveIvf(index: IvfIndex, path: String): Unit = {
     index.assigned.write.mode("overwrite")
       .partitionBy("cell_id").parquet(s"$path/cells")
-    val oos = new java.io.ObjectOutputStream(
-      new java.io.FileOutputStream(s"$path/centroids.bin"))
-    try oos.writeObject(index.centroids) finally oos.close()
+    graft.util.FsIO.writeObjAtomic(index.assigned.sparkSession,
+      s"$path/centroids.bin", index.centroids)
   }
 
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String,
               keyCol: String, vecCol: String): IvfIndex = {
-    val ois = new java.io.ObjectInputStream(
-      new java.io.FileInputStream(s"$path/centroids.bin"))
-    val centroids = try ois.readObject().asInstanceOf[Array[Array[Double]]]
-      finally ois.close()
+    val centroids = graft.util.FsIO
+      .readObj[Array[Array[Double]]](spark, s"$path/centroids.bin")
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$path/centroids.bin"))
     IvfIndex(spark.read.parquet(s"$path/cells"), centroids, keyCol, vecCol)
   }
 
@@ -182,10 +181,11 @@ object Ann {
           col("vec").cast(ArrayType(FloatType)).as("vec"))
         .withColumn("cell_id", cellId(col("vec"), centroids))
       val keys = changes.select(col("__key").cast("string").as("__key"))
-      // measure BEFORE applyBatch consumes the rows; one small avg job
-      // over the batch (the centroid table broadcasts)
+      // measure BEFORE applyBatch consumes the rows; BOUNDED sample
+      // (same 4096 cap as the init baseline) so the drift statistic
+      // costs one small job even on a huge batch
       val batchDist = baselineAssignDist.flatMap(_ =>
-        meanAssignDist(ups, centroids))
+        meanAssignDist(ups.limit(4096), centroids))
       store.applyBatch(ups, keys)
       if (store.deltaSize + store.tombSize >= compactRowThreshold)
         store.compact()
@@ -221,16 +221,14 @@ object Ann {
       .withColumn("cell_id", cellId(col("vec"), centroids))
     val store = graft.text.PostingStore.init(df.sparkSession, assigned,
       s"$path/store", layout = graft.text.PostingStore.CellLayout)
-    val oos = new java.io.ObjectOutputStream(
-      new java.io.FileOutputStream(s"$path/centroids.bin"))
-    try oos.writeObject(centroids) finally oos.close()
+    graft.util.FsIO.writeObjAtomic(df.sparkSession,
+      s"$path/centroids.bin", centroids)
     // drift baseline: bounded sample of the init corpus's assignment
     // distances, persisted beside the centroids (absent = no tracking)
     val baseline = meanAssignDist(assigned.limit(4096), centroids)
     baseline.foreach { b =>
-      val bo = new java.io.ObjectOutputStream(
-        new java.io.FileOutputStream(s"$path/drift.bin"))
-      try bo.writeObject(java.lang.Double.valueOf(b)) finally bo.close()
+      graft.util.FsIO.writeObjAtomic(df.sparkSession,
+        s"$path/drift.bin", java.lang.Double.valueOf(b))
     }
     IvfStore(store, centroids, baseline)
   }
@@ -239,18 +237,13 @@ object Ann {
     * committed generations, orphans GC, centroids deserialize. */
   def openIvfStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStore = {
-    val ois = new java.io.ObjectInputStream(
-      new java.io.FileInputStream(s"$path/centroids.bin"))
-    val centroids = try ois.readObject().asInstanceOf[Array[Array[Double]]]
-      finally ois.close()
-    val driftFile = new java.io.File(s"$path/drift.bin")
-    val baseline =
-      if (!driftFile.exists()) None
-      else {
-        val bi = new java.io.ObjectInputStream(new java.io.FileInputStream(driftFile))
-        try Some(bi.readObject().asInstanceOf[java.lang.Double].doubleValue())
-        finally bi.close()
-      }
+    val centroids = graft.util.FsIO
+      .readObj[Array[Array[Double]]](spark, s"$path/centroids.bin")
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$path/centroids.bin"))
+    val baseline = graft.util.FsIO
+      .readObj[java.lang.Double](spark, s"$path/drift.bin")
+      .map(_.doubleValue())
     IvfStore(graft.text.PostingStore.open(spark, s"$path/store"), centroids,
       baseline)
   }

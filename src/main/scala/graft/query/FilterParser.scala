@@ -311,13 +311,12 @@ object FilterParser {
         if (t.startsWith("$")) t = stringParam(t.drop(1))
         if (t.nonEmpty) {
           if (t.endsWith("*") && !t.endsWith("\\*")) {
-            // reference tag wildcard validation (tag.cc:66,156-168):
-            // `ab**` is malformed; prefixes at or under
-            // tag-min-prefix-length (length INCLUDING the `*`) reject.
-            // An ESCAPED star before the final `*` is a literal
-            // (`ab\**` = prefix search for "ab*"), not a double star.
-            if (t.length >= 2 && t.charAt(t.length - 2) == '*' &&
-                (t.length < 3 || t.charAt(t.length - 3) != '\\'))
+            // reference tag wildcard validation (tag.cc:66,154-158):
+            // IsValidPrefix inspects the RAW last two characters, so
+            // ANY tag ending in `**` rejects — including `ab\**`,
+            // where the escaped star is still a raw `*` at length-2.
+            // (Our buffer keeps the `\` before `*`, matching raw.)
+            if (t.length >= 2 && t.charAt(t.length - 2) == '*')
               throw ParseError(s"Tag string `$t` ends with multiple *.", pos)
             if (t.length <= FilterParser.TagMinPrefixLength)
               throw ParseError(

@@ -132,9 +132,8 @@ object IndexMaintainer {
     val (schema, docs) = engine.index(indexName)
     val spark = docs.sparkSession
     def open(sub: String): Option[PostingStore] = {
-      val f = new java.io.File(dir, sub)
-      if (new java.io.File(f, "MANIFEST").isFile)
-        Some(PostingStore.open(spark, f.toString))
+      if (graft.util.FsIO.exists(spark, s"$dir/$sub/MANIFEST"))
+        Some(PostingStore.open(spark, s"$dir/$sub"))
       else None
     }
     val termStores = schema.fields.flatMap { fd =>
@@ -149,20 +148,22 @@ object IndexMaintainer {
     val posStores = schema.fields.flatMap(fd =>
       open(s"${fd.alias}__pos").map(fd.alias -> _)).toMap
     // the replay watermark names the live checkpoint version
-    val seqFile = new java.io.File(dir, "ann_seq.bin")
-    val checkpointSeq: Option[Long] =
-      if (!seqFile.isFile) None
-      else {
-        val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(seqFile))
-        try Some(ois.readObject().asInstanceOf[java.lang.Long].longValue())
-        finally ois.close()
-      }
+    val checkpointSeq: Option[Long] = graft.util.FsIO
+      .readObj[java.lang.Long](spark, s"$dir/ann_seq.bin").map(_.longValue())
     val graphs = checkpointSeq.map { seq =>
       schema.fields.flatMap { fd =>
-        val p = new java.io.File(dir, s"${fd.alias}__nsw/v$seq")
-        if (fd.ftype.isInstanceOf[VectorField] && p.isDirectory)
-          Some(fd.alias -> Nsw.load(spark, p.toString))
-        else None
+        val p = s"$dir/${fd.alias}__nsw/v$seq"
+        if (!fd.ftype.isInstanceOf[VectorField]) None
+        else if (graft.util.FsIO.isDir(spark, p))
+          Some(fd.alias -> Nsw.load(spark, p))
+        else
+          // A valid watermark whose checkpoint dir is gone is a
+          // CORRUPTED checkpoint (e.g. out-of-band deletion), not an
+          // index without ANN — restoring zero graphs silently would
+          // degrade every vector query with no signal. Fail loudly.
+          throw new IllegalStateException(
+            s"ANN watermark $seq names missing checkpoint dir $p " +
+            s"for vector field ${fd.alias}")
       }.toMap
     }.getOrElse(Map.empty)
     val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
@@ -286,6 +287,11 @@ final class IndexMaintainer(
   private[streaming] def markOpenedVersion(v: Long): Unit =
     openedAnnVersion = Some(v)
 
+  /** The version the last completed [[saveAnn]] stamped this session
+    * (skip-rewrite signal: saving the same seq twice would write over
+    * the files the first save produced). */
+  private var lastStampedVersion: Option[Long] = None
+
   /** Checkpoint every ANN graph under `dir` (`<alias>__nsw/v<seq>` —
     * VERSIONED: a loaded graph's Dataset lazily reads its checkpoint
     * files, so writing over them would pull the files out from under
@@ -294,29 +300,32 @@ final class IndexMaintainer(
     * per batch); graphs are memory-resident between checkpoints, and
     * [[IndexMaintainer.openIndex]] + stream replay from the recorded
     * watermark (idempotent per batch) covers the gap after a crash.
-    * Stale versions GC here, keeping the just-written one and the one
-    * the live graphs were opened from. */
+    *
+    * Crash-at-any-point safe, mirroring [[graft.text.PostingStore]]'s
+    * commit protocol: (1) write the NEW version dirs; (2) commit the
+    * watermark by tmp + atomic rename; (3) only THEN GC stale
+    * versions. A crash before (2) leaves the old watermark pointing at
+    * dirs the not-yet-run GC hasn't touched; a crash after (2) leaves
+    * the new complete state with at worst stale dirs a later save
+    * collects. The watermark file itself is never torn (rename). */
   def saveAnn(dir: String): Unit = {
+    val spark = engine.index(indexName)._2.sparkSession
     val v = appliedSeq
-    if (!openedAnnVersion.contains(v)) { // same version ⇒ already on disk
+    // same version already on disk ⇒ don't rewrite the live files
+    val onDisk = openedAnnVersion.contains(v) || lastStampedVersion.contains(v)
+    if (!onDisk)
       ann.foreach { case (f, idx) => Nsw.save(idx, s"$dir/${f}__nsw/v$v") }
-      ann.keys.foreach { f =>
-        val base = new java.io.File(dir, s"${f}__nsw")
-        val keep = Set(s"v$v") ++ openedAnnVersion.map(ov => s"v$ov")
-        Option(base.listFiles()).getOrElse(Array.empty)
-          .filter(d => d.isDirectory && d.getName.startsWith("v") &&
-            !keep.contains(d.getName))
-          .foreach(deleteRecursively)
-      }
+    graft.util.FsIO.writeObjAtomic(spark, s"$dir/ann_seq.bin",
+      java.lang.Long.valueOf(v)) // ← commit point
+    lastStampedVersion = Some(v)
+    // GC strictly AFTER the commit is durable: keep the just-stamped
+    // version and the one the live in-memory graphs were opened from.
+    val keep = Set(s"v$v") ++ openedAnnVersion.map(ov => s"v$ov")
+    ann.keys.foreach { f =>
+      graft.util.FsIO.listSubdirs(spark, s"$dir/${f}__nsw")
+        .filter(n => n.startsWith("v") && !keep.contains(n))
+        .foreach(n => graft.util.FsIO.deleteRecursive(spark, s"$dir/${f}__nsw/$n"))
     }
-    val oos = new java.io.ObjectOutputStream(
-      new java.io.FileOutputStream(s"$dir/ann_seq.bin"))
-    try oos.writeObject(java.lang.Long.valueOf(v)) finally oos.close()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   /** Register the initial views/graphs with the engine (call once,

@@ -1,0 +1,60 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Hadoop-FileSystem-based small-object IO for the restart paths
+ * (ANN watermarks, IVF centroids, drift baselines). Everything durable
+ * goes through the SAME filesystem abstraction the posting stores use
+ * ([[graft.text.PostingStore]]): `java.io.File` probes silently see
+ * nothing on any non-local scheme, turning a restart into an empty
+ * index with no error. Writes are tmp + atomic-rename — a crash at any
+ * point leaves the previous complete file or the new complete file,
+ * never a torn one (rename of a file is atomic on local FS and HDFS).
+ */
+object FsIO {
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  def isDir(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path); val p = new Path(path)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+
+  /** Names of the immediate subdirectories of `dir` (empty if absent). */
+  def listSubdirs(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir); val p = new Path(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).delete(new Path(path), true); ()
+  }
+
+  /** Serialize one object to `path` via tmp + atomic rename. */
+  def writeObjAtomic(spark: SparkSession, path: String, obj: AnyRef): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val out = new java.io.ObjectOutputStream(f.create(tmp, true))
+    try out.writeObject(obj) finally out.close()
+    f.delete(new Path(path), false)
+    if (!f.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"atomic write failed at $path")
+  }
+
+  /** Deserialize the object at `path`; None when the file is absent. */
+  def readObj[T](spark: SparkSession, path: String): Option[T] = {
+    val f = fs(spark, path); val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = new java.io.ObjectInputStream(f.open(p))
+      try Some(in.readObject().asInstanceOf[T]) finally in.close()
+    }
+  }
+}

@@ -188,11 +188,11 @@ class ParserSpec extends AnyFunSuite {
     val lit = FilterParser.parse("@source:{a\\*}").filter
       .asInstanceOf[graft.query.TagMatch]
     assert(lit.patterns == Seq(graft.query.TagPattern("a*", isPrefix = false)))
-    // escaped star BEFORE the trailing wildcard is a literal too:
-    // `ab\**` = prefix search for tags starting with "ab*"
-    val escPre = FilterParser.parse("@source:{ab\\**}").filter
-      .asInstanceOf[graft.query.TagMatch]
-    assert(escPre.patterns == Seq(graft.query.TagPattern("ab*", isPrefix = true)))
+    // escaped star BEFORE the trailing wildcard still rejects:
+    // tag.cc IsValidPrefix inspects the RAW last two characters, so
+    // `ab\**` ends in raw `**` and is "ends with multiple *"
+    val escPre = intercept[Exception] { FilterParser.parse("@source:{ab\\**}") }
+    assert(escPre.getMessage.contains("ends with multiple *"))
   }
 
   test("KNN parameter caps: k and EF_RUNTIME reject past the reference limits") {
