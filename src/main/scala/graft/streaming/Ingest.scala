@@ -26,36 +26,32 @@ import graft.model._
  * Change-feed contract: `op` ∈ {upsert, delete}, `__key`, `__seq`
  * (monotonic), plus the document columns.
  *
- * Scale: the state table is parquet PARTITIONED BY a key-hash bucket
- * (`__bucket = pmod(xxhash64(__key), nBuckets)`). A micro-batch only
- * reads and rewrites the buckets its keys hash into (dynamic partition
- * overwrite) — write amplification is O(touched buckets / nBuckets) of
- * the state instead of O(state) per batch, and the per-bucket merge
- * shuffles only the touched slice. In production the same dataflow
- * targets a MERGE-capable table format — also for READER ISOLATION:
- * dynamic partition overwrite replaces files in touched buckets in
- * place, so a long-running query over the state can lose files
- * mid-scan, where an ACID table format serves it a consistent
- * snapshot. Hash-bucketed parquet is the simplest durable store
- * available in this container. (The derived-index stores don't share
- * the caveat — [[graft.text.PostingStore]] defers deletions a full
- * mutation interval.)
+ * Scale: the state table is [[DocState]] — parquet bucketed by
+ * `pmod(xxhash64(__key), nBuckets)`, one immutable generation dir per
+ * bucket write, committed by atomic MANIFEST rename. A micro-batch
+ * reads and rewrites ONLY the buckets its keys hash into (path-level
+ * pruning; write amplification O(touched buckets / nBuckets) of the
+ * state), and readers get SNAPSHOT ISOLATION: [[readState]] captures
+ * the manifest's committed dirs, and a concurrent batch defers
+ * deleting the superseded files one full mutation interval — a
+ * long-running query never loses files mid-scan (the reference's
+ * readers get the same from its time-sliced read lock,
+ * src/query/search.cc:845; the posting stores from the same deferred
+ * deletion, [[graft.text.PostingStore]]).
  */
 object Ingest {
 
-  /** State partition column: stable key-hash bucket. */
-  private def bucketOf(nBuckets: Int) =
-    pmod(xxhash64(col("__key")), lit(nBuckets.toLong))
-
   /** Backfill (S2): write an initial document table in the bucketed
     * state layout [[start]] maintains incrementally. */
-  def backfill(df: DataFrame, statePath: String, nBuckets: Int = 64): Unit =
-    df.withColumn("__bucket", bucketOf(nBuckets))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(statePath)
+  def backfill(df: DataFrame, statePath: String, nBuckets: Int = 64): Unit = {
+    DocState.init(df, statePath, nBuckets); ()
+  }
 
-  /** Read the maintained state back as a plain document table. */
+  /** A consistent snapshot of the maintained state as a plain document
+    * table — survives concurrent [[start]] batches for one mutation
+    * interval; re-call for a fresher snapshot. */
   def readState(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath).drop("__bucket")
+    DocState.read(spark, statePath).drop("__bucket")
 
   /** Split a raw document batch into (valid, dropped) per the schema's
     * typed fields — the ingest-time validation side output. */
@@ -91,54 +87,30 @@ object Ingest {
 
   /**
    * Run the continuous pipeline: change feed → foreachBatch incremental
-   * merge into the bucketed parquet state dir ([[backfill]] writes the
+   * merge through [[DocState.applyBatch]] ([[backfill]] writes the
    * initial layout; S2 semantics: same merge path, batch source).
    *
-   * Per micro-batch: bucket the batch keys, read ONLY the touched
-   * bucket partitions (directory pruning on `__bucket`), merge, and
-   * dynamically overwrite ONLY those partitions — untouched buckets'
-   * files are never rewritten.
+   * Per micro-batch: read ONLY the touched buckets' live generation
+   * dirs, merge, write them as NEW generation dirs, commit via atomic
+   * MANIFEST swap, defer deleting the superseded dirs one batch —
+   * untouched buckets' files are never rewritten, and in-flight
+   * readers keep their snapshot (see [[DocState]]).
    */
   def start(spark: SparkSession, changes: DataFrame, statePath: String,
             checkpointPath: String,
             docSchema: org.apache.spark.sql.types.StructType,
             nBuckets: Int = 64,
             onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
-    val stateSchema = docSchema.add("__bucket", org.apache.spark.sql.types.LongType)
+    // GC of crash leftovers happens here, at stream (re)start — the
+    // writer-open contract (no readers in flight); per-batch deletes
+    // are all deferred
+    val state = DocState.openWriter(spark, statePath, docSchema, nBuckets)
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bucketed = batch.withColumn("__bucket", bucketOf(nBuckets))
-        val touched = bucketed.select("__bucket").distinct()
-          .collect().map(_.getLong(0)) // ≤ nBuckets values
-        if (touched.nonEmpty) {
-          val current =
-            try spark.read.schema(stateSchema).parquet(statePath)
-              .filter(col("__bucket").isin(touched.toIndexedSeq: _*))
-            catch { case _: Exception => spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema) }
-          val merged = mergeBatch(current, bucketed) // keeps __bucket
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            // dynamic overwrite only rewrites partitions PRESENT in the
-            // output — a bucket fully emptied by tombstones must be
-            // cleared explicitly or its old file would survive
-            val nonEmpty = merged.select("__bucket").distinct()
-              .collect().map(_.getLong(0)).toSet
-            if (nonEmpty.nonEmpty)
-              merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__bucket")
-                .parquet(statePath)
-            val fs = org.apache.hadoop.fs.FileSystem.get(
-              spark.sparkContext.hadoopConfiguration)
-            touched.filterNot(nonEmpty).foreach { b =>
-              fs.delete(new org.apache.hadoop.fs.Path(
-                s"$statePath/__bucket=$b"), true)
-            }
-          } finally { merged.unpersist(blocking = false); () }
+        if (state.applyBatch(batch)) {
           // Derived-index maintenance (reference per-mutation path,
           // index_schema.cc:964): hand the deduped change batch —
           // latest op per key, original change-feed columns — to the

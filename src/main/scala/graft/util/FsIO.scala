@@ -37,6 +37,28 @@ object FsIO {
     fs(spark, path).delete(new Path(path), true); ()
   }
 
+  /** Write UTF-8 text to `path` via tmp + atomic rename. */
+  def writeTextAtomic(spark: SparkSession, path: String, text: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(path), false)
+    if (!f.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"atomic write failed at $path")
+  }
+
+  /** Read `path` as UTF-8 text; None when absent. */
+  def readText(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path); val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** Serialize one object to `path` via tmp + atomic rename. */
   def writeObjAtomic(spark: SparkSession, path: String, obj: AnyRef): Unit = {
     val f = fs(spark, path)

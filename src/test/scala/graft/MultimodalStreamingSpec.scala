@@ -141,7 +141,7 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // original files byte-for-byte (same path, same mtime)
     val touchedBuckets = Seq("k1", "k2", "k3").toDF("__key")
       .select(pmod(xxhash64(col("__key")), lit(64L)))
-      .collect().map(r => s"__bucket=${r.getLong(0)}/")
+      .collect().map(r => s"__bpart=${r.getLong(0)}/")
     val untouched = before.filterNot { case (p, _) =>
       touchedBuckets.exists(p.contains) }
     assert(untouched.nonEmpty, "test needs at least one untouched bucket")
