@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
  * opaque `binary` payloads plus typed metadata, with decode /
  * feature-extract / resize / frame-sample transforms.
  *
- * The Spark-side plumbing is real — schemas, typed Datasets,
- * mapPartitions batching (the JVM analogue of `mapInPandas`: one
- * iterator per partition, amortized per-batch setup), partitioning
- * behavior — while the codec itself is STUBBED: this container has no
- * image/audio libraries, so [[StubCodec]] derives deterministic fake
- * pixels/samples from the payload bytes. Swapping in a real decoder
- * means replacing StubCodec only; every dataflow contract stays.
+ * The Spark-side plumbing — schemas, typed Datasets, mapPartitions
+ * batching (the JVM analogue of `mapInPandas`: one iterator per
+ * partition, amortized per-batch setup), partitioning behavior — is
+ * real, and so is the IMAGE codec: [[ImageCodec]] decodes PNG/JPEG/
+ * BMP/GIF through the JDK's `javax.imageio` (no external libraries),
+ * yielding true width/height/channels, mean intensity, and a
+ * grid-thumbnail feature vector. Payloads that are NOT decodable
+ * images (and audio/video, which the JDK cannot decode) fall back to
+ * [[StubCodec]]'s deterministic byte-derived surrogates so the
+ * dataflow contracts hold for every modality.
  *
  * Scale notes: payloads never participate in shuffles here — all
  * transforms are map-side (mapPartitions), metadata-only projections
@@ -39,13 +42,93 @@ object Multimodal {
       media_id: Long, frame_idx: Int, ts_ms: Int, payload: Array[Byte])
 
   /**
-   * STUB CODEC — deterministic fake decode. A real build links an
-   * image/audio library here; everything derives from payload bytes so
-   * results are stable across runs, executors and partitionings.
+   * Real image codec over the JDK's `javax.imageio` — PNG, JPEG, BMP
+   * and GIF decode with zero external dependencies. Executor-safe:
+   * everything is per-call local state (ImageIO's reader registry is
+   * JVM-global and thread-safe).
+   */
+  object ImageCodec {
+
+    /** Decode an encoded image; None when the payload is not a
+      * decodable image (wrong magic, truncated, or another modality). */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.length < 8) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Throwable => None }
+
+    /** Color components of the decoded image (3 = RGB, 4 = RGBA, 1 =
+      * grayscale). */
+    def channels(img: java.awt.image.BufferedImage): Int =
+      img.getColorModel.getNumComponents
+
+    /** Grayscale view of the image (one byte per pixel) — the shared
+      * base for intensity + grid features. Rendering through a
+      * TYPE_BYTE_GRAY raster handles every source color model. */
+    private def gray(img: java.awt.image.BufferedImage): java.awt.image.Raster = {
+      val g = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val gr = g.createGraphics()
+      try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+      g.getRaster
+    }
+
+    /** Mean grayscale intensity in [0, 255]. */
+    def meanIntensity(img: java.awt.image.BufferedImage): Double = {
+      val r = gray(img)
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { s += r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      s.toDouble / (img.getWidth.toLong * img.getHeight)
+    }
+
+    /**
+     * Grid-thumbnail feature vector: the image divided into a g×g grid
+     * (g = ⌊√dim⌋), each cell's mean grayscale intensity normalized to
+     * [0, 1], row-major; positions past g² pad with the global mean.
+     * Deterministic, resolution-independent, and comparable under the
+     * engine's cosine/L2 vector operators — the classic pre-neural
+     * visual descriptor shape.
+     */
+    def gridFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val r = gray(img)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(g - 1, y * g / h)
+        var x = 0
+        while (x < w) {
+          val cell = cy * g + math.min(g - 1, x * g / w)
+          sums(cell) += r.getSample(x, y, 0)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(g * g)(i =>
+        if (counts(i) == 0) 0f else (sums(i).toDouble / counts(i) / 255.0).toFloat)
+      val global = if (cells.isEmpty) 0f else cells.sum / cells.length
+      Array.tabulate(dim)(i => if (i < g * g) cells(i) else global)
+    }
+  }
+
+  /**
+   * STUB CODEC — deterministic byte-derived surrogates for payloads
+   * the JDK cannot decode (audio/video, or non-image test bytes).
+   * Everything derives from payload bytes so results are stable across
+   * runs, executors and partitionings; the dataflow contracts
+   * (schemas, batching, partitioning) are identical to the real path.
    */
   object StubCodec {
-    /** ??? real decode unavailable in this container — deterministic
-      * surrogate: k-th "pixel" is a byte-mix of payload at stride. */
+    /** Deterministic surrogate pixels: k-th "pixel" is a byte-mix of
+      * payload at stride. */
     def decodePixels(payload: Array[Byte], n: Int): Array[Int] = {
       if (payload.isEmpty) return Array.fill(n)(0)
       Array.tabulate(n) { i =>
@@ -84,20 +167,32 @@ object Multimodal {
   }
 
   /**
-   * Image decode + feature extraction. mapPartitions so a real codec
-   * would initialize once per partition (the expensive part), then
-   * stream rows — the exact shape a Pandas-UDF batch pipeline has.
+   * Image decode + feature extraction. mapPartitions so per-partition
+   * setup amortizes across the batch, then stream rows — the exact
+   * shape a Pandas-UDF batch pipeline has. A payload that decodes as a
+   * real image ([[ImageCodec]], JDK imageio) yields TRUE dimensions,
+   * channel count, mean intensity and grid-thumbnail embedding —
+   * overriding the row's declared metadata, which ingestion cannot
+   * always trust; anything else falls back to [[StubCodec]]'s
+   * deterministic surrogates (metadata passed through).
    */
   def imageFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      // per-partition init would go here (codec/context/model handle)
       rows.map { m =>
-        val px = StubCodec.decodePixels(m.payload, n = 256)
-        ImageFeatures(m.media_id, m.width, m.height, m.channels,
-          mean_intensity = if (px.isEmpty) 0.0 else px.sum.toDouble / px.length,
-          embedding = StubCodec.embed(m.payload, dim))
+        ImageCodec.decode(m.payload) match {
+          case Some(img) =>
+            ImageFeatures(m.media_id, img.getWidth, img.getHeight,
+              ImageCodec.channels(img),
+              mean_intensity = ImageCodec.meanIntensity(img),
+              embedding = ImageCodec.gridFeatures(img, dim))
+          case None =>
+            val px = StubCodec.decodePixels(m.payload, n = 256)
+            ImageFeatures(m.media_id, m.width, m.height, m.channels,
+              mean_intensity = if (px.isEmpty) 0.0 else px.sum.toDouble / px.length,
+              embedding = StubCodec.embed(m.payload, dim))
+        }
       }
     }
   }

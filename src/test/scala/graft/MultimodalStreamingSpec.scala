@@ -39,6 +39,67 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Multimodal.syntheticMedia(df, "id", "payload")
   }
 
+  /** Encode a w×h RGB image via the JDK's imageio (the same machinery
+    * the production decode path uses, driven in reverse). */
+  private def encodeImg(w: Int, h: Int, fmt: String)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real image decode: PNG/JPEG via JDK imageio yield true metadata + grid features") {
+    val sp = spark; import sp.implicits._
+    val white = encodeImg(32, 16, "png")((_, _) => 0xFFFFFF)
+    val dark = encodeImg(20, 20, "jpg")((_, _) => 0x000000)
+    val split = encodeImg(64, 64, "png")((x, _) => if (x < 32) 0 else 0xFFFFFF)
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, white), (2L, dark), (3L, split)).toDF("id", "payload"),
+      "id", "payload")
+    val feats = Multimodal.imageFeatures(media, dim = 16)
+      .collect().map(f => f.media_id -> f).toMap
+    // true decoded dimensions OVERRIDE the synthetic metadata (64×48)
+    assert(feats(1L).width == 32 && feats(1L).height == 16 && feats(1L).channels == 3)
+    assert(feats(1L).mean_intensity > 250.0)
+    assert(feats(2L).width == 20 && feats(2L).height == 20)
+    assert(feats(2L).mean_intensity < 5.0)
+    // grid embedding is row-major 4×4: left half dark, right half bright
+    val emb = feats(3L).embedding
+    assert(emb.length == 16)
+    (0 until 4).foreach { r =>
+      assert(emb(r * 4) < 0.1f, s"left cell bright: ${emb(r * 4)}")
+      assert(emb(r * 4 + 3) > 0.9f, s"right cell dark: ${emb(r * 4 + 3)}")
+    }
+    // determinism across partitionings (real path)
+    val again = Multimodal.imageFeatures(media.repartition(3), dim = 16)
+      .collect().map(f => f.media_id -> f.embedding.toSeq).toMap
+    assert(again(3L) == emb.toSeq)
+  }
+
+  test("streaming path carries real image features end-to-end") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Byte])]
+    stream.addData((10L, encodeImg(16, 8, "png")((_, _) => 0xFFFFFF)),
+      (11L, "not an image".getBytes))
+    val media = Multimodal.syntheticMedia(
+      stream.toDF().toDF("id", "payload"), "id", "payload")
+    val q = Multimodal.imageFeatures(media, dim = 4).writeStream
+      .format("memory").queryName("img_feats").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("img_feats").collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // decodable payload: real dimensions + intensity through the stream
+    assert(rows(10L).getAs[Int]("width") == 16 &&
+      rows(10L).getAs[Int]("height") == 8 &&
+      rows(10L).getAs[Double]("mean_intensity") > 250.0)
+    // undecodable payload: deterministic stub fallback, metadata intact
+    assert(rows(11L).getAs[Int]("width") == 64 &&
+      rows(11L).getAs[Int]("height") == 48)
+  }
+
   test("image features: schema, determinism, batch shape") {
     val feats = Multimodal.imageFeatures(mediaDs, dim = 16)
     assert(feats.schema.fieldNames.toSeq ==
