@@ -71,11 +71,11 @@ class SearchEngine {
   private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
   private val annIndexes = scala.collection.mutable.HashMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
   private val postings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
-  private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
+  private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), PostingStats]
   private val suffixPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
-  private val tokenStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
+  private val tokenStats = scala.collection.mutable.HashMap.empty[(String, String), PostingStats]
   private val posPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
-  private val posStats = scala.collection.mutable.HashMap.empty[(String, String), Map[String, Long]]
+  private val posStats = scala.collection.mutable.HashMap.empty[(String, String), PostingStats]
   /** Estimated cardinalities of the last query's routed conjuncts, in
     * semi-join order (ascending = min-child first). Planner telemetry
     * for specs; not part of the public surface. */
@@ -101,12 +101,19 @@ class SearchEngine {
    * analogue of the reference's O(1) posting-list sizes on radix nodes,
    * which its planner reads for min-child / cardinality decisions
    * WITHOUT touching the lists. With stats present the routing guard
-   * estimates from this map; without, it falls back to counting the
-   * pruned posting slice (one small job).
+   * estimates driver-side (hot map — zero jobs) or from the tiny
+   * persisted stats relation (one pushed point-read); a posting with
+   * NO stats does not route (the guard declines into the
+   * always-correct columnar scan rather than pricing the conjunct
+   * with a data-proportional count job — see [[PostingStats]]).
    */
   def registerPostingStats(indexName: String, field: String,
-                           termCounts: Map[String, Long]): this.type = {
-    postingStats((indexName, field)) = termCounts
+                           termCounts: Map[String, Long]): this.type =
+    registerPostingStats(indexName, field, PostingStats.hotOnly(termCounts))
+
+  def registerPostingStats(indexName: String, field: String,
+                           stats: PostingStats): this.type = {
+    postingStats((indexName, field)) = stats
     this
   }
 
@@ -124,8 +131,12 @@ class SearchEngine {
   /** Distinct-token document frequencies for pattern-cardinality
     * estimates (prefix/suffix/infix sum the matching tokens' counts). */
   def registerTokenStats(indexName: String, field: String,
-                         counts: Map[String, Long]): this.type = {
-    tokenStats((indexName, field)) = counts
+                         counts: Map[String, Long]): this.type =
+    registerTokenStats(indexName, field, PostingStats.hotOnly(counts))
+
+  def registerTokenStats(indexName: String, field: String,
+                         stats: PostingStats): this.type = {
+    tokenStats((indexName, field)) = stats
     this
   }
 
@@ -145,8 +156,12 @@ class SearchEngine {
   /** Per-term OCCURRENCE counts for a positional posting (≥ document
     * frequency — a sound upper bound for the routing guard). */
   def registerPositionalStats(indexName: String, field: String,
-                              counts: Map[String, Long]): this.type = {
-    posStats((indexName, field)) = counts
+                              counts: Map[String, Long]): this.type =
+    registerPositionalStats(indexName, field, PostingStats.hotOnly(counts))
+
+  def registerPositionalStats(indexName: String, field: String,
+                              stats: PostingStats): this.type = {
+    posStats((indexName, field)) = stats
     this
   }
 
@@ -162,17 +177,6 @@ class SearchEngine {
    * get a normalized-value posting. Per-term/token frequency maps are
    * collected alongside as planner metadata.
    */
-  /** Per-term frequencies as planner metadata (reference: posting-list
-    * sizes live on the radix nodes). Bounded driver footprint: a
-    * vocabulary past the cap keeps the count-the-slice fallback.
-    * Shared by [[buildPostings]] and [[loadPostings]]. */
-  private def collectStats(df: DataFrame): Option[Map[String, Long]] = {
-    val rows = df.groupBy(col("term")).count().limit(1000001).collect()
-    if (rows.length <= 1000000)
-      Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
-    else None
-  }
-
   def buildPostings(indexName: String, dir: String,
                     fields: Seq[String] = Nil,
                     numPartitions: Int = 32): this.type = {
@@ -197,7 +201,8 @@ class SearchEngine {
               graft.text.PostingIndex.build(docs, schema, fd.alias),
               s"$dir/${fd.alias}")
             registerPosting(indexName, fd.alias, loaded)
-            collectStats(loaded).foreach(registerPostingStats(indexName, fd.alias, _))
+            registerPostingStats(indexName, fd.alias,
+              PostingStats.persist(loaded, s"$dir/${fd.alias}__stats"))
           }
           // WITHSUFFIXTRIE (suffix.h): suffix posting for `p*` `*s` `*i*`
           if (tf.withSuffixTrie) {
@@ -205,8 +210,8 @@ class SearchEngine {
               graft.text.PostingIndex.buildSuffixes(docs, schema, fd.alias),
               s"$dir/${fd.alias}__suffix")
             registerSuffixPosting(indexName, fd.alias, sLoaded)
-            collectStats(sLoaded.filter(col("full")))
-              .foreach(registerTokenStats(indexName, fd.alias, _))
+            registerTokenStats(indexName, fd.alias, PostingStats.persist(
+              sLoaded.filter(col("full")), s"$dir/${fd.alias}__suffix_stats"))
           }
           // WITHOFFSETS (default, ft_create_parser.cc:98-99): positional
           // posting so phrases resolve adjacency posting-side — the
@@ -216,14 +221,16 @@ class SearchEngine {
               graft.text.PostingIndex.buildPositions(docs, schema, fd.alias),
               s"$dir/${fd.alias}__pos")
             registerPositionalPosting(indexName, fd.alias, pLoaded)
-            collectStats(pLoaded).foreach(registerPositionalStats(indexName, fd.alias, _))
+            registerPositionalStats(indexName, fd.alias,
+              PostingStats.persist(pLoaded, s"$dir/${fd.alias}__pos_stats"))
           }
         case _: TagField =>
           val loaded = saveLoad(
             graft.text.PostingIndex.buildTags(docs, schema, fd.alias),
             s"$dir/${fd.alias}")
           registerPosting(indexName, fd.alias, loaded)
-          collectStats(loaded).foreach(registerPostingStats(indexName, fd.alias, _))
+          registerPostingStats(indexName, fd.alias,
+            PostingStats.persist(loaded, s"$dir/${fd.alias}__stats"))
         case t => throw new IllegalArgumentException(
           s"postings need TEXT or TAG, ${fd.alias} is $t")
       }
@@ -236,9 +243,10 @@ class SearchEngine {
    * under `dir` — the restart path (the reference's RDB load restores
    * its indexes without a rebuild, rdb_serialization.cc): each
    * `<alias>` / `<alias>__suffix` / `<alias>__pos` subdirectory loads
-   * as the matching posting kind for the field, and the per-term stats
-   * re-collect from the loaded relation (one small groupBy per posting
-   * — metadata-scale, not a rebuild of the posting itself).
+   * as the matching posting kind for the field, and the persisted
+   * stats relation (`*__stats`) re-attaches WITHOUT recomputation —
+   * stats survive restart as data. A dir saved before stats
+   * persistence upgrades in place (one small groupBy + tiny write).
    */
   def loadPostings(indexName: String, dir: String): this.type = {
     val (schema, docs) = index(indexName)
@@ -251,20 +259,26 @@ class SearchEngine {
         Some(graft.text.PostingIndex.load(spark, s"$dir/$name"))
       else None
     }
+    def stats(name: String, statRows: => DataFrame): PostingStats =
+      if (graft.util.FsIO.isDir(spark, s"$dir/$name"))
+        PostingStats.fromRelation(PostingStats.load(spark, s"$dir/$name"))
+      else PostingStats.persist(statRows, s"$dir/$name") // pre-stats dir
     schema.fields.foreach { fd =>
       if (fd.ftype.isInstanceOf[TextField] || fd.ftype.isInstanceOf[TagField]) {
         sub(fd.alias).foreach { loaded =>
           registerPosting(indexName, fd.alias, loaded)
-          collectStats(loaded).foreach(registerPostingStats(indexName, fd.alias, _))
+          registerPostingStats(indexName, fd.alias,
+            stats(s"${fd.alias}__stats", loaded))
         }
         sub(s"${fd.alias}__suffix").foreach { loaded =>
           registerSuffixPosting(indexName, fd.alias, loaded)
-          collectStats(loaded.filter(col("full")))
-            .foreach(registerTokenStats(indexName, fd.alias, _))
+          registerTokenStats(indexName, fd.alias,
+            stats(s"${fd.alias}__suffix_stats", loaded.filter(col("full"))))
         }
         sub(s"${fd.alias}__pos").foreach { loaded =>
           registerPositionalPosting(indexName, fd.alias, loaded)
-          collectStats(loaded).foreach(registerPositionalStats(indexName, fd.alias, _))
+          registerPositionalStats(indexName, fd.alias,
+            stats(s"${fd.alias}__pos_stats", loaded))
         }
       }
     }
@@ -530,8 +544,9 @@ class SearchEngine {
         val folded = words.map(w => Analyzer.caseFold(w, analyzerCfg))
         fields.map { fa =>
           val pp = posPostings((schema.name, fa))
-          val stats = posStats.get((schema.name, fa))
-          val order = stats match {
+          // rarest-first ordering from the HOT stats only — ordering is
+          // a best-effort optimization, never worth point-read jobs
+          val order = posStats.get((schema.name, fa)).flatMap(_.hot) match {
             case Some(m) => folded.indices.sortBy(i => m.getOrElse(folded(i), 0L))
             case None => folded.indices
           }
@@ -607,19 +622,23 @@ class SearchEngine {
       }
       // Cardinality guard (reference planner behavior): a fetcher only
       // wins when its posting slice is selective. Like the reference,
-      // the estimate reads O(1) metadata where available — the
-      // registered per-term frequencies (its radix nodes carry posting
-      // sizes) — and an OR's cardinality is the SUM of its branches: a
-      // cheap upper bound that can only over-reject into the
-      // always-correct scan path, never under-reject into a bad join.
-      // Fields without stats (e.g. an incrementally-maintained store
-      // view) pay one count of the pruned slice instead.
-      /** Pattern cardinality from the distinct-token frequency map
-        * (O(vocabulary) driver scan — the map is collection-capped). */
+      // the estimate reads O(1) metadata — the registered per-term
+      // frequencies (its radix nodes carry posting sizes): the driver
+      // hot map (zero jobs, the normal case) or one pushed point-read
+      // of the tiny persisted stats relation (vocabularies past the
+      // hot cap — see [[PostingStats]]). An OR's cardinality is the
+      // SUM of its branches: a cheap upper bound that can only
+      // over-reject into the always-correct scan path, never
+      // under-reject into a bad join. A posting with NO stats at all
+      // does not route — the guard NEVER prices a conjunct by counting
+      // its posting slice (the round-4 finding: at 100-TB vocabularies
+      // a count job per conjunct serializes plan construction).
+      /** Pattern cardinality: sum of matching distinct-token counts. */
       def patternEstimate(fields: Seq[String], v: String,
-                          m: (String, String) => Boolean): Option[Long] = {
+                          m: (String, String) => Boolean,
+                          dataPred: Column): Option[Long] = {
         val per = fields.map(fa => tokenStats.get((schema.name, fa))
-          .map(_.iterator.collect { case (t, c) if m(t, v) => c }.sum))
+          .flatMap(_.matchSum(t => m(t, v), dataPred)))
         if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
       }
       def statEstimate(p: Predicate): Option[Long] = p match {
@@ -627,35 +646,42 @@ class SearchEngine {
           val stemmed = Analyzer.stemToken(Analyzer.caseFold(w, analyzerCfg), analyzerCfg)
           val fields = postingFields(f).get
           val perField = fields.map(fa => postingStats.get((schema.name, fa))
-            .map(_.getOrElse(stemmed, 0L)))
+            .flatMap(_.lookup(stemmed)))
           if (perField.forall(_.isDefined)) Some(perField.flatten.sum) else None
         case TagMatch(f, patterns) =>
-          postingStats.get((schema.name, f)).map { stats =>
+          postingStats.get((schema.name, f)).flatMap { stats =>
             val cs = schema.fieldOrFail(f).ftype match {
               case TagField(_, c) => c
               case _ => false
             }
             def norm(s: String) = if (cs) s else Analyzer.asciiLower(s)
-            patterns.map { p =>
+            val per = patterns.map { p =>
               val v = norm(p.value.trim)
-              if (p.isPrefix) stats.iterator.collect {
-                case (t, c) if t.startsWith(v) => c }.sum
-              else stats.getOrElse(v, 0L)
-            }.sum
+              if (p.isPrefix)
+                stats.matchSum(_.startsWith(v), col("term").startsWith(v))
+              else stats.lookup(v)
+            }
+            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
           }
-        case Prefix(f, p) => patternEstimate(prefixFields(f).get,
-          Analyzer.caseFold(p, analyzerCfg), (tok, v) => tok.startsWith(v))
-        case Suffix(f, sfx) => patternEstimate(suffixFields(f).get,
-          Analyzer.caseFold(sfx, analyzerCfg), (tok, v) => tok.endsWith(v))
-        case Infix(f, in) => patternEstimate(suffixFields(f).get,
-          Analyzer.caseFold(in, analyzerCfg), (tok, v) => tok.contains(v))
+        case Prefix(f, p) =>
+          val v = Analyzer.caseFold(p, analyzerCfg)
+          patternEstimate(prefixFields(f).get, v,
+            (tok, v) => tok.startsWith(v), col("term").startsWith(v))
+        case Suffix(f, sfx) =>
+          val v = Analyzer.caseFold(sfx, analyzerCfg)
+          patternEstimate(suffixFields(f).get, v,
+            (tok, v) => tok.endsWith(v), col("term").endsWith(v))
+        case Infix(f, in) =>
+          val v = Analyzer.caseFold(in, analyzerCfg)
+          patternEstimate(suffixFields(f).get, v,
+            (tok, v) => tok.contains(v), col("term").contains(v))
         case Phrase(f, words) if phraseFields(f).isDefined =>
           // positional route: the adjacency chain's output ⊆ every
           // word's occurrence slice — min occurrence count bounds it
           val fields = phraseFields(f).get
           val per = words.map(w => Analyzer.caseFold(w, analyzerCfg)).map { w =>
             val counts = fields.map(fa =>
-              posStats.get((schema.name, fa)).map(_.getOrElse(w, 0L)))
+              posStats.get((schema.name, fa)).flatMap(_.lookup(w)))
             if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
           }
           if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.min)
@@ -679,11 +705,11 @@ class SearchEngine {
       // fetcher to drive retrieval, search.cc EvaluateFilterAsPrimary):
       // routed conjuncts semi-join in ascending estimated cardinality,
       // so the tightest slice prunes the probe side before the wider
-      // ones run. Estimates are already on the driver (stats maps); a
-      // statless conjunct pays its one count and sorts by it.
+      // ones run. A conjunct whose estimate is unavailable (no stats
+      // in either tier) stays on the scan path.
       val routed = conjuncts
-        .flatMap(c => keysFor(c).map(keys =>
-          (keys, statEstimate(c).getOrElse(keys.count()))))
+        .flatMap(c => for { keys <- keysFor(c); est <- statEstimate(c) }
+          yield (keys, est))
         .filter(_._2 <= maxKeys)
         .sortBy(_._2)
       lastRouteEstimates = routed.map(_._2)

@@ -109,7 +109,8 @@ object IndexMaintainer {
           m = vf.hnswM, efConstruction = vf.efConstruction)
     }.toMap
     val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
-      docsSource, compactRowThreshold, sfxStores, posStores).register()
+      docsSource, compactRowThreshold, sfxStores, posStores,
+      statsDir = Some(dir)).register()
     // record the build-time watermark so a restart BEFORE the first
     // saveAnn still knows its replay point (= everything after build)
     if (graphs.nonEmpty) m.saveAnn(dir)
@@ -167,7 +168,8 @@ object IndexMaintainer {
       }.toMap
     }.getOrElse(Map.empty)
     val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
-      docsSource, compactRowThreshold, sfxStores, posStores).register()
+      docsSource, compactRowThreshold, sfxStores, posStores,
+      statsDir = Some(dir)).register()
     checkpointSeq.foreach { seq =>
       // surface the replay point: the caller replays the change feed
       // from the first __seq AFTER it. Seed the live watermark too —
@@ -198,47 +200,106 @@ final class IndexMaintainer(
     suffixStores: Map[String, PostingStore] = Map.empty,
     // Positional stores (WITHOFFSETS fields): same staleness argument —
     // a stale positional posting would miss new documents' phrases.
-    positionalStores: Map[String, PostingStore] = Map.empty) {
+    positionalStores: Map[String, PostingStore] = Map.empty,
+    // Where guard stats persist as data (tiny term-sorted parquet per
+    // field/kind) so vocabularies past the hot cap still route via
+    // point-reads instead of falling off the stats path. forIndex/
+    // openIndex pass their index dir; hand-wired maintainers may omit.
+    statsDir: Option[String] = None) {
 
   private val ann = scala.collection.mutable.HashMap.from(annIndexes)
 
-  /** Per-field term→count guard stats for the maintained views.
-    * Exact at [[register]] and after each compaction; between
-    * compactions [[onBatch]] adds the batch's term counts WITHOUT
-    * subtracting superseded rows — an additive UPPER bound (the view
-    * anti-joins dead rows out, the stats don't). Sound for the routing
-    * guard: over-estimates can only over-reject into the always-correct
-    * columnar scan, never under-reject into an oversized semi-join.
-    * Absent entry = vocabulary exceeded [[statsCap]]; the engine then
-    * prices that field by counting the pruned slice. One instance per
-    * posting kind (term stats vs distinct-token stats). */
-  private final class GuardStats(publish: (String, Map[String, Long]) => Unit) {
-    val m = scala.collection.mutable.HashMap.empty[String, Map[String, Long]]
-    def set(field: String, s: Option[Map[String, Long]]): Unit = s match {
-      case Some(x) => m(field) = x; publish(field, x)
-      case None => m.remove(field); ()
-    }
+  private def spark = engine.index(indexName)._2.sparkSession
+
+  /** Per-field guard stats for the maintained views, two-tier like
+    * [[graft.engine.PostingStats]]:
+    *
+    *  - HOT map (vocabulary ≤ hotCap): exact at [[register]] and after
+    *    each compaction; between compactions [[onBatch]] adds the
+    *    batch's term counts WITHOUT subtracting superseded rows — an
+    *    additive UPPER bound (the view anti-joins dead rows out, the
+    *    stats don't). Sound for the routing guard: over-estimates can
+    *    only over-reject into the always-correct columnar scan.
+    *  - Persisted RELATION (`statsDir` configured, i.e. via
+    *    [[IndexMaintainer.forIndex]]/[[IndexMaintainer.openIndex]]):
+    *    the same counts as tiny term-sorted parquet, refreshed at each
+    *    exact(); between refreshes a driver OVERLAY holds counts of
+    *    the terms CHANGED since — bounded by the accumulated delta
+    *    vocabulary, which compaction clears, so it never grows past
+    *    ~compactRowThreshold entries even for 100-TB vocabularies.
+    *
+    * Past the hot cap, the engine's guard point-reads the relation
+    * (+overlay) instead of counting a posting slice — the round-4
+    * scale fix. No statsDir + past the cap ⇒ the field's conjuncts
+    * stay on the scan path (hand-wired test maintainers). */
+  private final class GuardStats(kind: String,
+                                 publish: (String, graft.engine.PostingStats) => Unit) {
+    val hot = scala.collection.mutable.HashMap.empty[String, Map[String, Long]]
+    private val overlays = scala.collection.mutable.HashMap.empty[String, Map[String, Long]]
+    private val rels = scala.collection.mutable.HashMap.empty[String, DataFrame]
+    private val gen = scala.collection.mutable.HashMap.empty[String, Int]
+
+    def tracks(field: String): Boolean =
+      hot.contains(field) || rels.contains(field)
+
+    private def publishNow(field: String): Unit =
+      publish(field, graft.engine.PostingStats(hot.get(field), rels.get(field),
+        () => overlays.getOrElse(field, Map.empty)))
+
+    private def merge(m0: Map[String, Long],
+                      adds: Array[(String, Long)]): Map[String, Long] =
+      adds.foldLeft(m0) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c) }
+
+    /** Exact stats from the current view: persist the relation (when
+      * statsDir is set), refresh the hot cache, clear the overlay. */
     def exact(field: String, statRows: DataFrame): Unit = {
-      val rows = statRows.groupBy(col("term")).count().limit(statsCap + 1).collect()
-      set(field,
-        if (rows.length <= statsCap)
-          Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
-        else None)
+      import graft.engine.PostingStats
+      overlays.remove(field)
+      statsDir match {
+        case Some(d) =>
+          val base = s"$d/$field$kind" + "__stats"
+          val g = gen.getOrElse(field, -1) + 1
+          PostingStats.save(PostingStats.compute(statRows), s"$base/g$g")
+          // one superseded generation stays for reader grace
+          if (g >= 2) graft.util.FsIO.deleteRecursive(spark, s"$base/g${g - 2}")
+          gen(field) = g
+          val st = PostingStats.fromRelation(PostingStats.load(spark, s"$base/g$g"))
+          rels(field) = st.relation.get
+          st.hot match {
+            case Some(m) => hot(field) = m
+            case None => hot.remove(field); ()
+          }
+        case None =>
+          val rows = PostingStats.compute(statRows)
+            .limit(PostingStats.hotCap + 1).collect()
+          if (rows.length <= PostingStats.hotCap)
+            hot(field) = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+          else hot.remove(field)
+          rels.remove(field)
+      }
+      publishNow(field)
     }
+
+    /** Fold one batch's term counts in (additive upper bound). */
     def add(field: String, batchCounts: Array[(String, Long)]): Unit =
-      m.get(field).foreach { m0 =>
-        val merged = batchCounts.foldLeft(m0) { case (acc, (t, c)) =>
-          acc.updated(t, acc.getOrElse(t, 0L) + c) }
-        set(field, if (merged.size <= statsCap) Some(merged) else None)
+      if (tracks(field)) {
+        hot.get(field).foreach { m0 =>
+          val merged = merge(m0, batchCounts)
+          if (merged.size <= graft.engine.PostingStats.hotCap) hot(field) = merged
+          else hot.remove(field)
+        }
+        if (rels.contains(field))
+          overlays(field) = merge(overlays.getOrElse(field, Map.empty), batchCounts)
+        publishNow(field)
       }
   }
-  private val statsCap = 1000000
-  private val termStats = new GuardStats(
-    (f, m) => { engine.registerPostingStats(indexName, f, m); () })
-  private val tokenStats = new GuardStats(
-    (f, m) => { engine.registerTokenStats(indexName, f, m); () })
-  private val positionStats = new GuardStats(
-    (f, m) => { engine.registerPositionalStats(indexName, f, m); () })
+  private val termStats = new GuardStats("",
+    (f, s) => { engine.registerPostingStats(indexName, f, s); () })
+  private val tokenStats = new GuardStats("__suffix",
+    (f, s) => { engine.registerTokenStats(indexName, f, s); () })
+  private val positionStats = new GuardStats("__pos",
+    (f, s) => { engine.registerPositionalStats(indexName, f, s); () })
 
   /** Apply one batch's rows to a store: stats sample before the rows
     * are consumed, LSM apply, threshold compaction, view + stats
@@ -251,7 +312,7 @@ final class IndexMaintainer(
     // O(|batch| vocabulary) on the driver, like the reference bumping
     // its radix posting sizes per mutation)
     val batchCounts =
-      if (stats.m.contains(field))
+      if (stats.tracks(field))
         statRows(rows).groupBy(col("term")).count().collect()
           .map(r => r.getString(0) -> r.getLong(1))
       else Array.empty[(String, Long)]

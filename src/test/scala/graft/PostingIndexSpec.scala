@@ -73,8 +73,13 @@ class PostingIndexSpec extends AnyFunSuite {
   test("engine routes tag conjuncts through a registered tag posting") {
     val withPosting = Fixtures.engine(spark, sf)
     val (schema, docs) = withPosting.index("documents")
-    withPosting.registerPosting("documents", "source",
-      PostingIndex.buildTags(docs, schema, "source"))
+    val tagPosting = PostingIndex.buildTags(docs, schema, "source")
+    withPosting.registerPosting("documents", "source", tagPosting)
+    // stats are required to route (a statless posting stays on the
+    // scan path by design — the guard never counts a slice)
+    withPosting.registerPostingStats("documents", "source",
+      tagPosting.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val plain = Fixtures.engine(spark, sf)
 
     val q = "@source:{src0 | src2*} @n_chars:[100 +inf]"
@@ -410,8 +415,12 @@ class PostingIndexSpec extends AnyFunSuite {
   test("engine routes AND'ed fielded terms through a registered posting") {
     val withPosting = Fixtures.engine(spark, sf)
     val (schema, docs) = withPosting.index("documents")
-    withPosting.registerPosting("documents", "text",
-      PostingIndex.build(docs, schema, "text"))
+    val termPosting = PostingIndex.build(docs, schema, "text")
+    withPosting.registerPosting("documents", "text", termPosting)
+    // stats are required to route (statless postings stay on the scan)
+    withPosting.registerPostingStats("documents", "text",
+      termPosting.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
     withPosting.postingRouteMaxSelectivity = 1.0 // mechanics, not planning
     val plain = Fixtures.engine(spark, sf)
 
