@@ -26,6 +26,10 @@ object Metrics {
     * graph beam search with inline filter. */
   val knnPrefilter = new AtomicLong
   val knnInline = new AtomicLong
+  /** Non-vector replies truncated by the materialization cap
+    * (reference nonvector_results_fetched_limited_count,
+    * search.cc:668,686). */
+  val nonVectorFetchLimited = new AtomicLong
 
   /** log₂ latency histogram: bucket i counts samples in
     * [2^i, 2^(i+1)) microseconds; last bucket is the overflow. */
@@ -61,7 +65,8 @@ object Metrics {
       "query_text_requests_cnt" -> queryText.get(),
       "query_hybrid_requests_cnt" -> queryHybrid.get(),
       "query_prefiltering_requests_cnt" -> knnPrefilter.get(),
-      "query_inline_filtering_requests_cnt" -> knnInline.get())
+      "query_inline_filtering_requests_cnt" -> knnInline.get(),
+      "query_nonvector_results_fetched_limited_cnt" -> nonVectorFetchLimited.get())
     val hist = latency.zipWithIndex.collect {
       case (c, i) if c.get() > 0 => s"query_latency_us_le_${1L << (i + 1)}" -> c.get()
     }
@@ -70,7 +75,8 @@ object Metrics {
 
   def reset(): Unit = {
     Seq(querySuccess, queryFailed, queryVector, queryNonVector, queryText,
-      queryHybrid, knnPrefilter, knnInline).foreach(_.set(0))
+      queryHybrid, knnPrefilter, knnInline, nonVectorFetchLimited)
+      .foreach(_.set(0))
     latency.foreach(_.set(0))
   }
 }

@@ -304,6 +304,18 @@ class SearchEngine {
     * exact path also used when no ANN graph is attached). */
   var prefilterThresholdRatio: Double = 0.001
 
+  /** Execution cap on MATERIALIZED non-vector matches (reference
+    * `max-nonvector-search-results-fetched`, default 100K —
+    * valkey_search_options.cc:489-498, enforced search.cc:623-668):
+    * [[searchReply]] accumulates at most this many matched rows before
+    * result shaping; a truncated reply bumps
+    * [[Metrics.nonVectorFetchLimited]] and `total` reflects the
+    * truncated set, like the reference's appender stopping at the cap.
+    * OOM guardrail for match-all / low-selectivity fetches; LIMIT
+    * pages past the cap need it raised (same caveat as the
+    * reference's config doc). */
+  var maxNonVectorResultsFetched: Int = 100000
+
   /** Posting fetch is only taken when the fetched key slice is ≤ this
     * fraction of the corpus — the reference planner's cardinality rule
     * (its query planner fetches the SMALLEST child and scans when
@@ -939,16 +951,31 @@ class SearchEngine {
       // ONE filtered plan, cached: the total count materializes it, the
       // page reads the cache — one scan of the source, like the
       // reference's single-pass total+page (search.cc:780-814).
-      val base = filterStage(schema, docs, parsed, opts)
+      // Non-vector queries materialize AT MOST cap+1 rows (the +1
+      // detects truncation): the reference's fetch cap, search.cc:623.
+      val cap = maxNonVectorResultsFetched
+      val base0 = filterStage(schema, docs, parsed, opts)
+      val base = (if (parsed.knn.isEmpty) base0.limit(cap + 1) else base0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val total = parsed.knn match {
-          case Some(k) => math.min(
-            base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull).count(),
-            k.k.toLong)
-          case None => base.count()
+          case Some(k) =>
+            // bounded probe: k+1 rows decide min(count, k) — never a
+            // full count of the filtered cache
+            math.min(
+              base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull)
+                .limit(k.k + 1).count(),
+              k.k.toLong)
+          case None =>
+            val n = base.count()
+            if (n > cap) {
+              Metrics.nonVectorFetchLimited.incrementAndGet()
+              cap.toLong
+            } else n
         }
-        val page = finishSearch(indexName, schema, base, parsed, opts)
+        // the page draws from the SAME truncated set the total counted
+        val pageBase = if (parsed.knn.isEmpty) base.limit(cap) else base
+        val page = finishSearch(indexName, schema, pageBase, parsed, opts)
         SearchEngine.SearchReply(total, page.collect())
       } finally { base.unpersist(blocking = false); () }
     }

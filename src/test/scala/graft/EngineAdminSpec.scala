@@ -51,6 +51,34 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byField("ts_sec").getAs[String]("attached_indexes") == "")
   }
 
+  test("non-vector fetch cap: match-all reply truncates at the cap (search.cc:623-668)") {
+    val sp = spark; import sp.implicits._
+    val e = new SearchEngine
+    val schema = IndexSchema("cap_t", Seq(FieldDef("price", NumericField)))
+    e.createIndex(schema, Documents.enrich(
+      (1 to 20).map(i => (s"k$i", i.toDouble)).toDF("__key", "price"), schema))
+    val limitedBefore = graft.engine.Metrics.nonVectorFetchLimited.get()
+
+    // cap below the match count: total reflects the TRUNCATED set and
+    // the limited counter bumps (reference truncation semantics)
+    e.maxNonVectorResultsFetched = 5
+    val capped = e.searchReply("cap_t", "*", SearchOptions(limit = (0, 10)))
+    assert(capped.total == 5, s"total past the cap: ${capped.total}")
+    assert(capped.rows.length == 5)
+    assert(graft.engine.Metrics.nonVectorFetchLimited.get() == limitedBefore + 1)
+
+    // filtered (non-match-all) queries cap the same way
+    val cappedF = e.searchReply("cap_t", "@price:[0 +inf]",
+      SearchOptions(limit = (0, 10)))
+    assert(cappedF.total == 5)
+
+    // at-or-under the cap: exact totals, no counter bump
+    e.maxNonVectorResultsFetched = 100000
+    val uncapped = e.searchReply("cap_t", "*", SearchOptions(limit = (0, 10)))
+    assert(uncapped.total == 20 && uncapped.rows.length == 10)
+    assert(graft.engine.Metrics.nonVectorFetchLimited.get() == limitedBefore + 2)
+  }
+
   test("FT.INFO: attached_indexes names each field's registered structures") {
     val e = Queries.postingEng(spark, "/root/testdata/sf0.001")
     val byField = e.info("documents_pi").collect()
