@@ -210,41 +210,88 @@ object Ann {
     if (row.isNullAt(0)) None else Some(row.getDouble(0))
   }
 
-  /** Create a maintained IVF store at `path` from the initial corpus:
-    * k-means centroids (bounded sample), map-only assignment, cell-
-    * partitioned main, centroids serialized alongside the manifest. */
-  def initIvfStore(df: DataFrame, keyCol: String, vecCol: String,
-                   nCells: Int, path: String): IvfStore = {
-    val centroids = kmeansCentroids(df, vecCol, nCells)
-    val assigned = df.select(col(keyCol).cast("string").as("__key"),
-        col(vecCol).cast(ArrayType(FloatType)).as("vec"))
-      .withColumn("cell_id", cellId(col("vec"), centroids))
-    val store = graft.text.PostingStore.init(df.sparkSession, assigned,
-      s"$path/store", layout = graft.text.PostingStore.CellLayout)
-    graft.util.FsIO.writeObjAtomic(df.sparkSession,
-      s"$path/centroids.bin", centroids)
-    // drift baseline: bounded sample of the init corpus's assignment
-    // distances, persisted beside the centroids (absent = no tracking)
+  /** One IVF generation under `$path/$gen`: k-means centroids (bounded
+    * sample), map-only assignment, cell-partitioned store, centroids +
+    * drift baseline serialized alongside. `rows` must carry exactly
+    * (__key string, vec array<float>). */
+  private def initGeneration(rows: DataFrame, path: String, gen: String,
+                             nCells: Int): IvfStore = {
+    val spark = rows.sparkSession
+    val centroids = kmeansCentroids(rows, "vec", nCells)
+    val assigned = rows.withColumn("cell_id", cellId(col("vec"), centroids))
+    val store = graft.text.PostingStore.init(spark, assigned,
+      s"$path/$gen/store", layout = graft.text.PostingStore.CellLayout)
+    graft.util.FsIO.writeObjAtomic(spark,
+      s"$path/$gen/centroids.bin", centroids)
+    // drift baseline: bounded sample of the generation corpus's
+    // assignment distances (absent = no tracking)
     val baseline = meanAssignDist(assigned.limit(4096), centroids)
     baseline.foreach { b =>
-      graft.util.FsIO.writeObjAtomic(df.sparkSession,
-        s"$path/drift.bin", java.lang.Double.valueOf(b))
+      graft.util.FsIO.writeObjAtomic(spark,
+        s"$path/$gen/drift.bin", java.lang.Double.valueOf(b))
     }
+    // CURRENT names the live generation (atomic swap = commit)
+    graft.util.FsIO.writeTextAtomic(spark, s"$path/CURRENT", gen)
     IvfStore(store, centroids, baseline)
   }
 
-  /** Re-open a maintained IVF store (restart path): manifest names the
-    * committed generations, orphans GC, centroids deserialize. */
+  private def currentGen(spark: org.apache.spark.sql.SparkSession,
+                         path: String): String =
+    graft.util.FsIO.readText(spark, s"$path/CURRENT").map(_.trim)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no IVF store at $path (no CURRENT)"))
+
+  /** Create a maintained IVF store at `path` from the initial corpus. */
+  def initIvfStore(df: DataFrame, keyCol: String, vecCol: String,
+                   nCells: Int, path: String): IvfStore =
+    initGeneration(
+      df.select(col(keyCol).cast("string").as("__key"),
+        col(vecCol).cast(ArrayType(FloatType)).as("vec")),
+      path, "v0", nCells)
+
+  /**
+   * Drift response (the frozen-coarse-quantizer trade): re-initialize
+   * centroids from the CURRENT live rows and rebuild the cell store as
+   * a new generation, committed by atomic CURRENT swap — the offline
+   * full-rebuild stance the reference takes when a frozen quantizer no
+   * longer fits the distribution. Call when [[IvfStore.lastDriftRatio]]
+   * stays ≫ 1 ([[maybeReinit]] wraps the threshold check). The old
+   * generation's files are deleted AFTER the swap (offline op: no
+   * queries in flight by contract).
+   */
+  def reinitIvfStore(store: IvfStore, path: String, nCells: Int): IvfStore = {
+    val spark = store.store.view.sparkSession
+    val old = currentGen(spark, path)
+    val next = "v" + (old.drop(1).toInt + 1)
+    // the new generation reads the OLD generation's files and writes
+    // its own dir — no overlap, so the lazy view needs no staging
+    val rebuilt = initGeneration(store.store.view.select("__key", "vec"),
+      path, next, nCells)
+    graft.util.FsIO.deleteRecursive(spark, s"$path/$old")
+    rebuilt
+  }
+
+  /** Re-init iff the last observed drift ratio exceeds `threshold`
+    * (None = healthy, nothing done). */
+  def maybeReinit(store: IvfStore, path: String, nCells: Int,
+                  threshold: Double = 3.0): Option[IvfStore] =
+    store.lastDriftRatio.filter(_ > threshold)
+      .map(_ => reinitIvfStore(store, path, nCells))
+
+  /** Re-open a maintained IVF store (restart path): CURRENT names the
+    * live generation; its manifest names the committed store state,
+    * orphans GC, centroids deserialize. */
   def openIvfStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStore = {
+    val gen = currentGen(spark, path)
     val centroids = graft.util.FsIO
-      .readObj[Array[Array[Double]]](spark, s"$path/centroids.bin")
+      .readObj[Array[Array[Double]]](spark, s"$path/$gen/centroids.bin")
       .getOrElse(throw new java.io.FileNotFoundException(
-        s"$path/centroids.bin"))
+        s"$path/$gen/centroids.bin"))
     val baseline = graft.util.FsIO
-      .readObj[java.lang.Double](spark, s"$path/drift.bin")
+      .readObj[java.lang.Double](spark, s"$path/$gen/drift.bin")
       .map(_.doubleValue())
-    IvfStore(graft.text.PostingStore.open(spark, s"$path/store"), centroids,
-      baseline)
+    IvfStore(graft.text.PostingStore.open(spark, s"$path/$gen/store"),
+      centroids, baseline)
   }
 }

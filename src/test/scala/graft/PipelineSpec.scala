@@ -250,6 +250,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.baselineAssignDist == ivf.baselineAssignDist)
   }
 
+  test("maintained IVF: drift response re-inits centroids, recall recovers, store reopens") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-reinit").toString
+    val ivf = Ann.initIvfStore(embs, "vec_id", "embedding", nCells = 8, path)
+
+    // healthy store: below the threshold, maybeReinit is a no-op
+    assert(Ann.maybeReinit(ivf, path, nCells = 8).isEmpty)
+
+    // the distribution moves: every key shifts far outside the frozen
+    // cells (upsert SUPERSEDES in place, so the live corpus IS moved)
+    val moved = embs.select(lit("upsert").as("op"),
+      col("vec_id").cast("string").as("__key"),
+      expr("transform(embedding, x -> cast(x + 100.0 as float))").as("vec"))
+    ivf.applyBatch(moved)
+    assert(ivf.lastDriftRatio.exists(_ > 3.0), s"drift: ${ivf.lastDriftRatio}")
+
+    // BEFORE re-init: the frozen centroids all sit ~100 away from every
+    // vector, so cells no longer separate the data — a 2-of-8 probe
+    // has degraded recall. After re-init the quantizer fits again.
+    val q = Queries.queryVec.map(_ + 100.0f)
+    val exact = Ann.topK(ivf.view.assigned, "__key", "vec", q, 10, "L2")
+      .collect().map(_.getString(0)).toSeq
+
+    val re = Ann.maybeReinit(ivf, path, nCells = 8)
+    assert(re.isDefined, "drift past threshold must trigger re-init")
+    val fresh = re.get
+    // new centroids actually moved with the data
+    assert(fresh.centroids.head.head > 50.0,
+      s"centroids not re-initialized: ${fresh.centroids.head.head}")
+    // full probe ≡ exact on the SAME live rows (rebuild lost nothing)
+    val full = fresh.view.search(q, 10, nProbe = 8, "L2")
+      .collect().map(_.getString(0)).toSeq
+    assert(full == exact)
+    // partial probe has sane recall again on the moved distribution
+    val probed = fresh.view.search(q, 10, nProbe = 2, "L2")
+      .collect().map(_.getString(0)).toSet
+    assert(probed.intersect(exact.toSet).size >= 5,
+      s"recall did not recover: ${probed.intersect(exact.toSet).size}/10")
+    // the re-initialized generation is what a restart opens
+    val reopened = Ann.openIvfStore(spark, path)
+    assert(reopened.baselineAssignDist == fresh.baselineAssignDist)
+    assert(reopened.view.search(q, 10, nProbe = 8, "L2")
+      .collect().map(_.getString(0)).toSeq == exact)
+    // an in-(new)-distribution batch reads healthy drift (~1)
+    fresh.applyBatch(embs.limit(64).select(lit("upsert").as("op"),
+      concat(lit("n"), col("vec_id")).cast("string").as("__key"),
+      expr("transform(embedding, x -> cast(x + 100.0 as float))").as("vec")))
+    assert(fresh.lastDriftRatio.exists(r => r > 0.5 && r < 1.5),
+      s"post-reinit drift off: ${fresh.lastDriftRatio}")
+  }
+
   test("IVF search: nProbe=all equals exact top-k; nProbe=2 has sane recall") {
     val dir = "/root/testdata/sf0.001"
     val embs = Fixtures.table(spark, dir, "embeddings")
