@@ -799,9 +799,112 @@ object Queries {
   )
 
   // ---------------------------------------------------------------- //
+  // Reply / admin surfaces (SURVEY §2.1 S5/S7, §2.7 R5/R6, §2.8 C3) — //
+  // round-4 verdict listed these as spec-only; these gates give each  //
+  // a DuckDB oracle through the public engine surface.                //
+  // ---------------------------------------------------------------- //
+
+  private val capEngines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  /** Dedicated engine with a LOW non-vector fetch cap on a clone of
+    * `part` (the shared engine keeps the production default). */
+  private def capEng(spark: SparkSession, dir: String): SearchEngine =
+    capEngines.getOrElseUpdate(dir, {
+      val e = new SearchEngine
+      val schema = Fixtures.partSchema.copy(name = "part_cap")
+      e.createIndex(schema, graft.sources.Documents.enrich(
+        Fixtures.table(spark, dir, "part"), schema))
+      e.maxNonVectorResultsFetched = 150
+      e
+    })
+
+  private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  /** Engine whose `part` index was SAVED (enriched parquet + schema)
+    * and re-LOADED into a fresh engine — the S5 RDB save/load shape. */
+  private def loadedEng(spark: SparkSession, dir: String): SearchEngine =
+    savedIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-saveload").toString
+      eng(spark, dir).saveIndex("part", path)
+      SearchEngine.loadIndex(spark, path, new SearchEngine)
+    })
+
+  private val replyQueries: Seq[(String, Q, String)] = Seq(
+    (
+      "q_reply_total", // S7/R6: ONE plan feeds pre-LIMIT total + page
+      (s: SparkSession, dir: String) => {
+        val reply = eng(s, dir).searchReply("orders", "@o_orderstatus:{F}",
+          SearchOptions(limit = (20, 30), sortBy = Some(("o_totalprice", true)),
+            returnFields = Seq(("o_totalprice", None))))
+        val sp = s; import sp.implicits._
+        Seq((reply.total.toDouble, reply.rows.length.toDouble,
+          reply.rows.map(_.getString(0)).mkString(","))).toDF(
+          "total", "page_len", "page_keys")
+      },
+      """WITH m AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, o_totalprice
+        |  FROM orders WHERE lower(o_orderstatus) = 'f')
+        |SELECT CAST((SELECT count(*) FROM m) AS DOUBLE) AS total,
+        |  CAST(count(*) AS DOUBLE) AS page_len,
+        |  string_agg(k, ',' ORDER BY o_totalprice ASC, k ASC) AS page_keys
+        |FROM (SELECT k, o_totalprice FROM m
+        |      ORDER BY o_totalprice ASC, k ASC LIMIT 30 OFFSET 20)""".stripMargin
+    ),
+    (
+      "q_fetch_cap", // reference max-nonvector-search-results-fetched
+      (s: SparkSession, dir: String) => {
+        val reply = capEng(s, dir).searchReply("part_cap", "*",
+          SearchOptions(limit = (0, 10), noContent = true))
+        val sp = s; import sp.implicits._
+        Seq((reply.total.toDouble, reply.rows.length.toDouble))
+          .toDF("total", "page_len")
+      },
+      """SELECT CAST(LEAST(count(*), 150) AS DOUBLE) AS total,
+        |  CAST(LEAST(count(*), 10) AS DOUBLE) AS page_len FROM part""".stripMargin
+    ),
+    (
+      "q_timeout_bounded", // R5: TIMEOUT'd execution completes + matches
+      (s: SparkSession, dir: String) => {
+        val e = eng(s, dir)
+        val df = e.search("part", "@p_size:[10 20]",
+          SearchOptions(limit = (0, 100), noContent = true))
+        val rows = e.executeWithTimeout(df, timeoutMs = 60000)
+        val sp = s; import sp.implicits._
+        rows.map(_.getString(0)).toSeq.toDF("__key")
+      },
+      """SELECT CAST(p_partkey AS VARCHAR) AS __key
+        |FROM part WHERE p_size >= 10 AND p_size <= 20
+        |ORDER BY __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_info_tracked", // C3: FT.INFO per-field tracked counts
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).info("part")
+          .select(col("field"), col("num_tracked"), col("num_docs"))
+          .orderBy(col("field")),
+      """SELECT field, num_tracked, (SELECT count(*) FROM part) AS num_docs
+        |FROM (
+        |  SELECT 'p_size' AS field, count(p_size) AS num_tracked FROM part
+        |  UNION ALL SELECT 'p_retailprice', count(p_retailprice) FROM part
+        |  UNION ALL SELECT 'p_brand', count(p_brand) FROM part
+        |  UNION ALL SELECT 'p_name', count(p_name) FROM part)
+        |ORDER BY field""".stripMargin
+    ),
+    (
+      "q_save_load", // S5: RDB-save/load analogue — query the RELOADED index
+      (s: SparkSession, dir: String) =>
+        loadedEng(s, dir).search("part", "@p_size:[10 20] @p_brand:{Brand#13}",
+          SearchOptions(limit = (0, 100), sortBy = Some(("p_retailprice", true)),
+            returnFields = Seq(("p_retailprice", None)))),
+      """SELECT CAST(p_partkey AS VARCHAR) AS __key, p_retailprice
+        |FROM part
+        |WHERE p_size >= 10 AND p_size <= 20 AND lower(p_brand) = 'brand#13'
+        |ORDER BY p_retailprice ASC, __key ASC LIMIT 100""".stripMargin
+    )
+  )
+
+  // ---------------------------------------------------------------- //
 
   private def allTriples: Seq[(String, Q, String)] =
-    searchQueries ++ textQueries ++ vectorQueries ++ maintenanceQueries
+    searchQueries ++ textQueries ++ vectorQueries ++ maintenanceQueries ++
+      replyQueries
 
   def all: Map[String, Q] =
     allTriples.map { case (n, q, _) => n -> q }.toMap ++ AggregateQueries.all ++
