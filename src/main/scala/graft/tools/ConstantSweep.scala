@@ -62,6 +62,7 @@ object ConstantSweep {
     if (which("route")) sweepRouteSelectivity(spark)
     if (which("compact")) sweepCompactThreshold(spark)
     if (which("nsw")) sweepRebuildFraction(spark)
+    if (which("prox")) profileProximity(spark)
     spark.stop()
   }
 
@@ -142,6 +143,35 @@ object ConstantSweep {
     }
   }
 
+  // ------- 4. proximity-verify share (verdict #8 parked item) ------- //
+
+  /** How much of a SLOP query's latency is the columnar proximity
+    * verify itself? Measured as (AND-of-terms + SLOP) minus the same
+    * AND without SLOP — the delta IS the verify, since candidates and
+    * scan are identical. Decides whether posting-side SLOP
+    * verification (stem-keyed positional rows) is worth building. */
+  private def profileProximity(spark: SparkSession): Unit = {
+    val n = 100000L
+    val schema = IndexSchema("prox", Seq(FieldDef("text", TextField())))
+    val docsPath = java.nio.file.Files.createTempDirectory("graft-prox-docs").toString
+    corpus(spark, n).write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+    println("== proximity-verify share (100k docs, AND of two markers, joint sel 5%) ==")
+    println("resident | and_s | slop_s | verify share")
+    Seq(true, false).foreach { resident =>
+      val e = new SearchEngine
+      e.createIndex(schema, Documents.enrich(docs, schema), resident = resident)
+      val opts = SearchOptions(limit = (0, 10), noContent = true)
+      val optsSlop = opts.copy(slop = Some(2))
+      val q = "@text:sel_50 @text:sel_100"
+      def run(o: SearchOptions): Double =
+        med((1 to 3).map(_ => timeIt(e.search("prox", q, o).count())._2))
+      run(opts); run(optsSlop) // warm
+      val andS = run(opts); val slopS = run(optsSlop)
+      println(f"$resident%8s | $andS%5.3f | $slopS%6.3f | ${(slopS - andS) / slopS}%11.2f")
+    }
+  }
+
   // ------------------- 3. NSW rebuildFraction sweep ------------------ //
 
   private def sweepRebuildFraction(spark: SparkSession): Unit = {
@@ -149,12 +179,15 @@ object ConstantSweep {
     val n = 60000
     val dim = 32
     // deterministic synthetic vectors: clustered + hash jitter
+    // fine-grained jitter (prime modulus ≫ corpus) so no two vectors
+    // tie — distance ties would make the exact top-10 arbitrary and
+    // the recall comparison meaningless
     def vecs(offset: Int, count: Int): DataFrame =
       spark.range(offset, offset + count).selectExpr(
         "cast(id as string) as __key",
         s"transform(sequence(1, $dim), k -> " +
-          "cast(pmod(id * 40503 + k * 2654435761, 1000) / 500.0 - 1.0 " +
-          "+ pmod(id, 16) * 2.0 as float)) as vec")
+          "cast(pmod(id * 2654435761 + k * 40503, 100003) / 50001.5 - 1.0 " +
+          "+ pmod(id, 16) * 0.4 as float)) as vec")
     val baseDf = vecs(0, n)
     println(s"== NSW rebuildFraction sweep ($n vectors dim $dim, 8 delete-heavy churn rounds) ==")
     println("fraction | upsert_s | search_ms | recall@10")
@@ -192,7 +225,7 @@ object ConstantSweep {
       queries.foreach { qv =>
         val exact = graft.pipeline.Ann.topK(live, "__key", "vec", qv, 10, "L2")
           .collect().map(_.getString(0)).toSet
-        val (got, t) = timeIt(idx.search(qv, 10, ef = 50)
+        val (got, t) = timeIt(idx.search(qv, 10, ef = 100)
           .collect().map(_.getString(0)).toSet)
         searchMs += t * 1000
         recall += got.intersect(exact).size / 10.0
