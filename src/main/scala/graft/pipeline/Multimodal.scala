@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
  * The Spark-side plumbing — schemas, typed Datasets, mapPartitions
  * batching (the JVM analogue of `mapInPandas`: one iterator per
  * partition, amortized per-batch setup), partitioning behavior — is
- * real, and so is the IMAGE codec: [[ImageCodec]] decodes PNG/JPEG/
- * BMP/GIF through the JDK's `javax.imageio` (no external libraries),
- * yielding true width/height/channels, mean intensity, and a
- * grid-thumbnail feature vector. Payloads that are NOT decodable
- * images (and audio/video, which the JDK cannot decode) fall back to
+ * real, and so are the IMAGE and AUDIO codecs: [[ImageCodec]] decodes
+ * PNG/JPEG/BMP/GIF through the JDK's `javax.imageio` (true
+ * width/height/channels, mean intensity, grid-thumbnail embedding);
+ * [[AudioCodec]] decodes WAV/AIFF PCM through `javax.sound.sampled`
+ * (true sample rate/channels/duration, RMS, loudness envelope) — no
+ * external libraries in either. Payloads the JDK cannot decode
+ * (video, compressed codecs, non-media bytes) fall back to
  * [[StubCodec]]'s deterministic byte-derived surrogates so the
  * dataflow contracts hold for every modality.
  *
@@ -40,6 +42,10 @@ object Multimodal {
 
   final case class Frame(
       media_id: Long, frame_idx: Int, ts_ms: Int, payload: Array[Byte])
+
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Int, channels: Int, duration_ms: Int,
+      rms: Double, envelope: Array[Float])
 
   /**
    * Real image codec over the JDK's `javax.imageio` — PNG, JPEG, BMP
@@ -120,11 +126,80 @@ object Multimodal {
   }
 
   /**
+   * Real audio codec over the JDK's `javax.sound.sampled` — WAV/AIFF
+   * PCM decode with zero external dependencies. The decoded stream is
+   * converted to 16-bit signed PCM, mono-mixed, and normalized to
+   * [-1, 1] floats.
+   */
+  object AudioCodec {
+
+    final case class Decoded(sampleRate: Int, channels: Int,
+                             durationMs: Int, samples: Array[Float])
+
+    /** Decode WAV/AIFF PCM; None for anything the JDK cannot read. */
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      if (payload == null || payload.length < 44) None // < WAV header
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+          try {
+            val bytes = pcm.readAllBytes()
+            val ch = fmt.getChannels
+            val nFrames = bytes.length / (2 * ch)
+            // mono mix: mean over channels per frame, /32768 → [-1, 1]
+            val mono = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var s = 0.0f; var c = 0
+              while (c < ch) {
+                val o = (f * ch + c) * 2
+                s += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort / 32768.0f
+                c += 1
+              }
+              mono(f) = s / ch
+              f += 1
+            }
+            Some(Decoded(src.getSampleRate.toInt, src.getChannels,
+              math.round(nFrames * 1000.0 / src.getSampleRate).toInt, mono))
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case _: Throwable => None }
+
+    /** RMS amplitude of the whole clip (0 = silence). */
+    def rms(samples: Array[Float]): Double =
+      if (samples.isEmpty) 0.0
+      else math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+
+    /** Loudness envelope: `dim` equal windows, RMS per window — the
+      * audio analogue of the image grid thumbnail (deterministic,
+      * duration-independent, comparable under the vector operators). */
+    def envelope(samples: Array[Float], dim: Int): Array[Float] = {
+      if (samples.isEmpty) return new Array[Float](dim)
+      Array.tabulate(dim) { w =>
+        val from = (w.toLong * samples.length / dim).toInt
+        val until = math.max(from + 1, ((w + 1).toLong * samples.length / dim).toInt)
+        var s = 0.0
+        var i = from
+        while (i < until) { s += samples(i).toDouble * samples(i); i += 1 }
+        math.sqrt(s / (until - from)).toFloat
+      }
+    }
+  }
+
+  /**
    * STUB CODEC — deterministic byte-derived surrogates for payloads
-   * the JDK cannot decode (audio/video, or non-image test bytes).
-   * Everything derives from payload bytes so results are stable across
-   * runs, executors and partitionings; the dataflow contracts
-   * (schemas, batching, partitioning) are identical to the real path.
+   * the JDK cannot decode (video, compressed audio, or non-media test
+   * bytes). Everything derives from payload bytes so results are
+   * stable across runs, executors and partitionings; the dataflow
+   * contracts (schemas, batching, partitioning) are identical to the
+   * real paths.
    */
   object StubCodec {
     /** Deterministic surrogate pixels: k-th "pixel" is a byte-mix of
@@ -192,6 +267,34 @@ object Multimodal {
             ImageFeatures(m.media_id, m.width, m.height, m.channels,
               mean_intensity = if (px.isEmpty) 0.0 else px.sum.toDouble / px.length,
               embedding = StubCodec.embed(m.payload, dim))
+        }
+      }
+    }
+  }
+
+  /**
+   * Audio decode + feature extraction, the audio twin of
+   * [[imageFeatures]]: WAV/AIFF payloads decode through
+   * [[AudioCodec]] (JDK sound API) into TRUE sample rate / channels /
+   * duration plus RMS loudness and a fixed-dim loudness envelope;
+   * undecodable payloads (compressed codecs, test bytes) fall back to
+   * [[StubCodec]] surrogates with metadata passed through.
+   */
+  def audioFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { m =>
+        AudioCodec.decode(m.payload) match {
+          case Some(d) =>
+            AudioFeatures(m.media_id, d.sampleRate, d.channels, d.durationMs,
+              rms = AudioCodec.rms(d.samples),
+              envelope = AudioCodec.envelope(d.samples, dim))
+          case None =>
+            val px = StubCodec.decodePixels(m.payload, n = 256)
+            AudioFeatures(m.media_id, m.sample_rate, 1, m.duration_ms,
+              rms = if (px.isEmpty) 0.0 else px.sum.toDouble / px.length / 255.0,
+              envelope = StubCodec.embed(m.payload, dim))
         }
       }
     }

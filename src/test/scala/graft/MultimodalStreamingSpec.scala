@@ -100,6 +100,53 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(11L).getAs[Int]("height") == 48)
   }
 
+  /** Encode 16-bit mono PCM samples as a WAV via the JDK sound API
+    * (the decode path's machinery driven in reverse). */
+  private def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(i * 2) = (s & 0xff).toByte; bytes(i * 2 + 1) = (s >> 8).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: WAV via JDK sound API yields true metadata + envelope") {
+    val sp = spark; import sp.implicits._
+    val rate = 8000
+    // 1 s sine at full scale, then 1 s near-silence: the envelope's
+    // first half must be loud, second half quiet
+    val loudQuiet = Array.tabulate(2 * rate) { i =>
+      if (i < rate) (math.sin(2 * math.Pi * 440 * i / rate) * 30000).toShort
+      else (math.sin(2 * math.Pi * 440 * i / rate) * 300).toShort
+    }
+    val silence = Array.fill(rate / 2)(0.toShort)
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, encodeWav(rate, loudQuiet)), (2L, encodeWav(rate, silence)),
+        (3L, "not audio at all".getBytes)).toDF("id", "payload"),
+      "id", "payload", kind = "audio")
+    val feats = Multimodal.audioFeatures(media, dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    // true decoded metadata overrides the synthetic defaults (16000 Hz)
+    assert(feats(1L).sample_rate == rate && feats(1L).channels == 1)
+    assert(math.abs(feats(1L).duration_ms - 2000) <= 1)
+    // sine at ~0.92 full scale: RMS ≈ 0.92/√2 over the loud half only
+    assert(feats(1L).rms > 0.3 && feats(1L).rms < 0.8, s"rms ${feats(1L).rms}")
+    val env = feats(1L).envelope
+    assert(env.length == 8)
+    assert(env.take(4).forall(_ > 0.5), s"loud half: ${env.toSeq}")
+    assert(env.drop(4).forall(_ < 0.02), s"quiet half: ${env.toSeq}")
+    // silence: zero RMS, true 500 ms duration
+    assert(feats(2L).rms == 0.0 && math.abs(feats(2L).duration_ms - 500) <= 1)
+    // undecodable payload: stub fallback with metadata passthrough
+    assert(feats(3L).sample_rate == 16000)
+  }
+
   test("image features: schema, determinism, batch shape") {
     val feats = Multimodal.imageFeatures(mediaDs, dim = 16)
     assert(feats.schema.fieldNames.toSeq ==
