@@ -60,8 +60,10 @@ object SearchEngine {
   /** Restore an index saved by [[SearchEngine.saveIndex]] into `engine`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                 engine: SearchEngine): SearchEngine = {
-    val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(s"$path/schema.bin"))
-    val schema = try ois.readObject().asInstanceOf[IndexSchema] finally ois.close()
+    val schema = graft.util.FsIO
+      .readObj[IndexSchema](spark, s"$path/schema.bin")
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no saved index at $path (missing schema.bin)"))
     engine.createIndex(schema, spark.read.parquet(s"$path/data"))
   }
 }
@@ -1060,9 +1062,8 @@ class SearchEngine {
   def saveIndex(indexName: String, path: String): Unit = {
     val (schema, docs) = index(indexName)
     docs.write.mode("overwrite").parquet(s"$path/data")
-    val oos = new java.io.ObjectOutputStream(
-      new java.io.FileOutputStream(s"$path/schema.bin"))
-    try oos.writeObject(schema) finally oos.close()
+    graft.util.FsIO.writeObjAtomic(docs.sparkSession,
+      s"$path/schema.bin", schema)
   }
 
   /** Execute with cooperative cancellation (reference R5 TIMEOUT,

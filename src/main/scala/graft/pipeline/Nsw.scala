@@ -279,20 +279,19 @@ object Nsw {
    */
   def save(index: NswIndex, path: String): Unit = {
     index.graphs.write.mode("overwrite").parquet(s"$path/graphs")
-    val oos = new java.io.ObjectOutputStream(
-      new java.io.FileOutputStream(s"$path/meta.bin"))
-    try { oos.writeObject((index.metric, index.m, index.nParts)) }
-    finally oos.close()
+    graft.util.FsIO.writeObjAtomic(index.graphs.sparkSession,
+      s"$path/meta.bin", (index.metric, index.m, index.nParts))
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): NswIndex = {
     import spark.implicits._
-    val ois = new java.io.ObjectInputStream(
-      new java.io.FileInputStream(s"$path/meta.bin"))
-    val (metric, m, nParts) = try ois.readObject() match {
+    val (metric, m, nParts) = graft.util.FsIO
+      .readObj[Any](spark, s"$path/meta.bin")
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no NSW checkpoint at $path (missing meta.bin)")) match {
       case (a: String, b: Int, c: Int) => (a, b, c)
       case (a: String, b: Int) => (a, b, 0) // legacy save: no routing info
-    } finally ois.close()
+    }
     val raw = spark.read.parquet(s"$path/graphs")
     // legacy saves predate pid/removed — searchable, not upsertable
     val filled = Seq("pid" -> "0", "removed" -> "array()")

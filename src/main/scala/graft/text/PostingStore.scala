@@ -177,21 +177,15 @@ object PostingStore {
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
   /** Commit point: MANIFEST names the live generations. Written to a
-    * temp name then renamed — rename of a FILE is atomic on local FS
-    * and HDFS, so a reader (or a crash) sees the old or the new
-    * manifest, never a torn one. */
+    * temp name then overwrite-renamed in ONE atomic step
+    * ([[graft.util.FsIO.renameOverwrite]]) — a reader (or a crash at
+    * any point) sees the old or the new manifest, never a torn one and
+    * never a missing one. */
   private def commit(spark: SparkSession, dir: String,
                      mainGen: Int, segGen: Int,
-                     layout: String = TermLayout): Unit = {
-    val fs = FileSystem.get(new Path(dir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$dir/MANIFEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$mainGen $segGen $layout".getBytes("UTF-8")) finally out.close()
-    fs.delete(manifestPath(dir), false)
-    if (!fs.rename(tmp, manifestPath(dir)))
-      throw new java.io.IOException(s"MANIFEST commit failed at $dir")
-  }
+                     layout: String = TermLayout): Unit =
+    graft.util.FsIO.writeTextAtomic(spark, manifestPath(dir).toString,
+      s"$mainGen $segGen $layout")
 
   /** (mainGen, segGen, layout); two-token manifests predate layouts —
     * they are all term stores. */

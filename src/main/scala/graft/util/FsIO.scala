@@ -37,15 +37,35 @@ object FsIO {
     fs(spark, path).delete(new Path(path), true); ()
   }
 
-  /** Write UTF-8 text to `path` via tmp + atomic rename. */
+  /**
+   * Rename `tmp` onto `dst`, REPLACING any existing file in one atomic
+   * step. `FileContext.rename(OVERWRITE)` maps to an atomic rename(2) /
+   * HDFS overwrite-rename — unlike delete-then-`FileSystem.rename`,
+   * there is no window where NEITHER file exists (a crash there would
+   * make a restart see "no manifest" and silently open empty state).
+   * Filesystems without a FileContext binding fall back to the
+   * delete+rename pair (their rename contract varies anyway).
+   */
+  def renameOverwrite(spark: SparkSession, tmp: Path, dst: Path): Unit =
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val f = fs(spark, dst.toString)
+        f.delete(dst, false)
+        if (!f.rename(tmp, dst))
+          throw new java.io.IOException(s"atomic rename failed at $dst")
+    }
+
+  /** Write UTF-8 text to `path` via tmp + atomic overwrite-rename. */
   def writeTextAtomic(spark: SparkSession, path: String, text: String): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(path), false)
-    if (!f.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"atomic write failed at $path")
+    renameOverwrite(spark, tmp, new Path(path))
   }
 
   /** Read `path` as UTF-8 text; None when absent. */
@@ -59,15 +79,13 @@ object FsIO {
     }
   }
 
-  /** Serialize one object to `path` via tmp + atomic rename. */
+  /** Serialize one object to `path` via tmp + atomic overwrite-rename. */
   def writeObjAtomic(spark: SparkSession, path: String, obj: AnyRef): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
     val out = new java.io.ObjectOutputStream(f.create(tmp, true))
     try out.writeObject(obj) finally out.close()
-    f.delete(new Path(path), false)
-    if (!f.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"atomic write failed at $path")
+    renameOverwrite(spark, tmp, new Path(path))
   }
 
   /** Deserialize the object at `path`; None when the file is absent. */
