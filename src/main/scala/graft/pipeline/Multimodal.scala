@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
  * The Spark-side plumbing — schemas, typed Datasets, mapPartitions
  * batching (the JVM analogue of `mapInPandas`: one iterator per
  * partition, amortized per-batch setup), partitioning behavior — is
- * real, and so are the IMAGE and AUDIO codecs: [[ImageCodec]] decodes
+ * real, and so are ALL THREE modality codecs: [[ImageCodec]] decodes
  * PNG/JPEG/BMP/GIF through the JDK's `javax.imageio` (true
  * width/height/channels, mean intensity, grid-thumbnail embedding);
  * [[AudioCodec]] decodes WAV/AIFF PCM through `javax.sound.sampled`
- * (true sample rate/channels/duration, RMS, loudness envelope) — no
- * external libraries in either. Payloads the JDK cannot decode
- * (video, compressed codecs, non-media bytes) fall back to
- * [[StubCodec]]'s deterministic byte-derived surrogates so the
- * dataflow contracts hold for every modality.
+ * (true sample rate/channels/duration, RMS, loudness envelope);
+ * [[VideoCodec]] decodes MJPEG-in-AVI by RIFF chunk-walking + per-frame
+ * imageio JPEG decode (true dimensions/frame count/fps, real frame
+ * payloads) — no external libraries in any. Payloads the JDK cannot
+ * decode (H.26x/VP9/MP4, compressed audio, non-media bytes) fall back
+ * to [[StubCodec]]'s deterministic byte-derived surrogates so the
+ * dataflow contracts hold for every payload.
  *
  * Scale notes: payloads never participate in shuffles here — all
  * transforms are map-side (mapPartitions), metadata-only projections
@@ -193,13 +195,126 @@ object Multimodal {
     }
   }
 
+  final case class VideoFeatures(
+      media_id: Long, width: Int, height: Int, frame_count: Int,
+      duration_ms: Int, fps: Double, embedding: Array[Float])
+
+  /**
+   * Real video codec for MJPEG-in-AVI — the one mainstream video
+   * container+codec pair decodable with ZERO external dependencies:
+   * the AVI container is plain RIFF chunk-walking, and every `00dc`
+   * frame chunk is a complete JPEG the JDK's imageio reads. Gives the
+   * video path true metadata (dimensions, frame count, frame rate)
+   * and REAL per-frame payloads; anything else (H.26x, VP9, MP4 — the
+   * JDK ships no decoder for those) still falls back to [[StubCodec]].
+   *
+   * Layout (all u32 little-endian): `RIFF <size> AVI ` then chunks;
+   * `LIST <size> <type>` nests; `avih` carries µs/frame + dimensions
+   * (MainAVIHeader); the `movi` LIST carries `00dc`/`00db` frame
+   * chunks, byte-padded to even offsets.
+   */
+  object VideoCodec {
+
+    final case class Decoded(width: Int, height: Int,
+                             usPerFrame: Long, frames: IndexedSeq[Array[Byte]]) {
+      def frameCount: Int = frames.length
+      def frameMs: Double = usPerFrame / 1000.0
+      def durationMs: Int = math.round(frameCount * usPerFrame / 1000.0).toInt
+      def fps: Double = 1e6 / usPerFrame
+    }
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+        (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+
+    private def fourCC(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Decode an AVI payload; None for anything else (wrong magic,
+      * truncated container, no video frames). */
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      if (payload == null || payload.length < 24 ||
+          fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ")
+        return None
+      try {
+        var width = 0; var height = 0; var usPerFrame = 0L
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(from: Int, until: Int): Unit = {
+          var o = from
+          while (o + 8 <= until) {
+            val id = fourCC(payload, o)
+            val sz = u32(payload, o + 4).toInt
+            val body = o + 8
+            if (sz < 0 || body > until) return // torn tail: keep what parsed
+            if (id == "LIST" && sz >= 4)
+              walk(body + 4, math.min(body + sz, until))
+            else id match {
+              case "avih" if sz >= 40 =>
+                usPerFrame = u32(payload, body)
+                width = u32(payload, body + 32).toInt
+                height = u32(payload, body + 36).toInt
+              case "00dc" | "00db" if sz > 0 =>
+                frames += java.util.Arrays.copyOfRange(
+                  payload, body, math.min(body + sz, payload.length))
+              case _ =>
+            }
+            o = body + sz + (sz & 1) // chunks pad to even
+          }
+        }
+        walk(12, math.min(payload.length.toLong, 8 + u32(payload, 4)).toInt)
+        if (frames.isEmpty || width <= 0 || height <= 0) None
+        else Some(Decoded(width, height,
+          if (usPerFrame <= 0) 33333 else usPerFrame, frames.toIndexedSeq))
+      } catch { case _: Throwable => None }
+    }
+
+    /** Encode frames as an MJPEG AVI (fixture writer / re-encode sink;
+      * each frame JPEG-compressed via imageio, RIFF assembled here). */
+    def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+                       fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need frames and fps > 0")
+      val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+      val jpegs = frames.map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", bos)
+        bos.toByteArray
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if ((body.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray
+        cc(id) ++ le32(body.length.toLong) ++ body ++ pad
+      }
+      def list(tpe: String, body: Array[Byte]): Array[Byte] =
+        cc("LIST") ++ le32(body.length + 4L) ++ cc(tpe) ++ body
+      val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+        le32(jpegs.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+      val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1) ++ le32(fps.toLong) ++ le32(0) ++ le32(jpegs.length.toLong) ++
+        le32(0) ++ le32(0xffffffffL) ++ le32(0) ++ Array.fill(8)(0.toByte)
+      val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+        le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", jpegs.flatMap(chunk("00dc", _)).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      out.write(cc("RIFF")); out.write(le32(body.length.toLong)); out.write(body)
+      out.toByteArray
+    }
+  }
+
   /**
    * STUB CODEC — deterministic byte-derived surrogates for payloads
-   * the JDK cannot decode (video, compressed audio, or non-media test
-   * bytes). Everything derives from payload bytes so results are
-   * stable across runs, executors and partitionings; the dataflow
-   * contracts (schemas, batching, partitioning) are identical to the
-   * real paths.
+   * the JDK cannot decode (H.26x/VP9/MP4 video, compressed audio, or
+   * non-media test bytes). Everything derives from payload bytes so
+   * results are stable across runs, executors and partitionings; the
+   * dataflow contracts (schemas, batching, partitioning) are identical
+   * to the real paths.
    */
   object StubCodec {
     /** Deterministic surrogate pixels: k-th "pixel" is a byte-mix of
@@ -311,7 +426,11 @@ object Multimodal {
   /**
    * Frame sampling: one video row → `everyMs`-spaced frames. The
    * explode happens inside mapPartitions (iterator flatMap), so frames
-   * stream out without materializing a per-video frame list.
+   * stream out without materializing a per-video frame list. An
+   * MJPEG-AVI payload ([[VideoCodec]]) yields REAL frames: each
+   * emitted payload is the nearest stored JPEG at the sample
+   * timestamp, itself decodable by [[ImageCodec]]; other payloads
+   * fall back to the stub slice (schema identical).
    */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int): Dataset[Frame] = {
     val spark = media.sparkSession
@@ -319,18 +438,59 @@ object Multimodal {
     media.filter(m => m.kind == "video" || m.kind == "image")
       .mapPartitions { rows =>
         rows.flatMap { m =>
-          val n = math.max(1, m.duration_ms / everyMs)
-          (0 until n).iterator.map { i =>
-            val ts = i * everyMs
-            // stub "frame": a deterministic slice of the payload
-            val sliceLen = math.min(64, math.max(1, m.payload.length))
-            val off = if (m.payload.isEmpty) 0 else (ts * 31) % math.max(1, m.payload.length - sliceLen + 1)
-            val bytes =
-              if (m.payload.isEmpty) Array.emptyByteArray
-              else java.util.Arrays.copyOfRange(m.payload, off, off + sliceLen)
-            Frame(m.media_id, i, ts, bytes)
+          VideoCodec.decode(m.payload) match {
+            case Some(v) =>
+              val n = math.max(1, v.durationMs / everyMs)
+              (0 until n).iterator.map { i =>
+                val ts = i * everyMs
+                val idx = math.min(v.frameCount - 1, math.round(ts / v.frameMs).toInt)
+                Frame(m.media_id, i, ts, v.frames(idx))
+              }
+            case None =>
+              val n = math.max(1, m.duration_ms / everyMs)
+              (0 until n).iterator.map { i =>
+                val ts = i * everyMs
+                // stub "frame": a deterministic slice of the payload
+                val sliceLen = math.min(64, math.max(1, m.payload.length))
+                val off = if (m.payload.isEmpty) 0 else (ts * 31) % math.max(1, m.payload.length - sliceLen + 1)
+                val bytes =
+                  if (m.payload.isEmpty) Array.emptyByteArray
+                  else java.util.Arrays.copyOfRange(m.payload, off, off + sliceLen)
+                Frame(m.media_id, i, ts, bytes)
+              }
           }
         }
       }
+  }
+
+  /**
+   * Video decode + feature extraction, completing the modality set
+   * ([[imageFeatures]] / [[audioFeatures]]): an MJPEG-AVI payload
+   * yields TRUE dimensions, frame count, duration and frame rate, with
+   * the embedding = the middle frame's grid thumbnail (temporal
+   * midpoint — the standard one-frame video descriptor); undecodable
+   * payloads fall back to [[StubCodec]] surrogates with declared
+   * metadata passed through.
+   */
+  def videoFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { m =>
+        val real = for {
+          v <- VideoCodec.decode(m.payload)
+          mid <- ImageCodec.decode(v.frames(v.frameCount / 2))
+        } yield VideoFeatures(m.media_id, v.width, v.height, v.frameCount,
+          v.durationMs, v.fps,
+          embedding = ImageCodec.gridFeatures(mid, dim))
+        real.getOrElse {
+          VideoFeatures(m.media_id, m.width, m.height,
+            frame_count = math.max(1, m.duration_ms / 33),
+            duration_ms = m.duration_ms,
+            fps = 30.0,
+            embedding = StubCodec.embed(m.payload, dim))
+        }
+      }
+    }
   }
 }

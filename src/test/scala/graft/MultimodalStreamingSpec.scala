@@ -179,6 +179,72 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(1L).map(_.ts_ms).sorted.toSeq == Seq(0, 10, 20, 30))
   }
 
+  /** A solid-gray frame at the given level (0-255). */
+  private def grayFrame(w: Int, h: Int, level: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("real video decode: MJPEG-AVI yields true metadata and imageio-decodable frames") {
+    val sp = spark; import sp.implicits._
+    // 10 frames 32×24 at 10 fps, frame i solid gray level i*25
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(
+      (0 until 10).map(i => grayFrame(32, 24, i * 25)), fps = 10)
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, avi), (2L, "definitely not a video".getBytes)).toDF("id", "payload"),
+      "id", "payload", kind = "video")
+
+    val feats = Multimodal.videoFeatures(media, dim = 16)
+      .collect().map(f => f.media_id -> f).toMap
+    // true container metadata overrides the synthetic defaults
+    assert(feats(1L).width == 32 && feats(1L).height == 24)
+    assert(feats(1L).frame_count == 10 && feats(1L).duration_ms == 1000)
+    assert(math.abs(feats(1L).fps - 10.0) < 0.01)
+    // embedding = middle frame's grid thumbnail: frame 5 is gray 125
+    val emb = feats(1L).embedding
+    assert(emb.length == 16 && emb.forall(v => v > 0.40f && v < 0.58f),
+      s"mid-frame grid: ${emb.toSeq}")
+    // undecodable payload: stub fallback with declared metadata
+    assert(feats(2L).width == 64 && feats(2L).height == 48)
+
+    // frame sampling over the REAL path: 250 ms spacing → 4 frames,
+    // each emitted payload a complete JPEG of the nearest stored frame
+    val frames = Multimodal.sampleFrames(media.filter(_.media_id == 1L),
+      everyMs = 250).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0, 250, 500, 750))
+    val expectedGray = Seq(0, 3, 5, 8).map(_ * 25) // round(ts/100ms)
+    frames.zip(expectedGray).foreach { case (f, g) =>
+      val img = Multimodal.ImageCodec.decode(f.payload)
+        .getOrElse(fail(s"frame ${f.frame_idx} not a decodable image"))
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      val mi = Multimodal.ImageCodec.meanIntensity(img)
+      assert(math.abs(mi - g) < 12, s"frame ${f.frame_idx}: intensity $mi vs $g")
+    }
+    // determinism across partitionings (real path)
+    val again = Multimodal.videoFeatures(media.repartition(3), dim = 16)
+      .collect().map(f => f.media_id -> f.embedding.toSeq).toMap
+    assert(again(1L) == emb.toSeq)
+  }
+
+  test("video decode survives torn containers (truncated mid-chunk)") {
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(
+      (0 until 6).map(i => grayFrame(16, 16, i * 40)), fps = 5)
+    // cut inside the movi list: parser keeps the complete prefix frames
+    val torn = java.util.Arrays.copyOf(avi, avi.length * 2 / 3)
+    Multimodal.VideoCodec.decode(torn) match {
+      case Some(v) =>
+        assert(v.width == 16 && v.frameCount >= 1 && v.frameCount < 6)
+        assert(Multimodal.ImageCodec.decode(v.frames(0)).isDefined)
+      case None => // a cut before the first whole frame is also valid
+    }
+    // garbage with the right magic must not throw either
+    val junk = "RIFF    AVI junkjunkjunk".getBytes
+    assert(Multimodal.VideoCodec.decode(junk).isEmpty)
+  }
+
   // ------------------------- streaming ingest ---------------------- //
 
   test("validate drops keys with invalid numeric content (index_base.h:43-47)") {
