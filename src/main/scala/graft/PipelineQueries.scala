@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Dedup, TextMetrics}
+import graft.pipeline.{Ann, Curation, Dedup, TextMetrics}
 
 /**
  * Training-data pipeline gate queries: dedup family, similarity search,
@@ -277,6 +277,128 @@ object PipelineQueries {
           size(TextMetrics.fingerprint("text")).cast("double").as("fp_size"))
         .orderBy(col("__key").asc)
         .limit(300)
+    },
+
+    // -------------------- curation --------------------------------- //
+
+    // PII is synthesized deterministically (the corpus has none): the
+    // SAME concat runs on both engines, then the redactor must find
+    // and replace exactly the planted email/phone/IP instances —
+    // n_pii counts replacements actually performed (sequential
+    // passes, no overlap double-count).
+    q("p_pii_redact") { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id"), lit("@mail-host.org"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1 555 123 "),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit(""))).as("pii_text"))
+      Curation.redactPii(d, "pii_text")
+        .select(col("doc_id").cast("string").as("__key"),
+          col("n_pii").cast("double").as("n_pii"), col("redacted"))
+        .orderBy(col("__key").asc)
+        .limit(300)
+    } {
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || doc_id || '@mail-host.org'
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN ' call +1 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS pii_text
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, pii_text,
+         |    regexp_replace(pii_text, '${Curation.EmailRe}', '<EMAIL>', 'g') AS t1 FROM d),
+         |r2 AS (SELECT doc_id, pii_text, t1,
+         |    regexp_replace(t1, '${Curation.PhoneRe}', '<PHONE>', 'g') AS t2 FROM r1)
+         |SELECT CAST(doc_id AS VARCHAR) AS __key,
+         |  CAST(len(regexp_extract_all(pii_text, '${Curation.EmailRe}'))
+         |    + len(regexp_extract_all(t1, '${Curation.PhoneRe}'))
+         |    + len(regexp_extract_all(t2, '${Curation.Ipv4Re}')) AS DOUBLE) AS n_pii,
+         |  regexp_replace(t2, '${Curation.Ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM r2 ORDER BY __key ASC LIMIT 300""".stripMargin
+    },
+
+    // Benchmark decontamination: docs with doc_id%97==0 stand in for
+    // the eval set; a candidate is contaminated when it shares an
+    // 8-word-gram. The corpus's small vocabulary makes collisions
+    // plentiful — the oracle pins exact hit COUNTS per key, so a
+    // tokenization, windowing or join defect all hash-mismatch.
+    q("p_decontaminate") { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.contaminationHits(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("__key").cast("string").as("__key"), col("n_hits"))
+        .orderBy(col("__key").asc)
+        .limit(300)
+    } {
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8
+        |    THEN list_distinct(list_transform(range(1, len(w) - 8 + 2),
+        |      i -> array_to_string(w[i:i+7], ' ')))
+        |    ELSE [] END AS ngs FROM w),
+        |b AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 97 <> 0)
+        |SELECT CAST(c.doc_id AS VARCHAR) AS __key,
+        |  CAST(count(*) AS DOUBLE) AS n_hits
+        |FROM c JOIN b USING (ng)
+        |GROUP BY 1 ORDER BY __key ASC LIMIT 300""".stripMargin
+    },
+
+    // Deterministic hash sampling: the md5-bucket rule must pick the
+    // SAME keys in both engines — the property that makes samples
+    // reproducible across runs and joinable across tables.
+    q("p_sample_hash") { (s, dir) =>
+      Curation.sampleByHash(docs(s, dir), "doc_id", fraction = 0.25)
+        .select(col("doc_id").cast("string").as("__key"),
+          Curation.hashBucket(col("doc_id")).cast("double").as("bucket"))
+        .orderBy(col("__key").asc)
+        .limit(300)
+    } {
+      """WITH h AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS DOUBLE) AS bucket
+        |  FROM documents)
+        |SELECT * FROM h WHERE bucket < 16384
+        |ORDER BY __key ASC LIMIT 300""".stripMargin
+    },
+
+    // Sequence packing: concat-in-order within each source shard, cut
+    // every 512 tokens, doc belongs to the chunk where it starts. The
+    // oracle recomputes the windowed prefix sum independently.
+    q("p_seq_pack") { (s, dir) =>
+      Curation.packSequences(docs(s, dir), "doc_id",
+        tokens = size(split(col("text"), " ")), budget = 512,
+        shardCols = Seq("source"))
+        .select(col("doc_id").cast("string").as("__key"), col("source"),
+          col("n_tok").cast("double").as("n_tok"),
+          col("chunk_id").cast("double").as("chunk_id"),
+          col("chunk_offset").cast("double").as("chunk_offset"))
+        .orderBy(col("__key").asc)
+        .limit(500)
+    } {
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS __key, source,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - len(string_split(text, ' ')) AS bef
+        |  FROM documents)
+        |SELECT __key, source, CAST(n_tok AS DOUBLE) AS n_tok,
+        |  CAST(floor(bef / 512.0) AS DOUBLE) AS chunk_id,
+        |  CAST(bef % 512 AS DOUBLE) AS chunk_offset
+        |FROM t ORDER BY __key ASC LIMIT 500""".stripMargin
     }
   )
 

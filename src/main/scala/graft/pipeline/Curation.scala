@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data curation operators — the pipeline stages between raw
+ * corpus and training shards that the dedup/metrics families don't
+ * cover: PII redaction, benchmark decontamination, deterministic
+ * sampling, and sequence packing.
+ *
+ * Scale stance (100 TB): every operator here is either map-only
+ * (redaction, sampling — pure codegen'd column expressions, no
+ * shuffle, no UDF) or shuffles ONLY metadata-sized relations
+ * (decontamination broadcasts the benchmark n-gram set and ships one
+ * (key, ngram) pair per candidate hit; packing windows within shards
+ * so no global sort exists anywhere).
+ */
+object Curation {
+
+  // ------------------------- PII redaction ------------------------- //
+
+  /** Email pattern (local@domain.tld). Both `java.util.regex` and RE2
+    * resolve these greedy character classes identically — parity with
+    * the DuckDB oracle holds by construction. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-format phone: +CC NNN NNN NNNN. */
+  val PhoneRe = "\\+\\d{1,2} \\d{3} \\d{3} \\d{4}"
+
+  /** Dotted-quad IPv4 (word-bounded so version strings like
+    * `1.2.3.4567` don't half-match). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /**
+   * Redact emails, phones and IPv4s from `textCol`: adds `redacted`
+   * (the scrubbed text) and `n_pii` (replacements performed).
+   * Patterns apply in sequence — email first (its local part may
+   * contain digits), then phone, then IP — and each count is taken on
+   * the text AS THE PREVIOUS PASS LEFT IT, so `n_pii` is exactly the
+   * number of substitutions made, never a double count of overlapping
+   * matches. Map-only: three codegen'd regexp passes, no shuffle.
+   */
+  def redactPii(df: DataFrame, textCol: String,
+                emailTag: String = "<EMAIL>",
+                phoneTag: String = "<PHONE>",
+                ipTag: String = "<IP>"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, emailTag)
+    val t2 = regexp_replace(t1, PhoneRe, phoneTag)
+    val t3 = regexp_replace(t2, Ipv4Re, ipTag)
+    df.withColumn("n_pii",
+        regexp_count(t0, lit(EmailRe)) +
+          regexp_count(t1, lit(PhoneRe)) +
+          regexp_count(t2, lit(Ipv4Re)))
+      .withColumn("redacted", t3)
+  }
+
+  // --------------------- decontamination --------------------------- //
+
+  /** Distinct word `n`-grams of a text column: lowercase, split on
+    * non-alphanumeric runs, join `n` consecutive words with single
+    * spaces. Documents shorter than `n` words have no n-grams. Pure
+    * column expression (split/transform/slice — codegen'd). */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val w = filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Benchmark decontamination: which candidate documents share a word
+   * `n`-gram with the benchmark set (eval/test corpora that must not
+   * leak into training data)? Returns `(__key, n_hits)` — one row per
+   * CONTAMINATED candidate, `n_hits` = distinct shared n-grams.
+   *
+   * Shape for 100 TB: the benchmark n-gram set is metadata-sized
+   * (eval suites are thousands of documents) and BROADCASTS; the
+   * corpus explodes its n-grams map-side and semi-joins against the
+   * broadcast — the corpus itself never shuffles on content. The
+   * per-key aggregation shuffles only the hit pairs.
+   */
+  def contaminationHits(candidates: DataFrame, keyCol: String, textCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        n: Int = 8): DataFrame = {
+    val benchNg = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("ng")).distinct()
+    candidates
+      .select(col(keyCol).as("__key"), explode(wordShingles(col(textCol), n)).as("ng"))
+      .join(broadcast(benchNg), "ng")
+      .groupBy("__key").agg(count(lit(1)).cast("double").as("n_hits"))
+  }
+
+  /** The candidates with every contaminated document REMOVED (the
+    * production step after reviewing [[contaminationHits]]). */
+  def decontaminate(candidates: DataFrame, keyCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame =
+    candidates.join(
+      contaminationHits(candidates, keyCol, textCol, benchmark, benchTextCol, n)
+        .select(col("__key").as(keyCol)),
+      Seq(keyCol), "left_anti")
+
+  // ----------------------- deterministic sampling ------------------ //
+
+  /** Stable per-key bucket in [0, 65536): the first four hex digits of
+    * `md5(key)` — reproducible across engines, runs and partitionings
+    * (unlike `rand()`, and unlike `TABLESAMPLE`, which samples
+    * partitions). */
+  def hashBucket(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Deterministic Bernoulli-style sample: keep keys whose
+    * [[hashBucket]] falls under `fraction` (granularity 1/65536).
+    * Map-only; the SAME keys survive on every run at every scale, so
+    * downstream joins between independently-sampled tables of the same
+    * keyspace stay consistent. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < math.round(fraction * 65536).toInt)
+
+  // ------------------------- sequence packing ---------------------- //
+
+  /**
+   * Sequence packing (training-shard layout): documents concatenate in
+   * `keyCol` order within each shard and cut every `budget` tokens; a
+   * document belongs to the chunk where it STARTS. Adds `n_tok` (the
+   * evaluated token count), `chunk_id` (0-based within the shard) and
+   * `chunk_offset` (token offset where the document starts inside its
+   * chunk).
+   *
+   * The window partitions by `shardCols` — there is deliberately NO
+   * global variant: a corpus-wide ordered cumulative sum cannot
+   * parallelize, while per-shard packing (by source, date, bucket...)
+   * is embarrassingly parallel and is what a 100-TB layout job does
+   * anyway. Callers wanting one global stream can pass a constant
+   * shard column and eat the single partition consciously.
+   */
+  def packSequences(df: DataFrame, keyCol: String, tokens: Column,
+                    budget: Int, shardCols: Seq[String]): DataFrame = {
+    require(shardCols.nonEmpty,
+      "packSequences shards by column(s); pass a constant column for a global pack")
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shardCols.map(col): _*)
+      .orderBy(col(keyCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = sum(tokens).over(w) - tokens // tokens packed before this doc
+    df.withColumn("n_tok", tokens)
+      .withColumn("chunk_id", floor(before / budget))
+      .withColumn("chunk_offset", before % budget)
+  }
+}

@@ -407,4 +407,84 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partCounts.nonEmpty && partCounts.head <= 3,
       s"partitions read: $partCounts")
   }
+
+  // ------------------------- curation ------------------------------ //
+
+  test("PII redaction: sequential passes, exact replacement counts, no false hits") {
+    val sp = spark; import sp.implicits._
+    import graft.pipeline.Curation
+    val df = Seq(
+      (1L, "write to alice.b+test@sub.ex-ample.org or call +1 555 123 4567 from 192.168.0.1"),
+      (2L, "version 1.2.3.4567 is not an ip and user at host dot com is not an email"),
+      (3L, "bare 8.8.8.8 and x@y.io and x@y.io twice"),
+      (4L, "")).toDF("doc_id", "txt")
+    val out = Curation.redactPii(df, "txt").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_pii"), r.getAs[String]("redacted"))).toMap
+    assert(out(1L) == ((3, "write to <EMAIL> or call <PHONE> from <IP>")))
+    // 4-segment version string: the \b-bounded IPv4 must NOT half-match
+    assert(out(2L)._1 == 0 && out(2L)._2.contains("1.2.3.4567"))
+    assert(out(3L) == ((3, "bare <IP> and <EMAIL> and <EMAIL> twice")))
+    assert(out(4L) == ((0, "")))
+  }
+
+  test("decontamination: n-gram hits are exact; anti-join removes only contaminated docs") {
+    val sp = spark; import sp.implicits._
+    import graft.pipeline.Curation
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      // shares the full 9-word overlap → two distinct 8-grams
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota trailing"),
+      // shares exactly one 8-gram (words 1..8)
+      (2L, "alpha beta gamma delta epsilon zeta eta theta DIFFERENT"),
+      // 7-word overlap only → clean at n=8
+      (3L, "beta gamma delta epsilon zeta eta theta other words here"),
+      // shorter than n → clean by definition
+      (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val hits = Curation.contaminationHits(cands, "doc_id", "text", bench, "text", n = 8)
+      .collect().map(r => r.getAs[Long]("__key") -> r.getAs[Double]("n_hits")).toMap
+    assert(hits == Map(1L -> 2.0, 2L -> 1.0))
+    // tokenization folds case and punctuation: "DIFFERENT" vs "different,"
+    val clean = Curation.decontaminate(cands, "doc_id", "text", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L))
+  }
+
+  test("hash sampling: deterministic, key-stable across partitionings, ~fraction sized") {
+    val sp = spark; import sp.implicits._
+    import graft.pipeline.Curation
+    val df = (1L to 4000L).toDF("id")
+    val a = Curation.sampleByHash(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleByHash(df.repartition(7), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size - 1000) < 150, s"25% of 4000: got ${a.size}")
+    // monotone: a smaller fraction is a subset of a larger one
+    val small = Curation.sampleByHash(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a) && small.nonEmpty)
+  }
+
+  test("sequence packing: docs start in the chunk where the running sum left them") {
+    val sp = spark; import sp.implicits._
+    import graft.pipeline.Curation
+    val df = Seq( // shard s: 60+50+30 tokens at budget 100 → chunks 0,0,1
+      ("s", 1L, 60), ("s", 2L, 50), ("s", 3L, 30),
+      ("t", 7L, 250), ("t", 8L, 10)) // oversized doc spans chunks; next starts at its end
+      .toDF("source", "doc_id", "n")
+    val out = Curation.packSequences(df, "doc_id", tokens = col("n"),
+      budget = 100, shardCols = Seq("source"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_offset")))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 60L))) // starts inside chunk 0 at offset 60
+    assert(out(3L) == ((1L, 10L))) // 110 tokens precede it → chunk 1, offset 10
+    assert(out(7L) == ((0L, 0L)))
+    assert(out(8L) == ((2L, 50L))) // 250 precede → chunk 2, offset 50
+    // shards are independent: same result no matter how rows partition
+    val again = Curation.packSequences(df.repartition(5), "doc_id",
+      tokens = col("n"), budget = 100, shardCols = Seq("source"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_offset")))).toMap
+    assert(again == out)
+  }
 }
