@@ -224,6 +224,35 @@ object PipelineQueries {
          |  __key ASC LIMIT 20""".stripMargin
     },
 
+    // k-NN JOIN through the IVF-celled plan with FULL probes: every
+    // query finds its exact top-5, so DuckDB's windowed cross join is
+    // a hash-equal oracle — a wrong cell assignment, lost probe, or
+    // broken top-k merge all mismatch. Partial-probe recall is pinned
+    // by PipelineSpec instead.
+    q("p_ann_join") { (s, dir) =>
+      val e = embs(s, dir)
+      Ann.knnJoinIvf(
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 8, metric = "COSINE")
+        .withColumn("distance", round(col("distance"), 4))
+        .orderBy(col("__key").cast("long").asc, col("rk").asc)
+    } {
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE vec_id % 101 = 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE vec_id % 101 <> 0),
+        |s AS (SELECT q.vec_id qk, b.vec_id bk,
+        |        1.0 - list_cosine_similarity(q.v, b.v) AS d FROM q CROSS JOIN b),
+        |r AS (SELECT CAST(qk AS VARCHAR) AS __key,
+        |        CAST(row_number() OVER (PARTITION BY qk
+        |          ORDER BY d ASC, CAST(bk AS VARCHAR) ASC) AS DOUBLE) AS rk,
+        |        CAST(bk AS VARCHAR) AS neighbor, round(d, 4) AS distance
+        |      FROM s)
+        |SELECT * FROM r WHERE rk <= 5
+        |ORDER BY CAST(__key AS BIGINT) ASC, rk ASC""".stripMargin
+    },
+
     // -------------------- text analysis ---------------------------- //
 
     q("p_text_metrics") { (s, dir) =>

@@ -35,6 +35,110 @@ object Ann {
       .orderBy(col("distance").asc, col("__key").asc)
       .limit(k)
 
+  // --------------------------- k-NN join --------------------------- //
+
+  /**
+   * Bounded top-k aggregate (the SURVEY §2.9 `Aggregator[IN,BUF,OUT]`
+   * extension point): the buffer holds AT MOST k (distance, key) pairs
+   * sorted ascending, so per-group state is O(k) with map-side partial
+   * aggregation — where a `collect_list` + `array_sort` formulation
+   * would buffer every scored pair per query (O(|base|)) before
+   * truncating. Input rows are (queryKey, neighborKey, distance); ties
+   * break on the neighbor key string, matching the exact-path oracles.
+   */
+  final class TopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (String, String, Double), Seq[(Double, String)], Seq[(String, Double)]] {
+    override def zero: Seq[(Double, String)] = Nil
+    override def reduce(b: Seq[(Double, String)],
+                        a: (String, String, Double)): Seq[(Double, String)] =
+      if (b.length >= k &&
+          { val l = b.last; l._1 < a._3 || (l._1 == a._3 && l._2 <= a._2) }) b
+      else ((a._3, a._2) +: b).sorted.take(k)
+    override def merge(x: Seq[(Double, String)],
+                       y: Seq[(Double, String)]): Seq[(Double, String)] =
+      (x ++ y).sorted.take(k)
+    override def finish(b: Seq[(Double, String)]): Seq[(String, Double)] =
+      b.map { case (d, key) => (key, d) }
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, String)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Double)]]()
+  }
+
+  /** (qkey, bkey, distance) rows → one output row per (query, rank):
+    * `__key, rk, neighbor, distance` with rank 1-based by ascending
+    * distance (neighbor-key tiebreak). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(String, String, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn.name("nn"))
+      .toDF("__key", "nn")
+      .select(col("__key"), posexplode(col("nn")))
+      .select(col("__key"), (col("pos") + 1).cast("double").as("rk"),
+        col("col._1").as("neighbor"), col("col._2").as("distance"))
+  }
+
+  /**
+   * Exact k-NN JOIN: every `queries` row → its k nearest `base` rows.
+   * The query side BROADCASTS (the typical shape: an eval/probe set
+   * against a huge corpus), so the corpus never shuffles on content —
+   * each base partition scores the local rows against every query and
+   * the [[TopKAgg]] partial pass reduces them to ≤ k per query per
+   * partition before the only shuffle (|parts| × |queries| × k rows).
+   */
+  def knnJoinExact(queries: DataFrame, qKey: String, qVec: String,
+                   base: DataFrame, bKey: String, bVec: String,
+                   k: Int, metric: String = "COSINE"): DataFrame = {
+    val q = queries.select(col(qKey).cast("string").as("__qkey"),
+      col(qVec).cast(ArrayType(FloatType)).as("__qvec"))
+    val scored = base
+      .select(col(bKey).cast("string").as("__bkey"),
+        col(bVec).cast(ArrayType(FloatType)).as("__bvec"))
+      .crossJoin(broadcast(q))
+      .select(col("__qkey"), col("__bkey"),
+        vector_distance(col("__bvec"), col("__qvec"), metric).as("distance"))
+    topKPerQuery(scored, k)
+  }
+
+  /**
+   * IVF-celled k-NN JOIN — the scale path when the QUERY side is too
+   * large to broadcast: base rows assign to their nearest centroid
+   * (map-only); each query probes its `nProbe` nearest cells (query ×
+   * tiny broadcast centroid table); both sides then shuffle ONCE on
+   * `cell_id` and score within cells — candidate work is
+   * ~nProbe/nCells of the cross product. `nProbe = nCells` probes
+   * everything: exact, equal to [[knnJoinExact]] (the gate oracle);
+   * smaller nProbe trades recall for cost like single-query IVF.
+   */
+  def knnJoinIvf(queries: DataFrame, qKey: String, qVec: String,
+                 base: DataFrame, bKey: String, bVec: String,
+                 k: Int, nCells: Int, nProbe: Int,
+                 metric: String = "COSINE"): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(base, bVec, nCells)
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cell_id", "__centroid")
+    val b = base.select(col(bKey).cast("string").as("__bkey"),
+        col(bVec).cast(ArrayType(FloatType)).as("__bvec"))
+      .withColumn("cell_id", cellId(col("__bvec"), centroids))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qkey").orderBy(col("__cdist").asc, col("cell_id").asc)
+    val q = queries.select(col(qKey).cast("string").as("__qkey"),
+        col(qVec).cast(ArrayType(FloatType)).as("__qvec"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__cdist", vector_distance(col("__qvec"), col("__centroid"), "L2"))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= nProbe)
+      .select("__qkey", "__qvec", "cell_id")
+    val scored = q.join(b, "cell_id")
+      .select(col("__qkey"), col("__bkey"),
+        vector_distance(col("__bvec"), col("__qvec"), metric).as("distance"))
+    topKPerQuery(scored, k)
+  }
+
   /** Squared L2 between two double arrays (driver-side, for k-means). */
   private def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -280,10 +384,15 @@ object Ann {
 
   /** Re-open a maintained IVF store (restart path): CURRENT names the
     * live generation; its manifest names the committed store state,
-    * orphans GC, centroids deserialize. */
+    * orphans GC, centroids deserialize. Generation dirs CURRENT does
+    * not name (a crash between generation write and swap) are GC'd
+    * here — same restart contract as [[graft.text.PostingStore.open]]. */
   def openIvfStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStore = {
     val gen = currentGen(spark, path)
+    graft.util.FsIO.listSubdirs(spark, path)
+      .filter(n => n.startsWith("v") && n != gen)
+      .foreach(n => graft.util.FsIO.deleteRecursive(spark, s"$path/$n"))
     val centroids = graft.util.FsIO
       .readObj[Array[Array[Double]]](spark, s"$path/$gen/centroids.bin")
       .getOrElse(throw new java.io.FileNotFoundException(
