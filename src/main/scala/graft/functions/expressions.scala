@@ -447,6 +447,56 @@ case class HashedShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Distinct space-joined word n-grams in ONE row-local JVM loop:
+ * array<string> of words (empties skipped) → array<string> of the
+ * first-occurrence-ordered distinct n-grams — the string-typed sibling
+ * of [[HashedShingles]] for consumers that must keep the n-gram TEXT
+ * (decontamination joins an oracle-checkable string set). Replaces the
+ * `filter` + `transform(sequence)` + `array_join(slice)` +
+ * `array_distinct` HOF chain, which interprets a lambda per (position
+ * × row) and rebuilds intermediate arrays at every step.
+ */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  private val Empty =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String])
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val words = new java.util.ArrayList[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      val w = arr.getUTF8String(i)
+      if (w.numBytes() > 0) words.add(w)
+      i += 1
+    }
+    val m = words.size - n + 1
+    if (m <= 0) return Empty
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    val space = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = space; j += 2 } // gram = w0 ' ' w1 ' ' …
+    i = 0
+    while (i < m) {
+      j = 0
+      while (j < n) { parts(2 * j) = words.get(i + j); j += 1 }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      seen.toArray(new Array[UTF8String](seen.size)))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object MinHashSig {
   val P: Long = 2147483647L // 2^31 − 1
 

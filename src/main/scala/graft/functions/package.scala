@@ -55,6 +55,9 @@ package object functions {
   /** Sorted-distinct 64-bit hashes of word n-grams (one JVM loop). */
   def hashed_shingles(words: Column, n: Int): Column =
     expr2col(HashedShingles(col2expr(words), n))
+  /** Distinct space-joined word n-gram STRINGS (one JVM loop). */
+  def word_ngrams(words: Column, n: Int): Column =
+    expr2col(WordNgrams(col2expr(words), n))
   /** Random-hyperplane sign bits of a float-array column (one pass). */
   def sign_lsh(vec: Column, planes: Array[Array[Double]]): Column =
     expr2col(SignLsh(col2expr(vec), planes))

@@ -61,15 +61,12 @@ object Curation {
 
   /** Distinct word `n`-grams of a text column: lowercase, split on
     * non-alphanumeric runs, join `n` consecutive words with single
-    * spaces. Documents shorter than `n` words have no n-grams. Pure
-    * column expression (split/transform/slice — codegen'd). */
-  def wordShingles(textCol: Column, n: Int): Column = {
-    val w = filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * spaces. Documents shorter than `n` words have no n-grams. One
+    * row-local pass ([[graft.functions.WordNgrams]]) — profiled ~4 s
+    * of interpreted higher-order-function time per decontamination run
+    * at sf0.1 before the switch. */
+  def wordShingles(textCol: Column, n: Int): Column =
+    graft.functions.word_ngrams(split(lower(textCol), "[^a-z0-9]+"), n)
 
   /**
    * Benchmark decontamination: which candidate documents share a word
