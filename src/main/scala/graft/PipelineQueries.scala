@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Curation, Dedup, TextMetrics}
+import graft.pipeline.{Ann, Curation, Dedup, Multimodal, TextMetrics}
 
 /**
  * Training-data pipeline gate queries: dedup family, similarity search,
@@ -428,6 +428,135 @@ object PipelineQueries {
         |  CAST(floor(bef / 512.0) AS DOUBLE) AS chunk_id,
         |  CAST(bef % 512 AS DOUBLE) AS chunk_offset
         |FROM t ORDER BY __key ASC LIMIT 500""".stripMargin
+    },
+
+    // -------------------- multimodal ------------------------------- //
+    // Real-codec gates: media is SYNTHESIZED deterministically from
+    // doc_id (executor-side, JDK encoders), pushed through the SAME
+    // decode pipelines production uses, and the oracle predicts every
+    // structural fact (dimensions, channels, rate, duration, frame
+    // count, exact RMS of a constant-amplitude signal) in SQL. The
+    // declared MediaRow metadata is deliberately zeroed, so a silent
+    // stub fallback — the pre-round-5 weak spot — mismatches loudly.
+    // Pixel/content-derived stats (mean intensity, envelopes) go
+    // through colorspace curves SQL can't express; they are pinned by
+    // MultimodalSpec instead.
+
+    q("p_image_decode") { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long].map { id =>
+          val d = id / 10
+          val w = (8 + d % 24).toInt; val h = (8 + d % 16).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((x * 31 + y * 7 + id) % 256).toInt * 0x010101)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRow(id, "image", bos.toByteArray,
+            0, 0, 0, 0, 0, "png")
+        }
+      Multimodal.imageFeatures(media, dim = 16).toDF()
+        .select(col("media_id").cast("string").as("__key"),
+          col("width").cast("double").as("width"),
+          col("height").cast("double").as("height"),
+          col("channels").cast("double").as("channels"))
+        .orderBy(col("__key").cast("long").asc)
+    } {
+      """SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(8 + (doc_id // 10) % 24 AS DOUBLE) AS width,
+        |  CAST(8 + (doc_id // 10) % 16 AS DOUBLE) AS height,
+        |  CAST(3 AS DOUBLE) AS channels
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY CAST(doc_id AS BIGINT) ASC""".stripMargin
+    },
+
+    q("p_audio_decode") { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long].map { id =>
+          val d = id / 10
+          val rate = (8000 * (1 + d % 2)).toInt
+          val ch = (1 + (d / 2) % 2).toInt
+          val n = (800 + (d % 5) * 160).toInt // ÷8 and ÷16 stay integral
+          val raw = new Array[Byte](n * ch * 2)
+          var i = 0
+          while (i < n * ch) { raw(2 * i + 1) = 0x20; i += 1 } // 8192 LE
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, ch, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Multimodal.MediaRow(id, "audio", bos.toByteArray,
+            0, 0, 0, 0, 0, "wav")
+        }
+      Multimodal.audioFeatures(media, dim = 8).toDF()
+        .select(col("media_id").cast("string").as("__key"),
+          col("sample_rate").cast("double").as("sample_rate"),
+          col("channels").cast("double").as("channels"),
+          col("duration_ms").cast("double").as("duration_ms"),
+          col("rms").cast("double").as("rms")) // 8192/32768: exactly 0.25
+        .orderBy(col("__key").cast("long").asc)
+    } {
+      """SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(8000 * (1 + (doc_id // 10) % 2) AS DOUBLE) AS sample_rate,
+        |  CAST(1 + (doc_id // 10 // 2) % 2 AS DOUBLE) AS channels,
+        |  CAST((800 + (doc_id // 10) % 5 * 160) * 1000
+        |    / (8000 * (1 + (doc_id // 10) % 2)) AS DOUBLE) AS duration_ms,
+        |  CAST(0.25 AS DOUBLE) AS rms
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY CAST(doc_id AS BIGINT) ASC""".stripMargin
+    },
+
+    q("p_video_decode") { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long].map { id =>
+          val d = id / 10
+          val n = (2 + d % 4).toInt
+          val w = (16 + d % 6 * 4).toInt; val h = (12 + d % 4 * 4).toInt
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = img.createGraphics()
+            try {
+              g.setColor(new java.awt.Color(((40 * f + id % 128) % 256).toInt,
+                64, (id % 200).toInt))
+              g.fillRect(0, 0, w, h)
+            } finally g.dispose()
+            img
+          }
+          Multimodal.MediaRow(id, "video",
+            Multimodal.VideoCodec.encodeMjpegAvi(frames, fps = 20),
+            0, 0, 0, 0, 0, "avi")
+        }
+      Multimodal.videoFeatures(media, dim = 16).toDF()
+        .select(col("media_id").cast("string").as("__key"),
+          col("width").cast("double").as("width"),
+          col("height").cast("double").as("height"),
+          col("frame_count").cast("double").as("frame_count"),
+          col("duration_ms").cast("double").as("duration_ms"),
+          col("fps").cast("double").as("fps")) // 1e6/50000us: exactly 20
+        .orderBy(col("__key").cast("long").asc)
+    } {
+      """SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(16 + (doc_id // 10) % 6 * 4 AS DOUBLE) AS width,
+        |  CAST(12 + (doc_id // 10) % 4 * 4 AS DOUBLE) AS height,
+        |  CAST(2 + (doc_id // 10) % 4 AS DOUBLE) AS frame_count,
+        |  CAST((2 + (doc_id // 10) % 4) * 50 AS DOUBLE) AS duration_ms,
+        |  CAST(20 AS DOUBLE) AS fps
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY CAST(doc_id AS BIGINT) ASC""".stripMargin
     }
   )
 
