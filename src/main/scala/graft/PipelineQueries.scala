@@ -47,6 +47,14 @@ object PipelineQueries {
       store
     })
 
+  private val nswJoinIdx = scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.Nsw.NswIndex]
+  /** NSW graph over the p_ann_join base split (vec_id%101!=0), memoized
+    * per dir so bench reps measure the batched join, not the build. */
+  private def nswIdx(s: SparkSession, dir: String): graft.pipeline.Nsw.NswIndex =
+    nswJoinIdx.getOrElseUpdate(dir,
+      graft.pipeline.Nsw.build(embs(s, dir).filter(col("vec_id") % 101 =!= 0),
+        "vec_id", "embedding", metric = "L2", numPartitions = 8))
+
   private def q(name: String)(fn: Queries.Q)(oracle: String): (String, Queries.Q, Option[String]) =
     (name, fn, Some(oracle))
   private def qNoOracle(name: String)(fn: Queries.Q): (String, Queries.Q, Option[String]) =
@@ -251,6 +259,32 @@ object PipelineQueries {
         |      FROM s)
         |SELECT * FROM r WHERE rk <= 5
         |ORDER BY CAST(__key AS BIGINT) ASC, rk ASC""".stripMargin
+    },
+
+    // NSW-routed k-NN join is approximate, so (like q_ann_inline_recall)
+    // the oracle-checked contract is the recall property: every query
+    // gets its full k neighbors and ≥ 0.9 of the (query, neighbor)
+    // pairs match the exact broadcast join. Shape parity (vs a naive
+    // model, deleted-node exclusion) is pinned in PipelineSpec.
+    q("p_ann_join_nsw") { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 101 === 0)
+      val base = e.filter(col("vec_id") % 101 =!= 0)
+      val nsw = Ann.knnJoinNsw(nswIdx(s, dir), queries, "vec_id", "embedding",
+        k = 5, ef = 200)
+      val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
+        base, "vec_id", "embedding", k = 5, metric = "L2")
+      val shared = nsw.select(col("__key"), col("neighbor"))
+        .intersect(exact.select(col("__key"), col("neighbor"))).count()
+      val n = nsw.count()
+      val sp = s
+      import sp.implicits._
+      Seq((n.toDouble, shared.toDouble / math.max(1L, exact.count()) >= 0.9))
+        .toDF("n_rows", "recall_ok")
+    } {
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 101 = 0) * 5
+        |    AS DOUBLE) AS n_rows,
+        |  TRUE AS recall_ok""".stripMargin
     },
 
     // -------------------- text analysis ---------------------------- //

@@ -139,6 +139,49 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /**
+   * NSW-routed k-NN JOIN — the graph-ANN path for a bounded query
+   * batch (eval sets, probe batches; the query side must fit in a
+   * broadcast — corpus-scale query sides belong to [[knnJoinIvf]]).
+   * The batch broadcasts ONCE; every graph partition beams each query
+   * over its local graph (removed nodes stay navigable but are never
+   * admitted, matching [[Nsw.NswIndex.searchFiltered]]), emitting ≤ k
+   * candidates per (partition, query). The only shuffle is that
+   * |parts| × |queries| × k candidate stream into the bounded
+   * [[TopKAgg]] merge — amortizing the whole batch over one pass of
+   * the graph partitions instead of one driver job per query.
+   */
+  def knnJoinNsw(idx: Nsw.NswIndex, queries: DataFrame,
+                 qKey: String, qVec: String, k: Int, ef: Int = 50): DataFrame = {
+    val spark = idx.graphs.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col(qKey).cast("string"), col(qVec).cast(ArrayType(FloatType)))
+      .as[(String, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qArr)
+    val metricL = idx.metric
+    val effEf = math.max(ef, k)
+    val scored = idx.graphs.flatMap { g =>
+      if (g.keys.isEmpty) Iterator.empty
+      else {
+        val admit: Option[Int => Boolean] =
+          if (g.removed.isEmpty) None
+          else {
+            val dead = new java.util.BitSet(g.keys.length)
+            g.removed.foreach(dead.set)
+            Some((i: Int) => !dead.get(i))
+          }
+        val adj = g.adj.map(_.toIndexedSeq)
+        bc.value.iterator.flatMap { case (qk, qv) =>
+          Nsw.searchLocal(g.vecs, adj, qv, effEf, limitIdx = -1, metricL,
+              admit = admit)
+            .iterator.take(k).map { case (d, i) => (qk, g.keys(i), d) }
+        }
+      }
+    }.toDF("__qkey", "__bkey", "distance")
+    topKPerQuery(scored, k)
+  }
+
   /** Squared L2 between two double arrays (driver-side, for k-means). */
   private def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

@@ -539,4 +539,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.groupBy(_._1).values.forall(_.map(_._2).sorted ==
       Seq(1.0, 2.0, 3.0, 4.0)))
   }
+
+  test("knn join via NSW: high recall vs exact; deleted nodes never surface") {
+    import graft.pipeline.Nsw
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") % 23 === 0)
+    val base = embs.filter(col("vec_id") % 23 =!= 0)
+    val idx = Nsw.build(base, "vec_id", "embedding", metric = "L2",
+      numPartitions = 4)
+    def pairs(df: DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getAs[String]("__key"),
+        r.getAs[String]("neighbor"))).toSet
+    val exact = pairs(Ann.knnJoinExact(queries, "vec_id", "embedding",
+      base, "vec_id", "embedding", k = 4, metric = "L2"))
+    val nsw = Ann.knnJoinNsw(idx, queries, "vec_id", "embedding", k = 4, ef = 100)
+    val nswPairs = pairs(nsw)
+    // full k rows per query, rank shape intact
+    assert(nsw.count() == exact.size,
+      s"NSW join row count ${nsw.count()} != exact ${exact.size}")
+    val recall = nswPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"NSW join recall too low: $recall")
+    // delete every key the exact join surfaced for the first query; the
+    // joined neighbors must come from the survivors only
+    val victimQ = exact.map(_._1).min
+    val victims = exact.collect { case (q, n) if q == victimQ => n }
+    val dels = victims.toSeq.toDF("__key")
+      .select(lit("delete").as("op"), col("__key"),
+        lit(null).cast("array<float>").as("vec"))
+    val idx2 = Nsw.upsert(idx, dels)
+    val after = Ann.knnJoinNsw(idx2, queries.filter(col("vec_id") === victimQ.toLong),
+      "vec_id", "embedding", k = 4, ef = 100)
+    val afterN = after.collect().map(_.getAs[String]("neighbor")).toSet
+    assert(afterN.intersect(victims).isEmpty,
+      s"deleted keys surfaced: ${afterN.intersect(victims)}")
+    assert(after.count() == 4, "join must refill to k from surviving nodes")
+  }
 }
