@@ -437,6 +437,45 @@ object PipelineQueries {
         |ORDER BY __key ASC LIMIT 300""".stripMargin
     },
 
+    // Stratified sampling: at most 20 docs per source, picked by
+    // md5-hash order — the oracle recomputes the windowed hash rank,
+    // so a nondeterministic pick or an off-by-one cap mismatches.
+    q("p_sample_stratified") { (s, dir) =>
+      Curation.sampleStratified(docs(s, dir), "doc_id",
+        Seq("source"), perGroup = 20)
+        .select(col("doc_id").cast("string").as("__key"), col("source"))
+        .orderBy(col("__key").cast("long").asc)
+    } {
+      """WITH r AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS __key, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT __key, source FROM r WHERE rk <= 20
+        |ORDER BY CAST(__key AS BIGINT) ASC""".stripMargin
+    },
+
+    // Temperature mixing (weight ∝ count^0.5): the oracle recomputes
+    // group counts, weights, the per-group keep threshold AND the md5
+    // bucket rule — the whole determinism contract end to end.
+    q("p_sample_temperature") { (s, dir) =>
+      Curation.sampleByTemperature(docs(s, dir), "doc_id",
+        Seq("source"), alpha = 0.5, target = 150)
+        .select(col("doc_id").cast("string").as("__key"), col("source"))
+        .orderBy(col("__key").cast("long").asc)
+    } {
+      """WITH c AS (SELECT source, count(*) AS cg FROM documents GROUP BY 1),
+        |w AS (SELECT source, cg, pow(cg, 0.5) AS wg FROM c),
+        |t AS (SELECT source,
+        |  CAST(round(least(1.0, 150.0 * wg / (SELECT sum(wg) FROM w) / cg)
+        |    * 65536) AS INTEGER) AS thresh FROM w)
+        |SELECT CAST(d.doc_id AS VARCHAR) AS __key, d.source
+        |FROM documents d JOIN t USING (source)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+        |    AS INTEGER) < thresh
+        |ORDER BY CAST(__key AS BIGINT) ASC""".stripMargin
+    },
+
     // Sequence packing: concat-in-order within each source shard, cut
     // every 512 tokens, doc belongs to the chunk where it starts. The
     // oracle recomputes the windowed prefix sum independently.

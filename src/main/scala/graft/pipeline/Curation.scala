@@ -118,6 +118,57 @@ object Curation {
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < math.round(fraction * 65536).toInt)
 
+  /**
+   * Deterministic stratified sample: at most `perGroup` rows per group,
+   * chosen by md5-hash order of the key — the same rows survive on
+   * every run, at every scale, under any partitioning (a per-group
+   * `limit` has none of those properties). The window sorts within
+   * each group only, so groups parallelize; for tail-heavy groups at
+   * 100 TB where even a per-group sort hurts, [[sampleByTemperature]]
+   * is the sort-free threshold alternative.
+   */
+  def sampleStratified(df: DataFrame, keyCol: String,
+                       groupCols: Seq[String], perGroup: Int): DataFrame = {
+    require(groupCols.nonEmpty && perGroup > 0, "need groups and perGroup > 0")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perGroup).drop("__rk")
+  }
+
+  /**
+   * Temperature-weighted group sampling — the multilingual / multi-
+   * source mix shape (sampling weight ∝ count^alpha, the standard
+   * upweight-the-tail rebalance): group g with count c_g gets weight
+   * c_g^alpha / Σ c^alpha, and its keep fraction toward a `target`
+   * total row count is min(1, target·w_g / c_g), applied through the
+   * same deterministic [[hashBucket]] rule as [[sampleByHash]] —
+   * key-stable, partitioning-independent, no sort anywhere. alpha = 1
+   * reproduces proportional sampling; alpha → 0 equalizes groups.
+   *
+   * Plan shape: one map-side-combined count per group (metadata-
+   * sized), one scalar total, keep thresholds broadcast-joined back —
+   * the corpus itself is filtered map-only.
+   */
+  def sampleByTemperature(df: DataFrame, keyCol: String,
+                          groupCols: Seq[String], alpha: Double,
+                          target: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need group columns")
+    require(alpha > 0 && target > 0, "need alpha > 0 and target > 0")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cg"))
+      .withColumn("__wg", pow(col("__cg").cast("double"), alpha))
+    // Σ c^alpha: one tiny scalar job over the group-cardinality relation
+    val totalW = counts.agg(sum(col("__wg"))).head().getDouble(0)
+    val keep = counts.withColumn("__thresh",
+        round(least(lit(1.0), lit(target.toDouble) * col("__wg") / lit(totalW)
+          / col("__cg")) * 65536).cast("int"))
+      .drop("__cg", "__wg")
+    df.join(broadcast(keep), groupCols)
+      .filter(hashBucket(col(keyCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   // ------------------------- sequence packing ---------------------- //
 
   /**

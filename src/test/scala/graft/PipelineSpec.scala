@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.pipeline.{Ann, Dedup, TextMetrics}
+import graft.pipeline.{Ann, Curation, Dedup, TextMetrics}
 
 /** Pins the non-SQL-oracle pipeline ops: LSH recall/precision on
   * planted near-dups, SimHash banding, IVF recall vs exact,
@@ -486,6 +486,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_offset")))).toMap
     assert(again == out)
+  }
+
+  test("stratified + temperature sampling: caps, determinism, tail upweighting") {
+    val d = Fixtures.table(spark, "/root/testdata/sf0.001", "documents")
+    val strat = Curation.sampleStratified(d, "doc_id", Seq("source"), perGroup = 10)
+    val perGroup = strat.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val groupSizes = d.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    groupSizes.foreach { case (g, n) =>
+      assert(perGroup.getOrElse(g, 0L) == math.min(10L, n),
+        s"group $g: got ${perGroup.get(g)} of $n, want min(10, n)") }
+    // key-stable under repartitioning
+    def keys(df: DataFrame): Set[String] =
+      df.select(col("doc_id").cast("string")).collect().map(_.getString(0)).toSet
+    assert(keys(Curation.sampleStratified(d.repartition(7), "doc_id",
+      Seq("source"), 10)) == keys(strat))
+    // alpha = 1 degenerates to plain proportional hash sampling: the
+    // threshold is target/total for EVERY group — the exact same rule
+    // as sampleByHash, so the selected key sets must coincide
+    val total = d.count()
+    val t1 = Curation.sampleByTemperature(d, "doc_id", Seq("source"),
+      alpha = 1.0, target = total / 3)
+    val plain = Curation.sampleByHash(d, "doc_id",
+      fraction = (total / 3).toDouble / total)
+    assert(keys(t1) == keys(plain), "alpha=1 must equal proportional sampling")
+    // alpha < 1 upweights the tail: the smallest group keeps a strictly
+    // larger FRACTION of itself than the largest group
+    val t05 = Curation.sampleByTemperature(d, "doc_id", Seq("source"),
+      alpha = 0.25, target = total / 3)
+    val kept = t05.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val (gMin, nMin) = groupSizes.minBy(_._2)
+    val (gMax, nMax) = groupSizes.maxBy(_._2)
+    if (nMin < nMax) {
+      val fMin = kept.getOrElse(gMin, 0L).toDouble / nMin
+      val fMax = kept.getOrElse(gMax, 0L).toDouble / nMax
+      assert(fMin > fMax,
+        s"alpha=0.25 should upweight $gMin ($fMin) over $gMax ($fMax)")
+    }
+    // determinism under repartitioning for the temperature path too
+    assert(keys(Curation.sampleByTemperature(d.repartition(5), "doc_id",
+      Seq("source"), alpha = 0.25, target = total / 3)) == keys(t05))
   }
 
   test("knn join: exact matches a naive model; IVF full-probe == exact; partial probe recalls") {
