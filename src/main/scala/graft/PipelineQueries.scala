@@ -331,6 +331,52 @@ object PipelineQueries {
          |SELECT * FROM m ORDER BY __key ASC LIMIT 300""".stripMargin
     },
 
+    // Repetition (duplicate-line) stats: the corpus has no newlines, so
+    // the SAME multi-line text is synthesized on both engines with
+    // doc_id-dependent planted repeats; the oracle then recomputes
+    // line counts, duplicate-line fraction and duplicate-character
+    // fraction from scratch via unnest + group-by.
+    q("p_repetition") { (s, dir) =>
+      val lines = concat_ws("\n",
+        substring(col("text"), 1, 20), substring(col("text"), 21, 20),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 1, 20))
+          .otherwise(substring(col("text"), 61, 20)),
+        substring(col("text"), 41, 20),
+        when(col("doc_id") % 3 === 0, substring(col("text"), 1, 20))
+          .otherwise(substring(col("text"), 81, 20)))
+      docs(s, dir)
+        .withColumn("__r", TextMetrics.repetitionStats(lines))
+        .select(col("doc_id").cast("string").as("__key"),
+          col("__r.n_lines").cast("double").as("n_lines"),
+          round(col("__r.dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("__r.dup_char_frac"), 6).as("dup_char_frac"))
+        .orderBy(col("__key").cast("long").asc)
+        .limit(400)
+    } {
+      """WITH s AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 20), substr(text, 21, 20),
+        |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 20)
+        |         ELSE substr(text, 61, 20) END,
+        |    substr(text, 41, 20),
+        |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 20)
+        |         ELSE substr(text, 81, 20) END) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(t, chr(10)), x -> x <> '')) AS line
+        |  FROM s),
+        |c AS (SELECT doc_id, line, count(*) AS cnt, strlen(line) AS len
+        |  FROM l GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(cnt) AS L, count(*) AS D,
+        |    sum(cnt * len) AS tot, sum((cnt - 1) * len) AS dup
+        |  FROM c GROUP BY 1)
+        |SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(L AS DOUBLE) AS n_lines,
+        |  round(CAST(L - D AS DOUBLE) / L, 6) AS dup_line_frac,
+        |  round(CAST(dup AS DOUBLE) / tot, 6) AS dup_char_frac
+        |FROM a ORDER BY CAST(doc_id AS BIGINT) ASC LIMIT 400""".stripMargin
+    },
+
     // Winnowing fingerprint is defined via xxhash64 → rows-only gate;
     // determinism and near-dup sharing pinned by PipelineSpec.
     qNoOracle("p_fingerprint") { (s, dir) =>

@@ -497,6 +497,58 @@ case class WordNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Gopher-style repetition statistics in one row-local pass: the text
+ * splits on '\n', empty lines drop, and the output struct carries
+ * `n_lines`, `dup_line_frac` = (lines − distinct lines) / lines, and
+ * `dup_char_frac` = characters in beyond-first occurrences of a
+ * repeated line over all line characters — the duplicate-line quality
+ * signals LLM corpus filters cut on (Gopher §A.1.1 / RefinedWeb-class
+ * rules). Zero lines → (0, 0.0, 0.0).
+ */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_char_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(v: Any): Any = {
+    val parts = v.asInstanceOf[UTF8String].split(UTF8String.fromString("\n"), -1)
+    // per-line (occurrences, chars): one hash map, one pass
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var total = 0
+    var i = 0
+    while (i < parts.length) {
+      val line = parts(i)
+      if (line.numBytes() > 0) {
+        total += 1
+        val e = counts.get(line)
+        if (e == null) counts.put(line, Array(1L, line.numChars().toLong))
+        else e(0) += 1
+      }
+      i += 1
+    }
+    if (total == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0, 0.0, 0.0)
+    var totChars = 0L
+    var dupChars = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      totChars += e(0) * e(1)
+      dupChars += (e(0) - 1) * e(1)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(total,
+      (total - counts.size).toDouble / total,
+      if (totChars == 0) 0.0 else dupChars.toDouble / totChars)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object MinHashSig {
   val P: Long = 2147483647L // 2^31 − 1
 

@@ -58,6 +58,9 @@ package object functions {
   /** Distinct space-joined word n-gram STRINGS (one JVM loop). */
   def word_ngrams(words: Column, n: Int): Column =
     expr2col(WordNgrams(col2expr(words), n))
+  /** Duplicate-line repetition stats struct (one JVM pass). */
+  def repetition_stats(text: Column): Column =
+    expr2col(RepetitionStats(col2expr(text)))
   /** Random-hyperplane sign bits of a float-array column (one pass). */
   def sign_lsh(vec: Column, planes: Array[Array[Double]]): Column =
     expr2col(SignLsh(col2expr(vec), planes))

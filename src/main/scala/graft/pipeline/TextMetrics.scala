@@ -104,6 +104,13 @@ object TextMetrics {
    * array<long>, deterministic. Built as a SQL expression because
    * `substr` with a column offset has no literal-only Scala binding.
    */
+  /** Gopher-style duplicate-line stats struct (`n_lines`,
+    * `dup_line_frac`, `dup_char_frac`) — the repetition quality
+    * signals corpus filters cut on. One row-local JVM pass
+    * ([[graft.functions.RepetitionStats]]); map-only at any scale. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.repetition_stats(text)
+
   def fingerprint(textColName: String, k: Int = 8, w: Int = 4): Column = {
     val grams =
       s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 0)), " +

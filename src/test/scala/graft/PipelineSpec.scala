@@ -488,6 +488,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("repetition stats: known duplicate-line fractions, empty edge") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("a\nbb\na\n\ncc\na", 1), // lines a,bb,a,cc,a: L=5 D=3; chars tot=7 dup=2
+      ("solo", 2),              // one line, nothing repeated
+      ("", 3),                  // no lines at all
+      ("x\nx", 4)               // fully repeated: fracs 1/2
+    ).toDF("text", "id")
+      .select(col("id"), TextMetrics.repetitionStats(col("text")).as("r"))
+      .select(col("id"), col("r.n_lines"), col("r.dup_line_frac"),
+        col("r.dup_char_frac"))
+    val got = df.collect().map(r => r.getInt(0) ->
+      ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((5, 2.0 / 5, 2.0 / 7)))
+    assert(got(2) == ((1, 0.0, 0.0)))
+    assert(got(3) == ((0, 0.0, 0.0)))
+    assert(got(4) == ((2, 0.5, 0.5)))
+  }
+
   test("stratified + temperature sampling: caps, determinism, tail upweighting") {
     val d = Fixtures.table(spark, "/root/testdata/sf0.001", "documents")
     val strat = Curation.sampleStratified(d, "doc_id", Seq("source"), perGroup = 10)
