@@ -80,25 +80,91 @@ object Ann {
         col("col._1").as("neighbor"), col("col._2").as("distance"))
   }
 
+  /** JVM mirror of [[graft.functions.VectorDistance]] — same metrics,
+    * same double-accumulation order, bit-identical results. */
+  private def jvmDist(metric: String, a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    metric match {
+      case "L2" =>
+        var acc = 0.0; var i = 0
+        while (i < n) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+        acc
+      case "IP" =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i).toDouble * b(i); i += 1 }
+        1.0 - acc
+      case "COSINE" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
+  }
+
   /**
    * Exact k-NN JOIN: every `queries` row → its k nearest `base` rows.
    * The query side BROADCASTS (the typical shape: an eval/probe set
-   * against a huge corpus), so the corpus never shuffles on content —
-   * each base partition scores the local rows against every query and
-   * the [[TopKAgg]] partial pass reduces them to ≤ k per query per
-   * partition before the only shuffle (|parts| × |queries| × k rows).
+   * against a huge corpus), so the corpus never shuffles on content.
+   * Each base partition streams its rows once through a tight JVM loop
+   * holding one bounded k-heap PER QUERY — the |base| × |queries|
+   * cross product is scored without ever materializing it as rows (a
+   * crossJoin + aggregate formulation pays ~120 ns/row of object
+   * plumbing on top of the ~30 ns distance; measured 85 s → a few
+   * seconds at 92k × 7.7k). The only shuffle is the ≤ |parts| ×
+   * |queries| × k partial stream into the [[TopKAgg]] merge.
    */
   def knnJoinExact(queries: DataFrame, qKey: String, qVec: String,
                    base: DataFrame, bKey: String, bVec: String,
                    k: Int, metric: String = "COSINE"): DataFrame = {
-    val q = queries.select(col(qKey).cast("string").as("__qkey"),
-      col(qVec).cast(ArrayType(FloatType)).as("__qvec"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col(qKey).cast("string"), col(qVec).cast(ArrayType(FloatType)))
+      .as[(String, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qArr)
+    val metricL = metric
+    val kL = k
     val scored = base
-      .select(col(bKey).cast("string").as("__bkey"),
-        col(bVec).cast(ArrayType(FloatType)).as("__bvec"))
-      .crossJoin(broadcast(q))
-      .select(col("__qkey"), col("__bkey"),
-        vector_distance(col("__bvec"), col("__qvec"), metric).as("distance"))
+      .select(col(bKey).cast("string"), col(bVec).cast(ArrayType(FloatType)))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        if (qs.isEmpty) Iterator.empty
+        else {
+          // max-heap on (distance, key): the worst kept pair sits on
+          // top; ties break toward the smaller key, matching TopKAgg
+          val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+          val heaps = Array.fill(qs.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, String)](ord))
+          it.foreach { case (bk, bv) =>
+            if (bv != null) {
+              var i = 0
+              while (i < qs.length) {
+                val qv = qs(i)._2
+                if (qv != null) {
+                  val d = jvmDist(metricL, bv, qv)
+                  val h = heaps(i)
+                  if (h.size < kL) h.enqueue((d, bk))
+                  else {
+                    val worst = h.head
+                    if (d < worst._1 || (d == worst._1 && bk < worst._2)) {
+                      h.dequeue(); h.enqueue((d, bk))
+                    }
+                  }
+                }
+                i += 1
+              }
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+            val qk = qs(i)._1
+            h.iterator.map { case (d, bk) => (qk, bk, d) }
+          }
+        }
+      }.toDF("__qkey", "__bkey", "distance")
     topKPerQuery(scored, k)
   }
 
@@ -111,6 +177,12 @@ object Ann {
    * ~nProbe/nCells of the cross product. `nProbe = nCells` probes
    * everything: exact, equal to [[knnJoinExact]] (the gate oracle);
    * smaller nProbe trades recall for cost like single-query IVF.
+   *
+   * Plan selection (measured, STATUS "k-NN join plan selection"): IVF
+   * is the recall-safe approximate plan on CLUSTERED embedding spaces
+   * (r = 1.0 at 16/256 probes where NSW needs ef 400 for 0.92); on
+   * uniform/unstructured vectors its cell pruning loses signal
+   * (r ≈ 0.45) and [[knnJoinNsw]] or [[knnJoinExact]] win.
    */
   def knnJoinIvf(queries: DataFrame, qKey: String, qVec: String,
                  base: DataFrame, bKey: String, bVec: String,
@@ -150,6 +222,14 @@ object Ann {
    * |parts| × |queries| × k candidate stream into the bounded
    * [[TopKAgg]] merge — amortizing the whole batch over one pass of
    * the graph partitions instead of one driver job per query.
+   *
+   * Plan selection (measured, STATUS "k-NN join plan selection"): NSW
+   * is the approximate plan for UNIFORM/unstructured vectors (r ≈ 1.0
+   * where IVF cell pruning drops to ~0.45); on tightly clustered
+   * corpora dense near-ties starve the beam (ef 400 for r ≈ 0.92)
+   * and [[knnJoinIvf]] recalls 1.0 cheaper. Small corpora or batches:
+   * [[knnJoinExact]] is exact and competitive until per-executor base
+   * size makes Θ(|base|)/query the bottleneck.
    */
   def knnJoinNsw(idx: Nsw.NswIndex, queries: DataFrame,
                  qKey: String, qVec: String, k: Int, ef: Int = 50): DataFrame = {
