@@ -205,9 +205,51 @@ object Ann {
       .withColumn("__rn", row_number().over(qw))
       .filter(col("__rn") <= nProbe)
       .select("__qkey", "__qvec", "cell_id")
-    val scored = q.join(b, "cell_id")
-      .select(col("__qkey"), col("__bkey"),
-        vector_distance(col("__bvec"), col("__qvec"), metric).as("distance"))
+    // Score within cells by COGROUP, not by join: a row-level join
+    // materializes every (probe, base-row) candidate as a row (~44M at
+    // the sweep's big batch — 120 ns/row of plumbing); cogrouping
+    // shuffles each side once on cell_id and scores the same
+    // candidates in a tight JVM loop with one bounded k-heap per
+    // probing query, emitting only ≤ probes × k partials per cell.
+    // Same distance arithmetic and tie-breaks as [[knnJoinExact]], so
+    // nProbe = nCells stays bit-identical to it.
+    val metricL = metric
+    val kL = k
+    val scored = q.as[(String, Array[Float], Int)].groupByKey(_._3)
+      .cogroup(b.as[(String, Array[Float], Int)].groupByKey(_._3)) {
+        (_, qIt, bIt) =>
+          val qs = qIt.toArray
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+            val heaps = Array.fill(qs.length)(
+              scala.collection.mutable.PriorityQueue.empty[(Double, String)](ord))
+            bIt.foreach { case (bk, bv, _) =>
+              if (bv != null) {
+                var i = 0
+                while (i < qs.length) {
+                  val qv = qs(i)._2
+                  if (qv != null) {
+                    val d = jvmDist(metricL, bv, qv)
+                    val h = heaps(i)
+                    if (h.size < kL) h.enqueue((d, bk))
+                    else {
+                      val worst = h.head
+                      if (d < worst._1 || (d == worst._1 && bk < worst._2)) {
+                        h.dequeue(); h.enqueue((d, bk))
+                      }
+                    }
+                  }
+                  i += 1
+                }
+              }
+            }
+            heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+              val qk = qs(i)._1
+              h.iterator.map { case (d, bk) => (qk, bk, d) }
+            }
+          }
+      }.toDF("__qkey", "__bkey", "distance")
     topKPerQuery(scored, k)
   }
 
