@@ -261,6 +261,27 @@ object PipelineQueries {
         |ORDER BY CAST(__key AS BIGINT) ASC, rk ASC""".stripMargin
     },
 
+    // Int8 scalar quantization (4× smaller corpus scans): the contract
+    // is the two-stage recall property — quantized first stage + exact
+    // re-rank must recover ≥ 0.9 of the exact float32 top-10. Grid
+    // error bounds and re-rank exactness are pinned in PipelineSpec.
+    q("p_ann_sq_recall") { (s, dir) =>
+      val e = embs(s, dir)
+      val qv = Array.tabulate(64)(i => (i % 16) * 0.125f - 1.0f)
+      val sq = Ann.topKSq(Ann.sqQuantize(e, "embedding"),
+        "vec_id", "embedding", qv, k = 10, metric = "L2")
+      val exact = Ann.topK(e, "vec_id", "embedding", qv, k = 10, metric = "L2")
+      val overlap = sq.select(col("__key"))
+        .intersect(exact.select(col("__key"))).count()
+      val n = sq.count()
+      val sp = s
+      import sp.implicits._
+      Seq((n.toDouble, overlap.toDouble / 10.0 >= 0.9))
+        .toDF("n_results", "recall_ok")
+    } {
+      "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
+    },
+
     // NSW-routed k-NN join is approximate, so (like q_ann_inline_recall)
     // the oracle-checked contract is the recall property: every query
     // gets its full k neighbors and ≥ 0.9 of the (query, neighbor)

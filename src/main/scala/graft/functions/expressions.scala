@@ -498,6 +498,105 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 /**
+ * Int8 scalar quantization of a float32 vector: symmetric per-vector
+ * scale (maxAbs/127), codes = round(v/scale) in [-127, 127]. Output
+ * struct `(scale float, code array<byte>)` — 4× smaller than the
+ * float32 column (the standard first compression step for an
+ * embedding corpus; at 100 TB of vectors that is 75 TB less IO).
+ * All-zero and empty vectors encode with scale 0 (codes all 0).
+ */
+case class SqEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("code", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def prettyName: String = "sq_encode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var maxAbs = 0f
+    var i = 0
+    while (i < n) { val x = math.abs(a.getFloat(i)); if (x > maxAbs) maxAbs = x; i += 1 }
+    val scale = if (maxAbs == 0f) 0f else maxAbs / 127f
+    val code = new Array[Byte](n)
+    if (scale != 0f) {
+      i = 0
+      while (i < n) {
+        code(i) = math.max(-127, math.min(127,
+          math.round(a.getFloat(i) / scale))).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(code))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Asymmetric distance between a FLOAT32 query and an int8-quantized
+ * base vector (`sq_encode` struct): the base reconstructs as
+ * scale·code inside the loop — no dequantized array is ever
+ * materialized. Metrics: L2 (squared) and IP (1 − dot); cosine
+ * corpora should normalize at ingest and use IP, exactly like the
+ * engine's vector fields. Codegen'd: this is the hot scan loop of the
+ * quantized first stage, same treatment as [[VectorDistance]].
+ */
+case class SqDistance(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression {
+  require(metric == "L2" || metric == "IP", s"SQ metric L2|IP, got $metric")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"sq_distance_$metric"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val s = l.asInstanceOf[InternalRow] // sq struct
+    val q = r.asInstanceOf[ArrayData]
+    val scale = s.getFloat(0).toDouble
+    val code = s.getArray(1)
+    val n = math.min(code.numElements(), q.numElements())
+    if (metric == "L2") {
+      var acc = 0.0; var i = 0
+      while (i < n) { val d = q.getFloat(i).toDouble - scale * code.getByte(i); acc += d * d; i += 1 }
+      acc
+    } else {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += q.getFloat(i).toDouble * (scale * code.getByte(i)); i += 1 }
+      1.0 - acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, q) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val sc = ctx.freshName("sc"); val code = ctx.freshName("code")
+      val acc = ctx.freshName("acc")
+      val body = if (metric == "L2") {
+        val d = ctx.freshName("d")
+        s"""|  double $d = (double) $q.getFloat($i) - $sc * $code.getByte($i);
+            |  $acc += $d * $d;""".stripMargin
+      } else
+        s"  $acc += (double) $q.getFloat($i) * ($sc * $code.getByte($i));"
+      s"""
+         |double $sc = (double) $s.getFloat(0);
+         |ArrayData $code = $s.getArray(1);
+         |int $n = java.lang.Math.min($code.numElements(), $q.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |$body
+         |}
+         |${ev.value} = ${if (metric == "L2") acc else s"1.0 - $acc"};
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/**
  * Gopher-style repetition statistics in one row-local pass: the text
  * splits on '\n', empty lines drop, and the output struct carries
  * `n_lines`, `dup_line_frac` = (lines − distinct lines) / lines, and

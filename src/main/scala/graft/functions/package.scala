@@ -61,6 +61,12 @@ package object functions {
   /** Duplicate-line repetition stats struct (one JVM pass). */
   def repetition_stats(text: Column): Column =
     expr2col(RepetitionStats(col2expr(text)))
+  /** Int8 scalar-quantize a float vector → (scale, code) struct. */
+  def sq_encode(vec: Column): Column =
+    expr2col(SqEncode(col2expr(vec)))
+  /** Asymmetric distance: float query vs sq_encode struct (L2|IP). */
+  def sq_distance(sq: Column, query: Column, metric: String): Column =
+    expr2col(SqDistance(col2expr(sq), col2expr(query), metric))
   /** Random-hyperplane sign bits of a float-array column (one pass). */
   def sign_lsh(vec: Column, planes: Array[Array[Double]]): Column =
     expr2col(SignLsh(col2expr(vec), planes))

@@ -35,6 +35,47 @@ object Ann {
       .orderBy(col("distance").asc, col("__key").asc)
       .limit(k)
 
+  // ------------------- scalar quantization (int8) ------------------ //
+
+  /**
+   * Int8-quantize an embedding column: adds `__sq` — a
+   * `(scale float, code array<byte>)` struct 4× smaller than the
+   * float32 vectors. The quantized table is what a 100-TB deployment
+   * persists and scans; the float column is only read back for the
+   * re-rank stage of [[topKSq]] (and by exact oracles).
+   */
+  def sqQuantize(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__sq",
+      graft.functions.sq_encode(col(vecCol).cast(ArrayType(FloatType))))
+
+  /**
+   * Two-stage quantized top-k: stage 1 scans the int8 codes with the
+   * codegen'd asymmetric distance and keeps `k × rerank` candidates
+   * (TakeOrderedAndProject — bounded heaps, no shuffle of the corpus);
+   * stage 2 re-scores ONLY those candidates with exact float32
+   * distance and keeps k. With rerank ≥ 4 the int8 grid error is far
+   * inside the re-rank margin — recall ≥ 0.9 is the gate-pinned
+   * contract (`p_ann_sq_recall`; measured 1.0 on the gate corpus).
+   * Metrics L2 | IP; cosine corpora normalize at ingest and use IP,
+   * matching the engine's vector-field convention.
+   */
+  def topKSq(quantized: DataFrame, keyCol: String, vecCol: String,
+             query: Array[Float], k: Int, metric: String = "L2",
+             rerank: Int = 4): DataFrame = {
+    val q = lit(query).cast(ArrayType(FloatType))
+    val stage1 = quantized
+      .select(col(keyCol).cast("string").as("__key"),
+        col(vecCol).cast(ArrayType(FloatType)).as("__vec"),
+        graft.functions.sq_distance(col("__sq"), q, metric).as("__qd"))
+      .orderBy(col("__qd").asc, col("__key").asc)
+      .limit(math.max(k, k * rerank))
+    stage1
+      .select(col("__key"),
+        vector_distance(col("__vec"), q, metric).as("distance"))
+      .orderBy(col("distance").asc, col("__key").asc)
+      .limit(k)
+  }
+
   // --------------------------- k-NN join --------------------------- //
 
   /**

@@ -603,6 +603,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1.0, 2.0, 3.0, 4.0)))
   }
 
+  test("scalar quantization: grid error bound, re-rank recall and exactness") {
+    val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val quant = Ann.sqQuantize(e, "embedding")
+    // per-component reconstruction error ≤ scale/2 (the int8 grid bound)
+    val bad = quant.select(col("embedding"), col("__sq.scale").as("s"),
+        col("__sq.code").as("c"))
+      .collect().count { r =>
+        val v = r.getSeq[Float](0); val s = r.getFloat(1)
+        val c = r.getSeq[Byte](2)
+        v.indices.exists(i => math.abs(v(i) - s * c(i)) > s / 2 + 1e-7)
+      }
+    assert(bad == 0, s"$bad vectors violate the grid error bound")
+    // two-stage search: ≥ 0.9 recall vs exact float32 top-10, and the
+    // returned distances are EXACT (stage 2 re-scores on the floats)
+    val qv = Array.tabulate(64)(i => ((i * 7) % 13) * 0.0625f - 0.375f)
+    val sq = Ann.topKSq(quant, "vec_id", "embedding", qv, k = 10,
+      metric = "L2").collect()
+    val exact = Ann.topK(e, "vec_id", "embedding", qv, k = 10,
+      metric = "L2").collect()
+    val exactMap = exact.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hit = sq.count(r => exactMap.contains(r.getString(0)))
+    assert(hit >= 9, s"SQ recall too low: $hit/10")
+    sq.foreach { r =>
+      exactMap.get(r.getString(0)).foreach(d =>
+        assert(r.getDouble(1) == d, s"re-ranked distance not exact for ${r.getString(0)}"))
+    }
+    // degenerate vectors survive the encode (scale 0, all-zero codes)
+    val sp = spark
+    import sp.implicits._
+    val z = Ann.sqQuantize(
+      Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding"), "embedding")
+      .select(col("__sq.scale"), col("__sq.code")).head()
+    assert(z.getFloat(0) == 0f && z.getSeq[Byte](1).forall(_ == 0))
+  }
+
   test("knn join via NSW: high recall vs exact; deleted nodes never surface") {
     import graft.pipeline.Nsw
     val sp = spark
