@@ -543,6 +543,37 @@ object PipelineQueries {
         |ORDER BY CAST(__key AS BIGINT) ASC""".stripMargin
     },
 
+    // Overlapping token-window chunking: the oracle re-derives every
+    // window (count, boundaries, short tail, token counts) from the
+    // same integer arithmetic, so an off-by-one in stride/slice or a
+    // dropped tail chunk mismatches.
+    q("p_chunk") { (s, dir) =>
+      Curation.chunkTokens(docs(s, dir), "doc_id", "text",
+        size = 32, overlap = 8)
+        .select(col("doc_id").cast("string").as("__key"),
+          col("chunk_idx").cast("double").as("chunk_idx"),
+          col("chunk_text"),
+          col("n_tok_chunk").cast("double").as("n_tok_chunk"))
+        .orderBy(col("__key").cast("long").asc, col("chunk_idx").asc)
+        .limit(600)
+    } {
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, w, len(w) AS n,
+        |    greatest(1, (len(w) - 8 + 24 - 1) // 24) AS m FROM w),
+        |c AS (SELECT doc_id, i.gen AS chunk_idx,
+        |    array_to_string(w[i.gen * 24 + 1 : i.gen * 24 + 32], ' ') AS chunk_text,
+        |    least(32, n - i.gen * 24) AS n_tok_chunk
+        |  FROM m, LATERAL unnest(range(0, m)) AS i(gen))
+        |SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(chunk_idx AS DOUBLE) AS chunk_idx, chunk_text,
+        |  CAST(n_tok_chunk AS DOUBLE) AS n_tok_chunk
+        |FROM c ORDER BY CAST(doc_id AS BIGINT) ASC, chunk_idx ASC
+        |LIMIT 600""".stripMargin
+    },
+
     // Sequence packing: concat-in-order within each source shard, cut
     // every 512 tokens, doc belongs to the chunk where it starts. The
     // oracle recomputes the windowed prefix sum independently.

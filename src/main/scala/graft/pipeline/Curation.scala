@@ -169,6 +169,39 @@ object Curation {
       .drop("__thresh")
   }
 
+  // ------------------------- document chunking --------------------- //
+
+  /**
+   * Overlapping token-window chunking (the RAG / long-document
+   * pretraining shape): each document splits into windows of `size`
+   * whitespace tokens advancing by `size - overlap`; the last window
+   * may be short; an empty document yields one empty chunk. Emits one
+   * row per chunk with `chunk_idx`, `chunk_text`, `n_tok_chunk`.
+   *
+   * Map-only: tokenize → per-row window expansion (posexplode) — the
+   * output is bounded by ~n/(size-overlap) rows per doc and no shuffle
+   * exists anywhere; at 100 TB this runs at scan speed and the chunk
+   * stream feeds packing/dedup/embedding stages directly.
+   */
+  def chunkTokens(df: DataFrame, keyCol: String, textCol: String,
+                  size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val w = filter(split(col(textCol), " "), x => x =!= "")
+    val n = org.apache.spark.sql.functions.size(w)
+    // chunk count via integer ceil((n - overlap) / stride), min 1
+    val m = greatest(lit(1),
+      floor(((n - overlap + stride - 1).cast("double")) / stride).cast("int"))
+    df.withColumn("__w", w).withColumn("__n", n)
+      .select(col(keyCol), col("__w"), col("__n"),
+        posexplode(transform(sequence(lit(0), m - 1), i => struct(
+          array_join(slice(col("__w"), i * stride + 1, lit(size)), " ").as("chunk_text"),
+          least(lit(size), col("__n") - i * stride).as("n_tok_chunk")))))
+      .select(col(keyCol), col("pos").as("chunk_idx"),
+        col("col.chunk_text"), col("col.n_tok_chunk"))
+  }
+
   // ------------------------- sequence packing ---------------------- //
 
   /**

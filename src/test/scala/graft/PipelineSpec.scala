@@ -603,6 +603,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1.0, 2.0, 3.0, 4.0)))
   }
 
+  test("token chunking: coverage, overlap and tail invariants") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, (1 to 32).map(i => s"u$i").mkString(" ")),  // exactly one window
+      (3L, "a b c"),                                   // shorter than size
+      (4L, "")                                         // empty doc
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, "doc_id", "text", size = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: stride 24 → chunks at 0,24,48,72 → ceil((100-8)/24)=4
+    assert(byDoc(1L).length == 4)
+    assert(byDoc(1L).map(_._4).toSeq == Seq(32, 32, 32, 28)) // short tail
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = byDoc(1L)(0)._3.split(" "); val c1 = byDoc(1L)(1)._3.split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // full coverage, in order, no token lost
+    assert(byDoc(1L).flatMap(c => c._3.split(" ").drop(if (c._2 == 0) 0 else 8))
+      .toSeq == (1 to 100).map(i => s"t$i"))
+    assert(byDoc(2L).map(t => (t._2, t._4)).toSeq == Seq((0, 32)))
+    assert(byDoc(3L).map(t => (t._3, t._4)).toSeq == Seq(("a b c", 3)))
+    assert(byDoc(4L).map(t => (t._3, t._4)).toSeq == Seq(("", 0)))
+  }
+
   test("scalar quantization: grid error bound, re-rank recall and exactness") {
     val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
     val quant = Ann.sqQuantize(e, "embedding")
