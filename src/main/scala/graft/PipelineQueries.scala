@@ -543,6 +543,47 @@ object PipelineQueries {
         |ORDER BY CAST(__key AS BIGINT) ASC""".stripMargin
     },
 
+    // C4-style boilerplate-line removal: per-source headers/footers and
+    // a near-global ad line are planted into synthesized multi-line
+    // text; lines in ≥ 30 distinct docs must vanish, everything else
+    // (including structural empty lines) must survive in order. The
+    // oracle recomputes the frequency table and the reconstruction.
+    q("p_boilerplate") { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("NAV "), col("source")),
+          substring(col("text"), 1, 30),
+          when(col("doc_id") % 4 === 0, lit("")).otherwise(lit("ad-block")),
+          substring(col("text"), 31, 30),
+          concat(lit("Copyright "), col("source"))).as("t"))
+      Curation.removeBoilerplateLines(d, "doc_id", "t", minDocs = 30)
+        .select(col("doc_id").cast("string").as("__key"),
+          col("clean_text"),
+          col("n_removed").cast("double").as("n_removed"))
+        .orderBy(col("__key").cast("long").asc)
+        .limit(400)
+    } {
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'NAV ' || source || chr(10) || substr(text, 1, 30) || chr(10) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'ad-block' END) || chr(10) ||
+        |    substr(text, 31, 30) || chr(10) || 'Copyright ' || source AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM s),
+        |l AS (SELECT doc_id, i.gen AS pos, ls[i.gen + 1] AS line
+        |  FROM x, LATERAL unnest(range(0, len(ls))) AS i(gen)),
+        |b AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l
+        |        WHERE line <> '') GROUP BY line HAVING count(*) >= 30),
+        |k AS (SELECT doc_id, pos, line,
+        |    line IN (SELECT line FROM b) AS rm FROM l)
+        |SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  coalesce(array_to_string(list(line ORDER BY pos)
+        |    FILTER (WHERE NOT rm), chr(10)), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE rm) AS DOUBLE) AS n_removed
+        |FROM k GROUP BY doc_id
+        |ORDER BY CAST(doc_id AS BIGINT) ASC LIMIT 400""".stripMargin
+    },
+
     // Overlapping token-window chunking: the oracle re-derives every
     // window (count, boundaries, short tail, token counts) from the
     // same integer arithmetic, so an off-by-one in stride/slice or a

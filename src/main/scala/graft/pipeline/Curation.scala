@@ -169,6 +169,45 @@ object Curation {
       .drop("__thresh")
   }
 
+  // --------------------- boilerplate-line removal ------------------ //
+
+  /**
+   * C4-style boilerplate-line removal: a non-empty line occurring in
+   * ≥ `minDocs` DISTINCT documents (site headers, footers, cookie
+   * banners) is dropped from every document; empty lines are
+   * structural and never counted or removed. Adds `clean_text` (the
+   * surviving lines, original order) and `n_removed` (occurrences
+   * dropped). Documents survive even when every line is boilerplate
+   * (empty `clean_text`).
+   *
+   * Shape at 100 TB (this is the classic C4/RefinedWeb pass): one
+   * map-side-combined distinct-doc count per line (the only corpus
+   * shuffle moves (line, key) pairs once), the boilerplate set is
+   * tiny BY CONSTRUCTION (lines frequent across ≥ minDocs docs), and
+   * reconstruction re-groups each document's own lines — AQE picks
+   * the join strategy against the small boilerplate relation.
+   */
+  def removeBoilerplateLines(df: DataFrame, keyCol: String, textCol: String,
+                             minDocs: Int): DataFrame = {
+    require(minDocs > 1, "minDocs must be > 1")
+    val lines = df.select(col(keyCol).as("__key"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.filter(col("__line") =!= "")
+      .select(col("__line"), col("__key")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("__line"), "left")
+      .groupBy(col("__key"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__boiler").isNull, struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("clean_text"),
+        sum(when(col("__boiler").isNotNull, 1).otherwise(0))
+          .cast("int").as("n_removed"))
+      .withColumnRenamed("__key", keyCol)
+  }
+
   // ------------------------- document chunking --------------------- //
 
   /**

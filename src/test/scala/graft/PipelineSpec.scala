@@ -603,6 +603,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1.0, 2.0, 3.0, 4.0)))
   }
 
+  test("boilerplate removal: frequent lines vanish, structure survives") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "HEAD\nunique one\n\nFOOT"),
+      (2L, "HEAD\nunique two\nFOOT"),
+      (3L, "HEAD\nunique three\nFOOT"),
+      (4L, "HEAD\nFOOT"),            // all non-empty lines are boilerplate
+      (5L, "HEAD\nHEAD\nsolo\nFOOT") // repeated boiler line in one doc
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("unique one\n", 2)))  // empty line survives
+    assert(out(2L) == (("unique two", 2)))
+    assert(out(3L) == (("unique three", 2)))
+    assert(out(4L) == (("", 2)))              // doc survives empty
+    assert(out(5L) == (("solo", 3)))          // both HEAD occurrences count
+    // below threshold nothing is removed
+    val none = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 6)
+      .collect().map(r => r.getInt(2)).sum
+    assert(none == 0)
+  }
+
   test("token chunking: coverage, overlap and tail invariants") {
     val sp = spark
     import sp.implicits._
