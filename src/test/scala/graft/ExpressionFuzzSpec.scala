@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{RepetitionStats, SqEncode, WordNgrams}
+
+/**
+ * Differential fuzz for the row-local text/quantization expressions
+ * against plain-Scala models, over inputs the ASCII gate corpora never
+ * exercise: multi-byte UTF-8 (é, ß, 中), astral code points (😀 — where
+ * UTF8String.numChars counts code points, not UTF-16 units), empties,
+ * and embedded whitespace. Direct `eval` is the runtime path: these
+ * expressions are CodegenFallback.
+ */
+class ExpressionFuzzSpec extends AnyFunSuite {
+
+  private val pieces = Vector("a", "b", "zz", "Q7", "1", "é", "ß", "中文",
+    "😀", "x y", "", " ", "tok", "naïve", "..", "ß😀é")
+
+  test("WordNgrams matches the Scala model on random unicode word arrays") {
+    val rnd = new scala.util.Random(20260813L)
+    for (iter <- 1 to 1000) {
+      val words = Vector.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size)))
+      val n = 1 + rnd.nextInt(4)
+      val kept = words.filter(_.nonEmpty)
+      val expected =
+        if (kept.size < n) Seq.empty[String]
+        else kept.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      val in = ArrayData.toArrayData(words.map(UTF8String.fromString).toArray)
+      val out = WordNgrams(Literal(in, ArrayType(StringType)), n)
+        .eval(null).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+      assert(got == expected, s"iter $iter: words=$words n=$n")
+    }
+  }
+
+  test("RepetitionStats matches the Scala model on random unicode texts") {
+    val rnd = new scala.util.Random(977L)
+    for (iter <- 1 to 1000) {
+      val text = Vector.fill(rnd.nextInt(10))(pieces(rnd.nextInt(pieces.size)))
+        .mkString("\n")
+      val lines = text.split("\n", -1).filter(_.nonEmpty)
+      val total = lines.length
+      val (expFrac, expChar) =
+        if (total == 0) (0.0, 0.0)
+        else {
+          val byLine = lines.groupBy(identity).view
+            .mapValues(g => (g.length.toLong,
+              g.head.codePointCount(0, g.head.length).toLong))
+          val totChars = byLine.values.map { case (c, l) => c * l }.sum
+          val dupChars = byLine.values.map { case (c, l) => (c - 1) * l }.sum
+          ((total - byLine.size).toDouble / total,
+            if (totChars == 0) 0.0 else dupChars.toDouble / totChars)
+        }
+      val row = RepetitionStats(Literal(UTF8String.fromString(text), StringType))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      assert(row.getInt(0) == total, s"iter $iter n_lines: $text")
+      assert(row.getDouble(1) == expFrac, s"iter $iter line frac: $text")
+      assert(row.getDouble(2) == expChar, s"iter $iter char frac: $text")
+    }
+  }
+
+  test("SqEncode matches the Scala model on random float vectors") {
+    val rnd = new scala.util.Random(31337L)
+    for (iter <- 1 to 1000) {
+      val v = Array.fill(rnd.nextInt(20))((rnd.nextFloat() - 0.5f) * 20f *
+        (if (rnd.nextInt(10) == 0) 0f else 1f)) // occasional zeros
+      val maxAbs = if (v.isEmpty) 0f else v.map(math.abs).max
+      val scale = if (maxAbs == 0f) 0f else maxAbs / 127f
+      val expected =
+        if (scale == 0f) v.map(_ => 0.toByte).toSeq
+        else v.map(x => math.max(-127, math.min(127, math.round(x / scale))).toByte).toSeq
+      val in = ArrayData.toArrayData(v)
+      val row = SqEncode(Literal(in, ArrayType(FloatType)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      assert(row.getFloat(0) == scale, s"iter $iter scale")
+      val code = row.getArray(1)
+      val got = (0 until code.numElements()).map(code.getByte)
+      assert(got == expected, s"iter $iter codes: v=${v.toSeq}")
+      // reconstruction bound: |v - scale*code| <= scale/2 everywhere
+      got.zip(v).foreach { case (c, x) =>
+        assert(math.abs(x - scale * c) <= scale / 2 + 1e-7f, s"iter $iter bound") }
+    }
+  }
+}
