@@ -282,6 +282,30 @@ object PipelineQueries {
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
     },
 
+    // Quantized k-NN join: int8 first stage + exact re-rank. Same
+    // recall-property oracle shape as the other approximate joins.
+    q("p_ann_join_sq") { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 101 === 0)
+      val base = e.filter(col("vec_id") % 101 =!= 0)
+      val sq = Ann.knnJoinSq(queries, "vec_id", "embedding",
+        Ann.sqQuantize(base, "embedding"), "vec_id", "embedding",
+        k = 5, metric = "L2")
+      val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
+        base, "vec_id", "embedding", k = 5, metric = "L2")
+      val shared = sq.select(col("__key"), col("neighbor"))
+        .intersect(exact.select(col("__key"), col("neighbor"))).count()
+      val n = sq.count()
+      val sp = s
+      import sp.implicits._
+      Seq((n.toDouble, shared.toDouble / math.max(1L, exact.count()) >= 0.9))
+        .toDF("n_rows", "recall_ok")
+    } {
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 101 = 0) * 5
+        |    AS DOUBLE) AS n_rows,
+        |  TRUE AS recall_ok""".stripMargin
+    },
+
     // NSW-routed k-NN join is approximate, so (like q_ann_inline_recall)
     // the oracle-checked contract is the recall property: every query
     // gets its full k neighbors and ≥ 0.9 of the (query, neighbor)

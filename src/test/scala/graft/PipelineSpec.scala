@@ -688,6 +688,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.getFloat(0) == 0f && z.getSeq[Byte](1).forall(_ == 0))
   }
 
+  test("quantized knn join: high recall, exact re-ranked distances") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") % 23 === 0)
+    val base = embs.filter(col("vec_id") % 23 =!= 0)
+    val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
+      base, "vec_id", "embedding", k = 4, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")) ->
+        r.getAs[Double]("distance")).toMap
+    val sq = Ann.knnJoinSq(queries, "vec_id", "embedding",
+      Ann.sqQuantize(base, "embedding"), "vec_id", "embedding",
+      k = 4, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")) ->
+        r.getAs[Double]("distance"))
+    val hit = sq.count { case (pair, _) => exact.contains(pair) }
+    assert(hit.toDouble / exact.size >= 0.95, s"SQ join recall: $hit/${exact.size}")
+    // wherever the pair agrees, the distance must be the EXACT float32
+    // value (stage 2 re-scored on the original vectors)
+    sq.foreach { case (pair, d) =>
+      exact.get(pair).foreach(ed => assert(d == ed, s"distance not exact for $pair")) }
+    // full k rows per query
+    assert(sq.length == exact.size)
+  }
+
   test("knn join via NSW: high recall vs exact; deleted nodes never surface") {
     import graft.pipeline.Nsw
     val sp = spark
