@@ -653,6 +653,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc(4L).map(t => (t._3, t._4)).toSeq == Seq(("", 0)))
   }
 
+  test("token chunking: fuzz vs a Scala model over random size/overlap") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val words = Vector("aa", "b", "ccc", "d1", "e")
+    val docs = (1L to 40L).map(id =>
+      (id, Vector.fill(rnd.nextInt(50))(words(rnd.nextInt(words.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    for (_ <- 1 to 8) {
+      val size = 1 + rnd.nextInt(12)
+      val overlap = rnd.nextInt(size)
+      val stride = size - overlap
+      val got = Curation.chunkTokens(docs, "doc_id", "text", size, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getInt(3)))).toMap
+      val expected = docs.collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = r.getString(1).split(" ").filter(_.nonEmpty).toVector
+        val m = math.max(1, ((w.length - overlap + stride - 1).toDouble / stride).floor.toInt)
+        (0 until m).map { i =>
+          val slice = w.slice(i * stride, i * stride + size)
+          (id, i) -> ((slice.mkString(" "), math.min(size, w.length - i * stride)))
+        }
+      }.toMap
+      assert(got == expected, s"size=$size overlap=$overlap")
+    }
+  }
+
   test("scalar quantization: grid error bound, re-rank recall and exactness") {
     val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
     val quant = Ann.sqQuantize(e, "embedding")
