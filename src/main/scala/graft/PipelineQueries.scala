@@ -410,7 +410,7 @@ object PipelineQueries {
         |l AS (SELECT doc_id,
         |    unnest(list_filter(string_split(t, chr(10)), x -> x <> '')) AS line
         |  FROM s),
-        |c AS (SELECT doc_id, line, count(*) AS cnt, strlen(line) AS len
+        |c AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
         |  FROM l GROUP BY 1, 2),
         |a AS (SELECT doc_id, sum(cnt) AS L, count(*) AS D,
         |    sum(cnt * len) AS tot, sum((cnt - 1) * len) AS dup

@@ -26,13 +26,15 @@ import graft.functions.vector_distance
  */
 object Ann {
 
-  /** Exact top-k nearest: the baseline and oracle. */
+  /** Exact top-k nearest: the baseline and oracle. Rows with a null
+    * embedding (null distance) sort LAST — they can never displace a
+    * real neighbor, matching the oracle engines' ASC NULLS LAST. */
   def topK(df: DataFrame, keyCol: String, vecCol: String,
            query: Array[Float], k: Int, metric: String = "COSINE"): DataFrame =
     df.select(col(keyCol).cast("string").as("__key"),
         vector_distance(col(vecCol), lit(query).cast(ArrayType(FloatType)), metric)
           .as("distance"))
-      .orderBy(col("distance").asc, col("__key").asc)
+      .orderBy(col("distance").asc_nulls_last, col("__key").asc)
       .limit(k)
 
   // ------------------- scalar quantization (int8) ------------------ //
@@ -63,16 +65,26 @@ object Ann {
              query: Array[Float], k: Int, metric: String = "L2",
              rerank: Int = 4): DataFrame = {
     val q = lit(query).cast(ArrayType(FloatType))
-    val stage1 = quantized
+    // Stage 1 projects (key, quantized distance) ONLY — the corpus-wide
+    // scan touches just the int8 codes (the 4× I/O saving SQ exists
+    // for); the float column is read back solely for the ≤ k·rerank
+    // candidate keys via the broadcast join below, mirroring
+    // [[knnJoinSq]]. Null codes (null distance) are filtered: they can
+    // never be neighbors and must not occupy candidate slots.
+    val cands = quantized
       .select(col(keyCol).cast("string").as("__key"),
-        col(vecCol).cast(ArrayType(FloatType)).as("__vec"),
         graft.functions.sq_distance(col("__sq"), q, metric).as("__qd"))
+      .filter(col("__qd").isNotNull)
       .orderBy(col("__qd").asc, col("__key").asc)
       .limit(math.max(k, k * rerank))
-    stage1
+      .select("__key")
+    quantized
+      .select(col(keyCol).cast("string").as("__key"),
+        col(vecCol).cast(ArrayType(FloatType)).as("__vec"))
+      .join(broadcast(cands), "__key")
       .select(col("__key"),
         vector_distance(col("__vec"), q, metric).as("distance"))
-      .orderBy(col("distance").asc, col("__key").asc)
+      .orderBy(col("distance").asc_nulls_last, col("__key").asc)
       .limit(k)
   }
 
@@ -333,7 +345,14 @@ object Ann {
     val q = queries.select(col(qKey).cast("string").as("__qkey"),
         col(qVec).cast(ArrayType(FloatType)).as("__qvec"))
       .crossJoin(broadcast(cdf))
-      .withColumn("__cdist", vector_distance(col("__qvec"), col("__centroid"), "L2"))
+      // probe cells rank by the JOIN metric, not hard-coded L2: with
+      // metric=COSINE on non-normalized vectors an L2 ranking can probe
+      // the wrong cells and silently lose recall under partial probes
+      // (cell ASSIGNMENT stays L2 — the k-means coarse quantizer —
+      // so cosine corpora should still normalize at ingest, as the
+      // engine's vector fields do)
+      .withColumn("__cdist",
+        vector_distance(col("__qvec"), col("__centroid"), metric))
       .withColumn("__rn", row_number().over(qw))
       .filter(col("__rn") <= nProbe)
       .select("__qkey", "__qvec", "cell_id")
@@ -443,20 +462,69 @@ object Ann {
     s
   }
 
+  /** Driver-side metric distance on double arrays (probe-cell ranking —
+    * same metric semantics as [[graft.functions.VectorDistance]]). */
+  private def distD(metric: String, a: Array[Double], b: Array[Double]): Double =
+    metric match {
+      case "L2" => sq(a, b)
+      case "IP" =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        1.0 - s
+      case "COSINE" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
+
   /**
    * Deterministic Lloyd k-means on a bounded sample (collected to the
    * driver — the sample, never the dataset). Seeded initialization from
    * evenly-spaced sample points, fixed iteration count: same centroids
    * on every run and cluster size.
+   *
+   * The sample is drawn in xxhash64 ORDER of the vector contents, not
+   * first-rows: `limit(n)` alone takes whatever rows Spark produces
+   * first — on a corpus laid out by source/date (the normal 100 TB
+   * case) that is one file of one source, and centroids then model a
+   * single slice of the distribution (skewed cells, degraded per-probe
+   * recall). Hash order is deterministic AND layout-independent: the
+   * same sample comes back under any partitioning or sort of the
+   * input, and Spark plans the hash-order limit as
+   * TakeOrderedAndProject (partition-local heaps, no global sort).
    */
   def kmeansCentroids(df: DataFrame, vecCol: String, nCells: Int,
                       sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
-    val sample = df.select(col(vecCol).cast("array<double>"))
+    val sample = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__v")).asc)
       .limit(sampleSize).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= nCells, s"need at least $nCells sample vectors")
-    val step = sample.length / nCells
-    var centroids = Array.tabulate(nCells)(i => sample(i * step).clone())
+    // Farthest-point (maxmin) init: start from the first hash-ordered
+    // point, then repeatedly take the sample point farthest from its
+    // nearest chosen centroid (index tie-break). Deterministic, and —
+    // unlike evenly-spaced picks, which depend on the sample's order —
+    // guaranteed to seed every well-separated cluster.
+    val init = new Array[Array[Double]](nCells)
+    init(0) = sample(0).clone()
+    val minD = sample.map(v => sq(v, init(0)))
+    var c = 1
+    while (c < nCells) {
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < sample.length) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }; i += 1
+      }
+      init(c) = sample(best).clone()
+      i = 0
+      while (i < sample.length) {
+        val d = sq(sample(i), init(c)); if (d < minD(i)) minD(i) = d; i += 1
+      }
+      c += 1
+    }
+    var centroids = init
     for (_ <- 0 until iters) {
       val sums = Array.fill(nCells)(new Array[Double](centroids(0).length))
       val counts = new Array[Long](nCells)
@@ -487,13 +555,15 @@ object Ann {
   final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]],
                             keyCol: String, vecCol: String) {
 
-    /** Probe the `nProbe` cells nearest to the query; exact distance
-      * within them; top-k merge (TakeOrderedAndProject again). */
+    /** Probe the `nProbe` cells nearest to the query BY THE SEARCH
+      * METRIC (an L2 ranking under COSINE on non-normalized vectors
+      * probes the wrong cells); exact distance within them; top-k
+      * merge (TakeOrderedAndProject again). */
     def search(query: Array[Float], k: Int, nProbe: Int,
                metric: String = "COSINE"): DataFrame = {
       val qd = query.map(_.toDouble)
       val probeCells = centroids.zipWithIndex
-        .map { case (c, i) => (sq(qd, c), i) }
+        .map { case (c, i) => (distD(metric, qd, c), i) }
         .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
       assigned
         .filter(col("cell_id").isin(probeCells.toIndexedSeq: _*)) // → partition pruning on disk layouts
@@ -583,10 +653,12 @@ object Ann {
         .withColumn("cell_id", cellId(col("vec"), centroids))
       val keys = changes.select(col("__key").cast("string").as("__key"))
       // measure BEFORE applyBatch consumes the rows; BOUNDED sample
-      // (same 4096 cap as the init baseline) so the drift statistic
-      // costs one small job even on a huge batch
+      // (same 4096 cap as the init baseline), drawn in key-hash order
+      // so a source-ordered batch cannot bias the drift statistic
+      // toward its first file — one small TakeOrdered job per batch
       val batchDist = baselineAssignDist.flatMap(_ =>
-        meanAssignDist(ups.limit(4096), centroids))
+        meanAssignDist(ups.orderBy(xxhash64(col("__key")).asc).limit(4096),
+          centroids))
       store.applyBatch(ups, keys)
       if (store.deltaSize + store.tombSize >= compactRowThreshold)
         store.compact()
@@ -624,9 +696,11 @@ object Ann {
       s"$path/$gen/store", layout = graft.text.PostingStore.CellLayout)
     graft.util.FsIO.writeObjAtomic(spark,
       s"$path/$gen/centroids.bin", centroids)
-    // drift baseline: bounded sample of the generation corpus's
-    // assignment distances (absent = no tracking)
-    val baseline = meanAssignDist(assigned.limit(4096), centroids)
+    // drift baseline: bounded KEY-HASH-ORDERED sample of the
+    // generation corpus's assignment distances — layout-independent
+    // like the k-means sample (absent = no tracking)
+    val baseline = meanAssignDist(
+      assigned.orderBy(xxhash64(col("__key")).asc).limit(4096), centroids)
     baseline.foreach { b =>
       graft.util.FsIO.writeObjAtomic(spark,
         s"$path/$gen/drift.bin", java.lang.Double.valueOf(b))
@@ -681,9 +755,18 @@ object Ann {
 
   /** Re-open a maintained IVF store (restart path): CURRENT names the
     * live generation; its manifest names the committed store state,
-    * orphans GC, centroids deserialize. Generation dirs CURRENT does
-    * not name (a crash between generation write and swap) are GC'd
-    * here — same restart contract as [[graft.text.PostingStore.open]]. */
+    * orphans GC, centroids deserialize.
+    *
+    * SINGLE-WRITER RESTART CONTRACT (same as
+    * [[graft.text.PostingStore.open]]): open is a restart entry point —
+    * the caller guarantees no live maintainer is concurrently writing
+    * under `path`. Under that contract every generation dir CURRENT
+    * does not name is a crash leftover: strictly-older dirs are a
+    * reinit that swapped but died before its GC, strictly-newer dirs
+    * are a reinit that died BEFORE its atomic swap (never committed).
+    * Both are reclaimed here; a process that violates the contract by
+    * writing a new generation while another opens the store would lose
+    * that in-progress generation — do not do that. */
   def openIvfStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStore = {
     val gen = currentGen(spark, path)

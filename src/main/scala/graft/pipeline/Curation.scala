@@ -175,10 +175,13 @@ object Curation {
    * C4-style boilerplate-line removal: a non-empty line occurring in
    * ≥ `minDocs` DISTINCT documents (site headers, footers, cookie
    * banners) is dropped from every document; empty lines are
-   * structural and never counted or removed. Adds `clean_text` (the
-   * surviving lines, original order) and `n_removed` (occurrences
-   * dropped). Documents survive even when every line is boilerplate
-   * (empty `clean_text`).
+   * structural and never counted or removed. Returns exactly
+   * `(keyCol, clean_text, n_removed)` — the reconstruction group-by
+   * keeps only the key, so callers wanting the other input columns
+   * join back on `keyCol` (deliberate: carrying every column through
+   * the line explode would shuffle the whole corpus width twice).
+   * Documents survive even when every line is boilerplate (empty
+   * `clean_text`).
    *
    * Shape at 100 TB (this is the classic C4/RefinedWeb pass): one
    * map-side-combined distinct-doc count per line (the only corpus

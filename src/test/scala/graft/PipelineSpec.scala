@@ -777,4 +777,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"deleted keys surfaced: ${afterN.intersect(victims)}")
     assert(after.count() == 4, "join must refill to k from surviving nodes")
   }
+
+  test("topKSq stage 1 scans only key + int8 codes; float column read for candidates only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq-scan").toString
+    // the deployment shape: the quantized corpus is PERSISTED and the
+    // search plans over the parquet table, so scan pruning is visible
+    Ann.sqQuantize(e, "embedding").write.mode("overwrite").parquet(dir)
+    val quant = spark.read.parquet(dir)
+    val qv = Array.tabulate(64)(i => ((i * 7) % 13) * 0.0625f - 0.375f)
+    val plan = Ann.topKSq(quant, "vec_id", "embedding", qv, k = 10, metric = "L2")
+    val scans = plan.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet }
+    // stage 1 (candidate scan): __sq + key, NO float vector column —
+    // the whole point of SQ is that the corpus-wide pass reads 4× less
+    val stage1 = scans.filter(_.contains("__sq"))
+    assert(stage1.nonEmpty, s"no scan reads __sq: $scans")
+    stage1.foreach(s => assert(!s.contains("embedding"),
+      s"stage-1 scan reads the float column too: $s"))
+    // stage 2 (re-rank): float column + key, no __sq
+    val stage2 = scans.filter(_.contains("embedding"))
+    assert(stage2.nonEmpty && stage2.forall(!_.contains("__sq")),
+      s"re-rank scan shape wrong: $scans")
+    // and the two-stage result still matches exact top-k semantics
+    val sq = plan.collect().map(_.getString(0)).toSet
+    val exact = Ann.topK(e, "vec_id", "embedding", qv, k = 10, metric = "L2")
+      .collect().map(_.getString(0)).toSet
+    assert(sq.intersect(exact).size >= 9, s"recall broke: ${sq.intersect(exact).size}/10")
+  }
+
+  test("kmeans centroids and drift baseline are input-layout-invariant") {
+    val sp = spark
+    import sp.implicits._
+    // 3 well-separated clusters, CORPUS SORTED BY CLUSTER — the layout
+    // (one source per file block) where a first-rows limit() sample
+    // would see only cluster 0 and starve the other cells
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 1000).map { i =>
+        (c * 1000L + i,
+          Array.tabulate(8)(j => (c * 10.0 + rnd.nextGaussian() * 0.1 + j * 0.01).toFloat))
+      }
+    }
+    val sorted = rows.toDF("id", "vec").repartition(1)
+      .sortWithinPartitions("id")
+    val shuffled = rows.toDF("id", "vec").repartition(6, col("id"))
+    val cSorted = Ann.kmeansCentroids(sorted, "vec", nCells = 3, sampleSize = 512)
+    val cShuffled = Ann.kmeansCentroids(shuffled, "vec", nCells = 3, sampleSize = 512)
+    assert(cSorted.map(_.toSeq).toSeq == cShuffled.map(_.toSeq).toSeq,
+      "centroids differ across input layouts")
+    // every cluster is represented: each true center has a centroid
+    // within its own spread (first-rows sampling would leave 2 of 3
+    // centers > 9 units from every centroid)
+    (0 until 3).foreach { c =>
+      val center = Array.tabulate(8)(j => c * 10.0 + j * 0.01)
+      val nearest = cSorted.map(cd =>
+        math.sqrt(cd.zip(center).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(nearest < 1.0, s"cluster $c unrepresented (nearest centroid $nearest away)")
+    }
+  }
 }
