@@ -55,6 +55,68 @@ object PipelineQueries {
       graft.pipeline.Nsw.build(embs(s, dir).filter(col("vec_id") % 101 =!= 0),
         "vec_id", "embedding", metric = "L2", numPartitions = 8))
 
+  // ---- memoized exact yardsticks --------------------------------- //
+  // The exact side of a recall property is a FIXTURE, not operator
+  // cost: computed once per dir and collected (bounded: |queries| × k
+  // pairs / top-k keys / true near-dup pairs), so bench reps time the
+  // approximate operator alone — round 5's gate medians were dominated
+  // by re-running the exact yardstick inside every rep.
+
+  /** Exact (query, neighbor) pairs for the %101 query/base split at
+    * k=5 / L2 — recall yardstick for the approximate join gates. */
+  private val exactJoinCache = scala.collection.concurrent.TrieMap.empty[String, (Set[(String, String)], Long)]
+  private[graft] def exactJoinPairs(s: SparkSession, dir: String): (Set[(String, String)], Long) =
+    exactJoinCache.getOrElseUpdate(dir, {
+      val e = embs(s, dir)
+      val rows = Ann.knnJoinExact(
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        k = 5, metric = "L2")
+        .select("__key", "neighbor").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      (rows.toSet, rows.length.toLong)
+    })
+
+  private[graft] val SqQueryVec: Array[Float] =
+    Array.tabulate(64)(i => (i % 16) * 0.125f - 1.0f)
+
+  /** Exact float32 top-10 keys for the SQ probe vector (L2). */
+  private val exactSqTopCache = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private[graft] def exactSqTop(s: SparkSession, dir: String): Set[String] =
+    exactSqTopCache.getOrElseUpdate(dir,
+      Ann.topK(embs(s, dir), "vec_id", "embedding", SqQueryVec,
+          k = 10, metric = "L2")
+        .collect().map(_.getString(0)).toSet)
+
+  /** Exact cosine top-20 keys for the shared gate probe vector. */
+  private val exactCosTopCache = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private[graft] def exactCosTop20(s: SparkSession, dir: String): Set[String] =
+    exactCosTopCache.getOrElseUpdate(dir,
+      Ann.topK(embs(s, dir), "vec_id", "embedding", Queries.queryVec,
+          k = 20, metric = "COSINE")
+        .collect().map(_.getString(0)).toSet)
+
+  /** IVF index fixture (memoized: bench reps measure the probe-and-
+    * rank, not k-means + assignment). */
+  private val ivfIdxCache = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
+  private[graft] def ivfIdx(s: SparkSession, dir: String): Ann.IvfIndex =
+    ivfIdxCache.getOrElseUpdate(dir,
+      Ann.buildIvf(embs(s, dir), "vec_id", "embedding", nCells = 16))
+
+  /** Exact cosine ≥ 0.3 pairs over the FULL embeddings table — the
+    * sign-LSH recall/precision yardstick. */
+  private val exactCosPairCache = scala.collection.concurrent.TrieMap.empty[String, Set[(String, String)]]
+  private[graft] def exactCosPairs(s: SparkSession, dir: String): Set[(String, String)] =
+    exactCosPairCache.getOrElseUpdate(dir,
+      Dedup.embeddingNearDupsExact(embs(s, dir), "vec_id", "embedding",
+          minCosine = 0.3)
+        .select("key_a", "key_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet)
+
+  /** Key offset for planted near-duplicate copies (far above any
+    * doc_id, so (orig, orig + offset) identifies a planted pair). */
+  private[graft] val PlantOffset = 10000000L
+
   private def q(name: String)(fn: Queries.Q)(oracle: String): (String, Queries.Q, Option[String]) =
     (name, fn, Some(oracle))
   private def qNoOracle(name: String)(fn: Queries.Q): (String, Queries.Q, Option[String]) =
@@ -154,9 +216,55 @@ object PipelineQueries {
          |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
     },
 
-    qNoOracle("p_dedup_simhash") { (s, dir) =>
-      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    // SimHash is DEFINED via xxhash64, so instead of pinning hash
+    // values the gate pins the banded join's CONTRACT on planted pairs
+    // (round-5 verdict: property oracles for the rows-only gates).
+    // Every doc_id%7==0 doc gets (a) an exact copy — hamming 0, the
+    // 4-band pigeonhole MUST surface every one — and (b) a copy with
+    // one appended token, whose hamming is whatever the signature
+    // says it is (measured: usually > 3 on this small-vocab corpus —
+    // one token swings many near-balanced bits): the banded join must
+    // find exactly the edited pairs whose directly-computed hamming is
+    // ≤ 3 — completeness from the pigeonhole (≤ 3 differing bits
+    // leave one of four 16-bit bands intact), precision from the
+    // verify filter. Pair identity is key arithmetic (copy = original
+    // + PlantOffset), so the planted count is SQL-predictable and
+    // both directions of the iff are booleans the oracle pins TRUE.
+    q("p_dedup_simhash") { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.filter(col("doc_id") % 7 === 0)
+      val exactCopies = base
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+      val editedCopies = base
+        .select((col("doc_id") + lit(2 * PlantOffset)).as("doc_id"),
+          concat(col("text"), lit(" plantedtail")).as("text"))
+      val pairs = Dedup.simhashNearDups(
+        d.unionByName(exactCopies).unionByName(editedCopies),
+        "doc_id", "text", maxHamming = 3)
+        .select(col("key_a").cast("long").as("a"), col("key_b").cast("long").as("b"))
+        .persist()
+      val foundExact = pairs
+        .filter(col("b") - col("a") === PlantOffset && col("a") % 7 === 0).count()
+      val foundEdited = pairs
+        .filter(col("b") - col("a") === 2 * PlantOffset && col("a") % 7 === 0).count()
+      pairs.unpersist()
+      // direct hamming of each (original, edited) pair — no join, just
+      // the signature expression on both texts
+      val directNear = Dedup.withSimhash64(
+        Dedup.withSimhash64(
+          base.withColumn("text2", concat(col("text"), lit(" plantedtail"))),
+          "text", "sa"),
+        "text2", "sb")
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3).count()
+      val nPlanted = base.count()
+      val sp = s
+      import sp.implicits._
+      Seq((nPlanted.toDouble, foundExact == nPlanted, foundEdited == directNear))
+        .toDF("n_planted", "all_exact_copies_found", "edited_matches_direct")
+    } {
+      """SELECT CAST(count(*) AS DOUBLE) AS n_planted,
+        |  TRUE AS all_exact_copies_found, TRUE AS edited_matches_direct
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
     },
 
     q("p_embed_neardup") { (s, dir) =>
@@ -178,11 +286,30 @@ object PipelineQueries {
         |ORDER BY CAST(key_a AS BIGINT) ASC, CAST(key_b AS BIGINT) ASC""".stripMargin
     },
 
-    qNoOracle("p_embed_neardup_lsh") { (s, dir) =>
-      Dedup.embeddingNearDupsLsh(embs(s, dir), "vec_id", "embedding",
-        minCosine = 0.3, numPlanes = 16, bands = 4)
-        .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy(col("key_a").cast("long").asc, col("key_b").cast("long").asc)
+    // Sign-LSH near-dup: precision is exact BY CONSTRUCTION (every
+    // candidate verifies with exact cosine before emission) and recall
+    // vs the exact pair set is deterministic (seeded hyperplanes, fixed
+    // corpus) — both oracle-checked properties now (round-5 verdict):
+    // every emitted pair must be a true cosine ≥ 0.3 pair, and the
+    // emitted set must cover ≥ 35% of the exact pairs — measured
+    // 0.40-0.45 across sf0.001-0.1, right on the sign-LSH theory value
+    // for cosine-0.3 pairs (per-plane agreement 1−acos(0.3)/π ≈ 0.60;
+    // 1−(1−0.60⁴)⁴ ≈ 0.42). Banding trades exactly this recall for
+    // never shuffling all-pairs — the exact-oracled sibling is
+    // p_embed_neardup.
+    q("p_embed_neardup_lsh") { (s, dir) =>
+      val got = Dedup.embeddingNearDupsLsh(embs(s, dir), "vec_id", "embedding",
+          minCosine = 0.3, numPlanes = 16, bands = 4)
+        .select("key_a", "key_b").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val exact = exactCosPairs(s, dir)
+      val sp = s
+      import sp.implicits._
+      Seq((got.forall(exact.contains),
+          got.count(exact.contains).toDouble / math.max(1, exact.size) >= 0.35))
+        .toDF("precision_exact", "recall_ok")
+    } {
+      "SELECT TRUE AS precision_exact, TRUE AS recall_ok"
     },
 
     // -------------------- similarity search ------------------------ //
@@ -201,12 +328,27 @@ object PipelineQueries {
          |  __key ASC LIMIT 20""".stripMargin
     },
 
-    // IVF probes a centroid subset → recall < 1 by design; pinned by a
-    // recall-vs-exact unit spec instead of a SQL oracle.
-    qNoOracle("p_ann_ivf") { (s, dir) =>
-      val ivf = Ann.buildIvf(embs(s, dir), "vec_id", "embedding", nCells = 16)
-      ivf.search(Queries.queryVec, k = 20, nProbe = 4, metric = "COSINE")
-        .withColumn("distance", round(col("distance"), 4))
+    // IVF partial probes trade recall for scanned bytes BY DESIGN, so
+    // the oracle-checked contract is the recall property (round-5
+    // verdict: property oracles for the rows-only gates): 4/16 probes
+    // must recover ≥ 40% of the exact cosine top-20 (measured
+    // 0.45-0.70 across sf0.001-0.1 — the gate embeddings are uniform
+    // random, IVF's known worst case; clustered corpora recall ~1.0,
+    // STATUS sweep) — deterministic on the fixed corpus (hash-ordered
+    // sample, seeded k-means). Index build memoized: bench reps
+    // measure the probe-and-rank.
+    q("p_ann_ivf") { (s, dir) =>
+      val got = ivfIdx(s, dir)
+        .search(Queries.queryVec, k = 20, nProbe = 4, metric = "COSINE")
+        .select("__key").collect().map(_.getString(0))
+      val exact = exactCosTop20(s, dir)
+      val sp = s
+      import sp.implicits._
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / exact.size >= 0.4))
+        .toDF("n_results", "recall_ok")
+    } {
+      "SELECT CAST(20 AS DOUBLE) AS n_results, TRUE AS recall_ok"
     },
 
     // MAINTAINED IVF, exact-oracled: the store is built on 2/3 of the
@@ -239,10 +381,11 @@ object PipelineQueries {
     // by PipelineSpec instead.
     q("p_ann_join") { (s, dir) =>
       val e = embs(s, dir)
-      Ann.knnJoinIvf(
+      Ann.knnJoin(
         e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
         e.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 8, metric = "COSINE")
+        k = 5, metric = "COSINE",
+        plan = Some("ivf"), nCells = Some(8), nProbe = Some(8))
         .withColumn("distance", round(col("distance"), 4))
         .orderBy(col("__key").cast("long").asc, col("rk").asc)
     } {
@@ -261,44 +404,72 @@ object PipelineQueries {
         |ORDER BY CAST(__key AS BIGINT) ASC, rk ASC""".stripMargin
     },
 
+    // AUTO-planned k-NN join (the reference planner's data-driven
+    // choice, src/query/planner.cc:21-46): no plan override — the
+    // facade measures shape and picks. At gate scale the scored cross
+    // product is far under the exact-plan budget, so the choice is
+    // "exact" (spec-pinned in PipelineSpec along with the other
+    // regimes) and DuckDB's windowed cross join is a hash-equal
+    // oracle of the WHOLE path: measure → choose → execute.
+    q("p_ann_join_auto") { (s, dir) =>
+      val e = embs(s, dir)
+      Ann.knnJoin(
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        k = 3, metric = "COSINE")
+        .withColumn("distance", round(col("distance"), 4))
+        .orderBy(col("__key").cast("long").asc, col("rk").asc)
+    } {
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE vec_id % 101 = 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE vec_id % 101 <> 0),
+        |s AS (SELECT q.vec_id qk, b.vec_id bk,
+        |        1.0 - list_cosine_similarity(q.v, b.v) AS d FROM q CROSS JOIN b),
+        |r AS (SELECT CAST(qk AS VARCHAR) AS __key,
+        |        CAST(row_number() OVER (PARTITION BY qk
+        |          ORDER BY d ASC, CAST(bk AS VARCHAR) ASC) AS DOUBLE) AS rk,
+        |        CAST(bk AS VARCHAR) AS neighbor, round(d, 4) AS distance
+        |      FROM s)
+        |SELECT * FROM r WHERE rk <= 3
+        |ORDER BY CAST(__key AS BIGINT) ASC, rk ASC""".stripMargin
+    },
+
     // Int8 scalar quantization (4× smaller corpus scans): the contract
     // is the two-stage recall property — quantized first stage + exact
     // re-rank must recover ≥ 0.9 of the exact float32 top-10. Grid
     // error bounds and re-rank exactness are pinned in PipelineSpec.
     q("p_ann_sq_recall") { (s, dir) =>
-      val e = embs(s, dir)
-      val qv = Array.tabulate(64)(i => (i % 16) * 0.125f - 1.0f)
-      val sq = Ann.topKSq(Ann.sqQuantize(e, "embedding"),
-        "vec_id", "embedding", qv, k = 10, metric = "L2")
-      val exact = Ann.topK(e, "vec_id", "embedding", qv, k = 10, metric = "L2")
-      val overlap = sq.select(col("__key"))
-        .intersect(exact.select(col("__key"))).count()
-      val n = sq.count()
+      val got = Ann.topKSq(Ann.sqQuantize(embs(s, dir), "embedding"),
+          "vec_id", "embedding", SqQueryVec, k = 10, metric = "L2")
+        .select("__key").collect().map(_.getString(0))
+      val exact = exactSqTop(s, dir)
       val sp = s
       import sp.implicits._
-      Seq((n.toDouble, overlap.toDouble / 10.0 >= 0.9))
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / 10.0 >= 0.9))
         .toDF("n_results", "recall_ok")
     } {
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
     },
 
-    // Quantized k-NN join: int8 first stage + exact re-rank. Same
-    // recall-property oracle shape as the other approximate joins.
+    // Quantized k-NN join: int8 first stage + exact re-rank. Recall is
+    // judged against the MEMOIZED exact join pairs, so the bench
+    // median measures the quantized operator (round-5 verdict: the old
+    // gate ran the exact join + two counts + an intersect per rep).
     q("p_ann_join_sq") { (s, dir) =>
       val e = embs(s, dir)
-      val queries = e.filter(col("vec_id") % 101 === 0)
-      val base = e.filter(col("vec_id") % 101 =!= 0)
-      val sq = Ann.knnJoinSq(queries, "vec_id", "embedding",
-        Ann.sqQuantize(base, "embedding"), "vec_id", "embedding",
-        k = 5, metric = "L2")
-      val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
-        base, "vec_id", "embedding", k = 5, metric = "L2")
-      val shared = sq.select(col("__key"), col("neighbor"))
-        .intersect(exact.select(col("__key"), col("neighbor"))).count()
-      val n = sq.count()
+      val got = Ann.knnJoinSq(
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        Ann.sqQuantize(e.filter(col("vec_id") % 101 =!= 0), "embedding"),
+        "vec_id", "embedding", k = 5, metric = "L2")
+        .select("__key", "neighbor").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val (exact, exactN) = exactJoinPairs(s, dir)
       val sp = s
       import sp.implicits._
-      Seq((n.toDouble, shared.toDouble / math.max(1L, exact.count()) >= 0.9))
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / math.max(1L, exactN) >= 0.9))
         .toDF("n_rows", "recall_ok")
     } {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 101 = 0) * 5
@@ -313,18 +484,16 @@ object PipelineQueries {
     // model, deleted-node exclusion) is pinned in PipelineSpec.
     q("p_ann_join_nsw") { (s, dir) =>
       val e = embs(s, dir)
-      val queries = e.filter(col("vec_id") % 101 === 0)
-      val base = e.filter(col("vec_id") % 101 =!= 0)
-      val nsw = Ann.knnJoinNsw(nswIdx(s, dir), queries, "vec_id", "embedding",
+      val got = Ann.knnJoinNsw(nswIdx(s, dir),
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
         k = 5, ef = 200)
-      val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
-        base, "vec_id", "embedding", k = 5, metric = "L2")
-      val shared = nsw.select(col("__key"), col("neighbor"))
-        .intersect(exact.select(col("__key"), col("neighbor"))).count()
-      val n = nsw.count()
+        .select("__key", "neighbor").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val (exact, exactN) = exactJoinPairs(s, dir)
       val sp = s
       import sp.implicits._
-      Seq((n.toDouble, shared.toDouble / math.max(1L, exact.count()) >= 0.9))
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / math.max(1L, exactN) >= 0.9))
         .toDF("n_rows", "recall_ok")
     } {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 101 = 0) * 5
@@ -422,15 +591,40 @@ object PipelineQueries {
         |FROM a ORDER BY CAST(doc_id AS BIGINT) ASC LIMIT 400""".stripMargin
     },
 
-    // Winnowing fingerprint is defined via xxhash64 → rows-only gate;
-    // determinism and near-dup sharing pinned by PipelineSpec.
-    qNoOracle("p_fingerprint") { (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id").cast("string").as("__key"),
-          TextMetrics.fingerprintDigest("text").as("fp_digest"),
-          size(TextMetrics.fingerprint("text")).cast("double").as("fp_size"))
-        .orderBy(col("__key").asc)
-        .limit(300)
+    // Winnowing is DEFINED via xxhash64, so the gate pins the
+    // properties a fingerprint exists for instead of hash values
+    // (round-5 verdict): (1) it is a FUNCTION of content — docs with
+    // identical text must share a digest (the corpus has exact-dup
+    // groups; p_dedup_exact pins them); (2) near-duplicates share most
+    // fingerprints — appending one token to a doc keeps fingerprint
+    // Jaccard ≥ 0.65 (measured 0.727-0.792 min across sf0.001-0.1;
+    // winnowing guarantee: every shared substring of ≥ k+w-1 chars
+    // shares a fingerprint, so only tail-window fingerprints can
+    // differ). Counts are SQL-predictable.
+    q("p_fingerprint") { (s, dir) =>
+      val d = docs(s, dir)
+      val consistent = d
+        .select(md5(col("text")).as("h"),
+          TextMetrics.fingerprintDigest("text").as("fp"))
+        .groupBy("h").agg(countDistinct("fp").as("n"))
+        .agg(max("n")).collect()(0).getLong(0) == 1L
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("text2", concat(col("text"), lit(" plantedtail")))
+      val minJac = planted
+        .select((size(array_intersect(TextMetrics.fingerprint("text"),
+            TextMetrics.fingerprint("text2"))).cast("double") /
+          size(array_union(TextMetrics.fingerprint("text"),
+            TextMetrics.fingerprint("text2")))).as("j"))
+        .agg(min("j")).collect()(0).getDouble(0)
+      val nPlanted = planted.count()
+      val sp = s
+      import sp.implicits._
+      Seq((nPlanted.toDouble, consistent, minJac >= 0.65))
+        .toDF("n_docs", "digest_consistent", "neardup_jaccard_ok")
+    } {
+      """SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  TRUE AS digest_consistent, TRUE AS neardup_jaccard_ok
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
     },
 
     // -------------------- curation --------------------------------- //

@@ -648,6 +648,88 @@ case class RepetitionStats(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+ * in ONE row-local pass: xxhash64 of every k-char (code-point) gram —
+ * the same `xxhash64('fp', substr(text, i, k))` chain the HOF
+ * formulation computed — then the minimum of each w-gram window via a
+ * monotonic deque (O(chars) total), distinct + sorted ascending.
+ * Replaces a `transform(sequence)` formulation that textually inlined
+ * the grams array into the window lambda, re-evaluating ALL gram
+ * hashes for every window position: O(chars × w) interpreted lambda
+ * evals per row (measured: minutes over a 5k-doc corpus; this
+ * expression makes it one linear scan). Texts shorter than k+w-1
+ * chars fingerprint to the empty array.
+ */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  // seed chain parity with xxhash64('fp', gram): seed 42 hashes 'fp',
+  // the result seeds each gram hash
+  private val FpSeed: Long = {
+    val fp = UTF8String.fromString("fp")
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      fp.getBaseObject, fp.getBaseOffset, fp.numBytes(), 42L)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val nBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // code-point byte offsets (substr semantics are code-point-based)
+    val starts = new Array[Int](s.numChars() + 1)
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      starts(nChars) = b
+      b += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      nChars += 1
+    }
+    starts(nChars) = nBytes
+    val nGrams = nChars - k + 1
+    val nWins = nGrams - w + 1
+    if (nWins <= 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.empty[Long])
+    val mins = new Array[Long](nWins)
+    var out = 0
+    // monotonic deque of gram indices; values grow toward the tail
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, off + starts(i), starts(i + k) - starts(i), FpSeed)
+      hashes(i) = h
+      while (tail > head && hashes(deque(tail - 1)) >= h) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) { mins(out) = hashes(deque(head)); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var distinct = 0
+    i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(distinct) = mins(i); distinct += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(mins, distinct))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object MinHashSig {
   val P: Long = 2147483647L // 2^31 − 1
 

@@ -61,6 +61,9 @@ package object functions {
   /** Duplicate-line repetition stats struct (one JVM pass). */
   def repetition_stats(text: Column): Column =
     expr2col(RepetitionStats(col2expr(text)))
+  /** Winnowing fingerprint: sorted-distinct window-min gram hashes. */
+  def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
+    expr2col(WinnowFingerprint(col2expr(text), k, w))
   /** Int8 scalar-quantize a float vector → (scale, code) struct. */
   def sq_encode(vec: Column): Column =
     expr2col(SqEncode(col2expr(vec)))

@@ -181,6 +181,152 @@ object Ann {
 
   // --------------------------- k-NN join --------------------------- //
 
+  /** Measured shape inputs to [[choosePlan]]: row counts, vector
+    * dimensionality, and the clustering statistic from [[probeShape]].
+    * `nnRatio` = mean nearest-neighbor distance / mean pairwise
+    * distance over a bounded hash-ordered sample — near 0 on clustered
+    * corpora (each point has a same-cluster neighbor), near 1 on
+    * uniform high-dim vectors (concentration of measure: everything is
+    * equidistant). */
+  final case class JoinShape(nQueries: Long, nBase: Long, dim: Int,
+                             nnRatio: Double)
+
+  /**
+   * Measure the shape [[choosePlan]] decides from: two counts (parquet
+   * metadata-cheap; the join itself scans both inputs anyway, so the
+   * planning overhead is bounded and one-shot, unlike the per-query
+   * plan-time jobs [[graft.engine.PostingStats]] exists to avoid) and
+   * one bounded sample job for the clustering statistic.
+   */
+  def probeShape(queries: DataFrame, qVec: String,
+                 base: DataFrame, bVec: String,
+                 sampleSize: Int = 512): JoinShape = {
+    val nq = queries.count()
+    val nb = base.count()
+    // hash-ordered sample: deterministic + layout-independent, same
+    // argument as [[kmeansCentroids]]
+    val sample = base.select(col(bVec).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__v")).asc)
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = if (sample.isEmpty) 0 else sample(0).length
+    JoinShape(nq, nb, dim, nnRatioOf(sample))
+  }
+
+  /** mean(nearest-neighbor L2) / mean(pairwise L2) over a sample
+    * (driver-side, O(n²) on ≤ sampleSize rows). 1.0 when the sample
+    * is too small to measure. */
+  private[pipeline] def nnRatioOf(sample: Array[Array[Double]]): Double = {
+    val n = sample.length
+    if (n < 8) return 1.0
+    var pairSum = 0.0
+    val nn = Array.fill(n)(Double.MaxValue)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = math.sqrt(sq(sample(i), sample(j)))
+        pairSum += d
+        if (d < nn(i)) nn(i) = d
+        if (d < nn(j)) nn(j) = d
+        j += 1
+      }
+      i += 1
+    }
+    val meanPair = pairSum / (n.toLong * (n - 1) / 2)
+    if (meanPair <= 0.0) 1.0 else (nn.sum / n) / meanPair
+  }
+
+  /**
+   * Plan choice from measured shape — the analogue of the reference
+   * query planner's data-driven hybrid choice (it picks pre-filter vs
+   * inline-filter from the qualified-count ratio,
+   * src/query/planner.cc:21-46); here the decision is which k-NN join
+   * physical plan wins, using the regime boundaries measured in the
+   * round-5 sweep (STATUS "k-NN join plan selection"):
+   *
+   *  1. `"exact"` when the scored cross product is small — exact is
+   *     Θ(|q|·|b|·dim) in a tight JVM loop and beat both approximate
+   *     plans up to ~2e10 score-flops in the sweep (the default
+   *     budget; at 32 threads that is a few seconds of scoring).
+   *  2. `"ivf"` when the query side is too large to broadcast —
+   *     the cogroup join is the only plan that shuffles instead of
+   *     broadcasting the batch.
+   *  3. `"ivf"` when the corpus is CLUSTERED (nnRatio below the
+   *     threshold): cell pruning preserves recall there (measured
+   *     r=1.0 at 16/256 probes) and wins the sweep's big batches.
+   *  4. `"nsw"` on unstructured corpora when a graph exists —
+   *     beam search holds r≈1.0 where cell pruning collapses to
+   *     r≈0.45; else `"sq"` for L2/IP (int8 scan + exact re-rank:
+   *     recall bounded by the re-rank margin, 4× less scan I/O),
+   *     falling back to `"exact"` for cosine without a graph.
+   */
+  def choosePlan(shape: JoinShape, nswAvailable: Boolean,
+                 metric: String = "COSINE",
+                 exactFlopBudget: Double = 2e10,
+                 broadcastQueryLimit: Long = 250000,
+                 clusteredBelow: Double = 0.45): String = {
+    val flops = shape.nQueries.toDouble * shape.nBase * math.max(1, shape.dim)
+    if (flops <= exactFlopBudget) "exact"
+    else if (shape.nQueries > broadcastQueryLimit) "ivf"
+    else if (shape.nnRatio < clusteredBelow) "ivf"
+    else if (nswAvailable) "nsw"
+    else if (metric == "L2" || metric == "IP") "sq"
+    else "exact"
+  }
+
+  /**
+   * Auto-plan k-NN join facade: measures the input shape
+   * ([[probeShape]]), picks the physical plan ([[choosePlan]] — pass
+   * `plan` to override), and dispatches to [[knnJoinExact]] /
+   * [[knnJoinIvf]] / [[knnJoinNsw]] / [[knnJoinSq]]. Output schema is
+   * identical across plans: `(__key, rk, neighbor, distance)`.
+   *
+   * IVF cell/probe defaults scale with the corpus (√|base| cells,
+   * 1/8 probed — the sweep's 16/256-style shape) and are overridable;
+   * NSW is only chosen when the caller supplies a maintained graph
+   * (building one inside a join would hide an index build in query
+   * cost).
+   */
+  def knnJoin(queries: DataFrame, qKey: String, qVec: String,
+              base: DataFrame, bKey: String, bVec: String,
+              k: Int, metric: String = "COSINE",
+              plan: Option[String] = None,
+              nsw: Option[Nsw.NswIndex] = None,
+              ef: Int = 200,
+              nCells: Option[Int] = None,
+              nProbe: Option[Int] = None): DataFrame = {
+    val chosen = plan.getOrElse(
+      choosePlan(probeShape(queries, qVec, base, bVec),
+        nswAvailable = nsw.isDefined, metric = metric))
+    chosen match {
+      case "exact" =>
+        knnJoinExact(queries, qKey, qVec, base, bKey, bVec, k, metric)
+      case "ivf" =>
+        val cells = nCells.getOrElse {
+          val nb = base.count()
+          math.min(4096, math.max(16, math.sqrt(nb.toDouble).toInt))
+        }
+        knnJoinIvf(queries, qKey, qVec, base, bKey, bVec, k,
+          nCells = cells, nProbe = nProbe.getOrElse(math.max(4, cells / 8)),
+          metric = metric)
+      case "nsw" =>
+        knnJoinNsw(nsw.getOrElse(throw new IllegalArgumentException(
+          "plan=nsw requires a maintained Nsw index")), queries, qKey, qVec,
+          k, ef)
+      case "sq" =>
+        require(metric == "L2" || metric == "IP",
+          s"plan=sq supports L2|IP, got $metric")
+        val quantized =
+          if (base.columns.contains("__sq")) base else sqQuantize(base, bVec)
+        knnJoinSq(queries, qKey, qVec, quantized, bKey, bVec, k, metric)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown k-NN join plan '$other' (exact|ivf|nsw|sq)")
+    }
+  }
+
   /**
    * Bounded top-k aggregate (the SURVEY §2.9 `Aggregator[IN,BUF,OUT]`
    * extension point): the buffer holds AT MOST k (distance, key) pairs

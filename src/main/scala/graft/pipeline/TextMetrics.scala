@@ -96,14 +96,6 @@ object TextMetrics {
     }
   }
 
-  /**
-   * Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
-   * public algorithm): rolling-hash every `k`-char gram, take the
-   * minimum in each sliding window of `w` hashes, dedupe. Near-identical
-   * documents share most fingerprint hashes. Returns sorted
-   * array<long>, deterministic. Built as a SQL expression because
-   * `substr` with a column offset has no literal-only Scala binding.
-   */
   /** Gopher-style duplicate-line stats struct (`n_lines`,
     * `dup_line_frac`, `dup_char_frac`) — the repetition quality
     * signals corpus filters cut on. One row-local JVM pass
@@ -111,15 +103,18 @@ object TextMetrics {
   def repetitionStats(text: Column): Column =
     graft.functions.repetition_stats(text)
 
-  def fingerprint(textColName: String, k: Int = 8, w: Int = 4): Column = {
-    val grams =
-      s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 0)), " +
-        s"i -> xxhash64('fp', substr($textColName, i, $k)))"
-    val mins =
-      s"transform(sequence(1, greatest(size($grams) - ${w - 1}, 0)), " +
-        s"j -> array_min(slice($grams, j, $w)))"
-    expr(s"array_sort(array_distinct($mins))")
-  }
+  /**
+   * Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
+   * public algorithm): xxhash64 every `k`-char gram, take the minimum
+   * in each sliding window of `w` hashes, dedupe. Near-identical
+   * documents share most fingerprint hashes. Returns sorted
+   * array<long>, deterministic. One row-local JVM pass with a
+   * monotonic deque ([[graft.functions.WinnowFingerprint]]) — the
+   * previous HOF formulation re-evaluated every gram hash per window
+   * position (O(chars × w) interpreted lambdas per row).
+   */
+  def fingerprint(textColName: String, k: Int = 8, w: Int = 4): Column =
+    graft.functions.winnow_fingerprint(col(textColName), k, w)
 
   /** One-long digest of the winnowing fingerprint (for compact joins). */
   def fingerprintDigest(textColName: String, k: Int = 8, w: Int = 4): Column =

@@ -807,6 +807,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sq.intersect(exact).size >= 9, s"recall broke: ${sq.intersect(exact).size}/10")
   }
 
+  test("knnJoin auto-plan: choosePlan pins the measured sweep regimes") {
+    import Ann.{JoinShape, choosePlan}
+    // regime 1 (sweep: exact beat both approximate plans below ~2e10
+    // score-flops — its mid batch 962×92.3k×32 ≈ 2.8e9 → exact; the
+    // big clustered batch 7693×92.3k×32 ≈ 2.3e10 is past the budget
+    // and IVF measured faster there, 2.5 vs 3.3 s): small cross
+    // product → exact regardless of shape, boundary+clustered → ivf
+    assert(choosePlan(JoinShape(100, 10000, 32, 0.9), nswAvailable = true) == "exact")
+    assert(choosePlan(JoinShape(962, 92300, 32, 0.2), nswAvailable = true) == "exact")
+    assert(choosePlan(JoinShape(7693, 92300, 32, 0.2), nswAvailable = true) == "ivf")
+    // regime 2: query side beyond broadcast → ivf (the only plan that
+    // shuffles the batch instead of broadcasting it)
+    assert(choosePlan(JoinShape(1000000, 100000000L, 32, 0.9), nswAvailable = true) == "ivf")
+    // regime 3 (sweep: clustered corpus → IVF r=1.0 where NSW needs
+    // ef=400 for 0.92): clustered → ivf
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.2), nswAvailable = true) == "ivf")
+    // regime 4 (sweep: uniform corpus → IVF r≈0.45, NSW r≈1.0):
+    // uniform → nsw with a graph, sq without one (L2/IP), exact-cosine
+    // fallback without either
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = true) == "nsw")
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = false,
+      metric = "L2") == "sq")
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = false,
+      metric = "COSINE") == "exact")
+  }
+
+  test("probeShape separates clustered from uniform corpora; facade matches exact") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // clustered: 3 tight clusters far apart → nnRatio near 0
+    val clustered = (0 until 3).flatMap { c =>
+      (0 until 400).map { i =>
+        (c * 400L + i, Array.tabulate(16)(j =>
+          (c * 20.0 + rnd.nextGaussian() * 0.05 + j * 0.01).toFloat))
+      }
+    }.toDF("id", "vec")
+    // uniform high-dim: concentration of measure → nnRatio near 1
+    val uniform = (0 until 1200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+    val qs = uniform.limit(5)
+    val shapeC = Ann.probeShape(qs, "vec", clustered, "vec")
+    val shapeU = Ann.probeShape(qs, "vec", uniform, "vec")
+    assert(shapeC.nnRatio < 0.45, s"clustered nnRatio ${shapeC.nnRatio}")
+    assert(shapeU.nnRatio > 0.45, s"uniform nnRatio ${shapeU.nnRatio}")
+    assert(shapeC.dim == 16 && shapeC.nBase == 1200)
+    // end-to-end facade: auto choice on a small corpus is the exact
+    // plan and matches knnJoinExact bit-for-bit
+    val auto = Ann.knnJoin(qs, "id", "vec", uniform, "id", "vec",
+      k = 3, metric = "L2").collect().map(_.toSeq).toSeq
+    val exact = Ann.knnJoinExact(qs, "id", "vec", uniform, "id", "vec",
+      k = 3, metric = "L2").collect().map(_.toSeq).toSeq
+    assert(auto == exact)
+  }
+
   test("kmeans centroids and drift baseline are input-layout-invariant") {
     val sp = spark
     import sp.implicits._
