@@ -297,15 +297,16 @@ object Ann {
               ef: Int = 200,
               nCells: Option[Int] = None,
               nProbe: Option[Int] = None): DataFrame = {
+    // lazy: an explicit plan + explicit cells never pays the probe
+    lazy val shape = probeShape(queries, qVec, base, bVec)
     val chosen = plan.getOrElse(
-      choosePlan(probeShape(queries, qVec, base, bVec),
-        nswAvailable = nsw.isDefined, metric = metric))
+      choosePlan(shape, nswAvailable = nsw.isDefined, metric = metric))
     chosen match {
       case "exact" =>
         knnJoinExact(queries, qKey, qVec, base, bKey, bVec, k, metric)
       case "ivf" =>
         val cells = nCells.getOrElse {
-          val nb = base.count()
+          val nb = if (plan.isEmpty) shape.nBase else base.count()
           math.min(4096, math.max(16, math.sqrt(nb.toDouble).toInt))
         }
         knnJoinIvf(queries, qKey, qVec, base, bKey, bVec, k,
