@@ -371,4 +371,168 @@ object Dedup {
       .select(col("key_a").cast("string").as("key_a"),
         col("key_b").cast("string").as("key_b"), col("cosine"))
   }
+
+  // ---- transitive duplicate resolution (connected components) ---- //
+
+  /**
+   * Connected components of the near-dup pair graph: every node
+   * labeled with the least key (string order) of its component —
+   * `(key, cluster)` with `cluster` the canonical representative.
+   *
+   * Alternating large-star / small-star (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC 2014): both rounds are
+   * a groupBy-min plus a join against that min table — no per-node
+   * neighbor arrays, so a hot node (one doc near-duplicated a million
+   * times) costs a shuffle key, not an executor OOM. Converges in
+   * O(log² n) rounds; each round's result is `localCheckpoint`ed to
+   * truncate the iterative-join lineage, and convergence is an exact
+   * symmetric-difference check, not a hash heuristic.
+   *
+   * Scale shape: this runs on the PAIR graph — |pairs| rows, the
+   * output of a detector, tiny relative to the corpus (only detected
+   * duplicates appear at all). The corpus itself is never touched.
+   *
+   * Why not [[dropNearDups]]: greedy pair-removal is not transitive —
+   * with pairs (a,c),(b,c) it keeps BOTH a and b even though they sit
+   * in one duplicate component. Components are the policy used by the
+   * published large-scale text dedup pipelines; pair-greedy is the
+   * cheap approximation.
+   *
+   * Two physical paths, one semantics (spec-pinned equal): a pair
+   * graph at or below `localEdgeThreshold` distinct edges collects to
+   * the driver and resolves with union-find — the bounded-collect
+   * pattern the broadcast joins use, and the right plan for the
+   * common case where detectors emit thousands of pairs, not
+   * billions (star rounds on a tiny graph pay per-round scheduling
+   * for nothing). Above it, the distributed star rounds run; a 100 TB
+   * corpus whose detector emits billions of pairs never touches the
+   * driver.
+   *
+   * @param pairs (key_a, key_b, ...) from any detector in this object
+   * @param localEdgeThreshold distinct-edge count at or below which
+   *        the driver union-find path runs (default 2M edges ≈ 100 MB
+   *        of keys — same order as a broadcast threshold); 0 forces
+   *        the distributed path
+   */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+                  localEdgeThreshold: Long = 2L << 20): DataFrame = {
+    // large-star: every node connects its larger neighbors to its
+    // (self-inclusive) min neighbor — long tails collapse toward roots
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = b.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      b.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v")).distinct()
+    }
+    // small-star: edges directed (greater → smaller); every node
+    // reconnects its smaller neighbors (and itself) to its min one
+    def smallStar(e: DataFrame): DataFrame = {
+      val b = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val m = b.groupBy("u").agg(min(col("v")).as("__m"))
+      b.join(m, "u").filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(m.select(col("u"), col("__m").as("v")))
+        .distinct()
+    }
+    var e = pairs
+      .select(col("key_a").cast("string").as("u"),
+        col("key_b").cast("string").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    if (e.count() <= localEdgeThreshold) {
+      val edges = e.collect().map(r => (r.getString(0), r.getString(1)))
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      return nodes.iterator.map(n => (n, find(n))).toSeq
+        .toDF("key", "cluster")
+    }
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.except(e).unionByName(e.except(next)).isEmpty
+      e = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters star rounds")
+    // fixpoint = one star per component, rooted at the component min:
+    // every edge is (member, root); roots label themselves
+    e.select(col("u").as("key"), col("v").as("cluster"))
+      .unionByName(e.select(col("v"), col("v")).distinct()
+        .toDF("key", "cluster"))
+  }
+
+  /**
+   * Transitive near-dup removal: keep exactly ONE document per
+   * connected component of the pair graph (the component's canonical
+   * representative from [[dupClusters]]) plus every unpaired
+   * document. Strictly stronger than [[dropNearDups]]'s greedy
+   * policy — see [[dupClusters]] for the chain case greedy misses.
+   */
+  def dedupTransitive(df: DataFrame, keyCol: String,
+                      pairs: DataFrame): DataFrame = {
+    val losers = dupClusters(pairs)
+      .filter(col("key") =!= col("cluster")).select(col("key").as("__loser"))
+    df.join(losers, col(keyCol).cast("string") === col("__loser"), "left_anti")
+  }
+
+  // ---- semantic (embedding-cluster) dedup ------------------------ //
+
+  /**
+   * Within-cell embedding near-dup pairs — the SemDeDup recipe (Abbas
+   * et al. 2023, arXiv:2303.09540): k-means-cluster the embedding
+   * space, then compute exact cosine ONLY within a cell. The
+   * clustering is the candidate generator — the role LSH bands play
+   * in [[embeddingNearDupsLsh]], but aligned with the corpus's own
+   * semantic structure: near-identical embeddings concentrate in one
+   * cell (identical ones provably do), which is exactly where
+   * semantic duplicates live. Pair work is bounded by the largest
+   * cell, never n²; both join sides shuffle once on `cell`.
+   *
+   * Centroids come from [[Ann.kmeansCentroids]] (deterministic
+   * hash-ordered sample + farthest-point init — layout-invariant);
+   * assignment is the codegen'd one-pass argmin. Reported pairs carry
+   * EXACT cosine (precision 1.0 by construction); recall is bounded
+   * by cell splitting of true near-pairs, the measured property the
+   * gate pins.
+   */
+  def semanticNearDups(df: DataFrame, keyCol: String, vecCol: String,
+                       minCosine: Double = 0.95,
+                       nCells: Int = 16): DataFrame = {
+    val centroids = Ann.kmeansCentroids(df, vecCol, nCells)
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("cell", Ann.cellId(col("v"), centroids))
+    base.as("a").join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.k") < col("b.k"))
+      .withColumn("cosine", cosineSim(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("cosine"))
+  }
+
+  /** SemDeDup end-to-end: within-cell pairs → components → keep one
+    * representative per component plus all unpaired rows. */
+  def semanticDedup(df: DataFrame, keyCol: String, vecCol: String,
+                    minCosine: Double = 0.95, nCells: Int = 16): DataFrame =
+    dedupTransitive(df, keyCol,
+      semanticNearDups(df, keyCol, vecCol, minCosine, nCells))
 }

@@ -893,4 +893,99 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nearest < 1.0, s"cluster $c unrepresented (nearest centroid $nearest away)")
     }
   }
+
+  // ---- connected components ------------------------------------- //
+
+  /** Reference CC labeling: per-node least reachable key, by BFS. */
+  private def ccModel(edges: Seq[(String, String)]): Map[String, String] = {
+    val adj = scala.collection.mutable.HashMap.empty[String, List[String]]
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val label = scala.collection.mutable.HashMap.empty[String, String]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!label.contains(start)) {
+        val comp = scala.collection.mutable.Set(start)
+        val queue = scala.collection.mutable.Queue(start)
+        while (queue.nonEmpty)
+          adj(queue.dequeue()).foreach(n =>
+            if (comp.add(n)) queue.enqueue(n))
+        val root = comp.min
+        comp.foreach(n => label(n) = root)
+      }
+    }
+    label.toMap
+  }
+
+  test("dupClusters: distributed star rounds == local union-find == BFS model") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    for (density <- Seq(0.5, 1.5, 3.0)) {
+      val n = 40
+      val edges = Seq.fill((n * density).toInt)(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).filter(p => p._1 != p._2)
+      val df = edges.toDF("key_a", "key_b")
+      val expected = ccModel(edges)
+      def got(threshold: Long): Map[String, String] =
+        Dedup.dupClusters(df, localEdgeThreshold = threshold).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got(1L << 20) == expected, s"local path wrong at density $density")
+      assert(got(0L) == expected, s"distributed path wrong at density $density")
+    }
+  }
+
+  test("dupClusters resolves a long chain (worst-diameter graph) transitively") {
+    val sp = spark; import sp.implicits._
+    // path graph a000-a001-...-a127: one component, root = a000
+    val edges = (0 until 127).map(i => (f"a$i%03d", f"a${i + 1}%03d"))
+    val clusters = Dedup.dupClusters(edges.toDF("key_a", "key_b"),
+        localEdgeThreshold = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters.size == 128 && clusters.values.forall(_ == "a000"))
+  }
+
+  test("dedupTransitive keeps one per component where greedy keeps two") {
+    val sp = spark; import sp.implicits._
+    // a-c and b-c pair, a-b never directly: one component {a,b,c}
+    val docs = Seq(("a", "x"), ("b", "y"), ("c", "z")).toDF("k", "t")
+    val pairs = Seq(("a", "c"), ("b", "c")).toDF("key_a", "key_b")
+    val greedy = Dedup.dropNearDups(docs, "k", pairs)
+      .select("k").collect().map(_.getString(0)).toSet
+    val transitive = Dedup.dedupTransitive(docs, "k", pairs)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(greedy == Set("a", "b"), "greedy drops only pair-greater keys")
+    assert(transitive == Set("a"), "components keep exactly one representative")
+  }
+
+  test("semanticNearDups: identical embeddings always pair; semanticDedup keeps one per component") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 blobs around ORTHOGONAL directions (10·e_{2b}) with noise wide
+    // enough that distinct members stay below cos 0.99 by a margin
+    // (angle ≈ 0.5 rad) while identical copies sit at exactly 1.0 —
+    // the only pairs at the threshold are the planted ones
+    val rows = for {
+      blob <- 0 until 3; i <- 0 until 12
+    } yield (s"b$blob-$i",
+      Array.tabulate(8)(j => ((if (j == 2 * blob) 10.0 else 0.0)
+        + rnd.nextGaussian() * 1.5).toFloat))
+    val planted = rows.filter(_._1.endsWith("-0")).map { case (k, v) => (s"copy-$k", v) }
+    val df = (rows ++ planted).toDF("k", "v")
+    val pairs = Dedup.semanticNearDups(df, "k", "v", minCosine = 0.99, nCells = 3)
+      .collect().map(r => Set(r.getString(0), r.getString(1)))
+    planted.foreach { case (ck, _) =>
+      val orig = ck.stripPrefix("copy-")
+      assert(pairs.exists(p => p(ck) && p(orig)), s"planted pair ($orig,$ck) missed")
+    }
+    val survivors = Dedup.semanticDedup(df, "k", "v", minCosine = 0.99, nCells = 3)
+      .select("k").collect().map(_.getString(0)).toSet
+    planted.foreach { case (ck, _) =>
+      val orig = ck.stripPrefix("copy-")
+      assert(survivors(ck) ^ survivors(orig), s"expected exactly one of ($orig,$ck)")
+    }
+    // non-duplicated rows all survive
+    rows.filterNot(_._1.endsWith("-0")).foreach { case (k, _) =>
+      assert(survivors(k), s"unpaired row $k dropped")
+    }
+  }
 }
