@@ -782,6 +782,44 @@ object PipelineQueries {
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin
     },
 
+    // CCNet-style LM quality score: unigram LM trained on the
+    // doc_id%10==0 reference split, remaining docs scored by mean
+    // token NLL. Fully deterministic and SQL-expressible, so the
+    // oracle recomputes the whole pipeline (counts, smoothing, NLL,
+    // perplexity) in DuckDB — exact up to 1e-6 rounding.
+    q("p_lm_ppl") { (s, dir) =>
+      val d = docs(s, dir)
+      val refC = Curation.lmCounts(d.filter(col("doc_id") % 10 === 0), "text")
+      Curation.lmScore(d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", refC)
+        .select(col("doc_id").cast("string").as("__key"),
+          col("n_tok").cast("double").as("n_tok"),
+          round(col("nll"), 6).as("nll"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("__key").cast("long").asc)
+    } {
+      """WITH ref AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 10 = 0)
+        |  WHERE token <> '' GROUP BY 1
+        |  ORDER BY cnt DESC, token ASC LIMIT 65536),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total,
+        |               count(*)::DOUBLE AS vocab FROM ref),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    -ln((coalesce(r.cnt, 0)::DOUBLE + 1.0)
+        |        / (tot.total + 1.0 * (tot.vocab + 1.0))) AS nll
+        |  FROM toks t LEFT JOIN ref r ON t.token = r.token CROSS JOIN tot
+        |  WHERE t.token <> '')
+        |SELECT CAST(doc_id AS VARCHAR) AS __key,
+        |  CAST(count(*) AS DOUBLE) AS n_tok,
+        |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+    },
+
     // -------------------- curation --------------------------------- //
 
     // PII is synthesized deterministically (the corpus has none): the

@@ -273,4 +273,64 @@ object Curation {
       .withColumn("chunk_id", floor(before / budget))
       .withColumn("chunk_offset", before % budget)
   }
+
+  // ---- LM-perplexity quality scoring (CCNet-style) --------------- //
+
+  /**
+   * Token unigram counts of a reference corpus, capped to the most
+   * frequent `vocabSize` tokens — the LM behind [[lmScore]]. Returns
+   * (token, cnt). The cap is a TakeOrdered (partition-local heaps, no
+   * global sort), so the relation is bounded by construction and
+   * AQE broadcasts it in the scoring join.
+   */
+  def lmCounts(ref: DataFrame, textCol: String,
+               vocabSize: Int = 65536): DataFrame =
+    ref.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+
+  /**
+   * CCNet-style language-model quality score (Wenzek et al. 2020,
+   * arXiv:1911.00359 — their filter ranks documents by the perplexity
+   * of a reference-corpus LM): score every document by the mean
+   * negative log-likelihood of its tokens under an add-k-smoothed
+   * unigram LM trained on `refCounts` ([[lmCounts]] output). Returns
+   * the input plus `n_tok` (scored tokens), `nll` (mean negative
+   * log-likelihood, natural log), `ppl` (exp nll — lower = closer to
+   * the reference distribution; empty docs score null).
+   *
+   * Scale shape: tokens explode map-side and join the BROADCAST count
+   * relation (bounded by vocabSize), then one groupBy on the doc key
+   * with partial aggregation — one shuffle of (key, partial-sum)
+   * pairs, never of text. The published filter uses a 5-gram KenLM;
+   * the unigram form keeps the engine dependency-free and
+   * SQL-oracle-able, and the plan shape (broadcast LM + map-side
+   * score + key-grouped mean) is identical to what a higher-order LM
+   * would need.
+   *
+   * @param addK add-k smoothing mass; unseen tokens get
+   *             addK / (total + addK·(vocab+1))
+   */
+  def lmScore(df: DataFrame, keyCol: String, textCol: String,
+              refCounts: DataFrame, addK: Double = 1.0): DataFrame = {
+    val totals = refCounts.agg(
+      sum(col("cnt")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__vocab"))
+    val toks = df.select(col(keyCol).as("__k"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val scored = toks
+      .join(broadcast(refCounts), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__k"),
+        (-log((coalesce(col("cnt").cast("double"), lit(0.0)) + lit(addK)) /
+          (col("__total") + lit(addK) * (col("__vocab") + lit(1.0))))).as("__nll"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n_tok"), avg("__nll").as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+    df.join(scored, col(keyCol) === col("__k"), "left")
+      .drop("__k")
+  }
 }

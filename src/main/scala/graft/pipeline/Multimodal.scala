@@ -415,12 +415,32 @@ object Multimodal {
     }
   }
 
-  /** Resize: metadata transform + payload rewrite (stub keeps bytes;
-    * a real impl re-encodes). Pure map — no shuffle, no collect. */
+  /** Resize: a decodable image payload is REALLY resampled
+    * (Graphics2D bilinear) and re-encoded as PNG, so a downstream
+    * [[ImageCodec.decode]] sees the new dimensions in the pixels, not
+    * just the metadata; an undecodable payload keeps its bytes with
+    * declared metadata updated (the standing codec-fallback
+    * contract). Pure map — no shuffle, no collect. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.map(m => m.copy(width = w, height = h))
+    media.map { m =>
+      val payload = ImageCodec.decode(m.payload) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        case None => m.payload
+      }
+      m.copy(width = w, height = h, payload = payload)
+    }
   }
 
   /**

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/**
+ * Scale rehearsal for the round-6 dedup-resolution operators (the
+ * gate pair graph has ~50 edges; these runs are 20k-80k× that):
+ *
+ * 1. `dupClusters` on synthetic pair graphs of 1M and 4M edges —
+ *    cliques (dup families) + 20-node chains (worst diameter) +
+ *    random noise edges — timing BOTH physical paths on the 1M graph
+ *    (driver union-find vs forced distributed star rounds; the
+ *    crossover evidence behind the 2M-edge threshold) and the
+ *    distributed path alone at 4M, with output equality checked.
+ * 2. `semanticDedup` end-to-end on 200k clustered 32-dim embeddings
+ *    with 5% planted identical copies: detection must be exact
+ *    (identical vectors share a cell by construction), so the
+ *    survivor count is a correctness check, not a property bound.
+ *
+ * Results recorded in STATUS ("dedup resolution at scale").
+ */
+object DedupSweep {
+  private def pairGraph(spark: SparkSession, nEdges: Long): DataFrame = {
+    // deterministic mix: 60% 5-cliques, 20% chains of 20, 20% noise
+    val cliq = (nEdges * 6 / 10) / 10 // 10 edges per 5-clique
+    val chains = (nEdges * 2 / 10) / 19
+    val noise = nEdges * 2 / 10
+    val cliques = spark.range(cliq).select(col("id")).as("c")
+      .select(col("id"), explode(expr(
+        "flatten(transform(sequence(0,3), i -> transform(sequence(i+1,4), j -> struct(i as a, j as b))))")).as("e"))
+      .select(concat(lit("q"), col("id"), lit("_"), col("e.a")).as("key_a"),
+        concat(lit("q"), col("id"), lit("_"), col("e.b")).as("key_b"))
+    val chainE = spark.range(chains).select(col("id"), explode(sequence(lit(0), lit(18))).as("i"))
+      .select(concat(lit("c"), col("id"), lit("_"), col("i")).as("key_a"),
+        concat(lit("c"), col("id"), lit("_"), col("i") + 1).as("key_b"))
+    val noiseE = spark.range(noise)
+      .select(concat(lit("r"), pmod(hash(col("id"), lit(1)), lit(2000000))).as("key_a"),
+        concat(lit("r"), pmod(hash(col("id"), lit(2)), lit(2000000))).as("key_b"))
+    cliques.unionByName(chainE).unionByName(noiseE)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"OP $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+    }
+
+    for (m <- Seq(1, 4)) {
+      val g = pairGraph(spark, m * 1000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"pair graph ${m}M: ${g.count()} edges")
+      var local: DataFrame = null
+      if (m == 1) {
+        t(s"dupClusters ${m}M local union-find") {
+          local = Dedup.dupClusters(g).persist(); local.count()
+        }
+      }
+      var dist: DataFrame = null
+      t(s"dupClusters ${m}M distributed stars") {
+        dist = Dedup.dupClusters(g, localEdgeThreshold = 0).persist(); dist.count()
+      }
+      if (local != null) {
+        val diff = dist.unionByName(local).distinct().count() - dist.count()
+        println(s"  path equality: symdiff-extra $diff (expect 0)")
+        local.unpersist()
+      }
+      dist.unpersist(); g.unpersist()
+    }
+
+    // semanticDedup at 200k: 2000 natural clusters, 5% identical copies
+    val n = 200000L
+    val off = 10000000L
+    val vec = expr(
+      """transform(sequence(0, 31), j -> cast(
+        |  (pmod(hash(pmod(id, 2000), j), 1000) / 50.0) +
+        |  (pmod(hash(pmod(id, 10000000), j, 7), 100) / 25.0) as float))"""
+        .stripMargin)
+    val base = spark.range(n).select(col("id"), vec.as("v"))
+    val copies = spark.range(n).filter(col("id") % 20 === 0)
+      .select((col("id") + off).as("id"), vec.as("v"))
+    val corpus = base.unionByName(copies)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = corpus.count()
+    println(s"semdedup corpus: $total rows (planted ${total - n})")
+    t("semanticNearDups 200k nCells=512") {
+      Dedup.semanticNearDups(corpus, "id", "v", minCosine = 0.999, nCells = 512).count()
+    }
+    t("semanticDedup 200k end-to-end") {
+      val survivors = Dedup.semanticDedup(corpus, "id", "v",
+        minCosine = 0.999, nCells = 512).count()
+      println(s"  survivors: $survivors (expect ${n} if only planted pairs fire)")
+      survivors
+    }
+    spark.stop()
+  }
+}

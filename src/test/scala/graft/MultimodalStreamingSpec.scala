@@ -168,6 +168,24 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.length == 3 && r.forall(m => m.width == 128 && m.height == 96))
   }
 
+  test("resize really resamples decodable images: decoded dims change, content survives") {
+    val sp = spark; import sp.implicits._
+    val split = encodeImg(64, 64, "png")((x, _) => if (x < 32) 0 else 0xFFFFFF)
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, split)).toDF("id", "payload"), "id", "payload")
+    val resized = Multimodal.resize(media, 16, 8)
+    val f = Multimodal.imageFeatures(resized, dim = 16).collect().head
+    // decoded-from-pixels dimensions, not just declared metadata
+    assert(f.width == 16 && f.height == 8, s"got ${f.width}x${f.height}")
+    // bilinear downscale preserves the halves and the global mean
+    assert(math.abs(f.mean_intensity - 127.5) < 10.0, s"mean ${f.mean_intensity}")
+    val emb = f.embedding
+    (0 until 4).foreach { r =>
+      assert(emb(r * 4) < 0.15f, s"left cell bright after resize: ${emb(r * 4)}")
+      assert(emb(r * 4 + 3) > 0.85f, s"right cell dark after resize: ${emb(r * 4 + 3)}")
+    }
+  }
+
   test("frame sampling explodes per duration without driver loops") {
     val media = Multimodal.syntheticMedia(
       mediaDs.toDF().select(col("media_id").as("id"), col("payload")), "id", "payload",

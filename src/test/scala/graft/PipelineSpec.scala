@@ -988,4 +988,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(survivors(k), s"unpaired row $k dropped")
     }
   }
+
+  test("lmScore: hand-computed add-1 unigram NLL and perplexity; OOV-heavy docs rank worse") {
+    val sp = spark; import sp.implicits._
+    val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val counts = Curation.lmCounts(ref, "text")
+    // counts: a=2, b=1; total=3, vocab=2
+    // p(a)=(2+1)/(3+3)=1/2, p(b)=(1+1)/6=1/3, p(unseen)=1/6
+    val scored = Curation.lmScore(
+        Seq((1L, "a b c"), (2L, "a a a"), (3L, "x y z"), (4L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", counts)
+      .select("doc_id", "n_tok", "nll", "ppl").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val expNll = -(math.log(0.5) + math.log(1.0 / 3) + math.log(1.0 / 6)) / 3
+    assert(scored(1L).getLong(1) == 3L)
+    assert(math.abs(scored(1L).getDouble(2) - expNll) < 1e-12)
+    assert(math.abs(scored(1L).getDouble(3) - math.exp(expNll)) < 1e-9)
+    // all-in-vocab doc beats mixed beats all-OOV
+    assert(scored(2L).getDouble(3) < scored(1L).getDouble(3))
+    assert(scored(1L).getDouble(3) < scored(3L).getDouble(3))
+    // all-OOV = uniform unseen mass: ppl = 1/p(unseen) = 6
+    assert(math.abs(scored(3L).getDouble(3) - 6.0) < 1e-9)
+    // empty doc: no scored tokens -> null metrics, row preserved
+    assert(scored(4L).isNullAt(1) && scored(4L).isNullAt(3))
+  }
 }
