@@ -297,14 +297,19 @@ object Curation {
    * of a reference-corpus LM): score every document by the mean
    * negative log-likelihood of its tokens under an add-k-smoothed
    * unigram LM trained on `refCounts` ([[lmCounts]] output). Returns
-   * the input plus `n_tok` (scored tokens), `nll` (mean negative
-   * log-likelihood, natural log), `ppl` (exp nll — lower = closer to
-   * the reference distribution; empty docs score null).
+   * the SCORES relation `(keyCol, n_tok, nll, ppl)` — one row per
+   * document with at least one token (lower ppl = closer to the
+   * reference distribution). Deliberately NOT joined back onto the
+   * input: scores are metadata-sized and the corpus should never
+   * shuffle its text for a score lookup — the caller joins (or
+   * semi-joins a ppl threshold) only where the use case needs it,
+   * the same contract as [[removeBoilerplateLines]].
    *
    * Scale shape: tokens explode map-side and join the BROADCAST count
    * relation (bounded by vocabSize), then one groupBy on the doc key
-   * with partial aggregation — one shuffle of (key, partial-sum)
-   * pairs, never of text. The published filter uses a 5-gram KenLM;
+   * with partial aggregation — explode preserves row locality, so
+   * each doc contributes one partial per partition and the shuffle
+   * carries (key, partial) pairs, never text. The published filter uses a 5-gram KenLM;
    * the unigram form keeps the engine dependency-free and
    * SQL-oracle-able, and the plan shape (broadcast LM + map-side
    * score + key-grouped mean) is identical to what a higher-order LM
@@ -330,7 +335,6 @@ object Curation {
       .groupBy("__k")
       .agg(count(lit(1)).as("n_tok"), avg("__nll").as("nll"))
       .withColumn("ppl", exp(col("nll")))
-    df.join(scored, col(keyCol) === col("__k"), "left")
-      .drop("__k")
+    scored.withColumnRenamed("__k", keyCol)
   }
 }

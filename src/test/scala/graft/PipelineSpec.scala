@@ -1009,7 +1009,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored(1L).getDouble(3) < scored(3L).getDouble(3))
     // all-OOV = uniform unseen mass: ppl = 1/p(unseen) = 6
     assert(math.abs(scored(3L).getDouble(3) - 6.0) < 1e-9)
-    // empty doc: no scored tokens -> null metrics, row preserved
-    assert(scored(4L).isNullAt(1) && scored(4L).isNullAt(3))
+    // scores relation: a token-less doc has no score row (the corpus
+    // is never joined back inside the operator)
+    assert(!scored.contains(4L))
   }
 }
