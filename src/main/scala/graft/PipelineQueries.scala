@@ -97,10 +97,14 @@ object PipelineQueries {
         .collect().map(_.getString(0)).toSet)
 
   /** IVF index fixture (memoized: bench reps measure the probe-and-
-    * rank, not k-means + assignment). */
-  private val ivfIdxCache = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
+    * rank, not k-means + assignment). Keyed by (session, dir) — the
+    * index holds an `assigned` DataFrame BOUND to the session that
+    * built it, so a dir-only key would hand a later session a plan
+    * referencing a stopped one (the other caches hold collected
+    * values and are session-free). */
+  private val ivfIdxCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ann.IvfIndex]
   private[graft] def ivfIdx(s: SparkSession, dir: String): Ann.IvfIndex =
-    ivfIdxCache.getOrElseUpdate(dir,
+    ivfIdxCache.getOrElseUpdate((s, dir),
       Ann.buildIvf(embs(s, dir), "vec_id", "embedding", nCells = 16))
 
   /** Exact cosine ≥ 0.3 pairs over the FULL embeddings table — the

@@ -268,8 +268,13 @@ object Ann {
                  broadcastQueryLimit: Long = 250000,
                  clusteredBelow: Double = 0.45): String = {
     val flops = shape.nQueries.toDouble * shape.nBase * math.max(1, shape.dim)
-    if (flops <= exactFlopBudget) "exact"
-    else if (shape.nQueries > broadcastQueryLimit) "ivf"
+    // broadcast-ability gates FIRST: exact/nsw/sq all collect the query
+    // batch to the driver, so a huge query side must route to the
+    // shuffling IVF plan even when the scored cross product is tiny
+    // (10M queries × 60 base rows is few flops but an un-broadcastable
+    // batch — the blow-up broadcastQueryLimit exists to prevent)
+    if (shape.nQueries > broadcastQueryLimit) "ivf"
+    else if (flops <= exactFlopBudget) "exact"
     else if (shape.nnRatio < clusteredBelow) "ivf"
     else if (nswAvailable) "nsw"
     else if (metric == "L2" || metric == "IP") "sq"
@@ -307,7 +312,7 @@ object Ann {
       case "ivf" =>
         val cells = nCells.getOrElse {
           val nb = if (plan.isEmpty) shape.nBase else base.count()
-          math.min(4096, math.max(16, math.sqrt(nb.toDouble).toInt))
+          autoCells(nb)
         }
         knnJoinIvf(queries, qKey, qVec, base, bKey, bVec, k,
           nCells = cells, nProbe = nProbe.getOrElse(math.max(4, cells / 8)),
@@ -373,7 +378,7 @@ object Ann {
 
   /** JVM mirror of [[graft.functions.VectorDistance]] — same metrics,
     * same double-accumulation order, bit-identical results. */
-  private def jvmDist(metric: String, a: Array[Float], b: Array[Float]): Double = {
+  private[pipeline] def jvmDist(metric: String, a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     metric match {
       case "L2" =>
@@ -602,6 +607,14 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Corpus-scaled cell-count default shared by the [[knnJoin]] facade
+    * and [[Dedup.semanticNearDups]]: √n clamped to [16, 4096] — cells
+    * grow with the corpus so expected CELL SIZE grows only as √n, the
+    * shape that keeps per-cell candidate work bounded at 100 TB
+    * (a fixed small cell count would put ~n/16 rows in every cell). */
+  def autoCells(n: Long): Int =
+    math.min(4096, math.max(16, math.sqrt(math.max(0L, n).toDouble).toInt))
+
   /** Squared L2 between two double arrays (driver-side, for k-means). */
   private def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -645,6 +658,10 @@ object Ann {
    */
   def kmeansCentroids(df: DataFrame, vecCol: String, nCells: Int,
                       sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    // NOTE: returns ≤ nCells centroids — fewer when the sample holds
+    // fewer DISTINCT vectors than nCells (see the bestD==0 stop below);
+    // every caller treats the returned array's length as the cell count
+
     val sample = df.select(col(vecCol).cast("array<double>").as("__v"))
       .orderBy(xxhash64(col("__v")).asc)
       .limit(sampleSize).collect()
@@ -659,31 +676,41 @@ object Ann {
     init(0) = sample(0).clone()
     val minD = sample.map(v => sq(v, init(0)))
     var c = 1
-    while (c < nCells) {
+    var exhausted = false
+    while (c < nCells && !exhausted) {
       var best = 0; var bestD = -1.0; var i = 0
       while (i < sample.length) {
         if (minD(i) > bestD) { bestD = minD(i); best = i }; i += 1
       }
-      init(c) = sample(best).clone()
-      i = 0
-      while (i < sample.length) {
-        val d = sq(sample(i), init(c)); if (d < minD(i)) minD(i) = d; i += 1
+      // bestD == 0 ⇒ every remaining sample point coincides with a
+      // chosen centroid (duplicate-heavy sample with fewer DISTINCT
+      // vectors than nCells): stop seeding and shrink the effective
+      // cell count — duplicate centroids would make degenerate cells
+      // that waste nProbe slots without pruning anything
+      if (bestD <= 0.0) exhausted = true
+      else {
+        init(c) = sample(best).clone()
+        i = 0
+        while (i < sample.length) {
+          val d = sq(sample(i), init(c)); if (d < minD(i)) minD(i) = d; i += 1
+        }
+        c += 1
       }
-      c += 1
     }
-    var centroids = init
+    val effCells = c
+    var centroids = init.take(effCells)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nCells)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](nCells)
+      val sums = Array.fill(effCells)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](effCells)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < nCells) {
+        while (c < effCells) {
           val d = sq(v, centroids(c)); if (d < bestD) { bestD = d; best = c }; c += 1
         }
         counts(best) += 1
         var j = 0; while (j < v.length) { sums(best)(j) += v(j); j += 1 }
       }
-      centroids = Array.tabulate(nCells) { c =>
+      centroids = Array.tabulate(effCells) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }

@@ -356,10 +356,13 @@ object Dedup {
       .withColumn("sig", signBits(col("v"), planes))
     val bandStructs = array((0 until bands).map(j => struct(lit(j).as("band"),
       shiftrightunsigned(col("sig"), j * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))): _*)
+    // persist before the self-join (same hygiene as minhashNearDups):
+    // without it both join sides re-evaluate the sign-bit pipeline
     val banded = base.select(col("k"), col("v"), col("sig"),
         explode(bandStructs).as("bk"))
       .select(col("k"), col("v"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    banded.as("a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.k") < col("b.k"))
@@ -370,6 +373,7 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("key_a").cast("string").as("key_a"),
         col("key_b").cast("string").as("key_b"), col("cosine"))
+    materializeAndRelease(result, banded)
   }
 
   // ---- transitive duplicate resolution (connected components) ---- //
@@ -514,25 +518,59 @@ object Dedup {
    * EXACT cosine (precision 1.0 by construction); recall is bounded
    * by cell splitting of true near-pairs, the measured property the
    * gate pins.
+   *
+   * Scale shape (the 100 TB defaults): `nCells = 0` auto-scales to
+   * √n clamped [16, 4096] ([[Ann.autoCells]] — the same default the
+   * `knnJoin` facade uses), so expected cell size grows only as √n
+   * instead of n/constant; and in-cell scoring runs as a grouped
+   * tight JVM loop (the [[Ann.knnJoinIvf]] cogroup pattern), which
+   * shuffles each row ONCE on `cell` and never materializes the
+   * in-cell pair cross product as rows — only pairs PASSING the
+   * cosine threshold are emitted. Executor memory per task is one
+   * cell's rows (≈ √n vectors under auto-cells), not its pair count.
    */
   def semanticNearDups(df: DataFrame, keyCol: String, vecCol: String,
                        minCosine: Double = 0.95,
-                       nCells: Int = 16): DataFrame = {
-    val centroids = Ann.kmeansCentroids(df, vecCol, nCells)
+                       nCells: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = if (nCells > 0) nCells else Ann.autoCells(df.count())
+    val centroids = Ann.kmeansCentroids(df, vecCol, cells)
     val base = df.select(col(keyCol).cast("string").as("k"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("cell", Ann.cellId(col("v"), centroids))
-    base.as("a").join(base.as("b"),
-        col("a.cell") === col("b.cell") && col("a.k") < col("b.k"))
-      .withColumn("cosine", cosineSim(col("a.v"), col("b.v")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("cosine"))
+    val minC = minCosine
+    base.as[(String, Array[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        rows.indices.iterator.flatMap { i =>
+          val (ki, vi, _) = rows(i)
+          if (vi == null) Iterator.empty
+          else (i + 1 until rows.length).iterator.flatMap { j =>
+            val (kj, vj, _) = rows(j)
+            if (vj == null) Iterator.empty
+            else {
+              // same arithmetic as the cosineSim expression (jvmDist
+              // mirrors VectorDistance bit-identically), so results
+              // are unchanged from the join formulation
+              val cos = 1.0 - Ann.jvmDist("COSINE", vi, vj)
+              if (cos >= minC) {
+                val (a, b) = if (ki < kj) (ki, kj) else (kj, ki)
+                Iterator.single((a, b, cos))
+              } else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("key_a", "key_b", "cosine")
   }
 
   /** SemDeDup end-to-end: within-cell pairs → components → keep one
-    * representative per component plus all unpaired rows. */
+    * representative per component plus all unpaired rows.
+    * `nCells = 0` auto-scales cells to √n (see [[semanticNearDups]]). */
   def semanticDedup(df: DataFrame, keyCol: String, vecCol: String,
-                    minCosine: Double = 0.95, nCells: Int = 16): DataFrame =
+                    minCosine: Double = 0.95, nCells: Int = 0): DataFrame =
     dedupTransitive(df, keyCol,
       semanticNearDups(df, keyCol, vecCol, minCosine, nCells))
 }

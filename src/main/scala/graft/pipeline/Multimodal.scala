@@ -425,7 +425,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
-      val payload = ImageCodec.decode(m.payload) match {
+      val reencoded = ImageCodec.decode(m.payload) match {
         case Some(img) =>
           val out = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -436,10 +436,15 @@ object Multimodal {
           g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
-          bos.toByteArray
-        case None => m.payload
+          Some(bos.toByteArray)
+        case None => None
       }
-      m.copy(width = w, height = h, payload = payload)
+      // a re-encoded payload IS png now — declared format must follow
+      // the bytes (a consumer keying on format instead of sniffing
+      // would otherwise misread them); untouched payloads keep theirs
+      m.copy(width = w, height = h,
+        payload = reencoded.getOrElse(m.payload),
+        format = reencoded.fold(m.format)(_ => "png"))
     }
   }
 

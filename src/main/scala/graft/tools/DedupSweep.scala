@@ -69,36 +69,49 @@ object DedupSweep {
         dist = Dedup.dupClusters(g, localEdgeThreshold = 0).persist(); dist.count()
       }
       if (local != null) {
-        val diff = dist.unionByName(local).distinct().count() - dist.count()
-        println(s"  path equality: symdiff-extra $diff (expect 0)")
+        // both directions — union-distinct minus one side only counts
+        // rows MISSING from that side, not extras it has
+        val diff = dist.except(local).unionByName(local.except(dist)).count()
+        println(s"  path equality: symdiff $diff (expect 0)")
         local.unpersist()
       }
       dist.unpersist(); g.unpersist()
     }
 
-    // semanticDedup at 200k: 2000 natural clusters, 5% identical copies
-    val n = 200000L
+    // semanticDedup scale rows: 2000 natural clusters, 5% identical
+    // copies; 200k with explicit 512 cells (the round-6 row) and 1M
+    // with the auto-cells default (√n ≈ 1024 — the 100 TB-shaped
+    // configuration a naive caller now gets for free)
     val off = 10000000L
     val vec = expr(
       """transform(sequence(0, 31), j -> cast(
         |  (pmod(hash(pmod(id, 2000), j), 1000) / 50.0) +
         |  (pmod(hash(pmod(id, 10000000), j, 7), 100) / 25.0) as float))"""
         .stripMargin)
-    val base = spark.range(n).select(col("id"), vec.as("v"))
-    val copies = spark.range(n).filter(col("id") % 20 === 0)
-      .select((col("id") + off).as("id"), vec.as("v"))
-    val corpus = base.unionByName(copies)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = corpus.count()
-    println(s"semdedup corpus: $total rows (planted ${total - n})")
-    t("semanticNearDups 200k nCells=512") {
-      Dedup.semanticNearDups(corpus, "id", "v", minCosine = 0.999, nCells = 512).count()
-    }
-    t("semanticDedup 200k end-to-end") {
-      val survivors = Dedup.semanticDedup(corpus, "id", "v",
-        minCosine = 0.999, nCells = 512).count()
-      println(s"  survivors: $survivors (expect ${n} if only planted pairs fire)")
-      survivors
+    for ((n, cellsArg, label) <- Seq(
+        (200000L, 512, "200k nCells=512"),
+        (1000000L, 0, "1M auto-cells"))) {
+      val base = spark.range(n).select(col("id"), vec.as("v"))
+      val copies = spark.range(n).filter(col("id") % 20 === 0)
+        .select((col("id") + off).as("id"), vec.as("v"))
+      val corpus = base.unionByName(copies)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = corpus.count()
+      val effCells = if (cellsArg > 0) cellsArg
+        else graft.pipeline.Ann.autoCells(total)
+      println(s"semdedup corpus: $total rows (planted ${total - n}, " +
+        s"cells $effCells)")
+      t(s"semanticNearDups $label") {
+        Dedup.semanticNearDups(corpus, "id", "v",
+          minCosine = 0.999, nCells = cellsArg).count()
+      }
+      t(s"semanticDedup $label end-to-end") {
+        val survivors = Dedup.semanticDedup(corpus, "id", "v",
+          minCosine = 0.999, nCells = cellsArg).count()
+        println(s"  survivors: $survivors (expect ${n} if only planted pairs fire)")
+        survivors
+      }
+      corpus.unpersist()
     }
     spark.stop()
   }

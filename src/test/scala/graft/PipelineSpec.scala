@@ -989,6 +989,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("autoCells: √n clamped [16, 4096] — the shared corpus-scaled default") {
+    assert(Ann.autoCells(0) == 16)
+    assert(Ann.autoCells(256) == 16)
+    assert(Ann.autoCells(10000) == 100)
+    assert(Ann.autoCells(1000000) == 1000)
+    assert(Ann.autoCells(100000000L) == 4096)
+    assert(Ann.autoCells(100000000000L) == 4096) // 100 TB-ish row counts stay capped
+  }
+
+  test("semanticNearDups in-cell scoring is grouped, not a row-materialized pair join") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 300).map(i =>
+        (s"k$i", Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("k", "v")
+    val pairs = Dedup.semanticNearDups(df, "k", "v", minCosine = 0.2, nCells = 4)
+    // plan shape: ONE grouped pass per cell (flatMapGroups after a
+    // shuffle on cell) — no join node, so in-cell candidates are never
+    // materialized as rows; executor memory is one cell's rows
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"expected no join in the in-cell scoring plan:\n$plan")
+    assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"),
+      s"expected grouped in-cell scoring in plan:\n$plan")
+    // semantics: identical to the join-within-cell formulation
+    val centroids = Ann.kmeansCentroids(df, "v", 4)
+    val base = df.select(col("k"), col("v").cast("array<float>").as("v"))
+      .withColumn("cell", Ann.cellId(col("v"), centroids))
+    val viaJoin = base.as("a").join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.k") < col("b.k"))
+      .withColumn("cosine", Dedup.cosineSim(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= 0.2)
+      .select(col("a.k"), col("b.k"), col("cosine")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val viaGroups = pairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaGroups == viaJoin, "grouped scoring diverged from join formulation")
+  }
+
+  test("kmeansCentroids: duplicate-heavy sample shrinks to distinct seeds, no degenerate cells") {
+    val sp = spark; import sp.implicits._
+    // 3 distinct vectors, each duplicated 100× — a request for 8 cells
+    // must come back with 3 DISTINCT centroids, not 8 with duplicates
+    val vs = Seq(Array(0f, 0f), Array(10f, 0f), Array(0f, 10f))
+    val df = (0 until 300).map(i => (i.toLong, vs(i % 3))).toDF("id", "vec")
+    val cents = Ann.kmeansCentroids(df, "vec", nCells = 8)
+    assert(cents.length == 3, s"expected 3 effective cells, got ${cents.length}")
+    assert(cents.map(_.toSeq).distinct.length == 3, "duplicate centroids seeded")
+  }
+
+  test("embeddingNearDupsLsh releases its banded cache before returning") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.embeddingNearDupsLsh(vecs, "vec_id", "embedding", 0.95).collect()
+    // exactly ONE persisted RDD may remain: the localCheckpoint backing
+    // the returned result; the banded relation (a second one) must be
+    // released inside the operator
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"banded relation left persisted: $leaked")
+  }
+
   test("lmScore: hand-computed add-1 unigram NLL and perplexity; OOV-heavy docs rank worse") {
     val sp = spark; import sp.implicits._
     val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
