@@ -156,6 +156,55 @@ object PipelineQueries {
           (if (a < b) a else b, if (a < b) b else a)
         }.toSet)
 
+  /** SimHash planted-oracle yardstick (fixture: computed once per
+    * dir): planted-base count and the DIRECT per-pair hamming count of
+    * the (original, edited-copy) pairs — the baseline the banded join
+    * is judged against. Round-6 verdict #3: yardstick work out of the
+    * timed gate body, like the join gates' exact fixtures. */
+  private val simhashYardCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private[graft] def simhashYardstick(s: SparkSession, dir: String): (Long, Long) =
+    simhashYardCache.getOrElseUpdate(dir, {
+      val base = docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      val directNear = Dedup.withSimhash64(
+        Dedup.withSimhash64(
+          base.withColumn("text2", concat(col("text"), lit(" plantedtail"))),
+          "text", "sa"),
+        "text2", "sb")
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3).count()
+      (base.count(), directNear)
+    })
+
+  /** Winnowing-fingerprint property yardsticks (fixture: once per
+    * dir): digest-is-content-function over the whole corpus, planted
+    * near-dup fingerprint Jaccard (double-winnow baseline), planted
+    * count, and the corpus's distinct-digest count (so the timed gate
+    * body can pin ITS one winnow pass against it). */
+  private val fpYardCache = scala.collection.concurrent.TrieMap.empty[String, (Boolean, Boolean, Long, Long)]
+  private[graft] def fpYardstick(s: SparkSession, dir: String): (Boolean, Boolean, Long, Long) =
+    fpYardCache.getOrElseUpdate(dir, {
+      val d = docs(s, dir)
+      val consistent = d
+        .select(md5(col("text")).as("h"),
+          TextMetrics.fingerprintDigest("text").as("fp"))
+        .groupBy("h").agg(countDistinct("fp").as("n"))
+        .agg(max("n")).collect()(0).getLong(0) == 1L
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("text2", concat(col("text"), lit(" plantedtail")))
+      // pre-project the two fingerprint arrays so each evaluates ONCE
+      // (inlining them into intersect+union runs the winnow pass twice
+      // per side), and fold the count into the same single job
+      val agg = planted
+        .select(TextMetrics.fingerprint("text").as("f1"),
+          TextMetrics.fingerprint("text2").as("f2"))
+        .select((size(array_intersect(col("f1"), col("f2"))).cast("double") /
+          size(array_union(col("f1"), col("f2")))).as("j"))
+        .agg(min("j"), count(lit(1))).collect()(0)
+      val nDistinct = d.select(TextMetrics.fingerprintDigest("text").as("fp"))
+        .agg(countDistinct("fp")).collect()(0).getLong(0)
+      (consistent, agg.getDouble(0) >= 0.65, agg.getLong(1), nDistinct)
+    })
+
   private def q(name: String)(fn: Queries.Q)(oracle: String): (String, Queries.Q, Option[String]) =
     (name, fn, Some(oracle))
   private def qNoOracle(name: String)(fn: Queries.Q): (String, Queries.Q, Option[String]) =
@@ -345,6 +394,9 @@ object PipelineQueries {
       val editedCopies = base
         .select((col("doc_id") + lit(2 * PlantOffset)).as("doc_id"),
           concat(col("text"), lit(" plantedtail")).as("text"))
+      // timed per rep: the banded-join OPERATOR over the planted
+      // corpus + two bounded counts; the direct-hamming baseline and
+      // planted count are per-dir fixtures ([[simhashYardstick]])
       val pairs = Dedup.simhashNearDups(
         d.unionByName(exactCopies).unionByName(editedCopies),
         "doc_id", "text", maxHamming = 3)
@@ -355,15 +407,7 @@ object PipelineQueries {
       val foundEdited = pairs
         .filter(col("b") - col("a") === 2 * PlantOffset && col("a") % 7 === 0).count()
       pairs.unpersist()
-      // direct hamming of each (original, edited) pair — no join, just
-      // the signature expression on both texts
-      val directNear = Dedup.withSimhash64(
-        Dedup.withSimhash64(
-          base.withColumn("text2", concat(col("text"), lit(" plantedtail"))),
-          "text", "sa"),
-        "text2", "sb")
-        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3).count()
-      val nPlanted = base.count()
+      val (nPlanted, directNear) = simhashYardstick(s, dir)
       val sp = s
       import sp.implicits._
       Seq((nPlanted.toDouble, foundExact == nPlanted, foundEdited == directNear))
@@ -471,6 +515,27 @@ object PipelineQueries {
 
     q("p_ann_bruteforce") { (s, dir) =>
       Ann.topK(embs(s, dir), "vec_id", "embedding", Queries.queryVec,
+        k = 20, metric = "COSINE")
+        .withColumn("distance", round(col("distance"), 4))
+    } {
+      val vecSql = Queries.queryVec.map(v => f"$v%.3f")
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"""SELECT CAST(vec_id AS VARCHAR) AS __key,
+         |  round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql), 4) AS distance
+         |FROM embeddings
+         |ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $vecSql) ASC,
+         |  __key ASC LIMIT 20""".stripMargin
+    },
+
+    // AUTO-planned single-query top-k (the reference planner's
+    // per-query data-driven choice, src/query/planner.cc:21-46, on the
+    // pipeline ANN surface): no plan override — the facade measures
+    // corpus shape and picks. At gate scale nBase·dim is far under the
+    // single-query exact budget, so the choice is "exact" (regimes
+    // spec-pinned in PipelineSpec) and DuckDB's ordered scan is a
+    // hash-equal oracle of the WHOLE path: measure → choose → execute.
+    q("p_ann_topk_auto") { (s, dir) =>
+      Ann.topKAuto(embs(s, dir), "vec_id", "embedding", Queries.queryVec,
         k = 20, metric = "COSINE")
         .withColumn("distance", round(col("distance"), 4))
     } {
@@ -757,28 +822,18 @@ object PipelineQueries {
     // shares a fingerprint, so only tail-window fingerprints can
     // differ). Counts are SQL-predictable.
     q("p_fingerprint") { (s, dir) =>
-      val d = docs(s, dir)
-      val consistent = d
-        .select(md5(col("text")).as("h"),
-          TextMetrics.fingerprintDigest("text").as("fp"))
-        .groupBy("h").agg(countDistinct("fp").as("n"))
-        .agg(max("n")).collect()(0).getLong(0) == 1L
-      val planted = d.filter(col("doc_id") % 7 === 0)
-        .withColumn("text2", concat(col("text"), lit(" plantedtail")))
-      // pre-project the two fingerprint arrays so each evaluates ONCE
-      // (inlining them into intersect+union runs the winnow pass twice
-      // per side), and fold the count into the same single job
-      val agg = planted
-        .select(TextMetrics.fingerprint("text").as("f1"),
-          TextMetrics.fingerprint("text2").as("f2"))
-        .select((size(array_intersect(col("f1"), col("f2"))).cast("double") /
-          size(array_union(col("f1"), col("f2")))).as("j"))
-        .agg(min("j"), count(lit(1))).collect()(0)
-      val minJac = agg.getDouble(0)
-      val nPlanted = agg.getLong(1)
+      // timed per rep: ONE winnow pass over the corpus (the operator)
+      // — the distinct-digest count it produces is pinned against the
+      // fixture's, so the pass is verified, not decorative; the
+      // consistency check and double-winnow planted baseline are
+      // per-dir fixtures ([[fpYardstick]], round-6 verdict #3)
+      val gotDistinct = docs(s, dir)
+        .select(TextMetrics.fingerprintDigest("text").as("fp"))
+        .agg(countDistinct("fp")).collect()(0).getLong(0)
+      val (consistent, jacOk, nPlanted, expDistinct) = fpYardstick(s, dir)
       val sp = s
       import sp.implicits._
-      Seq((nPlanted.toDouble, consistent, minJac >= 0.65))
+      Seq((nPlanted.toDouble, consistent && gotDistinct == expDistinct, jacOk))
         .toDF("n_docs", "digest_consistent", "neardup_jaccard_ok")
     } {
       """SELECT CAST(count(*) AS DOUBLE) AS n_docs,

@@ -202,6 +202,17 @@ object Ann {
                  base: DataFrame, bVec: String,
                  sampleSize: Int = 512): JoinShape = {
     val nq = queries.count()
+    val qs = probeQueryShape(base, bVec, sampleSize)
+    JoinShape(nq, qs.nBase, qs.dim, qs.nnRatio)
+  }
+
+  /** Measured base-side shape for the SINGLE-QUERY planner — the same
+    * counts + clustering statistic [[probeShape]] measures, without a
+    * query side. */
+  final case class QueryShape(nBase: Long, dim: Int, nnRatio: Double)
+
+  def probeQueryShape(base: DataFrame, bVec: String,
+                      sampleSize: Int = 512): QueryShape = {
     val nb = base.count()
     // hash-ordered sample: deterministic + layout-independent, same
     // argument as [[kmeansCentroids]]
@@ -211,7 +222,7 @@ object Ann {
       .limit(sampleSize).collect()
       .map(_.getSeq[Double](0).toArray)
     val dim = if (sample.isEmpty) 0 else sample(0).length
-    JoinShape(nq, nb, dim, nnRatioOf(sample))
+    QueryShape(nb, dim, nnRatioOf(sample))
   }
 
   /** mean(nearest-neighbor L2) / mean(pairwise L2) over a sample
@@ -330,6 +341,90 @@ object Ann {
       case other =>
         throw new IllegalArgumentException(
           s"unknown k-NN join plan '$other' (exact|ivf|nsw|sq)")
+    }
+  }
+
+  /**
+   * Single-query plan choice — [[choosePlan]]'s regime bones applied
+   * to the one-vector search surface (the reference planner makes its
+   * analogous per-query choice from data for EVERY query,
+   * /root/reference/src/query/planner.cc:21-46; the engine's hybrid
+   * pre-filter/inline-filter path already does — this closes the gap
+   * for the pipeline ANN surface):
+   *
+   *  1. `"exact"` when the corpus scan is cheap (nBase·dim within the
+   *     flop budget — TakeOrderedAndProject is exact and competitive;
+   *     for one query the budget is per-query work, hence 100× lower
+   *     than the join batch budget) — or when no index exists to beat
+   *     it.
+   *  2. `"ivf"` when an IVF index is BUILT and the corpus is clustered
+   *     (nnRatio below threshold) — the regime where the sweep
+   *     measured cell pruning at recall 1.0; on uniform corpora cell
+   *     pruning collapses (r ≈ 0.45) and the graph wins.
+   *  3. `"nsw"` when a graph is built — holds r ≈ 1.0 on the
+   *     unstructured corpora that defeat IVF.
+   *  4. `"sq"` when the corpus already carries `__sq` codes and the
+   *     metric is L2|IP — 4× less scan I/O, recall bounded by the
+   *     re-rank margin. (Never chosen without pre-built codes: a
+   *     quantize-on-the-fly pass reads the floats it exists to skip.)
+   */
+  def chooseQueryPlan(shape: QueryShape, ivfAvailable: Boolean,
+                      nswAvailable: Boolean, sqAvailable: Boolean,
+                      metric: String = "COSINE",
+                      exactFlopBudget: Double = 2e8,
+                      clusteredBelow: Double = 0.45): String = {
+    val flops = shape.nBase.toDouble * math.max(1, shape.dim)
+    if (flops <= exactFlopBudget) "exact"
+    else if (ivfAvailable && shape.nnRatio < clusteredBelow) "ivf"
+    else if (nswAvailable) "nsw"
+    else if (sqAvailable && (metric == "L2" || metric == "IP")) "sq"
+    else "exact"
+  }
+
+  /**
+   * Auto-plan single-query top-k facade: measures the corpus shape
+   * ([[probeQueryShape]]), picks the physical plan
+   * ([[chooseQueryPlan]] — pass `plan` to override), and dispatches to
+   * [[topK]] / [[IvfIndex.search]] / NSW beam search / [[topKSq]].
+   * Output schema is identical across plans: `(__key, distance)`.
+   * Like [[knnJoin]], indexes are never BUILT inside the facade —
+   * index construction hidden in query cost would lie to the caller;
+   * only supplied indexes (and pre-quantized `__sq` codes) widen the
+   * plan space.
+   */
+  def topKAuto(base: DataFrame, keyCol: String, vecCol: String,
+               query: Array[Float], k: Int, metric: String = "COSINE",
+               plan: Option[String] = None,
+               ivf: Option[IvfIndex] = None,
+               nsw: Option[Nsw.NswIndex] = None,
+               nProbe: Option[Int] = None,
+               ef: Int = 200): DataFrame = {
+    // lazy: an explicit plan never pays the shape probe
+    lazy val shape = probeQueryShape(base, vecCol)
+    val sqAvail = base.columns.contains("__sq")
+    val chosen = plan.getOrElse(chooseQueryPlan(shape,
+      ivfAvailable = ivf.isDefined, nswAvailable = nsw.isDefined,
+      sqAvailable = sqAvail, metric = metric))
+    chosen match {
+      case "exact" =>
+        topK(base, keyCol, vecCol, query, k, metric)
+      case "ivf" =>
+        val idx = ivf.getOrElse(throw new IllegalArgumentException(
+          "plan=ivf requires a built IvfIndex"))
+        val cells = idx.centroids.length
+        idx.search(query, k, nProbe.getOrElse(math.max(4, cells / 8)), metric)
+      case "nsw" =>
+        nsw.getOrElse(throw new IllegalArgumentException(
+          "plan=nsw requires a maintained Nsw index"))
+          .search(query, k, ef)
+      case "sq" =>
+        require(metric == "L2" || metric == "IP",
+          s"plan=sq supports L2|IP, got $metric")
+        val quantized = if (sqAvail) base else sqQuantize(base, vecCol)
+        topKSq(quantized, keyCol, vecCol, query, k, metric)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown top-k plan '$other' (exact|ivf|nsw|sq)")
     }
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.pipeline.{Ann, Curation, Dedup, TextMetrics}
+import graft.pipeline.{Ann, Curation, Dedup, Nsw, TextMetrics}
 
 /** Pins the non-SQL-oracle pipeline ops: LSH recall/precision on
   * planted near-dups, SimHash banding, IVF recall vs exact,
@@ -861,6 +861,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = Ann.knnJoinExact(qs, "id", "vec", uniform, "id", "vec",
       k = 3, metric = "L2").collect().map(_.toSeq).toSeq
     assert(auto == exact)
+  }
+
+  test("topKAuto: chooseQueryPlan pins the single-query regimes") {
+    import Ann.{QueryShape, chooseQueryPlan}
+    def cqp(n: Long, ratio: Double, ivf: Boolean, nsw: Boolean, sq: Boolean,
+            metric: String = "COSINE") =
+      chooseQueryPlan(QueryShape(n, 64, ratio), ivfAvailable = ivf,
+        nswAvailable = nsw, sqAvailable = sq, metric = metric)
+    // small corpus: exact beats every index (regardless of availability)
+    assert(cqp(10000, 0.9, ivf = true, nsw = true, sq = true) == "exact")
+    // big CLUSTERED corpus with a built IVF index: cell pruning is
+    // recall-safe there (sweep r=1.0) and reads nProbe/nCells of the data
+    assert(cqp(100000000L, 0.2, ivf = true, nsw = true, sq = true) == "ivf")
+    // clustered but NO ivf built: graph beam next
+    assert(cqp(100000000L, 0.2, ivf = false, nsw = true, sq = true) == "nsw")
+    // big UNIFORM corpus: cell pruning collapses (sweep r≈0.45) — graph
+    assert(cqp(100000000L, 0.9, ivf = true, nsw = true, sq = true) == "nsw")
+    // no graph, pre-built int8 codes, L2: quantized scan + re-rank
+    assert(cqp(100000000L, 0.9, ivf = false, nsw = false, sq = true,
+      metric = "L2") == "sq")
+    // sq is never chosen for cosine, or without PRE-BUILT codes
+    assert(cqp(100000000L, 0.9, ivf = false, nsw = false, sq = true) == "exact")
+    assert(cqp(100000000L, 0.9, ivf = false, nsw = false, sq = false,
+      metric = "L2") == "exact")
+  }
+
+  test("topKAuto: auto choice is exact on small corpora; overrides dispatch each arm") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 400).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val q = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def keys(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(_.getString(0)).toSeq
+    val exact = Ann.topK(df, "id", "vec", q, k = 5, metric = "L2")
+    // auto on a small corpus = the exact plan, bit-for-bit
+    val auto = Ann.topKAuto(df, "id", "vec", q, k = 5, metric = "L2")
+    assert(auto.collect().map(_.toSeq).toSeq == exact.collect().map(_.toSeq).toSeq)
+    // ivf arm with FULL probes is exact on keys
+    val ivf = Ann.buildIvf(df, "id", "vec", nCells = 4)
+    val viaIvf = Ann.topKAuto(df, "id", "vec", q, k = 5, metric = "L2",
+      plan = Some("ivf"), ivf = Some(ivf), nProbe = Some(ivf.centroids.length))
+    assert(keys(viaIvf) == keys(exact))
+    // sq arm (pre-quantized codes) recovers the exact top-5 here
+    val viaSq = Ann.topKAuto(Ann.sqQuantize(df, "vec"), "id", "vec", q,
+      k = 5, metric = "L2", plan = Some("sq"))
+    assert(keys(viaSq) == keys(exact))
+    // nsw arm returns k results with high overlap on a tiny graph
+    val nswIdx = Nsw.build(df, "id", "vec", metric = "L2", numPartitions = 2)
+    try {
+      val viaNsw = Ann.topKAuto(df, "id", "vec", q, k = 5, metric = "L2",
+        plan = Some("nsw"), nsw = Some(nswIdx), ef = 200)
+      assert(keys(viaNsw).count(keys(exact).contains) >= 4)
+    } finally nswIdx.unpersistIndex()
+    // index-requiring overrides without the index fail loudly
+    intercept[IllegalArgumentException] {
+      Ann.topKAuto(df, "id", "vec", q, k = 5, plan = Some("ivf"))
+    }
+    intercept[IllegalArgumentException] {
+      Ann.topKAuto(df, "id", "vec", q, k = 5, plan = Some("nsw"))
+    }
   }
 
   test("kmeans centroids and drift baseline are input-layout-invariant") {
