@@ -100,7 +100,8 @@ object Ingest {
             checkpointPath: String,
             docSchema: org.apache.spark.sql.types.StructType,
             nBuckets: Int = 64,
-            onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
+            onBatch: DataFrame => Unit = _ => (),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // GC of crash leftovers happens here, at stream (re)start — the
     // writer-open contract (no readers in flight); per-batch deletes
     // are all deferred
@@ -108,7 +109,7 @@ object Ingest {
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointPath)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (state.applyBatch(batch)) {
           // Derived-index maintenance (reference per-mutation path,
