@@ -14,11 +14,22 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_REPS>1 → one warmup + reps timed runs, median reported
+    // (the driver's BENCH protocol) so isolated re-measures are
+    // apples-to-apples with BENCH_r{N}.json medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      val t0 = System.nanoTime()
+      if (reps > 1) fn(spark, sfDir).count() // warmup, untimed
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       val n = fn(spark, sfDir).count()
-      println(f"BENCH_ONE $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val med = times(times.length / 2)
+      println(f"BENCH_ONE $name rows=$n sec=$med%.2f reps=$reps " +
+        times.map(t => f"$t%.2f").mkString("[", ",", "]"))
     }
     spark.stop()
   }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
  * runtime shape only — the DuckDB gates stay the correctness story.
  */
 object SearchSweep {
-  private val TenX = "/tmp/graft-sf1syn"
+  private[tools] val TenX = "/tmp/graft-sf1syn"
+
+  /** Build (once) the shared 10× corpus — also used by [[PipelineSweep]]. */
+  private[tools] def ensureTenX(spark: SparkSession): Unit = synth(spark)
 
   private def synth(spark: SparkSession): Unit = {
     if (graft.util.FsIO.exists(spark, s"$TenX/_DONE")) return
