@@ -88,6 +88,14 @@ object PipelineQueries {
           k = 10, metric = "L2")
         .collect().map(_.getString(0)).toSet)
 
+  /** PQ codebook fixture (memoized: training is index-build work, not
+    * the per-query operator — bench reps measure encode + ADC search).
+    * Holds collected float arrays only, so a dir key is session-safe. */
+  private val pqModelCache = scala.collection.concurrent.TrieMap.empty[String, Ann.PqModel]
+  private[graft] def pqModel(s: SparkSession, dir: String): Ann.PqModel =
+    pqModelCache.getOrElseUpdate(dir,
+      Ann.trainPq(embs(s, dir), "embedding", m = 8))
+
   /** Exact cosine top-20 keys for the shared gate probe vector. */
   private val exactCosTopCache = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
   private[graft] def exactCosTop20(s: SparkSession, dir: String): Set[String] =
@@ -671,6 +679,55 @@ object PipelineQueries {
         .toDF("n_results", "recall_ok")
     } {
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
+    },
+
+    // Product quantization (Jégou/Douze/Schmid TPAMI'11): the 32×
+    // compression tier below int8 SQ's 4× — the corpus-wide first
+    // stage reads m=8 BYTES per vector and scores with table lookups
+    // (codegen'd ADC), then the float re-rank must recover ≥ 0.9 of
+    // the exact float32 top-10 (measured 1.0 across sf0.001-0.1 at
+    // rerank=8; PQ cells are coarser than SQ's grid, hence the wider
+    // default margin). Codebook training is a per-dir fixture (index-
+    // build work); encode + two-stage search run per rep — they ARE
+    // the operator.
+    q("p_ann_pq_recall") { (s, dir) =>
+      val model = pqModel(s, dir)
+      val got = Ann.topKPq(Ann.pqEncode(embs(s, dir), "embedding", model),
+          "vec_id", "embedding", SqQueryVec, k = 10, model, metric = "L2")
+        .select("__key").collect().map(_.getString(0))
+      val exact = exactSqTop(s, dir)
+      val sp = s
+      import sp.implicits._
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / 10.0 >= 0.9))
+        .toDF("n_results", "recall_ok")
+    } {
+      "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
+    },
+
+    // PQ k-NN join: m-byte ADC first stage (per-query lookup tables
+    // broadcast with the query batch) + exact float re-rank, judged
+    // against the same MEMOIZED exact join pairs as the SQ/NSW joins
+    // so the bench median measures the quantized operator.
+    q("p_ann_join_pq") { (s, dir) =>
+      val e = embs(s, dir)
+      val model = pqModel(s, dir)
+      val got = Ann.knnJoinPq(
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        Ann.pqEncode(e.filter(col("vec_id") % 101 =!= 0), "embedding", model),
+        "vec_id", "embedding", k = 5, model, metric = "L2")
+        .select("__key", "neighbor").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val (exact, exactN) = exactJoinPairs(s, dir)
+      val sp = s
+      import sp.implicits._
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / math.max(1L, exactN) >= 0.9))
+        .toDF("n_rows", "recall_ok")
+    } {
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 101 = 0) * 5
+        |    AS DOUBLE) AS n_rows,
+        |  TRUE AS recall_ok""".stripMargin
     },
 
     // Quantized k-NN join: int8 first stage + exact re-rank. Recall is

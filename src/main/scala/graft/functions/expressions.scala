@@ -597,6 +597,123 @@ case class SqDistance(left: Expression, right: Expression, metric: String)
 }
 
 /**
+ * Product-quantization encode: each of the `m` subvectors maps to the
+ * index of its nearest codebook centroid (squared L2, ties to the
+ * lower index — the same argmin rule as [[NearestCentroid]]). Output
+ * is `array<byte>` of length m — at dim 64 / m 8 that is 8 bytes per
+ * vector vs 256 for float32: the 32× compression PQ exists for
+ * (Jégou/Douze/Schmid, TPAMI'11). Codebooks ride the expression as a
+ * literal table (≤ 256 × dsub floats per subspace — a few hundred KB
+ * at most, like [[NearestCentroid]]'s centroids). Codes are stored as
+ * SIGNED bytes; readers mask with 0xFF (codebook sizes go to 256).
+ * Vectors shorter than m·dsub fail loudly — a silent truncation would
+ * quantize garbage.
+ */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
+
+  private val m = books.length
+  private val dsub = books(0)(0).length
+
+  override def dataType: DataType =
+    ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim $n < m*dsub = ${m * dsub}")
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      val book = books(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) arr.getFloat(off + i).toDouble
+                  else arr.getDouble(off + i)
+          val t = x - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * PQ asymmetric distance (ADC): the per-query lookup tables are
+ * precomputed ONCE on the driver (lut[off(j) + c] = the metric
+ * contribution of subspace j's centroid c against the query's j-th
+ * subvector), so the corpus-wide scan does m table lookups + adds per
+ * row — no multiplies, no float vector read. `addConst` carries the
+ * metric's affine constant (0 for L2, 1 for IP's `1 − Σ dot`).
+ * Codegen'd: this is the hot first-stage scan loop of [[topKPq]],
+ * same treatment as [[SqDistance]]; the LUT rides the generated code
+ * as a referenced object.
+ */
+case class PqAdc(child: Expression, lut: Array[Float],
+                 offsets: Array[Int], addConst: Double)
+    extends UnaryExpression {
+  require(offsets.nonEmpty, "empty PQ offsets")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), offsets.length)
+    var acc = addConst
+    var j = 0
+    while (j < m) {
+      acc += lut(offsets(j) + (codes.getByte(j) & 0xFF))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lut, "float[]")
+    val offRef = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val j = ctx.freshName("j"); val mv = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $mv = java.lang.Math.min($codes.numElements(), $offRef.length);
+         |double $acc = $addConst;
+         |for (int $j = 0; $j < $mv; $j++) {
+         |  $acc += $lutRef[$offRef[$j] + ($codes.getByte($j) & 0xFF)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * Gopher-style repetition statistics in one row-local pass: the text
  * splits on '\n', empty lines drop, and the output struct carries
  * `n_lines`, `dup_line_frac` = (lines − distinct lines) / lines, and

@@ -70,6 +70,13 @@ package object functions {
   /** Asymmetric distance: float query vs sq_encode struct (L2|IP). */
   def sq_distance(sq: Column, query: Column, metric: String): Column =
     expr2col(SqDistance(col2expr(sq), col2expr(query), metric))
+  /** Product-quantization encode: float vector → m-byte code array. */
+  def pq_encode(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    expr2col(PqEncode(col2expr(vec), books))
+  /** PQ asymmetric distance via a precomputed per-query lookup table. */
+  def pq_adc(codes: Column, lut: Array[Float], offsets: Array[Int],
+             addConst: Double): Column =
+    expr2col(PqAdc(col2expr(codes), lut, offsets, addConst))
   /** Random-hyperplane sign bits of a float-array column (one pass). */
   def sign_lsh(vec: Column, planes: Array[Array[Double]]): Column =
     expr2col(SignLsh(col2expr(vec), planes))

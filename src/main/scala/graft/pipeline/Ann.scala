@@ -179,6 +179,226 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  // ------------------ product quantization (PQ) -------------------- //
+
+  /** Trained PQ codebooks: `books(j)(c)` is subspace j's centroid c
+    * (`dsub` floats). Encoded vectors are `m` bytes — at dim 64 / m 8
+    * that is 32× smaller than float32, the compression tier below
+    * [[sqQuantize]]'s 4×. Books may hold FEWER than the requested
+    * centroids on duplicate-heavy samples (the k-means distinct-point
+    * stop); encode and LUT both size by `books(j).length`. */
+  final case class PqModel(books: Array[Array[Array[Float]]]) {
+    def m: Int = books.length
+    def dsub: Int = books(0)(0).length
+  }
+
+  /**
+   * Train PQ codebooks (Jégou/Douze/Schmid, "Product quantization for
+   * nearest neighbor search", TPAMI'11) on a bounded hash-ordered
+   * sample: the dim splits into `m` contiguous subspaces, each with an
+   * independent k-means codebook of ≤ `codebookSize` centroids
+   * (≤ 256 — codes are bytes). Sampling and seeding follow
+   * [[kmeansCentroids]] exactly (xxhash64 order — deterministic AND
+   * layout-independent; farthest-point init; fixed Lloyd iterations);
+   * only the sample, never the corpus, reaches the driver.
+   */
+  def trainPq(df: DataFrame, vecCol: String, m: Int = 8,
+              codebookSize: Int = 256, sampleSize: Int = 4096,
+              iters: Int = 8): PqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(codebookSize >= 1 && codebookSize <= 256,
+      s"PQ codes are bytes: codebookSize in [1, 256], got $codebookSize")
+    val sample = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__v")).asc)
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainPq: no non-null vectors to sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m = $m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { j =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      kmeansOnSample(sub, math.min(codebookSize, sub.length), iters)
+        .map(_.map(_.toFloat))
+    }
+    PqModel(books)
+  }
+
+  /** Add `__pq` — the m-byte PQ code column. The encoded table is what
+    * a 100-TB deployment persists and scans; the float column is only
+    * read back for the re-rank stage (exactly the [[sqQuantize]]
+    * storage contract, at 32× instead of 4×). */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    df.withColumn("__pq",
+      graft.functions.pq_encode(col(vecCol).cast(ArrayType(FloatType)),
+        model.books))
+
+  /** Per-query ADC lookup tables: `lut(offsets(j) + c)` is subspace
+    * j's centroid c's metric contribution against the query's j-th
+    * subvector. Summed over j (+ addConst) this is EXACTLY the metric
+    * distance between the query and the reconstructed (decoded)
+    * vector: L2 → Σ‖qⱼ − cⱼ‖², IP → 1 − Σ qⱼ·cⱼ. */
+  private[graft] def pqLut(model: PqModel, query: Array[Float],
+      metric: String): (Array[Float], Array[Int], Double) = {
+    require(metric == "L2" || metric == "IP", s"PQ metric L2|IP, got $metric")
+    require(query.length >= model.m * model.dsub,
+      s"query dim ${query.length} < m*dsub = ${model.m * model.dsub}")
+    val dsub = model.dsub
+    val offsets = new Array[Int](model.m)
+    var total = 0
+    var j = 0
+    while (j < model.m) {
+      offsets(j) = total; total += model.books(j).length; j += 1
+    }
+    val lut = new Array[Float](total)
+    j = 0
+    while (j < model.m) {
+      val book = model.books(j)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val qv = query(j * dsub + i).toDouble
+          if (metric == "L2") { val d = qv - cent(i); acc += d * d }
+          else acc -= qv * cent(i)
+          i += 1
+        }
+        lut(offsets(j) + c) = acc.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    (lut, offsets, if (metric == "L2") 0.0 else 1.0)
+  }
+
+  /** JVM mirror of [[graft.functions.PqAdc]] for the join's
+    * mapPartitions scan. */
+  private def jvmPqAdc(lut: Array[Float], offsets: Array[Int],
+      addConst: Double, code: Array[Byte]): Double = {
+    val m = math.min(code.length, offsets.length)
+    var acc = addConst
+    var j = 0
+    while (j < m) { acc += lut(offsets(j) + (code(j) & 0xFF)); j += 1 }
+    acc
+  }
+
+  /**
+   * Two-stage PQ top-k, mirroring [[topKSq]]: stage 1 scans ONLY the
+   * m-byte `__pq` codes with the codegen'd ADC (m table lookups + adds
+   * per row — no multiplies, no float read; TakeOrderedAndProject
+   * bounded heaps, no corpus shuffle) and keeps `k × rerank`
+   * candidates; stage 2 re-scores only those with exact float32
+   * distance. PQ cells are coarser than int8's grid so the default
+   * re-rank margin is wider (8 vs SQ's 4); recall is corpus-dependent
+   * and gate-pinned (`p_ann_pq_recall`). Metrics L2 | IP — cosine
+   * corpora normalize at ingest and use IP, the engine's vector-field
+   * convention.
+   */
+  def topKPq(encoded: DataFrame, keyCol: String, vecCol: String,
+             query: Array[Float], k: Int, model: PqModel,
+             metric: String = "L2", rerank: Int = 8): DataFrame = {
+    require(rerank >= 1, "rerank must be >= 1")
+    val (lut, offsets, addConst) = pqLut(model, query, metric)
+    val q = lit(query).cast(ArrayType(FloatType))
+    val cands = encoded
+      .select(col(keyCol).cast("string").as("__key"),
+        graft.functions.pq_adc(col("__pq"), lut, offsets, addConst)
+          .as("__qd"))
+      .filter(col("__qd").isNotNull)
+      .orderBy(col("__qd").asc, col("__key").asc)
+      .limit(math.max(k, k * rerank))
+      .select("__key")
+    encoded
+      .select(col(keyCol).cast("string").as("__key"),
+        col(vecCol).cast(ArrayType(FloatType)).as("__vec"))
+      .join(broadcast(cands), "__key")
+      .select(col("__key"),
+        vector_distance(col("__vec"), q, metric).as("distance"))
+      .orderBy(col("distance").asc_nulls_last, col("__key").asc)
+      .limit(k)
+  }
+
+  /**
+   * PQ k-NN JOIN, mirroring [[knnJoinSq]]: the per-query ADC lookup
+   * tables are built once on the driver and broadcast with the query
+   * batch (|queries| × Σ|book| floats — ~1 MB per thousand queries),
+   * so stage 1's corpus scan reads ONLY the m-byte codes and does
+   * m lookups + adds per (row, query); stage 2 joins candidates back
+   * to the float vectors and re-scores exactly. Broadcast-batch
+   * contract as [[knnJoinExact]]; [[knnJoinIvf]] is the
+   * corpus×corpus-scale escape.
+   */
+  def knnJoinPq(queries: DataFrame, qKey: String, qVec: String,
+                encoded: DataFrame, bKey: String, bVec: String,
+                k: Int, model: PqModel, metric: String = "L2",
+                rerank: Int = 8): DataFrame = {
+    require(metric == "L2" || metric == "IP", s"PQ metric L2|IP, got $metric")
+    require(rerank >= 1, "rerank must be >= 1")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col(qKey).cast("string"), col(qVec).cast(ArrayType(FloatType)))
+      .as[(String, Array[Float])].collect()
+    val luts = qArr.map { case (_, qv) =>
+      if (qv == null) null else pqLut(model, qv, metric)
+    }
+    val bc = spark.sparkContext.broadcast(qArr.map(_._1).zip(luts))
+    val kCand = math.max(k, k * rerank)
+    val cands = encoded
+      .select(col(bKey).cast("string"), col("__pq"))
+      .as[(String, Seq[Byte])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+          val heaps = Array.fill(qs.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, String)](ord))
+          it.foreach { case (bk, codeSeq) =>
+            val code = codeSeq.toArray
+            var i = 0
+            while (i < qs.length) {
+              val lutI = qs(i)._2
+              if (lutI != null) {
+                val (lut, offsets, addConst) = lutI
+                val d = jvmPqAdc(lut, offsets, addConst, code)
+                val h = heaps(i)
+                if (h.size < kCand) h.enqueue((d, bk))
+                else {
+                  val worst = h.head
+                  if (d < worst._1 || (d == worst._1 && bk < worst._2)) {
+                    h.dequeue(); h.enqueue((d, bk))
+                  }
+                }
+              }
+              i += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+            val qk = qs(i)._1
+            h.iterator.map { case (_, bk) => (qk, bk) }
+          }
+        }
+      }.toDF("__qkey", "__bkey")
+      // partial heaps kept kCand per (partition, query); one exact
+      // distinct bounds the join-back at |queries| × kCand × parts
+      .distinct()
+    val qdf = qArr.toSeq.toDF("__qkey", "__qvec")
+    val metricL = metric
+    val scored = encoded
+      .select(col(bKey).cast("string").as("__bkey"),
+        col(bVec).cast(ArrayType(FloatType)).as("__bvec"))
+      .join(cands, "__bkey")
+      .join(broadcast(qdf), "__qkey")
+      .select(col("__qkey"), col("__bkey"),
+        vector_distance(col("__bvec"), col("__qvec"), metricL).as("distance"))
+    topKPerQuery(scored, k)
+  }
+
   // --------------------------- k-NN join --------------------------- //
 
   /** Measured shape inputs to [[choosePlan]]: row counts, vector
@@ -269,18 +489,21 @@ object Ann {
    *     r=1.0 at 16/256 probes) and wins the sweep's big batches.
    *  4. `"nsw"` on unstructured corpora when a graph exists —
    *     beam search holds r≈1.0 where cell pruning collapses to
-   *     r≈0.45; else `"sq"` for L2/IP (int8 scan + exact re-rank:
-   *     recall bounded by the re-rank margin, 4× less scan I/O),
-   *     falling back to `"exact"` for cosine without a graph.
+   *     r≈0.45; else a quantized scan + exact re-rank for L2/IP —
+   *     `"pq"` when a trained codebook was supplied (m-byte ADC
+   *     scan: 32× less I/O than float, 8× less than int8) else
+   *     `"sq"` (4×) — falling back to `"exact"` for cosine without
+   *     a graph.
    */
   def choosePlan(shape: JoinShape, nswAvailable: Boolean,
                  metric: String = "COSINE",
                  exactFlopBudget: Double = 2e10,
                  broadcastQueryLimit: Long = 250000,
-                 clusteredBelow: Double = 0.45): String = {
+                 clusteredBelow: Double = 0.45,
+                 pqAvailable: Boolean = false): String = {
     val flops = shape.nQueries.toDouble * shape.nBase * math.max(1, shape.dim)
-    // broadcast-ability gates FIRST: exact/nsw/sq all collect the query
-    // batch to the driver, so a huge query side must route to the
+    // broadcast-ability gates FIRST: exact/nsw/sq/pq all collect the
+    // query batch to the driver, so a huge query side must route to the
     // shuffling IVF plan even when the scored cross product is tiny
     // (10M queries × 60 base rows is few flops but an un-broadcastable
     // batch — the blow-up broadcastQueryLimit exists to prevent)
@@ -288,6 +511,7 @@ object Ann {
     else if (flops <= exactFlopBudget) "exact"
     else if (shape.nnRatio < clusteredBelow) "ivf"
     else if (nswAvailable) "nsw"
+    else if (pqAvailable && (metric == "L2" || metric == "IP")) "pq"
     else if (metric == "L2" || metric == "IP") "sq"
     else "exact"
   }
@@ -296,8 +520,11 @@ object Ann {
    * Auto-plan k-NN join facade: measures the input shape
    * ([[probeShape]]), picks the physical plan ([[choosePlan]] — pass
    * `plan` to override), and dispatches to [[knnJoinExact]] /
-   * [[knnJoinIvf]] / [[knnJoinNsw]] / [[knnJoinSq]]. Output schema is
-   * identical across plans: `(__key, rk, neighbor, distance)`.
+   * [[knnJoinIvf]] / [[knnJoinNsw]] / [[knnJoinSq]] / [[knnJoinPq]]
+   * (PQ enters the plan space only when a trained [[PqModel]] is
+   * supplied — codebook training is index-build work the facade
+   * never hides in query cost). Output schema is identical across
+   * plans: `(__key, rk, neighbor, distance)`.
    *
    * IVF cell/probe defaults scale with the corpus (√|base| cells,
    * 1/8 probed — the sweep's 16/256-style shape) and are overridable;
@@ -312,11 +539,13 @@ object Ann {
               nsw: Option[Nsw.NswIndex] = None,
               ef: Int = 200,
               nCells: Option[Int] = None,
-              nProbe: Option[Int] = None): DataFrame = {
+              nProbe: Option[Int] = None,
+              pq: Option[PqModel] = None): DataFrame = {
     // lazy: an explicit plan + explicit cells never pays the probe
     lazy val shape = probeShape(queries, qVec, base, bVec)
     val chosen = plan.getOrElse(
-      choosePlan(shape, nswAvailable = nsw.isDefined, metric = metric))
+      choosePlan(shape, nswAvailable = nsw.isDefined, metric = metric,
+        pqAvailable = pq.isDefined))
     chosen match {
       case "exact" =>
         knnJoinExact(queries, qKey, qVec, base, bKey, bVec, k, metric)
@@ -338,9 +567,18 @@ object Ann {
         val quantized =
           if (base.columns.contains("__sq")) base else sqQuantize(base, bVec)
         knnJoinSq(queries, qKey, qVec, quantized, bKey, bVec, k, metric)
+      case "pq" =>
+        require(metric == "L2" || metric == "IP",
+          s"plan=pq supports L2|IP, got $metric")
+        val model = pq.getOrElse(throw new IllegalArgumentException(
+          "plan=pq requires a trained PqModel"))
+        val encoded =
+          if (base.columns.contains("__pq")) base
+          else pqEncode(base, bVec, model)
+        knnJoinPq(queries, qKey, qVec, encoded, bKey, bVec, k, model, metric)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown k-NN join plan '$other' (exact|ivf|nsw|sq)")
+          s"unknown k-NN join plan '$other' (exact|ivf|nsw|sq|pq)")
     }
   }
 
@@ -363,20 +601,24 @@ object Ann {
    *     pruning collapses (r ≈ 0.45) and the graph wins.
    *  3. `"nsw"` when a graph is built — holds r ≈ 1.0 on the
    *     unstructured corpora that defeat IVF.
-   *  4. `"sq"` when the corpus already carries `__sq` codes and the
-   *     metric is L2|IP — 4× less scan I/O, recall bounded by the
-   *     re-rank margin. (Never chosen without pre-built codes: a
-   *     quantize-on-the-fly pass reads the floats it exists to skip.)
+   *  4. a quantized scan + exact re-rank when pre-built codes exist
+   *     and the metric is L2|IP — `"pq"` (m-byte ADC, 32× less scan
+   *     I/O) preferred over `"sq"` (int8, 4×); recall bounded by the
+   *     re-rank margin either way. (Never chosen without pre-built
+   *     codes: a quantize-on-the-fly pass reads the floats it exists
+   *     to skip.)
    */
   def chooseQueryPlan(shape: QueryShape, ivfAvailable: Boolean,
                       nswAvailable: Boolean, sqAvailable: Boolean,
                       metric: String = "COSINE",
                       exactFlopBudget: Double = 2e8,
-                      clusteredBelow: Double = 0.45): String = {
+                      clusteredBelow: Double = 0.45,
+                      pqAvailable: Boolean = false): String = {
     val flops = shape.nBase.toDouble * math.max(1, shape.dim)
     if (flops <= exactFlopBudget) "exact"
     else if (ivfAvailable && shape.nnRatio < clusteredBelow) "ivf"
     else if (nswAvailable) "nsw"
+    else if (pqAvailable && (metric == "L2" || metric == "IP")) "pq"
     else if (sqAvailable && (metric == "L2" || metric == "IP")) "sq"
     else "exact"
   }
@@ -385,12 +627,13 @@ object Ann {
    * Auto-plan single-query top-k facade: measures the corpus shape
    * ([[probeQueryShape]]), picks the physical plan
    * ([[chooseQueryPlan]] — pass `plan` to override), and dispatches to
-   * [[topK]] / [[IvfIndex.search]] / NSW beam search / [[topKSq]].
-   * Output schema is identical across plans: `(__key, distance)`.
-   * Like [[knnJoin]], indexes are never BUILT inside the facade —
-   * index construction hidden in query cost would lie to the caller;
-   * only supplied indexes (and pre-quantized `__sq` codes) widen the
-   * plan space.
+   * [[topK]] / [[IvfIndex.search]] / NSW beam search / [[topKSq]] /
+   * [[topKPq]]. Output schema is identical across plans:
+   * `(__key, distance)`. Like [[knnJoin]], indexes are never BUILT
+   * inside the facade — index construction hidden in query cost would
+   * lie to the caller; only supplied indexes (and pre-built `__sq` /
+   * `__pq` codes — PQ also needs its trained [[PqModel]] for the
+   * query-side lookup tables) widen the plan space.
    */
   def topKAuto(base: DataFrame, keyCol: String, vecCol: String,
                query: Array[Float], k: Int, metric: String = "COSINE",
@@ -398,13 +641,15 @@ object Ann {
                ivf: Option[IvfIndex] = None,
                nsw: Option[Nsw.NswIndex] = None,
                nProbe: Option[Int] = None,
-               ef: Int = 200): DataFrame = {
+               ef: Int = 200,
+               pq: Option[PqModel] = None): DataFrame = {
     // lazy: an explicit plan never pays the shape probe
     lazy val shape = probeQueryShape(base, vecCol)
     val sqAvail = base.columns.contains("__sq")
+    val pqAvail = pq.isDefined && base.columns.contains("__pq")
     val chosen = plan.getOrElse(chooseQueryPlan(shape,
       ivfAvailable = ivf.isDefined, nswAvailable = nsw.isDefined,
-      sqAvailable = sqAvail, metric = metric))
+      sqAvailable = sqAvail, metric = metric, pqAvailable = pqAvail))
     chosen match {
       case "exact" =>
         topK(base, keyCol, vecCol, query, k, metric)
@@ -422,9 +667,18 @@ object Ann {
           s"plan=sq supports L2|IP, got $metric")
         val quantized = if (sqAvail) base else sqQuantize(base, vecCol)
         topKSq(quantized, keyCol, vecCol, query, k, metric)
+      case "pq" =>
+        require(metric == "L2" || metric == "IP",
+          s"plan=pq supports L2|IP, got $metric")
+        val model = pq.getOrElse(throw new IllegalArgumentException(
+          "plan=pq requires a trained PqModel"))
+        val encoded =
+          if (base.columns.contains("__pq")) base
+          else pqEncode(base, vecCol, model)
+        topKPq(encoded, keyCol, vecCol, query, k, model, metric)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown top-k plan '$other' (exact|ivf|nsw|sq)")
+          s"unknown top-k plan '$other' (exact|ivf|nsw|sq|pq)")
     }
   }
 
@@ -754,14 +1008,24 @@ object Ann {
   def kmeansCentroids(df: DataFrame, vecCol: String, nCells: Int,
                       sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
     // NOTE: returns ≤ nCells centroids — fewer when the sample holds
-    // fewer DISTINCT vectors than nCells (see the bestD==0 stop below);
-    // every caller treats the returned array's length as the cell count
+    // fewer DISTINCT vectors than nCells (see the bestD==0 stop in
+    // [[kmeansOnSample]]); every caller treats the returned array's
+    // length as the cell count
 
     val sample = df.select(col(vecCol).cast("array<double>").as("__v"))
       .orderBy(xxhash64(col("__v")).asc)
       .limit(sampleSize).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= nCells, s"need at least $nCells sample vectors")
+    kmeansOnSample(sample, nCells, iters)
+  }
+
+  /** The driver-side k-means core shared by [[kmeansCentroids]] and
+    * [[trainPq]]: farthest-point init + fixed-iteration Lloyd on an
+    * already-collected sample. Deterministic; returns ≤ nCells
+    * centroids (duplicate-heavy samples stop seeding at bestD == 0). */
+  private[pipeline] def kmeansOnSample(sample: Array[Array[Double]],
+      nCells: Int, iters: Int): Array[Array[Double]] = {
     // Farthest-point (maxmin) init: start from the first hash-ordered
     // point, then repeatedly take the sample point farthest from its
     // nearest chosen centroid (index tie-break). Deterministic, and —

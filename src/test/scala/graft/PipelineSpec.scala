@@ -831,6 +831,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       metric = "L2") == "sq")
     assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = false,
       metric = "COSINE") == "exact")
+    // a supplied PQ codebook outranks sq in the quantized regime (m-byte
+    // scan vs 64-byte), never beats a graph, and never applies to cosine
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = false,
+      metric = "L2", pqAvailable = true) == "pq")
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = true,
+      metric = "L2", pqAvailable = true) == "nsw")
+    assert(choosePlan(JoinShape(10000, 100000000L, 32, 0.9), nswAvailable = false,
+      metric = "COSINE", pqAvailable = true) == "exact")
   }
 
   test("probeShape separates clustered from uniform corpora; facade matches exact") {
@@ -885,6 +893,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cqp(100000000L, 0.9, ivf = false, nsw = false, sq = true) == "exact")
     assert(cqp(100000000L, 0.9, ivf = false, nsw = false, sq = false,
       metric = "L2") == "exact")
+    // pre-built PQ codes outrank int8 (m bytes vs 64), same guards
+    assert(chooseQueryPlan(QueryShape(100000000L, 64, 0.9),
+      ivfAvailable = false, nswAvailable = false, sqAvailable = true,
+      metric = "L2", pqAvailable = true) == "pq")
+    assert(chooseQueryPlan(QueryShape(100000000L, 64, 0.9),
+      ivfAvailable = false, nswAvailable = true, sqAvailable = false,
+      metric = "L2", pqAvailable = true) == "nsw")
+    assert(chooseQueryPlan(QueryShape(100000000L, 64, 0.9),
+      ivfAvailable = false, nswAvailable = false, sqAvailable = false,
+      metric = "COSINE", pqAvailable = true) == "exact")
   }
 
   test("topKAuto: auto choice is exact on small corpora; overrides dispatch each arm") {
@@ -916,12 +934,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         plan = Some("nsw"), nsw = Some(nswIdx), ef = 200)
       assert(keys(viaNsw).count(keys(exact).contains) >= 4)
     } finally nswIdx.unpersistIndex()
+    // pq arm (trained codebook; dim 8 / m 4) recovers the exact top-5
+    val pqModel = Ann.trainPq(df, "vec", m = 4)
+    val viaPq = Ann.topKAuto(Ann.pqEncode(df, "vec", pqModel), "id", "vec", q,
+      k = 5, metric = "L2", plan = Some("pq"), pq = Some(pqModel))
+    assert(keys(viaPq) == keys(exact))
     // index-requiring overrides without the index fail loudly
     intercept[IllegalArgumentException] {
       Ann.topKAuto(df, "id", "vec", q, k = 5, plan = Some("ivf"))
     }
     intercept[IllegalArgumentException] {
       Ann.topKAuto(df, "id", "vec", q, k = 5, plan = Some("nsw"))
+    }
+    intercept[IllegalArgumentException] {
+      Ann.topKAuto(df, "id", "vec", q, k = 5, metric = "L2", plan = Some("pq"))
     }
   }
 
@@ -1138,5 +1164,120 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scores relation: a token-less doc has no score row (the corpus
     // is never joined back inside the operator)
     assert(!scored.contains(4L))
+  }
+
+  test("product quantization: ADC equals distance-to-reconstruction; two-stage recall and exact distances") {
+    val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = Ann.trainPq(e, "embedding", m = 8)
+    assert(model.m == 8 && model.dsub == 8)
+    assert(model.books.forall(_.length <= 256))
+    val enc = Ann.pqEncode(e, "embedding", model)
+    val qv = Array.tabulate(64)(i => ((i * 7) % 13) * 0.0625f - 0.375f)
+    // the ADC invariant PQ rests on: the m table lookups sum to
+    // EXACTLY the L2² between the query and the DECODED (centroid-
+    // reconstructed) vector — pin it against a JVM reconstruction
+    val (lut, offsets, addConst) = Ann.pqLut(model, qv, "L2")
+    val rows = enc.select(col("vec_id").cast("string"),
+        graft.functions.pq_adc(col("__pq"), lut, offsets, addConst).as("adc"),
+        col("__pq"))
+      .limit(200).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      assert(codes.length == 8, s"code length ${codes.length}")
+      var expect = 0.0
+      for (j <- codes.indices) {
+        val cent = model.books(j)(codes(j) & 0xFF)
+        for (i <- cent.indices) {
+          val d = qv(j * model.dsub + i).toDouble - cent(i)
+          expect += d * d
+        }
+      }
+      // LUT entries are float-rounded per subspace; tolerance covers
+      // that rounding, nothing else
+      assert(math.abs(r.getDouble(1) - expect) < 1e-3,
+        s"ADC ${r.getDouble(1)} != reconstruction $expect for ${r.getString(0)}")
+    }
+    // two-stage search: recall vs exact float32 top-10, exact distances
+    val pq = Ann.topKPq(enc, "vec_id", "embedding", qv, k = 10, model,
+      metric = "L2").collect()
+    val exact = Ann.topK(e, "vec_id", "embedding", qv, k = 10,
+      metric = "L2").collect()
+    val exactMap = exact.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hit = pq.count(r => exactMap.contains(r.getString(0)))
+    assert(hit >= 9, s"PQ recall too low: $hit/10")
+    pq.foreach { r =>
+      exactMap.get(r.getString(0)).foreach(d =>
+        assert(r.getDouble(1) == d, s"re-ranked distance not exact for ${r.getString(0)}"))
+    }
+    // loud failures, not silent garbage: dim not divisible by m, and
+    // a too-short vector at encode time
+    intercept[IllegalArgumentException] {
+      Ann.trainPq(e, "embedding", m = 7)
+    }
+    val sp = spark; import sp.implicits._
+    val short = Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Ann.pqEncode(short, "embedding", model).collect()
+    }
+    // raw on a local relation, SparkException-wrapped on a real scan —
+    // either way the encode refuses rather than quantizing garbage
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(t => String.valueOf(t.getMessage).contains("pq_encode")),
+      s"unexpected failure: $ex")
+  }
+
+  test("topKPq stage 1 scans only key + m-byte codes; float column read for candidates only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = Ann.trainPq(e, "embedding", m = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-scan").toString
+    // deployment shape: the encoded corpus is PERSISTED and the search
+    // plans over the parquet table, so scan pruning is visible
+    Ann.pqEncode(e, "embedding", model).write.mode("overwrite").parquet(dir)
+    val enc = spark.read.parquet(dir)
+    val qv = Array.tabulate(64)(i => ((i * 7) % 13) * 0.0625f - 0.375f)
+    val plan = Ann.topKPq(enc, "vec_id", "embedding", qv, k = 10, model,
+      metric = "L2")
+    val scans = plan.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet }
+    // stage 1 (candidate scan): __pq + key, NO float vector column —
+    // the whole point of PQ is that the corpus-wide pass reads 32× less
+    val stage1 = scans.filter(_.contains("__pq"))
+    assert(stage1.nonEmpty, s"no scan reads __pq: $scans")
+    stage1.foreach(s => assert(!s.contains("embedding"),
+      s"stage-1 scan reads the float column too: $s"))
+    // stage 2 (re-rank): float column + key, no __pq
+    val stage2 = scans.filter(_.contains("embedding"))
+    assert(stage2.nonEmpty && stage2.forall(!_.contains("__pq")),
+      s"re-rank scan shape wrong: $scans")
+    val pq = plan.collect().map(_.getString(0)).toSet
+    val exact = Ann.topK(e, "vec_id", "embedding", qv, k = 10, metric = "L2")
+      .collect().map(_.getString(0)).toSet
+    assert(pq.intersect(exact).size >= 9, s"recall broke: ${pq.intersect(exact).size}/10")
+  }
+
+  test("PQ knn join: high recall, exact re-ranked distances") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val model = Ann.trainPq(embs, "embedding", m = 8)
+    val queries = embs.filter(col("vec_id") % 23 === 0)
+    val base = embs.filter(col("vec_id") % 23 =!= 0)
+    val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
+      base, "vec_id", "embedding", k = 4, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")) ->
+        r.getAs[Double]("distance")).toMap
+    val pq = Ann.knnJoinPq(queries, "vec_id", "embedding",
+      Ann.pqEncode(base, "embedding", model), "vec_id", "embedding",
+      k = 4, model, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")) ->
+        r.getAs[Double]("distance"))
+    val hit = pq.count { case (pair, _) => exact.contains(pair) }
+    assert(hit.toDouble / exact.size >= 0.9, s"PQ join recall: $hit/${exact.size}")
+    // wherever the pair agrees, the distance must be the EXACT float32
+    // value (stage 2 re-scored on the original vectors)
+    pq.foreach { case (pair, d) =>
+      exact.get(pair).foreach(ed => assert(d == ed, s"distance not exact for $pair")) }
+    // full k rows per query
+    assert(pq.length == exact.size)
   }
 }
