@@ -426,6 +426,70 @@ object PipelineQueries {
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin
     },
 
+    // ExactSubstr dedup (Lee et al. ACL'22): every duplicated
+    // ≥20-token window survives only at its canonical (min key, pos)
+    // occurrence; other occurrences are cut, overlaps merging into
+    // spans. The oracle is a FULL independent reimplementation in
+    // DuckDB SQL — window STRINGS as group keys (no hashes),
+    // row_number keeper, token-level cover + rebuild — hash-compared
+    // on the complete output corpus (the planted full-copy docs AND
+    // the corpus's natural cross-doc duplicates both exercise it).
+    q("p_dedup_substr") { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+      Dedup.dedupSubstrings(d.unionByName(copies), "doc_id", "text",
+          minTokens = 20)
+        .orderBy(col("doc_id").asc)
+    } {
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $PlantOffset, text FROM documents WHERE doc_id % 7 = 0
+        |),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |winidx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 20 + 1)) AS i
+        |  FROM toks
+        |),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[CAST(i AS INT) : CAST(i + 20 - 1 AS INT)], ' ') AS wstr
+        |  FROM winidx
+        |),
+        |win2 AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY wstr) AS n,
+        |    row_number() OVER (PARTITION BY wstr
+        |      ORDER BY CAST(doc_id AS VARCHAR), pos) AS rn
+        |  FROM win
+        |),
+        |cuts AS (SELECT doc_id, pos FROM win2 WHERE n > 1 AND rn > 1),
+        |tokidx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks),
+        |tok AS (SELECT doc_id, i, w[CAST(i AS INT)] AS t FROM tokidx),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, i FROM (
+        |    SELECT doc_id, unnest(generate_series(pos + 1, pos + 20)) AS i
+        |    FROM cuts)
+        |),
+        |kept AS (
+        |  SELECT t.doc_id, t.i, t.t
+        |  FROM tok t LEFT JOIN cover cv ON t.doc_id = cv.doc_id AND t.i = cv.i
+        |  WHERE cv.i IS NULL
+        |),
+        |rebuilt AS (
+        |  SELECT doc_id, coalesce(string_agg(t, ' ' ORDER BY i), '') AS text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CASE WHEN cd.doc_id IS NULL THEN c.text
+        |       ELSE coalesce(rb.text, '') END AS text
+        |FROM corpus c
+        |LEFT JOIN (SELECT DISTINCT doc_id FROM cuts) cd ON c.doc_id = cd.doc_id
+        |LEFT JOIN rebuilt rb ON c.doc_id = rb.doc_id
+        |ORDER BY c.doc_id""".stripMargin
+    },
+
     q("p_embed_neardup") { (s, dir) =>
       Dedup.embeddingNearDupsExact(
         embs(s, dir).filter(col("vec_id") % 2 === 0), "vec_id", "embedding",

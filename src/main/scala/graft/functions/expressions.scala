@@ -1067,3 +1067,101 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * Rolling polynomial hash of every `len`-token window, ONE pass per
+ * row: each token hashes once (FNV-1a over its UTF-8 bytes — the
+ * [[MinHashSig.fnv1a64]] chain the shingle family uses), then the
+ * window hash rolls — h(i+1) = (h(i) − tok(i)·B^(len−1))·B +
+ * tok(i+len) over 2⁶⁴ — so total work is O(tokens), not
+ * O(tokens × len). Output is `array<long>` of length
+ * max(0, n − len + 1); rows with fewer than `len` tokens hash to the
+ * empty array. Equality is 64-bit-hash equality (the same convention
+ * the exact-dedup md5 and shingle joins use): collisions are
+ * possible at 2⁻⁶⁴ per pair, which downstream consumers accept in
+ * exchange for never materializing window STRINGS.
+ */
+case class TokenWindowHashes(child: Expression, len: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(len >= 1, s"window length must be >= 1, got $len")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_window_hashes"
+
+  // odd multiplier (golden-gamma): invertible mod 2^64, good mixing
+  private val B = 0x9E3779B97F4A7C15L
+  private lazy val bPowLen: Long = {
+    var p = 1L; var i = 0
+    while (i < len - 1) { p *= B; i += 1 }
+    p // B^(len-1)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < len)
+      return ArrayData.toArrayData(Array.empty[Long])
+    val tok = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tok(i) = MinHashSig.fnv1a64(arr.getUTF8String(i).getBytes); i += 1
+    }
+    val m = n - len + 1
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < len) { h = h * B + tok(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - tok(i - 1) * bPowLen) * B + tok(i + len - 1)
+      out(i) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Drop every token covered by a `len`-token window starting at any of
+ * `positions` (sorted ascending), rejoining survivors with single
+ * spaces — the cut step of ExactSubstr dedup (Lee et al., ACL'22).
+ * One merge-and-cut pass: overlapping/adjacent windows coalesce into
+ * spans implicitly by tracking the furthest covered end. Positions at
+ * or past the token count are ignored (defensive; the operator derives
+ * them from the same tokenization).
+ */
+case class CutSpans(left: Expression, right: Expression, len: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(len >= 1, s"window length must be >= 1, got $len")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "cut_spans"
+
+  override def nullSafeEval(wordsV: Any, posV: Any): Any = {
+    val words = wordsV.asInstanceOf[ArrayData]
+    val pos = posV.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val np = pos.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var coveredUntil = 0 // exclusive token index
+    var p = 0
+    var i = 0
+    while (i < n) {
+      while (p < np && pos.getInt(p) <= i) {
+        val end = pos.getInt(p) + len
+        if (end > coveredUntil) coveredUntil = end
+        p += 1
+      }
+      if (i >= coveredUntil) kept.add(words.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -58,6 +58,12 @@ package object functions {
   /** Distinct space-joined word n-gram STRINGS (one JVM loop). */
   def word_ngrams(words: Column, n: Int): Column =
     expr2col(WordNgrams(col2expr(words), n))
+  /** Rolling hash of every len-token window (one pass, O(tokens)). */
+  def token_window_hashes(words: Column, len: Int): Column =
+    expr2col(TokenWindowHashes(col2expr(words), len))
+  /** Drop tokens covered by len-windows at sorted positions; rejoin. */
+  def cut_spans(words: Column, positions: Column, len: Int): Column =
+    expr2col(CutSpans(col2expr(words), col2expr(positions), len))
   /** Duplicate-line repetition stats struct (one JVM pass). */
   def repetition_stats(text: Column): Column =
     expr2col(RepetitionStats(col2expr(text)))

@@ -573,4 +573,81 @@ object Dedup {
                     minCosine: Double = 0.95, nCells: Int = 0): DataFrame =
     dedupTransitive(df, keyCol,
       semanticNearDups(df, keyCol, vecCol, minCosine, nCells))
+
+  // ------------- exact duplicated-substring removal ----------------- //
+
+  /**
+   * Every duplicated `minTokens`-token window in the corpus, with its
+   * canonical (keeper) occurrence — the inspection surface under
+   * [[dedupSubstrings]] and the Spark shape of ExactSubstr dedup
+   * (Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better", ACL'22: their suffix array finds byte runs ≥ 50 tokens
+   * appearing twice; a token-window rolling-hash join finds exactly
+   * the same runs, up to 64-bit hash equality — the convention
+   * [[exactDupGroups]]'s md5 and the shingle joins already use).
+   *
+   * Scale shape: the exploded relation is one (hash, key, pos) row
+   * per token — LINEAR in corpus tokens, the documented price of
+   * exact-substring coverage (the suffix array it replaces is ~8
+   * bytes/token on one machine). The hash groupBy partial-aggregates
+   * map-side; the join back is a shuffle join on the window hash
+   * whose hot keys (boilerplate windows duplicated across millions of
+   * docs) AQE's skew-join splits — and each such row must be cut
+   * anyway, so the work is output-bound, not plan-inflated. Text
+   * itself never shuffles: only (key, pos) pairs do, joined back to
+   * the corpus by key at the end.
+   *
+   * Output: (`__key`, `__pos`, `__wh`, `keeper` struct) — one row per
+   * duplicated-window occurrence.
+   */
+  def duplicatedWindows(df: DataFrame, keyCol: String, textCol: String,
+                        minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val win = df
+      .select(col(keyCol).cast("string").as("__key"),
+        graft.functions.token_window_hashes(
+          split(col(textCol), " "), minTokens).as("__hs"))
+      .select(col("__key"), posexplode(col("__hs")).as(Seq("__pos", "__wh")))
+    val dup = win.groupBy("__wh")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__key"), col("__pos"))).as("keeper"))
+      .filter(col("__n") > 1)
+      .select("__wh", "keeper")
+    win.join(dup, "__wh")
+      .select(col("__key"), col("__pos"), col("__wh"), col("keeper"))
+  }
+
+  /**
+   * ExactSubstr dedup (Lee et al., ACL'22): remove every token run of
+   * ≥ `minTokens` tokens that appears elsewhere in the corpus, keeping
+   * ONE canonical occurrence — the minimum (key, pos) of each
+   * duplicated window survives; every other occurrence's tokens are
+   * cut, overlapping windows coalescing into spans
+   * ([[graft.functions.CutSpans]] merges as it cuts). Untouched docs
+   * keep their text byte-for-byte; cut docs re-join surviving tokens
+   * with single spaces (token-level semantics, as the paper's).
+   *
+   * Within-doc repeats count: a run repeated twice in one doc keeps
+   * its first occurrence. Docs shorter than `minTokens` tokens are
+   * never touched.
+   */
+  def dedupSubstrings(df: DataFrame, keyCol: String, textCol: String,
+                      minTokens: Int = 50): DataFrame = {
+    val dup = duplicatedWindows(df, keyCol, textCol, minTokens)
+    val cuts = dup
+      .filter(!(struct(col("__key"), col("__pos")) === col("keeper")))
+      .groupBy("__key")
+      .agg(sort_array(collect_list(col("__pos"))).as("__cuts"))
+    val outCols = df.columns.map {
+      case c if c == textCol =>
+        when(col("__cuts").isNull, col(textCol))
+          .otherwise(graft.functions.cut_spans(
+            split(col(textCol), " "), col("__cuts"), minTokens))
+          .as(textCol)
+      case c => col(c)
+    }
+    df.withColumn("__jk", col(keyCol).cast("string"))
+      .join(cuts, col("__jk") === cuts("__key"), "left")
+      .select(outCols.toIndexedSeq: _*)
+  }
 }

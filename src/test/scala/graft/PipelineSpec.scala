@@ -1166,6 +1166,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scored.contains(4L))
   }
 
+  test("dedupSubstrings: differential vs string-window model; copies cut; spans merge; keeper survives") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    def filler(n: Int) = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val passage = Seq.tabulate(12)(i => s"p$i").mkString(" ")
+    val L = 5
+    val cBody = filler(30)
+    val docs = Seq(
+      "a" -> s"${filler(20)} $passage ${filler(7)}",
+      "b" -> s"$passage ${filler(15)}",
+      "c" -> cBody,
+      "d" -> "tiny doc", // < L tokens: untouchable
+      "e" -> s"${filler(9)} $passage",
+      "g" -> s"$passage x1 x2 $passage", // within-doc repeat
+      "h" -> cBody) // exact full copy of c
+    // independent model: window STRINGS as identity (no hashing),
+    // same tokenization (split ' ', limit -1) and keeper rule
+    def model(ds: Seq[(String, String)], len: Int): Map[String, String] = {
+      val toks = ds.map { case (k, t) => k -> t.split(" ", -1).toIndexedSeq }
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], List[(String, Int)]]
+      for ((k, w) <- toks; i <- 0 to w.length - len) {
+        val win = w.slice(i, i + len)
+        occ(win) = occ.getOrElse(win, Nil) :+ ((k, i))
+      }
+      val cuts = scala.collection.mutable.Map.empty[String, List[Int]]
+      for ((_, os) <- occ if os.length > 1) {
+        val keeper = os.min
+        for (o <- os if o != keeper)
+          cuts(o._1) = o._2 :: cuts.getOrElse(o._1, Nil)
+      }
+      toks.map { case (k, w) =>
+        cuts.get(k) match {
+          case None => k -> ds.find(_._1 == k).get._2
+          case Some(ps) =>
+            val covered = ps.flatMap(p => p until math.min(p + len, w.length)).toSet
+            k -> w.indices.filterNot(covered).map(w).mkString(" ")
+        }
+      }.toMap
+    }
+    val expect = model(docs, L)
+    val got = Dedup.dedupSubstrings(docs.toDF("k", "text"), "k", "text",
+        minTokens = L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expect, s"differential mismatch:\n$got\nvs\n$expect")
+    // sharp shape checks the model also implies:
+    assert(got("d") == "tiny doc") // short doc byte-identical
+    assert(got("h") == "") // exact copy: keeper 'c' < 'h' → h fully cut
+    assert(got("c") == cBody)
+    // the shared passage survives ONLY at its canonical occurrence
+    // ('a' holds the min (key,pos)); within-doc repeat in 'g' cut too
+    assert(got("a").contains(passage))
+    Seq("b", "e", "g").foreach(k =>
+      assert(!got(k).contains(passage), s"passage survived in $k"))
+    // row-local window hashes: equal windows hash equal, the repeated
+    // passage in 'g' produces equal hashes at both occurrences
+    val hs = docs.toDF("k", "text")
+      .filter(col("k") === "g")
+      .select(graft.functions.token_window_hashes(split(col("text"), " "), L))
+      .head.getSeq[Long](0)
+    assert(hs(0) == hs(14) && hs(1) == hs(15), "rolling hash not position-invariant")
+    assert(hs.distinct.length > 2, "degenerate hashing")
+  }
+
   test("product quantization: ADC equals distance-to-reconstruction; two-stage recall and exact distances") {
     val e = Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
     val model = Ann.trainPq(e, "embedding", m = 8)
