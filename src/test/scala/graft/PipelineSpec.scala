@@ -1320,6 +1320,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.intersect(exact).size >= 9, s"recall broke: ${pq.intersect(exact).size}/10")
   }
 
+  test("IVFADC knn join: full probes at least flat-PQ recall; exact distances; partial probes keep shape") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = Fixtures.table(spark, dir, "embeddings")
+    val model = Ann.trainPq(embs, "embedding", m = 8)
+    val queries = embs.filter(col("vec_id") % 23 === 0)
+    val base = embs.filter(col("vec_id") % 23 =!= 0)
+    val exact = Ann.knnJoinExact(queries, "vec_id", "embedding",
+      base, "vec_id", "embedding", k = 4, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")) ->
+        r.getAs[Double]("distance")).toMap
+    def run(nProbe: Int) = Ann.knnJoinIvfPq(queries, "vec_id", "embedding",
+      base, "vec_id", "embedding", k = 4, nCells = 8, nProbe = nProbe,
+      model, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")) ->
+        r.getAs[Double]("distance"))
+    val full = run(nProbe = 8)
+    val fullRecall = full.count { case (p, _) => exact.contains(p) }.toDouble / exact.size
+    assert(fullRecall >= 0.9, s"IVFADC full-probe recall: $fullRecall")
+    // full-probe ADC candidates are a SUPERSET of the flat PQ plan's
+    // (per-cell heaps each keep kCand), so recall can only match or beat
+    val flat = Ann.knnJoinPq(queries, "vec_id", "embedding",
+      Ann.pqEncode(base, "embedding", model), "vec_id", "embedding",
+      k = 4, model, metric = "L2").collect()
+      .map(r => (r.getAs[String]("__key"), r.getAs[String]("neighbor")))
+    val flatRecall = flat.count(exact.contains).toDouble / exact.size
+    assert(fullRecall >= flatRecall,
+      s"full-probe IVFADC ($fullRecall) below flat PQ ($flatRecall)")
+    // distances are EXACT float32 wherever the pair agrees
+    full.foreach { case (pair, d) =>
+      exact.get(pair).foreach(ed => assert(d == ed, s"distance not exact for $pair")) }
+    // full k rows per query at full AND partial probes (partial prunes
+    // candidates, never output arity — uniform gate vectors are cell
+    // pruning's worst case so only shape is pinned here)
+    assert(full.length == exact.size)
+    val partial = run(nProbe = 2)
+    assert(partial.length == exact.size)
+    partial.foreach { case (pair, d) =>
+      exact.get(pair).foreach(ed => assert(d == ed, s"partial distance not exact for $pair")) }
+  }
+
   test("PQ knn join: high recall, exact re-ranked distances") {
     val dir = "/root/testdata/sf0.001"
     val embs = Fixtures.table(spark, dir, "embeddings")
