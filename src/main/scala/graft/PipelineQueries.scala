@@ -88,6 +88,25 @@ object PipelineQueries {
           k = 10, metric = "L2")
         .collect().map(_.getString(0)).toSet)
 
+  /** Bloom-decontamination fixtures (memoized per dir: the filter
+    * build is blocklist-index work, and the exact contaminated-key
+    * yardstick keeps the timed gate body measuring the Bloom probe).
+    * Both hold collected values — session-safe. */
+  private val bloomBitsCache = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  private[graft] def bloomBits(s: SparkSession, dir: String): Array[Byte] =
+    bloomBitsCache.getOrElseUpdate(dir,
+      Curation.benchmarkBloom(
+        docs(s, dir).filter(col("doc_id") % 97 === 0), "text", n = 8, fpp = 1e-4))
+  private val exactContamCache = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private[graft] def exactContamKeys(s: SparkSession, dir: String): Set[String] = {
+    val d = docs(s, dir)
+    exactContamCache.getOrElseUpdate(dir,
+      Curation.contaminationHits(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("__key").cast("string")).collect().map(_.getString(0)).toSet)
+  }
+
   /** PQ codebook fixture (memoized: training is index-build work, not
     * the per-query operator — bench reps measure encode + ADC search).
     * Holds collected float arrays only, so a dir key is session-safe. */
@@ -1074,6 +1093,43 @@ object PipelineQueries {
 
     // Benchmark decontamination: docs with doc_id%97==0 stand in for
     // the eval set; a candidate is contaminated when it shares an
+    // Bloom-path decontamination: the benchmark's n-gram set compiles
+    // to a fixed-size Bloom filter (fixture — blocklist-index work)
+    // and the corpus probes it map-side, no join at all. One-sided
+    // error, both directions oracle-pinned: every exactly-contaminated
+    // doc MUST surface (no false negatives — a Bloom guarantee), and
+    // clean docs over-surface at ≤ 2% (fpp 1e-4 × ~50 n-grams/doc
+    // predicts ~0.5%; measured 0 at gate scale).
+    q("p_decontaminate_bloom") { (s, dir) =>
+      val d = docs(s, dir)
+      val got = Curation.contaminationHitsBloom(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        bloomBits(s, dir), n = 8)
+        .select(col("__key").cast("string")).collect().map(_.getString(0)).toSet
+      val exact = exactContamKeys(s, dir)
+      val nCands = d.filter(col("doc_id") % 97 =!= 0).count()
+      val sp = s
+      import sp.implicits._
+      Seq((exact.size.toDouble, exact.subsetOf(got),
+          (got -- exact).size.toDouble <= 0.02 * nCands))
+        .toDF("n_exact_contaminated", "no_false_negatives", "overblock_bounded")
+    } {
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8
+        |    THEN list_distinct(list_transform(range(1, len(w) - 8 + 2),
+        |      i -> array_to_string(w[i:i+7], ' ')))
+        |    ELSE [] END AS ngs FROM w),
+        |b AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 97 <> 0)
+        |SELECT CAST(count(DISTINCT c.doc_id) AS DOUBLE) AS n_exact_contaminated,
+        |  TRUE AS no_false_negatives, TRUE AS overblock_bounded
+        |FROM c JOIN b USING (ng)""".stripMargin
+    },
+
     // 8-word-gram. The corpus's small vocabulary makes collisions
     // plentiful — the oracle pins exact hit COUNTS per key, so a
     // tokenization, windowing or join defect all hash-mismatch.

@@ -58,6 +58,9 @@ package object functions {
   /** Distinct space-joined word n-gram STRINGS (one JVM loop). */
   def word_ngrams(words: Column, n: Int): Column =
     expr2col(WordNgrams(col2expr(words), n))
+  /** Bloom membership probe of a long-hash column (serialized bits). */
+  def bloom_might_contain(hash: Column, bits: Array[Byte]): Column =
+    expr2col(BloomMightContainLong(col2expr(hash), bits))
   /** Rolling hash of every len-token window (one pass, O(tokens)). */
   def token_window_hashes(words: Column, len: Int): Column =
     expr2col(TokenWindowHashes(col2expr(words), len))

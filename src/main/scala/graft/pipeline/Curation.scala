@@ -101,6 +101,65 @@ object Curation {
         .select(col("__key").as(keyCol)),
       Seq(keyCol), "left_anti")
 
+  /**
+   * Serialized Bloom filter over the benchmark's distinct n-gram
+   * xxhash64 values — the FIXED-SIZE broadcast for decontamination at
+   * scale. [[contaminationHits]] broadcasts the n-gram STRINGS, fine
+   * while eval suites are thousands of documents; when the blocklist
+   * grows to ~10⁸-10⁹ n-grams the strings are gigabytes where the
+   * Bloom bits are `n·ln(1/fpp)/ln²2` ≈ 2.4 bytes per n-gram at
+   * fpp 1e-4 — ~10-50× smaller, with ONE-SIDED error: contaminated
+   * documents are ALWAYS caught (no false negatives); clean documents
+   * are over-removed at ≈ n-grams-per-doc × fpp (choose fpp
+   * accordingly). Deterministic: same benchmark set → same bits
+   * (insertion is order-free OR, so the distributed merge is too).
+   * Built on [[graft.util.Bloom64]] — NOT Spark's sketch, whose
+   * double-hashed probes measured ~3.5e-3 false admits on a filter
+   * sized for 1e-6 (probe independence collapses at small bit
+   * counts); Bloom64's per-probe splitmix64 mixes hold the textbook
+   * rate. The build aggregates executor-side (treeAggregate of OR'd
+   * bit arrays): the blocklist never collects to the driver.
+   */
+  def benchmarkBloom(benchmark: DataFrame, benchTextCol: String,
+                     n: Int = 8, fpp: Double = 1e-4): Array[Byte] = {
+    val hashes = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("ng"))
+      .select(xxhash64(col("ng")).as("h")).distinct()
+    val cnt = math.max(1L, hashes.count())
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    hashes.as[Long].rdd
+      .treeAggregate(graft.util.Bloom64.create(cnt, fpp))(
+        (b, v) => { b.put(v); b }, (a, b) => a.merge(b))
+      .serialize
+  }
+
+  /** [[contaminationHits]] against a [[benchmarkBloom]] filter: the
+    * corpus explodes n-grams map-side and probes the Bloom bits (one
+    * codegen'd hash + probe per n-gram — no join at all). `n_hits`
+    * counts n-grams the filter ADMITS, so it can exceed the true hit
+    * count by the fpp share; membership of the output (which docs
+    * surface) is what the one-sided bound governs. */
+  def contaminationHitsBloom(candidates: DataFrame, keyCol: String,
+                             textCol: String, bloomBits: Array[Byte],
+                             n: Int = 8): DataFrame =
+    candidates
+      .select(col(keyCol).as("__key"),
+        explode(wordShingles(col(textCol), n)).as("ng"))
+      .filter(graft.functions.bloom_might_contain(xxhash64(col("ng")), bloomBits))
+      .groupBy("__key").agg(count(lit(1)).cast("double").as("n_hits"))
+
+  /** [[decontaminate]] through the Bloom path: removes a SUPERSET of
+    * the exact removals (never misses a contaminated doc; over-removes
+    * clean docs at ≈ n-grams-per-doc × fpp). */
+  def decontaminateBloom(candidates: DataFrame, keyCol: String,
+                         textCol: String, bloomBits: Array[Byte],
+                         n: Int = 8): DataFrame =
+    candidates.join(
+      contaminationHitsBloom(candidates, keyCol, textCol, bloomBits, n)
+        .select(col("__key").as(keyCol)),
+      Seq(keyCol), "left_anti")
+
   // ----------------------- deterministic sampling ------------------ //
 
   /** Stable per-key bucket in [0, 65536): the first four hex digits of

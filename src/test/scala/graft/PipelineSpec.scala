@@ -1166,6 +1166,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scored.contains(4L))
   }
 
+  test("bloom decontamination: deterministic bits; superset of exact removals; tight-fpp parity") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    def sentence(n: Int) = Seq.fill(n)("t" + rnd.nextInt(2000)).mkString(" ")
+    val leak = Seq.tabulate(10)(i => s"leak$i").mkString(" ")
+    val bench = Seq((1L, s"${sentence(12)} $leak")).toDF("id", "text")
+    val cands = ((2L to 40L).map(i => (i, sentence(30))) :+
+      (99L, s"${sentence(5)} $leak ${sentence(5)}")).toDF("id", "text")
+    // deterministic build: same benchmark → byte-identical bits
+    val bits = Curation.benchmarkBloom(bench, "text", n = 8, fpp = 1e-6)
+    val bits2 = Curation.benchmarkBloom(bench, "text", n = 8, fpp = 1e-6)
+    assert(java.util.Arrays.equals(bits, bits2), "bloom build not deterministic")
+    val exactHits = Curation.contaminationHits(cands, "id", "text",
+      bench, "text", n = 8).select(col("__key").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val bloomHits = Curation.contaminationHitsBloom(cands, "id", "text",
+      bits, n = 8).select(col("__key").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    // one-sided error: the planted leak MUST be caught, and every
+    // exact hit is a bloom hit
+    assert(exactHits.contains("99"))
+    assert(exactHits.subsetOf(bloomHits), s"false negatives: ${exactHits -- bloomHits}")
+    // at fpp 1e-6 over ~1.2k candidate n-grams, expected false
+    // positives ≈ 0.001 — exact parity here is overwhelmingly likely
+    assert(bloomHits == exactHits, s"unexpected overblock: ${bloomHits -- exactHits}")
+    // end-to-end removal agrees
+    val exSurv = Curation.decontaminate(cands, "id", "text", bench, "text", n = 8)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val blSurv = Curation.decontaminateBloom(cands, "id", "text", bits, n = 8)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(blSurv == exSurv && !blSurv.contains(99L))
+  }
+
   test("dedupSubstrings: differential vs string-window model; copies cut; spans merge; keeper survives") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(17)
