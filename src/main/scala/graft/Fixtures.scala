@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.engine.SearchEngine
 import graft.model._
@@ -75,8 +76,106 @@ object Fixtures {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Expected column types per testdata table. The driver regenerates
+    * `/root/testdata` between rounds and has already changed an encoding
+    * once (events.ts TIMESTAMP(NANOS) → timestamp[us]); this check turns
+    * the resulting 52 opaque per-gate failures into ONE error naming the
+    * table/column/got-vs-expected. */
+  private val expectedColumns: Seq[(String, String, DataType => Boolean, String)] = {
+    def numeric(t: DataType) = t.isInstanceOf[NumericType]
+    def str(t: DataType) = t == StringType
+    def timeLike(t: DataType) = t match {
+      case LongType | TimestampType | TimestampNTZType | DateType => true
+      case _: NumericType => true
+      case _ => false
+    }
+    def floatVec(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    Seq(
+      ("lineitem", "l_orderkey", numeric _, "numeric"),
+      ("lineitem", "l_linenumber", numeric _, "numeric"),
+      ("lineitem", "l_quantity", numeric _, "numeric"),
+      ("lineitem", "l_extendedprice", numeric _, "numeric"),
+      ("lineitem", "l_discount", numeric _, "numeric"),
+      ("lineitem", "l_tax", numeric _, "numeric"),
+      ("lineitem", "l_returnflag", str _, "string"),
+      ("lineitem", "l_linestatus", str _, "string"),
+      ("orders", "o_orderkey", numeric _, "numeric"),
+      ("orders", "o_custkey", numeric _, "numeric"),
+      ("orders", "o_totalprice", numeric _, "numeric"),
+      ("orders", "o_orderstatus", str _, "string"),
+      ("orders", "o_orderpriority", str _, "string"),
+      ("customer", "c_custkey", numeric _, "numeric"),
+      ("customer", "c_acctbal", numeric _, "numeric"),
+      ("customer", "c_mktsegment", str _, "string"),
+      ("part", "p_partkey", numeric _, "numeric"),
+      ("part", "p_size", numeric _, "numeric"),
+      ("part", "p_retailprice", numeric _, "numeric"),
+      ("part", "p_brand", str _, "string"),
+      ("part", "p_name", str _, "string"),
+      ("documents", "doc_id", numeric _, "numeric"),
+      ("documents", "n_chars", numeric _, "numeric"),
+      ("documents", "lang", str _, "string"),
+      ("documents", "source", str _, "string"),
+      ("documents", "text", str _, "string"),
+      ("events", "event_id", numeric _, "numeric"),
+      ("events", "ts", timeLike _, "timestamp/long/numeric"),
+      ("events", "user_id", numeric _, "numeric"),
+      ("events", "event_type", str _, "string"),
+      ("events", "value", numeric _, "numeric"),
+      ("events", "props", str _, "string"),
+      ("embeddings", "vec_id", numeric _, "numeric"),
+      ("embeddings", "label", numeric _, "numeric"),
+      ("embeddings", "embedding", floatVec _, "array<float|double>"))
+  }
+
+  /** Load every table's parquet footer and validate the columns the
+    * fixtures depend on. Throws ONE IllegalStateException listing every
+    * drifted column, or returns silently. Footer-only — no data scan. */
+  def preflight(spark: SparkSession, dir: String): Unit = {
+    val byTable = expectedColumns.groupBy(_._1)
+    val errs = byTable.toSeq.sortBy(_._1).flatMap { case (tbl, checks) =>
+      scala.util.Try(table(spark, dir, tbl).schema) match {
+        case scala.util.Failure(e) =>
+          Seq(s"$tbl: unreadable (${e.getMessage.linesIterator.next()})")
+        case scala.util.Success(schema) =>
+          checks.flatMap { case (_, colName, ok, want) =>
+            schema.fields.find(_.name == colName) match {
+              case None => Some(s"$tbl.$colName: MISSING (want $want)")
+              case Some(f) if !ok(f.dataType) =>
+                Some(s"$tbl.$colName: got ${f.dataType.simpleString}, want $want")
+              case _ => None
+            }
+          }
+      }
+    }
+    if (errs.nonEmpty) throw new IllegalStateException(
+      s"testdata schema drift under $dir — ${errs.size} column(s): " +
+        errs.mkString("; "))
+  }
+
+  /** Unix seconds from whatever encoding the driver wrote `ts` in this
+    * round. Type-driven — the round-7 post-mortem: the testdata regen
+    * switched TIMESTAMP(NANOS) → timestamp[us] (Spark: TIMESTAMP_NTZ)
+    * and a cast-to-double-only path zeroed all 52 engine gates. */
+  private[graft] def tsSeconds(dt: DataType): org.apache.spark.sql.Column = dt match {
+    // TIMESTAMP(NANOS) read as long under the legacy flag
+    case LongType => col("ts").cast("double") / 1e9
+    // timestamp[us] w/o TZ: wall-clock → instant via session TZ (pinned
+    // UTC in build.sbt/Verify/Bench), then seconds since epoch
+    case TimestampNTZType => col("ts").cast(TimestampType).cast("double")
+    case TimestampType => col("ts").cast("double")
+    case DateType => col("ts").cast(TimestampType).cast("double")
+    case _: NumericType => col("ts").cast("double")
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported type ${other.simpleString}")
+  }
+
   /** Build an engine with every index registered over `dir`'s tables. */
   def engine(spark: SparkSession, dir: String): SearchEngine = {
+    preflight(spark, dir)
     val e = new SearchEngine
     // NOT resident: a cached fact table loses parquet filter pushdown
     // (InMemoryRelation has no row-group pruning) and benched slower
@@ -98,16 +197,13 @@ object Fixtures {
     e.createIndex(documentsSchema, Documents.enrich(
       table(spark, dir, "documents"), documentsSchema,
       keyExpr = Some(col("doc_id"))), resident = true)
-    // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 only reads it as
-    // a long (nanos) under this legacy flag; seconds = nanos / 1e9.
+    // Fallback for a TIMESTAMP(NANOS)-encoded ts (rounds 1-6's testdata):
+    // Spark 4 only reads it as a long (nanos) under this legacy flag.
+    // Harmless for the current timestamp[us] encoding.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsRaw = table(spark, dir, "events")
-    val tsSec =
-      if (eventsRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        col("ts").cast("double") / 1e9
-      else col("ts").cast("double")
     e.createIndex(eventsSchema, Documents.enrich(
-      eventsRaw.withColumn("ts_sec", tsSec),
+      eventsRaw.withColumn("ts_sec", tsSeconds(eventsRaw.schema("ts").dataType)),
       eventsSchema,
       keyExpr = Some(col("event_id"))))
     val emb = table(spark, dir, "embeddings")

@@ -19,18 +19,29 @@ import graft.query.{ParamValue, VectorParam}
  */
 object Queries {
 
-  private val engines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  // Every fixture cache below is keyed by (SparkSession, dir), never dir
+  // alone: a DataFrame is bound to the session that read it, so a cache
+  // entry must die with its session (round-7 verdict, What's wrong #2).
+  private val engines = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchEngine]
   private[graft] def eng(spark: SparkSession, dir: String): SearchEngine =
-    engines.getOrElseUpdate(dir, Fixtures.engine(spark, dir))
+    engines.getOrElseUpdate((spark, dir), Fixtures.engine(spark, dir))
 
-  private val postingRegistered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Run a registration thunk that mutates a shared engine; on failure
+    * drop the partially-created index so the cache stays unpoisoned and
+    * a retry does not hit "index exists". */
+  private def registering[A](e: SearchEngine, idx: String)(body: => A): A =
+    try body catch { case t: Throwable =>
+      scala.util.Try(e.dropIndex(idx)); throw t
+    }
+
+  private val postingRegistered = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
   /** Engine with a SAVED term-sorted posting relation registered on a
     * clone of the documents index (`documents_pi`) — term conjuncts
     * retrieve by posting lookup + semi-join (SURVEY X1/X2) while the
     * original index keeps its columnar plans. */
   private[graft] def postingEng(spark: SparkSession, dir: String): SearchEngine = {
     val e = eng(spark, dir)
-    postingRegistered.getOrElseUpdate(dir, {
+    postingRegistered.getOrElseUpdate((spark, dir), registering(e, "documents_pi") {
       val (schema, docs) = e.index("documents")
       val piSchema = schema.copy(name = "documents_pi")
       e.createIndex(piSchema, docs) // same enriched relation, no re-enrich
@@ -43,13 +54,13 @@ object Queries {
     e
   }
 
-  private val liPostingEngines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  private val liPostingEngines = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchEngine]
   /** Engine whose `lineitem_pi` index was created through FT.CREATE
     * with the POSTINGS option — tag postings built + registered at
     * create time, so q_tag_or-shaped queries CAN route; whether a
     * given query does is the cardinality guard's call. */
   private[graft] def liPostingEng(spark: SparkSession, dir: String): SearchEngine =
-    liPostingEngines.getOrElseUpdate(dir, {
+    liPostingEngines.getOrElseUpdate((spark, dir), {
       val e = new SearchEngine
       val cmds = new Commands(e, _ => (Fixtures.table(spark, dir, "lineitem"),
         concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
@@ -60,12 +71,12 @@ object Queries {
       e
     })
 
-  private val stopwordEngines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  private val stopwordEngines = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchEngine]
   /** Engine whose `docs_sw` index declares custom STOPWORDS through
     * FT.CREATE (memoized per dir — the gate measures the query, not
     * repeated index creation). */
   private[graft] def stopwordEng(spark: SparkSession, dir: String): SearchEngine =
-    stopwordEngines.getOrElseUpdate(dir, {
+    stopwordEngines.getOrElseUpdate((spark, dir), {
       val e = new SearchEngine
       val cmds = new Commands(e,
         _ => (Fixtures.table(spark, dir, "documents"), col("doc_id")))
@@ -75,14 +86,14 @@ object Queries {
       e
     })
 
-  private val annRegistered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val annRegistered = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
   /** Engine with an NSW graph registered on a SEPARATE index name
     * (`embeddings_ann`) so the exact-KNN gates (q_knn_*) keep their FLAT
     * pre-filter plans while `q_ann_inline_recall` exercises the
     * inline-filtered beam-search branch (SURVEY §2.3 X9). */
   private[graft] def annEng(spark: SparkSession, dir: String): SearchEngine = {
     val e = eng(spark, dir)
-    annRegistered.getOrElseUpdate(dir, {
+    annRegistered.getOrElseUpdate((spark, dir), registering(e, "embeddings_ann") {
       val schema = IndexSchema("embeddings_ann", Seq(
         FieldDef("label", NumericField),
         FieldDef("embedding", "vec", VectorField(dim = 64, metric = DistanceMetric.L2))))
@@ -566,7 +577,7 @@ object Queries {
   // hiding a bug) fails the compare.                                  //
   // ---------------------------------------------------------------- //
 
-  private val incTextDone = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val incTextDone = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
   /** Engine where `documents_inc` postings were built on 2/3 of the
     * corpus, then maintained through two onBatch calls: upserts of the
     * held-out third, deletes of doc_id%13==0. The document RELATION
@@ -574,7 +585,7 @@ object Queries {
     * the maintained posting, which is the property under test. */
   private[graft] def incTextEng(spark: SparkSession, dir: String): SearchEngine = {
     val e = eng(spark, dir)
-    incTextDone.getOrElseUpdate(dir, {
+    incTextDone.getOrElseUpdate((spark, dir), registering(e, "documents_inc") {
       val (schema0, docs) = e.index("documents")
       val schema = schema0.copy(name = "documents_inc")
       e.createIndex(schema, docs)
@@ -612,14 +623,14 @@ object Queries {
     e
   }
 
-  private val incAnnDone = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val incAnnDone = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
   /** Engine where `embeddings_inc`'s NSW graph was built on 2/3 of the
     * vectors, then maintained through onBatch: upserts of the held-out
     * third, deletes of vec_id%5==0 — queries must reflect both without
     * a rebuild. */
   private[graft] def incAnnEng(spark: SparkSession, dir: String): SearchEngine = {
     val e = eng(spark, dir)
-    incAnnDone.getOrElseUpdate(dir, {
+    incAnnDone.getOrElseUpdate((spark, dir), registering(e, "embeddings_inc") {
       val schema = IndexSchema("embeddings_inc", Seq(
         FieldDef("label", NumericField),
         FieldDef("embedding", "vec", VectorField(dim = 64, metric = DistanceMetric.L2))))
@@ -804,11 +815,11 @@ object Queries {
   // a DuckDB oracle through the public engine surface.                //
   // ---------------------------------------------------------------- //
 
-  private val capEngines = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  private val capEngines = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchEngine]
   /** Dedicated engine with a LOW non-vector fetch cap on a clone of
     * `part` (the shared engine keeps the production default). */
   private def capEng(spark: SparkSession, dir: String): SearchEngine =
-    capEngines.getOrElseUpdate(dir, {
+    capEngines.getOrElseUpdate((spark, dir), {
       val e = new SearchEngine
       val schema = Fixtures.partSchema.copy(name = "part_cap")
       e.createIndex(schema, graft.sources.Documents.enrich(
@@ -817,11 +828,11 @@ object Queries {
       e
     })
 
-  private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, SearchEngine]
+  private val savedIndexes = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchEngine]
   /** Engine whose `part` index was SAVED (enriched parquet + schema)
     * and re-LOADED into a fresh engine — the S5 RDB save/load shape. */
   private def loadedEng(spark: SparkSession, dir: String): SearchEngine =
-    savedIndexes.getOrElseUpdate(dir, {
+    savedIndexes.getOrElseUpdate((spark, dir), {
       val path = java.nio.file.Files.createTempDirectory("graft-saveload").toString
       eng(spark, dir).saveIndex("part", path)
       SearchEngine.loadIndex(spark, path, new SearchEngine)
@@ -897,6 +908,17 @@ object Queries {
         |FROM part
         |WHERE p_size >= 10 AND p_size <= 20 AND lower(p_brand) = 'brand#13'
         |ORDER BY p_retailprice ASC, __key ASC LIMIT 100""".stripMargin
+    ),
+    (
+      "q_preflight", // round-8 tripwire: testdata schema drift fails HERE,
+      // with one error naming table.column/got/want — not as 52 opaque
+      // cast errors spread across every engine gate (round-7 post-mortem)
+      (s: SparkSession, dir: String) => {
+        Fixtures.preflight(s, dir)
+        val sp = s; import sp.implicits._
+        Seq((true, 7.0)).toDF("ok", "n_tables")
+      },
+      "SELECT TRUE AS ok, CAST(7 AS DOUBLE) AS n_tables"
     )
   )
 

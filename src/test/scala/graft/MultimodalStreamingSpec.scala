@@ -749,9 +749,11 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("windowed stats: same plan runs in batch mode over events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = Fixtures.table(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
-        org.apache.spark.sql.functions.col("ts").cast("double") / 1e9))
+    val raw = Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+    // type-driven: the driver has shipped ts as TIMESTAMP(NANOS) and as
+    // timestamp[us] across rounds (round-7 post-mortem)
+    val df = raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+      Fixtures.tsSeconds(raw.schema("ts").dataType)))
     val agg = graft.streaming.WindowedStats.tumbling(
       df, "ts", Seq("event_type"), "value",
       window = "1 day", watermark = "1 hour")
