@@ -26,13 +26,13 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Fixtures.table(s, dir, "embeddings")
 
-  private val ivfStores = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfStore]
+  private val ivfStores = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ann.IvfStore]
   /** Maintained-IVF fixture: built on vec_id%3!=0, one batch upserts
     * the held-out third and deletes vec_id%5==0 of the REST (disjoint
     * ops — the Ingest.dedupePerKey contract). Memoized per dir so
     * bench reps measure the query, not the build. */
   private def ivfStore(s: SparkSession, dir: String): Ann.IvfStore =
-    ivfStores.getOrElseUpdate(dir, {
+    ivfStores.getOrElseUpdate((s, dir), {
       val e = embs(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
       val store = Ann.initIvfStore(e.filter(col("vec_id") % 3 =!= 0),
@@ -47,11 +47,11 @@ object PipelineQueries {
       store
     })
 
-  private val nswJoinIdx = scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.Nsw.NswIndex]
+  private val nswJoinIdx = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.pipeline.Nsw.NswIndex]
   /** NSW graph over the p_ann_join base split (vec_id%101!=0), memoized
     * per dir so bench reps measure the batched join, not the build. */
   private def nswIdx(s: SparkSession, dir: String): graft.pipeline.Nsw.NswIndex =
-    nswJoinIdx.getOrElseUpdate(dir,
+    nswJoinIdx.getOrElseUpdate((s, dir),
       graft.pipeline.Nsw.build(embs(s, dir).filter(col("vec_id") % 101 =!= 0),
         "vec_id", "embedding", metric = "L2", numPartitions = 8))
 
@@ -1043,6 +1043,67 @@ object PipelineQueries {
         |  CAST(count(*) AS DOUBLE) AS n_tok,
         |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 4) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+    },
+
+    // DSIR importance resampling (Xie et al. NeurIPS'23): select 200
+    // docs from the corpus toward the English-subset hashed-bigram
+    // distribution. The oracle recomputes the ENTIRE estimator
+    // independently — tokenization, md5 bucketing, both add-1 bag
+    // models, the per-doc log-ratio fold, the Gumbel perturbation and
+    // the top-k cut — so a histogram off by one count, a smoothing
+    // mismatch, or a nondeterministic tie-break all hash-mismatch.
+    q("p_dsir_select") { (s, dir) =>
+      val d = docs(s, dir)
+      val nB = 1024
+      val ratio = Curation.dsirLogRatio(
+        Curation.dsirBucketCounts(d.filter(col("lang") === "en"), "text", nB),
+        Curation.dsirBucketCounts(d, "text", nB))
+      Curation.dsirResample(d, "doc_id", "text", ratio, k = 200)
+        .select(col("doc_id").cast("string").as("__key"),
+          round(col("__dsir_logw"), 4).as("logw"))
+        .orderBy(col("__key").asc)
+    } {
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |ngs AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))
+        |      ELSE [] END)) AS ng
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) % 1024 AS INT) AS bucket
+        |  FROM ngs),
+        |tc AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM b WHERE lang = 'en') + 1024.0 AS tt,
+        |  (SELECT count(*) FROM b) + 1024.0 AS rt),
+        |ratio AS (
+        |  SELECT gs.bucket,
+        |    ln((coalesce(tc.c, 0) + 1.0) / tot.tt)
+        |      - ln((coalesce(rc.c, 0) + 1.0) / tot.rt) AS lr
+        |  FROM (SELECT unnest(range(0, 1024)) AS bucket) gs
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) CROSS JOIN tot),
+        |logw AS (
+        |  SELECT d.doc_id, coalesce(sum(r.lr), 0.0) AS lw
+        |  FROM documents d
+        |  LEFT JOIN b ON d.doc_id = b.doc_id
+        |  LEFT JOIN ratio r ON b.bucket = r.bucket
+        |  GROUP BY d.doc_id),
+        |scored AS (
+        |  SELECT doc_id, lw, lw - ln(-ln(
+        |    (CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      'dsir')), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) AS score
+        |  FROM logw)
+        |SELECT __key, logw FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS __key, round(lw, 4) AS logw, score
+        |  FROM scored ORDER BY score DESC, __key ASC LIMIT 200)
+        |ORDER BY __key ASC""".stripMargin
     },
 
     // -------------------- curation --------------------------------- //

@@ -396,4 +396,80 @@ object Curation {
       .withColumn("ppl", exp(col("nll")))
     scored.withColumnRenamed("__k", keyCol)
   }
+
+  // ------------- DSIR importance resampling (selection) ------------- //
+  // Xie/Santurkar/Ma/Liang, "Data Selection for Language Models via
+  // Importance Resampling" (NeurIPS'23): score raw documents by the
+  // log-likelihood ratio of hashed-n-gram bag models fit on a target
+  // corpus vs the raw corpus, then resample via Gumbel top-k. The
+  // Spark shape: both bucket histograms are ONE map-side-combined agg
+  // each (the model is B counts — broadcastable, never the data);
+  // scoring is map-only against the B-entry ratio shipped as a single
+  // plan literal; selection is TakeOrderedAndProject. At 100 TB the
+  // raw histogram runs on a hash-sample (distributions converge long
+  // before the corpus is exhausted) — pass `df.sample` or a
+  // `sampleByHash` slice as `df`; the estimator is unchanged.
+
+  /** Hashed unigram+bigram feature buckets of `text`: lowercase
+    * alphanumeric tokens; bucket = first 8 md5 hex digits mod B (md5
+    * so the DuckDB oracle reproduces buckets bit-for-bit, the
+    * [[sampleByHash]] convention). Codegen'd HOFs, map-only. */
+  def dsirBuckets(text: Column, nBuckets: Int): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+    val bis = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(words, bis), g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(nBuckets.toLong)).cast("int"))
+  }
+
+  /** Bucket histogram of a corpus: B counts on the driver (this is the
+    * MODEL — B ≈ 10⁴ longs — not data). One agg with map-side partial
+    * combine; nothing else reaches the driver. */
+  def dsirBucketCounts(df: DataFrame, textCol: String, nBuckets: Int): Array[Long] = {
+    val rows = df.select(explode(dsirBuckets(col(textCol), nBuckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c")).collect()
+    val out = new Array[Long](nBuckets)
+    rows.foreach(r => out(r.getAs[Int]("b")) = r.getAs[Long]("c"))
+    out
+  }
+
+  /** Per-bucket log importance ratio log p̂_T(b) − log p̂_R(b), add-1
+    * smoothed on both bag models (paper §2.2's hashed generative
+    * models; smoothing keeps buckets unseen in either corpus finite). */
+  def dsirLogRatio(target: Array[Long], raw: Array[Long]): Array[Double] = {
+    require(target.length == raw.length, "histogram sizes differ")
+    val b = target.length
+    val tTot = target.sum.toDouble + b
+    val rTot = raw.sum.toDouble + b
+    Array.tabulate(b)(i =>
+      math.log((target(i) + 1.0) / tTot) - math.log((raw(i) + 1.0) / rTot))
+  }
+
+  /** Add `__dsir_logw`: each doc folds its buckets over the B-entry
+    * ratio literal — map-only, no join, no shuffle. */
+  def dsirScore(df: DataFrame, textCol: String,
+                logRatio: Array[Double]): DataFrame =
+    df.withColumn("__dsir_logw",
+      aggregate(dsirBuckets(col(textCol), logRatio.length), lit(0.0),
+        (acc, b) => acc + element_at(typedLit(logRatio.toSeq), b + 1)))
+
+  /** Gumbel-top-k resampling, deterministic: u ∈ (0,1) from
+    * md5(key‖seed), g = −ln(−ln u), keep the k largest logw + g —
+    * sampling without replacement ∝ softmax(logw) (the paper's
+    * resampling step), reproducible across runs and engines. The only
+    * non-map operator is the bounded top-k. */
+  def dsirResample(df: DataFrame, keyCol: String, textCol: String,
+                   logRatio: Array[Double], k: Int,
+                   seed: String = "dsir"): DataFrame = {
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"), lit(seed))),
+      1, 8), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    dsirScore(df, textCol, logRatio)
+      .withColumn("__dsir_score", col("__dsir_logw") - log(-log(u)))
+      .orderBy(col("__dsir_score").desc, col(keyCol).cast("string").asc)
+      .limit(k)
+  }
 }
