@@ -416,10 +416,17 @@ object Curation {
     * [[sampleByHash]] convention). Codegen'd HOFs, map-only. */
   def dsirBuckets(text: Column, nBuckets: Int): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
-    val bis = when(size(words) >= 2,
-      transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    // Bigrams via zip_with(words, words[2..]) so every lambda touches
+    // ONLY its own elements: referencing `words` (an unbound filter/
+    // split tree) through element_at inside a transform lambda defeats
+    // subexpression elimination — the text re-splits per bigram
+    // element, O(tokens²)/doc (measured: 16 s for the sf0.1 gate;
+    // this form: sub-second). zip_with pads the shorter side with
+    // null → concat yields null → filtered.
+    val bis = filter(
+      zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
     transform(concat(words, bis), g =>
       pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
         lit(nBuckets.toLong)).cast("int"))
