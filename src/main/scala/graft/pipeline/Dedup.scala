@@ -36,14 +36,25 @@ object Dedup {
     out
   }
 
-  /** Distinct word n-gram shingles of a whitespace-tokenized text. */
+  /** Distinct word n-gram shingles of a whitespace-tokenized text.
+    * Built by iterated zip_with(acc, ws[k..]) so every lambda touches
+    * only its own elements — slicing the outer `ws` tree inside a
+    * transform lambda would defeat subexpression elimination and
+    * re-split the text per shingle, O(tokens²)/doc (the HOF-lambda
+    * rule, STATUS round 8; hot paths use the one-pass JVM
+    * [[graft.functions.HashedShingles]] instead). Incomplete tail
+    * positions stay null through the fold (zip_with pads, concat
+    * propagates) and are filtered once at the end. */
   def shingles(text: Column, n: Int): Column = {
     val ws = split(text, " ")
     if (n == 1) array_distinct(ws)
-    else array_distinct(
-      when(size(ws) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n))))))
+    else {
+      val full = (2 to n).foldLeft(ws) { (acc, k) =>
+        zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      array_distinct(filter(full, x => x.isNotNull))
+    }
   }
 
   /**

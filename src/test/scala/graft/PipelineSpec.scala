@@ -1417,4 +1417,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full k rows per query
     assert(pq.length == exact.size)
   }
+
+  test("shingles (string form) matches a sliding-window model; n>=2 edge cases") {
+    val sp = spark; import sp.implicits._
+    def model(t: String, n: Int): Seq[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
+    val texts = Seq("a b c d e", "a b", "one", "", "x y x y x y")
+    for (n <- Seq(1, 2, 3, 5, 6)) {
+      val got = texts.toDF("t")
+        .select(graft.pipeline.Dedup.shingles(org.apache.spark.sql.functions.col("t"), n).as("s"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == model(t, n), s"n=$n text='$t'")
+      }
+    }
+  }
 }
