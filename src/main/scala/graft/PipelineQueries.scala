@@ -1106,6 +1106,112 @@ object PipelineQueries {
         |ORDER BY __key ASC""".stripMargin
     },
 
+    // Composed end-to-end curation pipeline — the user workflow the
+    // individual gates exist for, run as ONE dataflow: exact dedup
+    // (keep numeric-min survivor per content hash) → benchmark
+    // decontamination (8-gram overlap, benchmark = doc_id%97==0) →
+    // quality floor (≥ 30 whitespace tokens) → DSIR selection of 150
+    // docs toward the English subset (models fit on the POST-filter
+    // pool — both engines must compose identically, not just agree
+    // per stage) → 512-token sequence packing by source. The oracle
+    // recomputes all five stages in one SQL chain; any stage-order
+    // or fit-pool divergence hash-mismatches.
+    q("p_pipeline_e2e") { (s, dir) =>
+      val d = docs(s, dir)
+      val keep = d.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = d.join(keep, Seq("doc_id"))
+      val clean = Curation.decontaminate(
+        deduped.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", n = 8)
+      val quality = clean.filter(size(split(col("text"), " ")) >= 30)
+      val nB = 1024
+      val ratio = Curation.dsirLogRatio(
+        Curation.dsirBucketCounts(quality.filter(col("lang") === "en"), "text", nB),
+        Curation.dsirBucketCounts(quality, "text", nB))
+      val selected = Curation.dsirResample(quality, "doc_id", "text", ratio, k = 150)
+      Curation.packSequences(selected, "doc_id",
+          tokens = size(split(col("text"), " ")), budget = 512,
+          shardCols = Seq("source"))
+        .select(col("doc_id").cast("string").as("__key"), col("source"),
+          col("n_tok").cast("double").as("n_tok"),
+          col("chunk_id").cast("double").as("chunk_id"),
+          col("chunk_offset").cast("double").as("chunk_offset"),
+          round(col("__dsir_logw"), 4).as("logw"))
+        .orderBy(col("__key").asc)
+    } {
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8
+        |    THEN list_distinct(list_transform(range(1, len(w) - 8 + 2),
+        |      i -> array_to_string(w[i:i+7], ' ')))
+        |    ELSE [] END AS ngs FROM w),
+        |bm AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id FROM (
+        |    SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 97 <> 0) c
+        |  JOIN bm USING (ng)),
+        |d2 AS (SELECT * FROM d1 WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |d3 AS (SELECT * FROM d2 WHERE len(string_split(text, ' ')) >= 30),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM d3),
+        |ngs2 AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))
+        |      ELSE [] END)) AS ng
+        |  FROM toks),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) % 1024 AS INT) AS bucket
+        |  FROM ngs2),
+        |tc AS (SELECT bucket, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS c FROM bk GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM bk WHERE lang = 'en') + 1024.0 AS tt,
+        |  (SELECT count(*) FROM bk) + 1024.0 AS rt),
+        |ratio AS (
+        |  SELECT gs.bucket,
+        |    ln((coalesce(tc.c, 0) + 1.0) / tot.tt)
+        |      - ln((coalesce(rc.c, 0) + 1.0) / tot.rt) AS lr
+        |  FROM (SELECT unnest(range(0, 1024)) AS bucket) gs
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) CROSS JOIN tot),
+        |lw AS (
+        |  SELECT d.doc_id, coalesce(sum(r.lr), 0.0) AS lw
+        |  FROM d3 d
+        |  LEFT JOIN bk ON d.doc_id = bk.doc_id
+        |  LEFT JOIN ratio r ON bk.bucket = r.bucket
+        |  GROUP BY d.doc_id),
+        |sel AS (
+        |  SELECT doc_id, lw FROM (
+        |    SELECT doc_id, lw, lw - ln(-ln(
+        |      (CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |        'dsir')), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) AS score
+        |    FROM lw)
+        |  ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 150),
+        |p AS (
+        |  SELECT s.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tok,
+        |    round(s.lw, 4) AS logw,
+        |    sum(len(string_split(d.text, ' '))) OVER (
+        |      PARTITION BY d.source ORDER BY s.doc_id
+        |      ROWS UNBOUNDED PRECEDING) - len(string_split(d.text, ' ')) AS bef
+        |  FROM sel s JOIN d3 d USING (doc_id))
+        |SELECT CAST(doc_id AS VARCHAR) AS __key, source,
+        |  CAST(n_tok AS DOUBLE) AS n_tok,
+        |  CAST(floor(bef / 512.0) AS DOUBLE) AS chunk_id,
+        |  CAST(bef % 512 AS DOUBLE) AS chunk_offset, logw
+        |FROM p ORDER BY __key ASC""".stripMargin
+    },
+
     // -------------------- curation --------------------------------- //
 
     // PII is synthesized deterministically (the corpus has none): the
