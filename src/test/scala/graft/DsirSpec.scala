@@ -86,4 +86,20 @@ class DsirSpec extends AnyFunSuite {
       .select("k").as[String].collect().toSeq
     assert(pick == again)
   }
+
+  test("dsirBuckets fuzz: random unicode texts match the Scala model") {
+    val sp = spark; import sp.implicits._
+    val pieces = Vector("a", "zz", "Q7", "1", "\u00e9", "\u00df", "\u4e2d\u6587",
+      "\ud83d\ude00", "x y", "", " ", "tok", "na\u00efve", "..", "-", "A_B", "0x1f")
+    val rnd = new scala.util.Random(20260813L)
+    val texts = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(14))(pieces(rnd.nextInt(pieces.size)))
+        .mkString(Seq(" ", ", ", "!", "  ")(rnd.nextInt(4))))
+    val got = texts.toDF("t")
+      .select(Curation.dsirBuckets(col("t"), B).as("b"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == bucketsOf(t), s"text: '$t'")
+    }
+  }
 }
