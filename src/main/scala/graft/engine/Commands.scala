@@ -303,9 +303,28 @@ final class Commands(
 
   private def parseParams(a: Args): Map[String, ParamValue] = {
     val n = a.nextInt("PARAMS")
-    require(n % 2 == 0, "PARAMS count must be even")
-    (0 until n / 2).map(_ => a.next() -> (StringParam(a.next()): ParamValue)).toMap
+    if (n % 2 != 0) throw new ExprParseException(
+      "Parameter count must be an even number.")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, ParamValue]
+    (0 until n / 2).foreach { _ =>
+      val k = a.next(); val v = a.next()
+      // re-declaration rejected (reference ft_search_parser.cc:127-135)
+      if (out.contains(k)) throw new ExprParseException(
+        s"Parameter $k is already defined.")
+      out(k) = StringParam(v)
+    }
+    out.toMap
   }
+
+  /** Every PARAMS entry must be referenced by the query — the reference
+    * rejects the command otherwise (ft_search_parser.cc:91-99). */
+  private def requireAllParamsUsed(query: String, opts: SearchOptions): Unit =
+    if (opts.params.nonEmpty) {
+      val parsed = graft.query.FilterParser.parse(query, opts.params)
+      val unused = opts.params.keySet -- parsed.usedParams
+      if (unused.nonEmpty) throw new ExprParseException(
+        s"Parameter `${unused.min}` not used.")
+    }
 
   private def ftSearch(a: Args): SearchEngine.SearchReply = {
     val index = a.next()
@@ -323,7 +342,12 @@ final class Commands(
               "cannot exceed 60000.")
         case "PARAMS" => opts = opts.copy(params = parseParams(a))
         case "LIMIT" =>
-          val off = a.nextInt("LIMIT"); opts = opts.copy(limit = (off, a.nextInt("LIMIT")))
+          // unsigned in the reference (ft_search_parser.cc:102-111):
+          // a negative offset/count fails the value parse
+          val off = a.nextInt("LIMIT"); val num = a.nextInt("LIMIT")
+          Seq(off, num).find(_ < 0).foreach(v => throw new ExprParseException(
+            s"Bad arguments for LIMIT: `$v` is outside acceptable bounds"))
+          opts = opts.copy(limit = (off, num))
         case "SORTBY" =>
           val f = a.next()
           val asc = if (a.peekIs("ASC")) { a.next(); true }
@@ -364,6 +388,7 @@ final class Commands(
         case other => throw new ExprParseException(s"unknown FT.SEARCH option $other")
       }
     }
+    requireAllParamsUsed(query, opts)
     engine.searchReply(index, query, opts)
   }
 

@@ -761,6 +761,7 @@ class SearchEngine {
           case v: VectorField => v
           case _ => throw new IllegalArgumentException(s"${knn.field} is not VECTOR")
         }
+        checkBlobSize(knn, vf)
         val name = knn.asName.getOrElse(schema.scoreField(knn.field))
         scoreName = Some(name)
         val normalized = vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest
@@ -881,8 +882,17 @@ class SearchEngine {
 
     if (opts.noContent) paged.select(keyCol +: sortKeyCols: _*)
     else if (opts.returnFields.nonEmpty) {
+      // RETURN accepts any document attribute, indexed or not
+      // (ft_search_parser.cc ConstructReturnParser: unknown aliases fall
+      // through as raw identifiers fetched from the doc; absent → NULL)
       val cols = (keyCol +: sortKeyCols) ++ opts.returnFields.map { case (f, as) =>
-        val src = if (scoreName.contains(f)) col(f) else col(schema.fieldOrFail(f).alias)
+        val src =
+          if (scoreName.contains(f)) col(f)
+          else schema.field(f) match {
+            case Some(fd) => col(fd.alias)
+            case None if paged.columns.contains(f) => col(f)
+            case None => lit(null).cast("string")
+          }
         src.as(as.getOrElse(f))
       }
       paged.select(cols: _*)
@@ -921,6 +931,7 @@ class SearchEngine {
         case v: VectorField => v
         case _ => throw new IllegalArgumentException(s"${knn.field} is not VECTOR")
       }
+      checkBlobSize(knn, vf)
       val name = knn.asName.getOrElse(schema.scoreField(knn.field))
       scoreField = Some(name)
       val normalized = vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest
@@ -1091,6 +1102,16 @@ class SearchEngine {
   }
 
   /** Query vectors are normalized for cosine like ingested ones. */
+  /** Query vector length must match the index's declared dimension —
+    * the reference rejects mismatched blobs after param substitution
+    * (search.cc:1154-1160, byte sizes: 4 bytes per FLOAT32 lane). */
+  private def checkBlobSize(knn: graft.query.KnnClause, vf: VectorField): Unit =
+    if (knn.queryVector.length != vf.dim)
+      throw new IllegalArgumentException(
+        "Error parsing vector similarity parameters: query vector blob " +
+          s"size (${knn.queryVector.length * 4L}) does not match index's " +
+          s"expected size (${vf.dim * 4L}).")
+
   private def normalizeQuery(v: Array[Float], metric: DistanceMetric): Array[Float] =
     metric match {
       case DistanceMetric.Cosine =>

@@ -102,9 +102,10 @@ final case class IndexSchema(
   private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
 
   def field(alias: String): Option[FieldDef] = byAlias.get(alias)
+  // message parity: reference index_schema.cc:473-480
   def fieldOrFail(alias: String): FieldDef =
     byAlias.getOrElse(alias, throw new IllegalArgumentException(
-      s"index $name has no field '$alias'"))
+      s"Index field `$alias` does not exist"))
 
   def textFields: Seq[FieldDef] = fields.filter(_.ftype.isInstanceOf[TextField])
   def tagFields: Seq[FieldDef] = fields.filter(_.ftype.isInstanceOf[TagField])

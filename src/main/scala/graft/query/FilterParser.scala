@@ -46,6 +46,7 @@ object FilterParser {
         MaxQueryStringBytes)
       throw ParseError(
         s"Query string is too long, max length is $MaxQueryStringBytes bytes.", 0)
+    val used = scala.collection.mutable.Set.empty[String]
     val arrow = findTopLevelArrow(query)
     arrow match {
       case Some(i) =>
@@ -53,14 +54,14 @@ object FilterParser {
         val knnPart = query.substring(i + 2).trim
         val filter =
           if (filterPart == "*" || filterPart.isEmpty) MatchAll
-          else new P(filterPart, params, fuzzyMaxDistance).parseFilter()
-        ParsedQuery(filter, Some(parseKnn(knnPart, params)))
+          else new P(filterPart, params, fuzzyMaxDistance, used).parseFilter()
+        ParsedQuery(filter, Some(parseKnn(knnPart, params, used)), used.toSet)
       case None =>
         val t = query.trim
         val filter =
           if (t == "*" || t.isEmpty) MatchAll
-          else new P(t, params, fuzzyMaxDistance).parseFilter()
-        ParsedQuery(filter, None)
+          else new P(t, params, fuzzyMaxDistance, used).parseFilter()
+        ParsedQuery(filter, None, used.toSet)
     }
   }
 
@@ -81,8 +82,26 @@ object FilterParser {
     None
   }
 
-  /** Parse `[KNN k @field $param [EF_RUNTIME e] [AS name]]`. */
-  private def parseKnn(s: String, params: Map[String, ParamValue]): KnnClause = {
+  /** Parse `[KNN k @field $param [EF_RUNTIME e] [AS name]]`.
+    *
+    * k, EF_RUNTIME and AS values may each be a `$param` reference —
+    * the reference substitutes all three after parse
+    * (search.cc:1140-1175 PostParseVectorParameters / SubstituteParam). */
+  private def parseKnn(s: String, params: Map[String, ParamValue],
+                       used: scala.collection.mutable.Set[String]): KnnClause = {
+    // resolve a token that may be `$name`; counts the param as used
+    def substitute(tok: String): String =
+      if (!tok.startsWith("$")) tok
+      else params.get(tok.drop(1)) match {
+        case Some(StringParam(v)) => used += tok.drop(1); v
+        case Some(VectorParam(_)) =>
+          throw ParseError(s"param ${tok.drop(1)} is a vector, expected string", 0)
+        case None => throw ParseError(s"missing PARAM ${tok.drop(1)}", 0)
+      }
+    def substituteInt(tok: String): Int =
+      substitute(tok).toIntOption.getOrElse(throw ParseError(
+        s"Error parsing vector similarity parameters: `$tok` is not a " +
+          "valid numeric value", 0))
     val inner = {
       val t = s.trim
       if (!t.startsWith("[") || !t.endsWith("]"))
@@ -92,18 +111,22 @@ object FilterParser {
     val toks = inner.split("\\s+").toList
     toks match {
       case kw :: kStr :: fieldTok :: paramTok :: rest if kw.equalsIgnoreCase("KNN") =>
-        val k = kStr.toInt
+        val k = substituteInt(kStr)
         // reference Verify (ft_search_parser.cc:72-77; max-vector-knn
         // default 10000): an unbounded k turns top-k into a full sort
         if (k < 1 || k > MaxVectorKnn)
           throw ParseError(
             "KNN parameter must be a positive integer greater than 0 and " +
               s"cannot exceed $MaxVectorKnn.", 0)
-        if (!fieldTok.startsWith("@")) throw ParseError("KNN field must start with @", 0)
+        // empty `@` rejected like the reference ("Expecting a vector
+        // field name, starting with '@'", filter_parser.cc)
+        if (!fieldTok.startsWith("@") || fieldTok.length < 2)
+          throw ParseError(s"Unexpected argument `$fieldTok`. Expecting a " +
+            "vector field name, starting with '@'", 0)
         if (!paramTok.startsWith("$")) throw ParseError("KNN vector must be a $param", 0)
         val vec = params.get(paramTok.drop(1)) match {
-          case Some(VectorParam(v)) => v
-          case Some(StringParam(raw)) => decodeFloat32LE(raw)
+          case Some(VectorParam(v)) => used += paramTok.drop(1); v
+          case Some(StringParam(raw)) => used += paramTok.drop(1); decodeFloat32LE(raw)
           case None => throw ParseError(s"missing PARAM ${paramTok.drop(1)}", 0)
         }
         var ef: Option[Int] = None
@@ -111,7 +134,7 @@ object FilterParser {
         var r = rest
         while (r.nonEmpty) r match {
           case e :: v :: t if e.equalsIgnoreCase("EF_RUNTIME") =>
-            val efv = v.toInt
+            val efv = substituteInt(v)
             // reference Verify (ft_search_parser.cc:63-71;
             // max-vector-ef-runtime default 1000000)
             if (efv < 1 || efv > MaxEfRuntime)
@@ -119,11 +142,23 @@ object FilterParser {
                 "`EF_RUNTIME` must be a positive integer greater than 0 and " +
                   s"cannot exceed $MaxEfRuntime.", 0)
             ef = Some(efv); r = t
-          case a :: v :: t if a.equalsIgnoreCase("AS") => as = Some(v); r = t
-          case other => throw ParseError(s"unexpected KNN token ${other.head}", 0)
+          case a :: v :: t if a.equalsIgnoreCase("AS") => as = Some(substitute(v)); r = t
+          case a :: Nil if a.equalsIgnoreCase("AS") =>
+            throw ParseError("AS argument is missing", 0)
+          case e :: Nil if e.equalsIgnoreCase("EF_RUNTIME") =>
+            throw ParseError("EF_RUNTIME argument is missing", 0)
+          case other => throw ParseError(s"Unexpected argument `${other.head}`", 0)
         }
         KnnClause(k, fieldTok.drop(1), vec, ef, as)
-      case _ => throw ParseError("malformed KNN clause", 0)
+      case kw :: Nil if kw.equalsIgnoreCase("KNN") =>
+        throw ParseError("KNN argument is missing", 0)
+      case kw :: _ :: Nil if kw.equalsIgnoreCase("KNN") =>
+        throw ParseError("Vector field argument is missing", 0)
+      case kw :: _ :: _ :: Nil if kw.equalsIgnoreCase("KNN") =>
+        throw ParseError("Blob attribute argument is missing", 0)
+      case t if t.nonEmpty && t.head.nonEmpty && !t.head.equalsIgnoreCase("KNN") =>
+        throw ParseError(s"`${t.head}`. Expecting `KNN`", 0)
+      case _ => throw ParseError("Missing parameters", 0)
     }
   }
 
@@ -138,7 +173,9 @@ object FilterParser {
   private val TermStop = " \t\n\r|(){}[]\"%*:=".toSet
 
   private final class P(s: String, params: Map[String, ParamValue],
-                        fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance) {
+                        fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance,
+                        used: scala.collection.mutable.Set[String] =
+                          scala.collection.mutable.Set.empty) {
     private var pos = 0
     // Predicate-tree complexity cap (reference query-string-terms-count,
     // filter_parser.cc:40-57: default 1000): counted per matcher/group so
@@ -367,7 +404,7 @@ object FilterParser {
     }
 
     private def stringParam(name: String): String = params.get(name) match {
-      case Some(StringParam(v)) => v
+      case Some(StringParam(v)) => used += name; v
       case Some(VectorParam(_)) =>
         throw ParseError(s"param $name is a vector, expected string", pos)
       case None => throw ParseError(s"missing PARAM $name", pos)

@@ -59,8 +59,12 @@ final case class KnnClause(
     efRuntime: Option[Int],
     asName: Option[String])
 
-/** A fully parsed query string: filter half + optional KNN half. */
-final case class ParsedQuery(filter: Predicate, knn: Option[KnnClause]) {
+/** A fully parsed query string: filter half + optional KNN half.
+  * `usedParams` records which PARAMS names the parse consumed — the
+  * reference rejects a command whose PARAMS carry never-referenced
+  * entries (ft_search_parser.cc:91-99 "Parameter `x` not used."). */
+final case class ParsedQuery(filter: Predicate, knn: Option[KnnClause],
+                             usedParams: Set[String] = Set.empty) {
   def isMatchAll: Boolean = filter == MatchAll
 }
 
