@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The filter parser enforces the reference's query-string-depth cap
+  // (1000, valkey_search_options.cc:506) by recursion; at ~5 JVM frames
+  // per nesting level the default driver-thread stack is borderline for
+  // the adversarial-depth rejection test, so give it headroom.
+  "-Xss16m",
 )

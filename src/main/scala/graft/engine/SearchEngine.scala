@@ -408,7 +408,7 @@ class SearchEngine {
   def search(indexName: String, query: String,
              opts: SearchOptions = SearchOptions()): DataFrame = {
     val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, opts.params)
+    val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
     recordQueryClass(parsed)
     finishSearch(indexName, schema, filterStage(schema, docs, parsed, opts),
       parsed, opts)
@@ -918,7 +918,7 @@ class SearchEngine {
                       stages: Seq[graft.query.AggStage],
                       opts: SearchOptions = SearchOptions()): DataFrame = {
     val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, opts.params)
+    val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
     // same front half as FT.SEARCH — incl. posting routing + proximity
     var df = filterStage(schema, docs, parsed, opts)
 
@@ -959,7 +959,7 @@ class SearchEngine {
                   opts: SearchOptions = SearchOptions()): SearchEngine.SearchReply =
     Metrics.timed {
       val (schema, docs) = index(indexName)
-      val parsed = FilterParser.parse(query, opts.params)
+      val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
       recordQueryClass(parsed)
       // ONE filtered plan, cached: the total count materializes it, the
       // page reads the cache — one scan of the source, like the
@@ -997,7 +997,7 @@ class SearchEngine {
   def searchCount(indexName: String, query: String,
                   params: Map[String, ParamValue] = Map.empty): Long = {
     val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, params)
+    val parsed = FilterParser.parse(query, params, analyzer = schema.analyzer)
     val compiler = new PredicateCompiler(schema, schema.analyzer)
     val base = if (parsed.isMatchAll) docs else docs.filter(compiler.compile(parsed.filter))
     parsed.knn match {

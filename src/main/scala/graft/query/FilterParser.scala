@@ -40,29 +40,64 @@ object FilterParser {
   val DefaultFuzzyMaxDistance = 3
 
   def parse(query: String, params: Map[String, ParamValue] = Map.empty,
-            fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance): ParsedQuery = {
+            fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance,
+            analyzer: graft.text.Analyzer.Config = graft.text.Analyzer.Default)
+      : ParsedQuery = {
     // reference PreParseQueryString (search.cc:1069-1075)
     if (query.getBytes(java.nio.charset.StandardCharsets.UTF_8).length >
         MaxQueryStringBytes)
       throw ParseError(
         s"Query string is too long, max length is $MaxQueryStringBytes bytes.", 0)
     val used = scala.collection.mutable.Set.empty[String]
+    def filterOf(part: String): Predicate =
+      if (isMatchAll(part)) MatchAll
+      else new P(part, params, fuzzyMaxDistance, used, analyzer).parseFilter()
     val arrow = findTopLevelArrow(query)
     arrow match {
       case Some(i) =>
         val filterPart = query.substring(0, i).trim
         val knnPart = query.substring(i + 2).trim
-        val filter =
-          if (filterPart == "*" || filterPart.isEmpty) MatchAll
-          else new P(filterPart, params, fuzzyMaxDistance, used).parseFilter()
-        ParsedQuery(filter, Some(parseKnn(knnPart, params, used)), used.toSet)
+        ParsedQuery(filterOf(filterPart), Some(parseKnn(knnPart, params, used)),
+          used.toSet)
       case None =>
-        val t = query.trim
-        val filter =
-          if (t == "*" || t.isEmpty) MatchAll
-          else new P(t, params, fuzzyMaxDistance, used).parseFilter()
-        ParsedQuery(filter, None, used.toSet)
+        ParsedQuery(filterOf(query.trim), None, used.toSet)
     }
+  }
+
+  /** `*`, `(*)`, `( * )` (and only those forms) are the match-all
+    * expression; `*)`/`(*` are the reference's dedicated errors
+    * (IsMatchAllExpression, filter_parser.cc:384-421). */
+  private def isMatchAll(expr: String): Boolean = {
+    if (expr.isEmpty) return true
+    var pos = 0
+    var openBracket = false; var closeBracket = false; var asterisk = false
+    def skipWs(): Unit = while (pos < expr.length && expr.charAt(pos).isWhitespace) pos += 1
+    var scanning = true
+    while (scanning && pos < expr.length) {
+      skipWs()
+      if (pos >= expr.length) scanning = false
+      else expr.charAt(pos) match {
+        case '*' =>
+          if (asterisk || closeBracket)
+            throw ParseError(s"Unexpected character at position ${pos + 1}: `*`", pos)
+          asterisk = true; pos += 1
+        case '(' =>
+          if (asterisk || closeBracket)
+            throw ParseError(s"Unexpected character at position ${pos + 1}: `(`", pos)
+          if (openBracket) return false
+          openBracket = true; pos += 1
+        case ')' =>
+          if (!closeBracket && asterisk && openBracket) { closeBracket = true; pos += 1 }
+          else throw ParseError(s"Unexpected character at position ${pos + 1}: `)`", pos)
+        case _ => scanning = false
+      }
+    }
+    if (!asterisk) return false
+    if (pos >= expr.length) {
+      if (openBracket == closeBracket) return true
+      throw ParseError("Missing `)`", pos)
+    }
+    false
   }
 
   /** Find `=>` outside quotes/braces (the KNN delimiter). */
@@ -169,13 +204,27 @@ object FilterParser {
     Array.fill(bytes.length / 4)(bb.getFloat)
   }
 
-  // Characters that terminate a bare term token.
-  private val TermStop = " \t\n\r|(){}[]\"%*:=".toSet
-
+  /**
+   * Recursive-descent core. Text-token lexing mirrors the reference's
+   * ParseUnquotedTextToken / ParseQuotedTextToken / HandleBackslashEscape
+   * (filter_parser.cc:548-903): token boundaries come from the INDEX's
+   * punctuation set (the schema's lexer in the reference), `{}[]:;$` are
+   * reserved characters that error mid-token, `()|@` break to query
+   * syntax, `-` at token start breaks to negation, and backslash escapes
+   * punctuation-or-backslash only (an escaped non-punctuation character
+   * ends the token when `\` itself is punctuation).
+   *
+   * Deliberate extensions over the reference (kept, spec'd):
+   *  - `*in*` infix is a supported operation (the reference parses it
+   *    then rejects "Unsupported query operation", filter_parser.cc:745)
+   *  - `$param` at token start substitutes a PARAMS value into a term
+   */
   private final class P(s: String, params: Map[String, ParamValue],
                         fuzzyMaxDistance: Int = DefaultFuzzyMaxDistance,
                         used: scala.collection.mutable.Set[String] =
-                          scala.collection.mutable.Set.empty) {
+                          scala.collection.mutable.Set.empty,
+                        analyzer: graft.text.Analyzer.Config =
+                          graft.text.Analyzer.Default) {
     private var pos = 0
     // Predicate-tree complexity cap (reference query-string-terms-count,
     // filter_parser.cc:40-57: default 1000): counted per matcher/group so
@@ -190,42 +239,67 @@ object FilterParser {
             FilterParser.MaxQueryTerms, pos)
     }
 
+    // punctuation ≡ the reference lexer's bitmap: configured punctuation
+    // PLUS whitespace/control (lexer.cc:30-45 BuildPunctuationBitmap)
+    private def isPunct(c: Char): Boolean =
+      c.isWhitespace || c.isControl || analyzer.punctuation.contains(c)
+
     def parseFilter(): Predicate = {
       val p = parseOr()
       skipWs()
       if (pos < s.length) throw ParseError(s"trailing input '${s.substring(pos)}'", pos)
-      p
+      p.getOrElse(throw ParseError("Invalid Query Syntax", pos))
     }
 
-    private def parseOr(): Predicate = {
-      val children = scala.collection.mutable.ArrayBuffer(parseAnd())
+    private def parseOr(): Option[Predicate] = {
+      val children = scala.collection.mutable.ArrayBuffer.empty[Predicate]
+      var sawPipe = false
+      def take(side: Option[Predicate]): Unit = side match {
+        case Some(p) => children += p
+        case None if sawPipe => throw ParseError("Missing OR term", pos)
+        case None => ()
+      }
+      take(parseAnd())
       skipWs()
       while (pos < s.length && peek == '|') {
         pos += 1
-        children += parseAnd()
+        sawPipe = true
+        if (children.isEmpty) throw ParseError("Missing OR term", pos)
+        take(parseAnd())
         skipWs()
       }
-      if (children.size == 1) children.head else Or(children.toSeq)
+      if (children.isEmpty) None
+      else if (children.size == 1) Some(children.head)
+      else Some(Or(children.toSeq))
     }
 
-    private def parseAnd(): Predicate = {
-      val children = scala.collection.mutable.ArrayBuffer(parseNot())
+    private def parseAnd(): Option[Predicate] = {
+      val children = scala.collection.mutable.ArrayBuffer.empty[Predicate]
       var continue = true
       while (continue) {
         skipWs()
         if (pos >= s.length || peek == '|' || peek == ')') continue = false
-        else children += parseNot()
+        else parseNot().foreach(children += _)
       }
-      if (children.size == 1) children.head else And(children.toSeq)
+      if (children.isEmpty) None
+      else if (children.size == 1) Some(children.head)
+      else Some(And(children.toSeq))
     }
 
-    private def parseNot(): Predicate = {
+    private def parseNot(): Option[Predicate] = {
       skipWs()
-      if (pos < s.length && peek == '-') { pos += 1; countNode(); Not(parseNot()) }
-      else parseMatcher()
+      if (pos < s.length && peek == '-') {
+        pos += 1; countNode()
+        // `- |` / `-|` → the reference's dedicated error (ParseExpression:
+        // negate followed by an OR operator, filter_parser.cc:986-988)
+        skipWs()
+        if (pos < s.length && peek == '|')
+          throw ParseError(s"Unexpected character at position ${pos + 1}: `|`", pos)
+        parseNot().map(Not)
+      } else parseMatcher()
     }
 
-    private def parseMatcher(): Predicate = {
+    private def parseMatcher(): Option[Predicate] = {
       skipWs()
       countNode()
       if (pos >= s.length) throw ParseError("unexpected end of query", pos)
@@ -235,108 +309,229 @@ object FilterParser {
           val inner = parseOr()
           skipWs()
           expect(')')
-          inner
-        case '@' => parseFielded()
-        case '"' => Phrase(None, parsePhraseWords())
-        case '%' => parseFuzzy(None)
-        case '*' =>
-          pos += 1
-          // `*` alone = match-all; `*word` = suffix; `*word*` = infix.
-          if (pos >= s.length || TermStop.contains(peek) && peek != '*') MatchAll
-          else {
-            val w = parseTermWord()
-            if (pos < s.length && peek == '*') { pos += 1; Infix(None, w) }
-            else Suffix(None, w)
+          inner match {
+            case None => throw ParseError(
+              s"Empty brackets detected at Position: $pos", pos)
+            case some => some
           }
-        case _ => parseTermLike(None)
+        case '@' => parseFielded()
+        case '"' => parsePhrase(None)
+        case _ => parseTextToken(None)
       }
     }
 
-    /** `@field:` followed by `[range]`, `{tags}`, `"phrase"`, `%fuzzy%`, term. */
-    private def parseFielded(): Predicate = {
+    /** `@field:` followed by `[range]`, `{tags}`, `"phrase"`, or a text
+      * token. Field-name lexing per the reference (ParseFieldName,
+      * filter_parser.cc:226-247): everything up to `:` or whitespace —
+      * dots and dashes included, empty allowed (rejected at compile). */
+    private def parseFielded(): Option[Predicate] = {
       expect('@')
-      val field = parseIdent()
-      expect(':')
+      val start = pos
+      while (pos < s.length && peek != ':' && !peek.isWhitespace) pos += 1
+      val field = s.substring(start, pos)
+      skipWs()
+      if (pos >= s.length || peek != ':')
+        throw ParseError(
+          s"Unexpected character at position ${pos + 1}: " +
+            s"`${if (pos < s.length) peek else ' '}`, expecting `:`", pos)
+      pos += 1
       skipWs()
       if (pos >= s.length) throw ParseError("expected matcher after field", pos)
       peek match {
-        case '[' => parseNumericRange(field)
-        case '{' => parseTagMatch(field)
-        case '"' => Phrase(Some(field), parsePhraseWords())
-        case '%' => parseFuzzy(Some(field))
-        case '*' =>
-          pos += 1
-          val w = parseTermWord()
-          if (pos < s.length && peek == '*') { pos += 1; Infix(Some(field), w) }
-          else Suffix(Some(field), w)
-        case _ => parseTermLike(Some(field))
+        case '[' => Some(parseNumericRange(field))
+        case '{' => Some(parseTagMatch(field))
+        case '"' => parsePhrase(Some(field))
+        case _ => parseTextToken(Some(field))
       }
     }
 
-    private def parseTermLike(field: Option[String]): Predicate = {
-      val w = parseTermWord()
-      if (w.isEmpty) throw ParseError("expected term", pos)
-      if (pos < s.length && peek == '*') { pos += 1; Prefix(field, w) }
-      else Term(field, w)
+    // ---- text-token lexing (reference filter_parser.cc:548-760) ----
+
+    /** Backslash escape inside a token. Returns true to continue the
+      * token, false to break it (the backslash is consumed either way). */
+    private def handleEscape(sb: StringBuilder): Boolean = {
+      if (pos >= s.length || peek != '\\') return true
+      pos += 1
+      if (pos >= s.length)
+        throw ParseError("Invalid escape sequence: backslash at end of input", pos)
+      val next = peek
+      if (next == '\\' || isPunct(next)) { sb += next; pos += 1; true }
+      else if (isPunct('\\')) false // token break, `\` consumed
+      else { sb += next; pos += 1; true }
     }
 
-    private def parseFuzzy(field: Option[String]): Predicate = {
-      var lead = 0
-      while (pos < s.length && peek == '%') { lead += 1; pos += 1 }
-      val w = parseTermWord()
-      var trail = 0
-      while (pos < s.length && peek == '%') { trail += 1; pos += 1 }
-      if (lead != trail)
-        throw ParseError(s"fuzzy %-count mismatch ($lead vs $trail)", pos)
-      if (lead > fuzzyMaxDistance)
-        throw ParseError(
-          s"fuzzy distance $lead exceeds fuzzy-max-distance $fuzzyMaxDistance", pos)
-      Fuzzy(field, w, lead)
-    }
-
-    private def parsePhraseWords(): Seq[String] = {
-      expect('"')
+    /** One unquoted text token: term / prefix / suffix / infix / fuzzy.
+      * Returns None for an empty token (leading punctuation — consumed
+      * so the caller makes progress, like ParseTextTokens' ++pos_). */
+    private def parseTextToken(field: Option[String]): Option[Predicate] = {
       val sb = new StringBuilder
-      while (pos < s.length && peek != '"') {
-        if (peek == '\\' && pos + 1 < s.length) { pos += 1; sb += s.charAt(pos) }
-        else sb += peek
-        pos += 1
+      var startsStar = false; var endsStar = false
+      var lead = 0; var trail = 0
+      var breakOnSyntax = false
+      var done = false
+      val tokenStart = pos
+      while (!done && pos < s.length) {
+        if (peek == '\\') { if (!handleEscape(sb)) done = true }
+        else peek match {
+          case ')' | '|' | '(' | '@' => breakOnSyntax = true; done = true
+          case '$' if sb.isEmpty && lead == 0 && !startsStar =>
+            // extension: $param substitutes a PARAMS value as the term
+            pos += 1; sb ++= stringParam(parseIdent()); done = true
+          case c @ ('{' | '}' | '[' | ']' | ':' | ';' | '$') =>
+            throw ParseError(
+              s"Unexpected character at position ${pos + 1}: `$c`", pos)
+          case '-' if sb.isEmpty => breakOnSyntax = true; done = true
+          case '"' => done = true
+          case '%' =>
+            // leading markers re-count whenever content is still empty
+            // (reference filter_parser.cc:676-693: the trailing branch
+            // only runs with non-empty content, so stray `%` runs can
+            // only ever produce the markers mismatch error)
+            if (sb.isEmpty) {
+              while (pos < s.length && peek == '%' && lead <= fuzzyMaxDistance) {
+                lead += 1; pos += 1
+              }
+              if (lead > fuzzyMaxDistance)
+                while (pos < s.length && peek == '%') pos += 1
+            } else if (lead == 0) done = true
+            else {
+              while (trail < lead && pos < s.length && peek == '%') {
+                trail += 1; pos += 1
+              }
+              done = true
+            }
+          case '*' =>
+            pos += 1
+            if (sb.isEmpty && !startsStar) startsStar = true
+            else { endsStar = true; done = true }
+          case c if isPunct(c) => done = true
+          case c => sb += c; pos += 1
+        }
       }
-      expect('"')
-      sb.toString.split("\\s+").filter(_.nonEmpty).toSeq
+      val content = sb.toString
+      if (lead > 0) {
+        if (trail != lead || lead > fuzzyMaxDistance)
+          throw ParseError("Invalid fuzzy '%' markers", pos)
+        if (content.isEmpty) throw ParseError("Empty fuzzy token", pos)
+        Some(Fuzzy(field, content, lead))
+      } else if (startsStar) {
+        if (content.isEmpty) throw ParseError("Invalid wildcard '*' markers", pos)
+        if (endsStar) Some(Infix(field, content)) // extension (see class doc)
+        else Some(Suffix(field, content))
+      } else if (endsStar) {
+        if (content.isEmpty) throw ParseError("Invalid wildcard '*' markers", pos)
+        Some(Prefix(field, content))
+      } else if (content.isEmpty) {
+        // leading punctuation: consume one char so the scan advances
+        if (!breakOnSyntax && pos == tokenStart && pos < s.length) pos += 1
+        None
+      } else Some(Term(field, content))
     }
 
-    /** `[ [(]bound [(]bound ]` with ±inf (search-query.md:101-140). */
+    /** Quoted exact phrase: every punctuation-split token between the
+      * quotes; fuzzy/wildcard markers are NOT operators inside quotes
+      * (ParseQuotedTextToken). One token → plain term; n → Phrase. */
+    private def parsePhrase(field: Option[String]): Option[Predicate] = {
+      expect('"')
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      def flush(): Unit = { if (sb.nonEmpty) { words += sb.toString; sb.clear() } }
+      var done = false
+      while (!done && pos < s.length) {
+        if (peek == '\\') { if (!handleEscape(sb)) flush() }
+        else if (peek == '"') { pos += 1; done = true }
+        else if (isPunct(peek)) { flush(); pos += 1 }
+        else { sb += peek; pos += 1 }
+      }
+      flush()
+      // unclosed quote: the reference loop just runs to end-of-input
+      if (words.isEmpty) None
+      else if (words.size == 1) Some(Term(field, words.head))
+      else Some(Phrase(field, words.toSeq))
+    }
+
+    /** `[ [(]bound [(]bound ]` with ±inf (search-query.md:101-140);
+      * number charset, space-or-comma separator, and empty-range
+      * verification per the reference (filter_parser.cc:254-327). */
     private def parseNumericRange(field: String): Predicate = {
       expect('[')
       skipWs()
-      val (min, minIncl) = parseBound()
+      var minIncl = true
+      if (peek == '(') { minIncl = false; pos += 1; skipWs() }
+      val min = parseNumber()
+      // separator: one literal space, or optional-ws comma
+      if (pos < s.length && peek == ' ') pos += 1
+      else {
+        skipWs()
+        if (pos < s.length && peek == ',') pos += 1
+        else throw ParseError(
+          "Expected space or `,` between start and end values of a " +
+            s"numeric field. Position: $pos", pos)
+      }
       skipWs()
-      val (max, maxIncl) = parseBound()
+      var maxIncl = true
+      if (pos < s.length && peek == '(') { maxIncl = false; pos += 1; skipWs() }
+      val max = parseNumber()
       skipWs()
-      expect(']')
+      if (pos >= s.length || peek != ']')
+        throw ParseError(
+          s"Expected ']' got '${if (pos < s.length) peek else ' '}'. " +
+            s"Position: ${pos + 1}", pos)
+      pos += 1
+      if (min > max || (min == max && !(minIncl && maxIncl)))
+        throw ParseError(
+          "Start and end values of a numeric field indicate an empty " +
+            s"range. Position: $pos", pos)
       NumericRange(field, min, minIncl, max, maxIncl)
     }
 
-    private def parseBound(): (Double, Boolean) = {
-      var inclusive = true
-      if (peek == '(') { inclusive = false; pos += 1; skipWs() }
-      val start = pos
-      while (pos < s.length && !peek.isWhitespace && peek != ']' && peek != '(') pos += 1
-      val tok = s.substring(start, pos)
-      val resolved = if (tok.startsWith("$")) stringParam(tok.drop(1)) else tok
-      val v = resolved.toLowerCase match {
-        case "inf" | "+inf" | "infinity" | "+infinity" => Double.PositiveInfinity
-        case "-inf" | "-infinity" => Double.NegativeInfinity
-        case n =>
-          try n.toDouble
-          catch { case _: NumberFormatException =>
-            throw ParseError(s"bad numeric bound '$tok'", start) }
+    /** Reference ParseNumber (filter_parser.cc:246-281): ±inf forms,
+      * leading `-` only (a leading `+` is invalid), digits/`.`, one
+      * exponent with optional sign. `$param` substitution kept. */
+    private def parseNumber(): Double = {
+      skipWs()
+      def matchInsensitive(w: String): Boolean = {
+        if (pos + w.length <= s.length &&
+            s.regionMatches(true, pos, w, 0, w.length)) { pos += w.length; true }
+        else false
       }
-      (v, inclusive)
+      if (matchInsensitive("-infinity") || matchInsensitive("-inf"))
+        return Double.NegativeInfinity
+      if (matchInsensitive("+infinity") || matchInsensitive("+inf") ||
+          matchInsensitive("infinity") || matchInsensitive("inf"))
+        return Double.PositiveInfinity
+      if (pos < s.length && peek == '$') {
+        pos += 1
+        val resolved = stringParam(parseIdent())
+        return resolved.toLowerCase match {
+          case "inf" | "+inf" | "infinity" | "+infinity" => Double.PositiveInfinity
+          case "-inf" | "-infinity" => Double.NegativeInfinity
+          case n => n.toDoubleOption.getOrElse(
+            throw ParseError(s"Invalid number: $n", pos))
+        }
+      }
+      val sb = new StringBuilder
+      if (pos < s.length && peek == '-') { sb += '-'; pos += 1 }
+      var exponentSeen = false
+      var exponentSignAllowed = false
+      var done = false
+      while (!done && pos < s.length) {
+        val c = peek
+        if (c.isDigit || c == '.') { sb += c; pos += 1; exponentSignAllowed = false }
+        else if ((c == 'e' || c == 'E') && !exponentSeen) {
+          sb += c; pos += 1; exponentSeen = true; exponentSignAllowed = true
+        } else if ((c == '+' || c == '-') && exponentSignAllowed) {
+          sb += c; pos += 1; exponentSignAllowed = false
+        } else done = true
+      }
+      val str = sb.toString
+      str.toDoubleOption.getOrElse(
+        throw ParseError(s"Invalid number: $str", pos))
     }
 
-    /** `{t1 | t2 | pre*}`; tags may contain spaces and escapes (tag.cc:145). */
+    /** `{t1 | t2 | pre*}`; tags may contain spaces and escapes (tag.cc:145).
+      * The query-side separator is ALWAYS `|` regardless of the field's
+      * declared separator (filter_parser.cc:352-359 ParseQueryTags). */
     private def parseTagMatch(field: String): Predicate = {
       expect('{')
       val patterns = scala.collection.mutable.ArrayBuffer.empty[TagPattern]
@@ -364,7 +559,8 @@ object FilterParser {
         }
       }
       while (!done) {
-        if (pos >= s.length) throw ParseError("unterminated tag set", pos)
+        if (pos >= s.length)
+          throw ParseError("Missing closing TAG bracket, '}'", pos)
         peek match {
           case '}' => flush(); pos += 1; done = true
           case '|' => flush(); pos += 1
@@ -378,21 +574,6 @@ object FilterParser {
       }
       if (patterns.isEmpty) throw ParseError("empty tag set", pos)
       TagMatch(field, patterns.toSeq)
-    }
-
-    private def parseTermWord(): String = {
-      val sb = new StringBuilder
-      var done = false
-      while (!done && pos < s.length) {
-        peek match {
-          case '\\' if pos + 1 < s.length => sb += s.charAt(pos + 1); pos += 2
-          case '$' if sb.isEmpty =>
-            pos += 1; sb ++= stringParam(parseIdent()); done = true
-          case c if TermStop.contains(c) || c == '@' || c == '-' => done = true
-          case c => sb += c; pos += 1
-        }
-      }
-      sb.toString
     }
 
     private def parseIdent(): String = {
