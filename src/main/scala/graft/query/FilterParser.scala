@@ -572,7 +572,9 @@ object FilterParser {
           case c => sb += c; pos += 1
         }
       }
-      if (patterns.isEmpty) throw ParseError("empty tag set", pos)
+      // `{}` / `{   }` parse to an empty tag set that matches nothing —
+      // the reference accepts them (ParseSearchTags("") → ok empty set,
+      // tag.cc; the TagPredicate then fetches zero entries)
       TagMatch(field, patterns.toSeq)
     }
 

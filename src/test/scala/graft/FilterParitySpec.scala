@@ -716,4 +716,34 @@ class FilterParitySpec extends AnyFunSuite {
     val p = FilterParser.parse("@num_field_1.5:[1.0 2.0]").filter
     assert(p == NumericRange("num_field_1.5", 1.0, true, 2.0, true))
   }
+
+  test("query-tag escape parsing replays ParseSearchTags/UnescapeTag " +
+      "(tag_index_test.cc:281-435)") {
+    def tags(raw: String): Seq[String] =
+      FilterParser.parse(s"@tag_field_1:{$raw}").filter match {
+        case TagMatch(_, ps) => ps.map(_.value)
+        case other => fail(s"not a tag match: $other")
+      }
+    assert(tags("""foo\|bar""") == Seq("foo|bar"))
+    assert(tags("""a\|b|c""") == Seq("a|b", "c"))
+    assert(tags("""foo\\|bar""") == Seq("foo\\", "bar"))
+    assert(tags("""foo\\\|bar""") == Seq("foo\\|bar"))
+    assert(tags("""a\|b\|c|d\|e""") == Seq("a|b|c", "d|e"))
+    assert(tags("""foo\\""") == Seq("foo\\"))
+    assert(tags("""foo\|""") == Seq("foo|"))
+    // permissive escape of a regular char: \x → x (Tag::UnescapeTag)
+    assert(tags("""test\value""") == Seq("testvalue"))
+    // empty tags between separators and whitespace-only tags drop
+    assert(tags("a||b") == Seq("a", "b"))
+    assert(tags("a|   |b") == Seq("a", "b"))
+    // unicode preserved
+    assert(tags("日本語|中文") == Seq("日本語", "中文"))
+    // prefix shorter than tag-min-prefix-length and bare `*` reject
+    intercept[FilterParser.ParseError] { tags("b*") }
+    intercept[FilterParser.ParseError] { tags("*") }
+    // `{}` / `{   }` parse to an empty set that matches nothing
+    assert(tags("") == Nil)
+    assert(tags("   ") == Nil)
+    assert(matchedKeys(subst("@tag_field_1:{}")) == Right(Set.empty))
+  }
 }
