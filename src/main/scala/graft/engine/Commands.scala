@@ -73,6 +73,12 @@ final class Commands(
 
   // ---------------------------------------------------------------- //
 
+  /** Redis cluster hash tag: a `{...}` span that routes the key. */
+  private def hasHashTag(s: String): Boolean = {
+    val i = s.indexOf('{')
+    i >= 0 && s.indexOf('}', i + 1) > i
+  }
+
   private def ftCreate(a: Args): String = {
     val name = a.next()
     var prefixes: Seq[String] = Nil
@@ -93,7 +99,18 @@ final class Commands(
       a.peek.toUpperCase match {
         case "PREFIX" =>
           a.next(); val n = a.nextInt("PREFIX")
-          prefixes = (0 until n).map(_ => a.next())
+          // count is bounds-checked at parse (reference max-prefixes 16;
+          // ft_create_parser_test.cc invalid_*_prefix_cnt)
+          if (n < 0 || n > 16) throw new ExprParseException(
+            s"Bad arguments for PREFIX: `$n` is outside acceptable bounds")
+          prefixes = prefixes ++ (0 until n).map { _ =>
+            val p = a.next()
+            // cluster slot-routing constraint (ft_create_parser.cc):
+            // prefixes must not carry a hash tag
+            if (hasHashTag(p)) throw new ExprParseException(
+              "PREFIX argument(s) must not contain a hash tag")
+            p
+          }
         case "SKIPINITIALSCAN" => a.next(); skipScan = true
         case "PUNCTUATION" =>
           a.next(); val p = a.next()
@@ -102,6 +119,9 @@ final class Commands(
           analyzerCfg = analyzerCfg.copy(punctuation = p.toSet)
         case "STOPWORDS" =>
           a.next(); val n = a.nextInt("STOPWORDS")
+          if (n < 0) throw new ExprParseException(
+            s"Error parsing value for the parameter `STOPWORDS` - `$n` is " +
+              "outside acceptable bounds")
           analyzerCfg = analyzerCfg.copy(
             stopWords = (0 until n).map(_ => a.next().toLowerCase).toSet)
         case "NOSTOPWORDS" =>
@@ -109,13 +129,16 @@ final class Commands(
         case "NOSTEM" => a.next(); analyzerCfg = analyzerCfg.copy(stem = false)
         case "MINSTEMSIZE" =>
           a.next(); val n = a.nextInt("MINSTEMSIZE")
-          if (n <= 0) throw new ExprParseException("MINSTEMSIZE must be positive")
+          if (n <= 0) throw new ExprParseException(
+            "Error parsing value for the parameter `MINSTEMSIZE` - " +
+              "MINSTEMSIZE must be positive")
           analyzerCfg = analyzerCfg.copy(minStemSize = n)
         case "WITHOFFSETS" => a.next(); analyzerCfg = analyzerCfg.copy(withOffsets = true)
         case "NOOFFSETS" => a.next(); analyzerCfg = analyzerCfg.copy(withOffsets = false)
         case "LANGUAGE" =>
           a.next(); val l = a.next()
-          require(l.equalsIgnoreCase("ENGLISH"), s"unsupported LANGUAGE $l")
+          if (!l.equalsIgnoreCase("ENGLISH")) throw new ExprParseException(
+            s"Bad arguments for LANGUAGE: Unknown argument `$l`")
         // Engine extension (no reference syntax — the reference ALWAYS
         // builds postings in RAM; here they are opt-in storage): build +
         // register term-sorted posting relations for every TEXT/TAG
@@ -146,10 +169,13 @@ final class Commands(
         // 631-645 stores it per key): parsed, validated and surfaced by
         // FT.INFO — like the reference, no scorer consumes it yet.
         case "SCORE" =>
-          a.next(); val v = a.next().toDouble
+          a.next(); val tok = a.next()
+          val v = tok.toDoubleOption.getOrElse(throw new ExprParseException(
+            s"Bad arguments for SCORE: `$tok` is not a valid float"))
           if (v < 0.0 || v > 1.0)
             throw new ExprParseException(
-              s"`$v` is not supported. The value must be between 0.0 and 1.0")
+              s"`SCORE` parameter with a value `$tok` is not supported. " +
+                "The value must be between 0.0 and 1.0")
           score = v
         case "SCORE_FIELD" => a.next(); scoreField = Some(a.next())
         // Rejected with the reference's error shape
@@ -158,85 +184,151 @@ final class Commands(
         case p @ ("FILTER" | "LANGUAGE_FIELD" | "PAYLOAD_FIELD") =>
           throw new ExprParseException(s"The parameter `$p` is not supported")
         case "SCHEMA" => a.next(); done = true
-        case other => throw new ExprParseException(s"unexpected token $other (expected SCHEMA)")
+        case _ => throw new ExprParseException(
+          s"Unexpected parameter `${a.peek}`, expecting `SCHEMA`")
       }
     }
+    // hash-tagged index names route by their tag and need an explicit
+    // PREFIX; checked before missing-SCHEMA like the reference
+    if (hasHashTag(name) && prefixes.isEmpty) throw new ExprParseException(
+      "PREFIX parameter is required for hash-tagged indexes")
+    if (!done) throw new ExprParseException("Missing argument")
     val fields = Seq.newBuilder[FieldDef]
     while (a.hasNext) {
       val identifier = a.next()
-      val alias = if (a.peekIs("AS")) { a.next(); a.next() } else identifier
-      val ftype = a.next().toUpperCase match {
+      // all attribute-parse errors carry the reference's prefix
+      // (ft_create_parser.cc "Invalid field type for field `x`: ...")
+      def fieldErr(msg: String): Nothing = throw new ExprParseException(
+        s"Invalid field type for field `$identifier`: $msg")
+      def nextTok(): String =
+        if (a.hasNext) a.next() else fieldErr("Missing argument")
+      val alias = if (a.peekIs("AS")) { a.next(); nextTok() } else identifier
+      // ValidateAttributeAlias (ft_create_parser.cc:545-556): any char
+      // from the default punctuation set is invalid in an alias
+      alias.find(graft.text.Analyzer.DefaultPunctuation.contains(_)).foreach(c =>
+        fieldErr(s"Attribute alias `$alias` contains invalid character `$c`"))
+      val typeTok = nextTok()
+      val ftype = typeTok.toUpperCase match {
         case "NUMERIC" => NumericField
         case "TAG" =>
           var sep = ","; var cs = false
           var more = true
           while (more && a.hasNext) a.peek.toUpperCase match {
-            case "SEPARATOR" => a.next(); sep = a.next()
+            case "SEPARATOR" =>
+              a.next(); sep = nextTok()
+              if (sep.length != 1) fieldErr(
+                s"The separator must be a single character, but got `$sep`")
             case "CASESENSITIVE" => a.next(); cs = true
             case _ => more = false
           }
           TagField(sep, cs)
         case "TEXT" =>
-          var noStem = false; var minStem = -1; var weight = 1.0; var suffix = false
+          // per-field TEXT params are NOSTEM / WITHSUFFIXTRIE /
+          // NOSUFFIXTRIE / WEIGHT only — STOPWORDS, PUNCTUATION and
+          // MINSTEMSIZE are index-level (before SCHEMA), like the
+          // reference's per-field grammar
+          var noStem = false; var weight = 1.0; var suffix = false
           var more = true
           while (more && a.hasNext) a.peek.toUpperCase match {
             case "NOSTEM" => a.next(); noStem = true
-            case "MINSTEMSIZE" => a.next(); minStem = a.nextInt("MINSTEMSIZE")
             case "WEIGHT" =>
               // parsed but only 1.0 is accepted, like the reference
               // (ft_create_parser.cc:526-531)
-              a.next(); weight = a.next().toDouble
-              if (weight != 1.0) throw new ExprParseException(
+              a.next(); val w = nextTok()
+              weight = w.toDoubleOption.getOrElse(fieldErr(
+                s"Error parsing value for the parameter `WEIGHT` - `$w` is " +
+                  "not a valid float"))
+              if (weight != 1.0) fieldErr(
                 "The `WEIGHT` clause with a value other than `1.0` is not supported.")
             case "WITHSUFFIXTRIE" => a.next(); suffix = true
             case "NOSUFFIXTRIE" => a.next(); suffix = false
             case _ => more = false
           }
-          TextField(noStem, suffix, minStem, weight)
+          TextField(noStem, suffix, -1, weight)
         case "VECTOR" =>
-          val algo = a.next().toUpperCase
-          require(algo == "HNSW" || algo == "FLAT", s"VECTOR expects HNSW|FLAT, got $algo")
-          val nAttrs = a.nextInt("VECTOR")
+          val algoTok = nextTok()
+          val algo = algoTok.toUpperCase
+          if (algo != "HNSW" && algo != "FLAT")
+            fieldErr(s"Unknown argument `$algoTok`")
+          val cntTok = nextTok()
+          val nAttrs = cntTok.toIntOption.filter(_ >= 0).getOrElse(
+            fieldErr(s"`$cntTok` is outside acceptable bounds"))
           var dim = -1; var metric: Option[DistanceMetric] = None
           var typed = false
           var m = 16; var efc = 200; var efr = 10
+          // value ranges mirror HNSWParameters/FlatParameters::Verify
+          // (ft_create_parser.cc:777-832) with the vmsdk VerifyRange
+          // message shapes
+          def ranged(k: String, v: String, lo: Long, hi: Long, what: String): Int = {
+            val n = v.toLongOption.getOrElse(fieldErr(
+              s"Error parsing value for the parameter `$k` - `$v` is " +
+                "outside acceptable bounds"))
+            if (n < lo) fieldErr(s"Invalid range: Value below minimum; $what")
+            if (n > hi) fieldErr(s"Invalid range: Value above maximum; $what")
+            n.toInt
+          }
           var consumed = 0
           while (consumed < nAttrs) {
-            val k = a.next().toUpperCase; val v = a.next(); consumed += 2
+            if (!a.hasNext) fieldErr(
+              s"Expected $nAttrs parameters for $algo but got $consumed parameters.")
+            val kTok = a.next(); consumed += 1
+            val k = kTok.toUpperCase
+            if (consumed >= nAttrs || !a.hasNext) fieldErr(
+              s"Error parsing value for the parameter `$k` - Missing argument")
+            val v = a.next(); consumed += 1
             k match {
-              case "DIM" => dim = v.toInt
+              case "DIM" => dim = v.toIntOption.getOrElse(fieldErr(
+                s"Error parsing value for the parameter `DIM` - `$v` is " +
+                  "outside acceptable bounds"))
               case "TYPE" =>
-                require(v.equalsIgnoreCase("FLOAT32"), "TYPE must be FLOAT32")
+                if (!v.equalsIgnoreCase("FLOAT32")) fieldErr(
+                  s"Error parsing value for the parameter `TYPE` - Unknown argument `$v`")
                 typed = true
-              case "DISTANCE_METRIC" => metric = Some(DistanceMetric.parse(v))
-              case "INITIAL_CAP" => // capacity is storage-managed here
-              case "M" => m = v.toInt
-              case "EF_CONSTRUCTION" => efc = v.toInt
-              case "EF_RUNTIME" => efr = v.toInt
-              case other => throw new ExprParseException(s"unknown vector attr $other")
+              case "DISTANCE_METRIC" =>
+                metric = Some(scala.util.Try(DistanceMetric.parse(v)).getOrElse(fieldErr(
+                  s"Error parsing value for the parameter `DISTANCE_METRIC` - " +
+                    s"Unknown argument `$v`")))
+              case "INITIAL_CAP" =>
+                // capacity is storage-managed here; bounds still verify
+                ranged(k, v, 1, 10000000,
+                  "INITIAL_CAP must be a positive integer greater than 0 and " +
+                    "cannot exceed 10000000.")
+                ()
+              case "M" if algo == "HNSW" =>
+                m = ranged(k, v, 2, 2000000,
+                  "M must be a positive integer greater than 2 and cannot " +
+                    "exceed 2000000.")
+              case "EF_CONSTRUCTION" if algo == "HNSW" =>
+                efc = ranged(k, v, 1, 1000000,
+                  "EF_CONSTRUCTION must be a positive integer greater than 0 " +
+                    "and cannot exceed 1000000.")
+              case "EF_RUNTIME" if algo == "HNSW" =>
+                // unsigned in the reference: a negative value fails the
+                // parse, zero fails the range check
+                if (v.startsWith("-")) fieldErr(
+                  s"Error parsing value for the parameter `EF_RUNTIME` - " +
+                    s"`$v` is outside acceptable bounds")
+                efr = ranged(k, v, 1, 1000000,
+                  "EF_RUNTIME must be a positive integer greater than 0 and " +
+                    "cannot exceed 1000000.")
+              case "BLOCK_SIZE" if algo == "FLAT" =>
+                // flat blocks are storage-managed here; bounds still verify
+                ranged(k, v, 1, 10000000,
+                  "BLOCK_SIZE must be a positive integer greater than 0 and " +
+                    "cannot exceed 10000000.")
+                ()
+              case _ => fieldErr(s"Unexpected argument `$kTok`")
             }
           }
-          // reference FTCreateVectorParameters/HNSWParameters::Verify
-          // (ft_create_parser.cc:777-832): required params + ranges,
-          // same error strings; defaults from valkey_search_options.
-          if (dim < 0) throw new ExprParseException("Missing dimensions parameter.")
-          if (dim < 1 || dim > 32768) throw new ExprParseException(
+          // reference FTCreateVectorParameters::Verify: required params
+          if (dim < 0) fieldErr("Missing dimensions parameter.")
+          if (dim < 1 || dim > 32768) fieldErr(
             "The dimensions value must be a positive integer greater than 0 " +
               "and less than or equal to 32768.")
-          if (!typed) throw new ExprParseException("Missing vector TYPE parameter.")
-          if (metric.isEmpty) throw new ExprParseException("Missing DISTANCE_METRIC parameter.")
-          if (algo == "HNSW") {
-            if (m < 2 || m > 2000000) throw new ExprParseException(
-              "M must be a positive integer greater than 2 and cannot exceed 2000000.")
-            if (efc < 1 || efc > 1000000) throw new ExprParseException(
-              "EF_CONSTRUCTION must be a positive integer greater than 0 and " +
-                "cannot exceed 1000000.")
-            if (efr < 1 || efr > 1000000) throw new ExprParseException(
-              "EF_RUNTIME must be a positive integer greater than 0 and " +
-                "cannot exceed 1000000.")
-          }
+          if (!typed) fieldErr("Missing vector TYPE parameter.")
+          if (metric.isEmpty) fieldErr("Missing DISTANCE_METRIC parameter.")
           VectorField(dim, metric.get, m, efc, efr)
-        case other => throw new ExprParseException(s"unknown field type $other")
+        case _ => fieldErr(s"Unknown argument `$typeTok`")
       }
       if (a.peekIs("SORTABLE")) a.next() // accepted & ignored, as the reference
       fields += FieldDef(identifier, alias, ftype)
@@ -248,10 +340,12 @@ final class Commands(
       throw new ExprParseException(s"Duplicate field in schema - $id")
     }
     if (defs.size > 1000) throw new ExprParseException(
-      "The maximum number of attributes cannot exceed 1000.")
+      "Invalid range: Value above maximum; The maximum number of attributes " +
+        "cannot exceed 1000.")
     if (defs.count(_.ftype.isInstanceOf[TextField]) > 64)
       throw new ExprParseException(
-        "The maximum number of text fields cannot exceed 64.")
+        "Invalid range: Value above maximum; The maximum number of text " +
+          "fields cannot exceed 64.")
     if (prefixes.size > 16) throw new ExprParseException(
       "The maximum number of prefixes cannot exceed 16.")
     val schema = IndexSchema(name, defs, analyzer = analyzerCfg,

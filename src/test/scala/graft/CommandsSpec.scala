@@ -395,10 +395,10 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // duplicate identifier (ft_create_parser.cc:748-751)
     bad(Seq("FT.CREATE", "dup_idx", "SCHEMA",
       "price", "NUMERIC", "price", "TAG"), "Duplicate field in schema - price")
-    // prefix cap (max-prefixes default 16)
+    // prefix count is bounds-checked at parse (max-prefixes default 16)
     bad(Seq("FT.CREATE", "pfx_idx", "PREFIX", "17") ++
       (1 to 17).map(i => s"p$i:") ++ Seq("SCHEMA", "price", "NUMERIC"),
-      "prefixes cannot exceed 16")
+      "Bad arguments for PREFIX: `17` is outside acceptable bounds")
     // aliasing the same identifier twice is still a duplicate; two
     // different identifiers sharing nothing are fine
     assert(cmds.execute(Seq("FT.CREATE", "ok_idx", "SCHEMA",
