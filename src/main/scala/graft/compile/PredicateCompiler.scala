@@ -36,11 +36,15 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
       val fd = schema.fieldOrFail(field)
       require(fd.ftype == NumericField, s"$field is not NUMERIC")
       val c = col(fd.alias)
+      // an open bound still requires the field to be PRESENT — in the
+      // reference `[-inf +inf]` walks the numeric index, which only
+      // holds keys whose value parsed (numeric_index_test.cc:87-109);
+      // a bare lit(true) would also admit missing/invalid-data docs
       val lo =
-        if (min == Double.NegativeInfinity) lit(true)
+        if (min == Double.NegativeInfinity) c.isNotNull
         else if (minIncl) c >= min else c > min
       val hi =
-        if (max == Double.PositiveInfinity) lit(true)
+        if (max == Double.PositiveInfinity) c.isNotNull
         else if (maxIncl) c <= max else c < max
       lo && hi
 

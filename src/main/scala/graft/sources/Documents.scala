@@ -85,7 +85,12 @@ object Documents {
         case NumericField =>
           if (isJsonPath(fd.identifier) || fd.alias != fd.identifier ||
               df.schema(fd.identifier).dataType != DoubleType)
-            df = df.withColumn(fd.alias, src.try_cast(DoubleType))
+            // "nan" parses to NaN under try_cast but the reference's
+            // numeric index rejects it as invalid data
+            // (numeric_index_test.cc:93-95) — scrub to NULL so NaN
+            // behaves as a missing field, not as the largest double
+            df = df.withColumn(fd.alias,
+              nanvl(src.try_cast(DoubleType), lit(null).cast(DoubleType)))
         case TagField(sep, caseSensitive) =>
           // aliased/JSON tag fields also need the raw value reachable
           // under the alias (RETURN projections, FT.INFO counts)
