@@ -457,7 +457,7 @@ object FilterParser {
       expect('[')
       skipWs()
       var minIncl = true
-      if (peek == '(') { minIncl = false; pos += 1; skipWs() }
+      if (pos < s.length && peek == '(') { minIncl = false; pos += 1; skipWs() }
       val min = parseNumber()
       // separator: one literal space, or optional-ws comma
       if (pos < s.length && peek == ' ') pos += 1
