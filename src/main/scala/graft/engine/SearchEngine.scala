@@ -1016,9 +1016,37 @@ class SearchEngine {
   def info(indexName: String): DataFrame = {
     val (schema, docs) = index(indexName)
     import org.apache.spark.sql.functions._
-    val aggs = count(lit(1)).as("num_docs") +:
-      schema.fields.map(fd => count(col(fd.alias)).as(s"__t_${fd.alias}"))
+    // raw pre-enrichment value when reachable: aliased/JSON identifiers
+    // read the source directly; same-named replaced columns were
+    // preserved by enrichment under rawCol (column-pruned when unused)
+    def rawExpr(fd: FieldDef): Option[Column] = fd.ftype match {
+      case NumericField | _: VectorField =>
+        if (fd.alias != fd.identifier ||
+            graft.sources.Documents.isJsonPath(fd.identifier))
+          Some(graft.sources.Documents.sourceColumn(fd.identifier))
+        else if (docs.columns.contains(graft.sources.Documents.rawCol(fd.alias)))
+          Some(col(graft.sources.Documents.rawCol(fd.alias)))
+        else None
+      case _ => None
+    }
+    // hash_indexing_failures (reference index_schema.cc FT.INFO reply):
+    // a present raw value whose enriched form is NULL failed to index —
+    // non-numeric/NaN numerics, wrong-dimension vectors
+    val failAggs = schema.fields.map { fd =>
+      val agg = rawExpr(fd) match {
+        case Some(raw) =>
+          sum(when(raw.isNotNull && col(fd.alias).isNull, 1L).otherwise(0L))
+        case None => sum(lit(0L))
+      }
+      coalesce(agg, lit(0L)).as(s"__fail_${fd.alias}")
+    }
+    val aggs = (count(lit(1)).as("num_docs") +:
+      schema.fields.map(fd => count(col(fd.alias)).as(s"__t_${fd.alias}"))) ++
+      failAggs
     val stats = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val numRecords = schema.fields.indices.map(i => stats.getLong(i + 1)).sum
+    val failures = schema.fields.indices
+      .map(i => stats.getLong(1 + schema.fields.size + i)).sum
     val spark = docs.sparkSession
     import spark.implicits._
     val fieldRows = schema.fields.zipWithIndex.map { case (fd, i) =>
@@ -1045,6 +1073,11 @@ class SearchEngine {
     fieldRows.toDF("index_name", "field", "identifier", "field_type",
         "num_tracked", "attached_indexes")
       .withColumn("num_docs", lit(stats.getLong(0)))
+      // num_records / hash_indexing_failures (reference FT.INFO reply,
+      // index_schema.cc:1244-1263): total indexed field records and the
+      // count of present-but-unindexable raw values
+      .withColumn("num_records", lit(numRecords))
+      .withColumn("hash_indexing_failures", lit(failures))
       // build-state block (reference FT.INFO, index_schema.cc:1244-1263)
       .withColumn("state", lit(bs.state))
       .withColumn("backfill_in_progress", lit(bs.backfillInProgress))

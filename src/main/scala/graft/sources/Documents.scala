@@ -58,13 +58,20 @@ object Documents {
    *    normalized to the same scalar form HASH values take
    *    (ft_aggregate.cc:265-267 NormalizeJsonRecord).
    */
-  private def sourceColumn(identifier: String): Column =
+  /** Raw source expression for an identifier (plain column or
+    * `col:$.path` JSON extraction) — also used by FT.INFO to count
+    * indexing failures against the enriched value. */
+  private[graft] def sourceColumn(identifier: String): Column =
     identifier.indexOf(":$") match {
       case -1 => col(identifier)
       case i => get_json_object(col(identifier.substring(0, i)), identifier.substring(i + 1))
     }
 
-  private def isJsonPath(identifier: String): Boolean = identifier.contains(":$")
+  private[graft] def isJsonPath(identifier: String): Boolean = identifier.contains(":$")
+
+  /** Name of the preserved pre-enrichment value when enrichment
+    * replaces a same-named column (numeric cast, vector sizing). */
+  private[graft] def rawCol(alias: String): String = s"__${alias}__raw"
 
   def enrich(raw: DataFrame, schema: IndexSchema,
              keyExpr: Option[Column] = None,
@@ -84,13 +91,19 @@ object Documents {
       fd.ftype match {
         case NumericField =>
           if (isJsonPath(fd.identifier) || fd.alias != fd.identifier ||
-              df.schema(fd.identifier).dataType != DoubleType)
+              df.schema(fd.identifier).dataType != DoubleType) {
+            // the cast REPLACES a same-named column; keep the raw value
+            // reachable (column-pruned away unless read) so FT.INFO can
+            // count indexing failures (reference hash_indexing_failures)
+            if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
+              df = df.withColumn(rawCol(fd.alias), src)
             // "nan" parses to NaN under try_cast but the reference's
             // numeric index rejects it as invalid data
             // (numeric_index_test.cc:93-95) — scrub to NULL so NaN
             // behaves as a missing field, not as the largest double
             df = df.withColumn(fd.alias,
               nanvl(src.try_cast(DoubleType), lit(null).cast(DoubleType)))
+          }
         case TagField(sep, caseSensitive) =>
           // aliased/JSON tag fields also need the raw value reachable
           // under the alias (RETURN projections, FT.INFO counts)
@@ -122,6 +135,8 @@ object Documents {
         case vf: VectorField =>
           // Wrong-dimension vectors are dropped from the index
           // (reference index_base.h:43-47) — represented as null here.
+          if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
+            df = df.withColumn(rawCol(fd.alias), src)
           val sized = when(size(src) === vf.dim, src).otherwise(lit(null))
           if (vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest) {
             val mag = sqrt(aggregate(sized, lit(0.0d),

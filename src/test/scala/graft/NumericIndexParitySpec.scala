@@ -51,6 +51,15 @@ class NumericIndexParitySpec extends AnyFunSuite {
     assert(keys("-@num:[-inf +inf]") == Set("key1", "key2", "key3"))
   }
 
+  test("FT.INFO counts invalid data as hash_indexing_failures " +
+      "(index_schema.cc reply fields)") {
+    val row = engine.info("numpar").collect().head
+    assert(row.getAs[Long]("num_docs") == 5)
+    // key4/key5 indexed → 2 records; key1/key2/key3 present-but-invalid
+    assert(row.getAs[Long]("num_records") == 2)
+    assert(row.getAs[Long]("hash_indexing_failures") == 3)
+  }
+
   test("inclusive/exclusive bounds replay (RangeSearchInclusiveExclusive)") {
     assert(keys("@num:[7.5 42]") == Set("key4", "key5"))
     assert(keys("@num:[(7.5 42]") == Set("key4"))
