@@ -1089,6 +1089,21 @@ class SearchEngine {
       .withColumn("score_field", lit(schema.docScoreField.orNull))
   }
 
+  /** Per-document ingested score (reference IndexSchema::
+    * GetDocumentScore, index_schema_test.cc:2676-2800): the
+    * SCORE_FIELD attribute's numeric value when present, the index's
+    * default score when the field is missing or non-numeric. The
+    * score field may be ANY document attribute, indexed or not. */
+  def documentScores(indexName: String): DataFrame = {
+    val (schema, docs) = index(indexName)
+    val scoreCol = schema.docScoreField match {
+      case Some(f) if docs.columns.contains(f) =>
+        coalesce(col(f).try_cast("double"), lit(schema.docScore))
+      case _ => lit(schema.docScore)
+    }
+    docs.select(col(schema.keyColumn), scoreCol.as("score"))
+  }
+
   /** Engine-wide metrics snapshot as a DataFrame — the `INFO SEARCH`
     * section surface (reference src/metrics.h:29-80). */
   def metricsInfo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
