@@ -30,6 +30,10 @@ object Metrics {
     * (reference nonvector_results_fetched_limited_count,
     * search.cc:668,686). */
   val nonVectorFetchLimited = new AtomicLong
+  /** Reply records dropped by the per-record content limits
+    * (reference query_result_record_dropped_cnt,
+    * query/response_generator.cc:408-434). */
+  val queryResultRecordDropped = new AtomicLong
 
   /** log₂ latency histogram: bucket i counts samples in
     * [2^i, 2^(i+1)) microseconds; last bucket is the overflow. */
@@ -66,7 +70,8 @@ object Metrics {
       "query_hybrid_requests_cnt" -> queryHybrid.get(),
       "query_prefiltering_requests_cnt" -> knnPrefilter.get(),
       "query_inline_filtering_requests_cnt" -> knnInline.get(),
-      "query_nonvector_results_fetched_limited_cnt" -> nonVectorFetchLimited.get())
+      "query_nonvector_results_fetched_limited_cnt" -> nonVectorFetchLimited.get(),
+      "query_result_record_dropped_cnt" -> queryResultRecordDropped.get())
     val hist = latency.zipWithIndex.collect {
       case (c, i) if c.get() > 0 => s"query_latency_us_le_${1L << (i + 1)}" -> c.get()
     }
@@ -75,7 +80,8 @@ object Metrics {
 
   def reset(): Unit = {
     Seq(querySuccess, queryFailed, queryVector, queryNonVector, queryText,
-      queryHybrid, knnPrefilter, knnInline, nonVectorFetchLimited)
+      queryHybrid, knnPrefilter, knnInline, nonVectorFetchLimited,
+      queryResultRecordDropped)
       .foreach(_.set(0))
     latency.foreach(_.set(0))
   }

@@ -318,6 +318,19 @@ class SearchEngine {
     * reference's config doc). */
   var maxNonVectorResultsFetched: Int = 100000
 
+  /** Per-record reply content limits (reference
+    * `search.max-search-result-record-size` default 5 MB and
+    * `search.max-search-result-fields-count` default 1000,
+    * query/response_generator.cc:42-58): a reply record whose fetched
+    * content exceeds either limit is dropped from the PAGE (the match
+    * total is unaffected, like the reference's
+    * ProcessNeighborsForReply erase), bumping
+    * [[Metrics.queryResultRecordDropped]]. Content = the returned
+    * non-NULL attributes; the key and the KNN score pseudo-field ride
+    * the Neighbor, not its content map, so they never count. */
+  var maxSearchResultRecordSize: Long = 5L * 1024 * 1024
+  var maxSearchResultFieldsCount: Int = 1000
+
   /** Posting fetch is only taken when the fetched key slice is ≤ this
     * fraction of the corpus — the reference planner's cardinality rule
     * (its query planner fetches the SMALLEST child and scans when
@@ -989,9 +1002,65 @@ class SearchEngine {
         // the page draws from the SAME truncated set the total counted
         val pageBase = if (parsed.knn.isEmpty) base.limit(cap) else base
         val page = finishSearch(indexName, schema, pageBase, parsed, opts)
-        SearchEngine.SearchReply(total, page.collect())
+        SearchEngine.SearchReply(total,
+          applyContentLimits(page.collect(), page.schema, schema, parsed, opts))
       } finally { base.unpersist(blocking = false); () }
     }
+
+  /** Reply-record content limits (reference ProcessNeighborsForReply,
+    * query/response_generator.cc:385-442): a record whose fetched
+    * content holds more than [[maxSearchResultFieldsCount]] attributes
+    * or more than [[maxSearchResultRecordSize]] bytes (attribute name
+    * + value, summed) is erased from the page and counted in
+    * [[Metrics.queryResultRecordDropped]]. Runs on the collected page
+    * (≤ LIMIT rows — the reference likewise checks only the reply
+    * vector, after trimming). NOCONTENT replies fetch no content, so
+    * nothing can exceed. */
+  private def applyContentLimits(rows: Array[org.apache.spark.sql.Row],
+                                 pageSchema: org.apache.spark.sql.types.StructType,
+                                 idxSchema: IndexSchema, parsed: ParsedQuery,
+                                 opts: SearchOptions): Array[org.apache.spark.sql.Row] = {
+    val scoreNames = parsed.knn
+      .map(k => k.asName.getOrElse(idxSchema.scoreField(k.field))).toSet
+    // content = returned attributes; the key, WITHSORTKEYS pseudo-field
+    // and KNN distance ride the Neighbor itself in the reference reply
+    val contentIdx = pageSchema.fieldNames.zipWithIndex.filterNot { case (n, _) =>
+      n == idxSchema.keyColumn || n == "__sortkey" || scoreNames(n)
+    }
+    if (opts.noContent || contentIdx.isEmpty) rows
+    else rows.filter { r =>
+      var fields = 0
+      var size = 0L
+      contentIdx.foreach { case (n, i) =>
+        if (!r.isNullAt(i)) {
+          fields += 1
+          size += contentByteSize(n, r.get(i))
+        }
+      }
+      val keep = fields <= maxSearchResultFieldsCount &&
+        size <= maxSearchResultRecordSize
+      if (!keep) Metrics.queryResultRecordDropped.incrementAndGet()
+      keep
+    }
+  }
+
+  /** Reply byte accounting (response_generator.cc:421-425 sums
+    * identifier + value sizes): strings count UTF-8 bytes; float/double
+    * arrays count their raw-blob width (the reference stores vectors as
+    * packed float32); anything else counts its string form. */
+  private def contentByteSize(name: String, v: Any): Long = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val valueBytes: Long = v match {
+      case s: String => s.getBytes(utf8).length.toLong
+      case a: scala.collection.Seq[_] => a.headOption match {
+        case Some(_: Float) => 4L * a.length
+        case Some(_: Double) => 8L * a.length
+        case _ => String.valueOf(a).getBytes(utf8).length.toLong
+      }
+      case other => String.valueOf(other).getBytes(utf8).length.toLong
+    }
+    name.getBytes(utf8).length.toLong + valueBytes
+  }
 
   /** Match-count half of the FT.SEARCH reply (total before LIMIT, R6). */
   def searchCount(indexName: String, query: String,
