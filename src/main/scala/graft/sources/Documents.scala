@@ -73,6 +73,25 @@ object Documents {
     * replaces a same-named column (numeric cast, vector sizing). */
   private[graft] def rawCol(alias: String): String = s"__${alias}__raw"
 
+  /** String → float vector, the reference's NormalizeStringRecord
+    * (vector_base.cc:532-551, table replayed by vector_test.cc:293-349):
+    * a leading `[` is consumed (with its trailing `]` ONLY then), the
+    * body splits on `,`, empty/whitespace-only elements are skipped
+    * (absl::SkipWhitespace), and every remaining element must parse as
+    * a float — one bad element fails the WHOLE record to NULL
+    * (≡ nullptr, an indexing failure), never a partial vector. */
+  private[graft] def parseVectorString(src: Column): Column = {
+    val s0 = src.cast(StringType)
+    val body = when(s0.startsWith("["),
+      regexp_replace(regexp_replace(s0, "^\\[", ""), "\\]$", ""))
+      .otherwise(s0)
+    val floats = transform(
+      filter(split(body, ","), e => trim(e) =!= lit("")),
+      e => trim(e).try_cast(FloatType))
+    when(exists(floats, x => x.isNull),
+      lit(null).cast(ArrayType(FloatType))).otherwise(floats)
+  }
+
   def enrich(raw: DataFrame, schema: IndexSchema,
              keyExpr: Option[Column] = None,
              analyzer: Option[Analyzer.Config] = None): DataFrame = {
@@ -137,7 +156,14 @@ object Documents {
           // (reference index_base.h:43-47) — represented as null here.
           if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
             df = df.withColumn(rawCol(fd.alias), src)
-          val sized = when(size(src) === vf.dim, src).otherwise(lit(null))
+          // String-encoded vectors (the JSON data-type path — a JSONPath
+          // hit is always a string) parse per the reference's
+          // NormalizeStringRecord (vector_base.cc:532-551); array
+          // sources pass through.
+          val srcIsString =
+            df.select(src).schema.head.dataType == StringType
+          val vecSrc = if (srcIsString) parseVectorString(src) else src
+          val sized = when(size(vecSrc) === vf.dim, vecSrc).otherwise(lit(null))
           if (vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest) {
             val mag = sqrt(aggregate(sized, lit(0.0d),
               (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))

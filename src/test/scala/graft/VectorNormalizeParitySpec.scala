@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{SearchEngine, SearchOptions}
+import graft.model._
+import graft.sources.Documents
+
+/**
+ * Replays the reference's string-vector ingestion table
+ * (vector_test.cc:293-349 NormalizeStringRecordTests over
+ * VectorBase::NormalizeStringRecord, vector_base.cc:532-551): a
+ * `[0.1, 0.2]`-style string — the form a JSONPath vector attribute
+ * arrives in — parses to a float vector, skipping empty elements; one
+ * unparsable element fails the whole record (≡ indexing failure),
+ * never a partial vector.
+ */
+class VectorNormalizeParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("vector-normalize-parity")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  // the reference case table, verbatim
+  private val cases = Seq(
+    ("cardinality_1", "[ 0.1]", Some(Seq(0.1f))),
+    ("cardinality_1_1", "[,0.1]", Some(Seq(0.1f))),
+    ("cardinality_3_1", "[ 0.1, ,0.2,0.3,]", Some(Seq(0.1f, 0.2f, 0.3f))),
+    ("cardinality_3_fail", "[ 0.1, ,0.2,a,]", None))
+
+  test("NormalizeStringRecord table: element skipping and whole-record failure") {
+    val sp = spark; import sp.implicits._
+    val df = cases.map { case (name, rec, _) => (name, rec) }.toDF("k", "v")
+      .withColumn("parsed", Documents.parseVectorString(col("v")))
+    val got = df.collect().map(r =>
+      r.getAs[String]("k") -> Option(r.getAs[scala.collection.Seq[Float]]("parsed"))).toMap
+    cases.foreach { case (name, _, want) =>
+      assert(got(name).map(_.toSeq) == want, s"case $name")
+    }
+    // no brackets: plain CSV parses too (ConsumePrefix is conditional)
+    val plain = Seq(("p", "0.5,0.25")).toDF("k", "v")
+      .withColumn("parsed", Documents.parseVectorString(col("v"))).collect()
+    assert(plain(0).getAs[scala.collection.Seq[Float]]("parsed").toSeq == Seq(0.5f, 0.25f))
+    // an unmatched trailing "]" without "[" stays in the element → fail
+    // (the reference consumes "]" only after consuming "[")
+    val dangling = Seq(("d", "0.5,0.25]")).toDF("k", "v")
+      .withColumn("parsed", Documents.parseVectorString(col("v"))).collect()
+    assert(dangling(0).isNullAt(dangling(0).fieldIndex("parsed")))
+  }
+
+  test("JSON-path string vectors index and KNN-search end-to-end") {
+    val sp = spark; import sp.implicits._
+    val e = new SearchEngine
+    val schema = IndexSchema("jsonvec_t", Seq(
+      FieldDef("doc:$.emb", "emb", VectorField(dim = 2, metric = DistanceMetric.L2))))
+    val docs = Seq(
+      ("k1", """{"emb":"[0.0, 0.0]"}"""),
+      ("k2", """{"emb":"[1.0, 0.0]"}"""),
+      ("k3", """{"emb":"[5.0, 5.0]"}"""),
+      ("k_bad", """{"emb":"[1.0, oops]"}"""), // parse failure → untracked
+      ("k_dim", """{"emb":"[1.0, 2.0, 3.0]"}""")) // wrong dim → untracked
+      .toDF("__key", "doc")
+    e.createIndex(schema, Documents.enrich(docs, schema))
+
+    val rows = e.search("jsonvec_t", "*=>[KNN 2 @emb $q]",
+      SearchOptions(params = Map("q" -> graft.query.VectorParam(Array(0.1f, 0.0f)))))
+      .collect()
+    assert(rows.map(_.getAs[String]("__key")).toSeq == Seq("k1", "k2"))
+
+    // the failures surface in FT.INFO's hash_indexing_failures
+    val info = e.info("jsonvec_t").collect()
+    assert(info.head.getAs[Long]("hash_indexing_failures") == 2L)
+    assert(info.head.getAs[Long]("num_records") == 3L)
+  }
+}
