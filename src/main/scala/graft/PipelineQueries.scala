@@ -889,6 +889,82 @@ object PipelineQueries {
 
     // -------------------- text analysis ---------------------------- //
 
+    // Gopher rule filter (Rae et al. 2021 A1.1): the corpus has no
+    // newlines, so the SAME multi-line text is synthesized on both
+    // engines (doc_id-planted bullets and ellipses exercise the line
+    // rules); the oracle recomputes every rule measurement and the
+    // combined verdict from scratch.
+    q("p_quality_gopher") { (s, dir) =>
+      val lines = concat_ws("\n",
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("- "), substring(col("text"), 41, 20)))
+          .otherwise(substring(col("text"), 41, 20)),
+        when(col("doc_id") % 3 === 0,
+          concat(substring(col("text"), 61, 20), lit("...")))
+          .otherwise(substring(col("text"), 61, 20)),
+        substring(col("text"), 81, 40),
+        // the corpus vocabulary carries ≤ 1 Gopher stopword — plant a
+        // stop-rich tail on 4/5 of docs so the stop rule discriminates
+        when(col("doc_id") % 5 === 0, lit("alpha beta"))
+          .otherwise(lit("of that have with be to")))
+      docs(s, dir)
+        .withColumn("__g", TextMetrics.gopherRules(lines, minWords = 15))
+        .select(col("doc_id").cast("string").as("__key"),
+          col("__g.word_count").as("word_count"),
+          col("__g.mean_word_len").as("mean_word_len"),
+          col("__g.symbol_word_ratio").as("symbol_word_ratio"),
+          col("__g.bullet_line_frac").as("bullet_line_frac"),
+          col("__g.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("__g.alpha_word_frac").as("alpha_word_frac"),
+          col("__g.stop_word_hits").as("stop_word_hits"),
+          col("__g.pass").cast("long").as("pass"))
+        .orderBy(col("__key").cast("long").asc)
+        .limit(400)
+    } {
+      val stops = TextMetrics.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    substr(text, 1, 40),
+         |    CASE WHEN doc_id % 2 = 0 THEN '- ' || substr(text, 41, 20)
+         |         ELSE substr(text, 41, 20) END,
+         |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 61, 20) || '...'
+         |         ELSE substr(text, 61, 20) END,
+         |    substr(text, 81, 40),
+         |    CASE WHEN doc_id % 5 = 0 THEN 'alpha beta'
+         |         ELSE 'of that have with be to' END) AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> strlen(x) > 0) AS words,
+         |    list_filter(string_split(t, chr(10)), l -> strlen(trim(l)) > 0) AS lines
+         |  FROM s),
+         |m AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS __key,
+         |    CAST(len(words) AS BIGINT) AS word_count,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(words, x -> strlen(x)))::DOUBLE / len(words) END AS mwl,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(t, '#|\\.\\.\\.'))::DOUBLE / len(words) END AS swr,
+         |    CASE WHEN len(lines) = 0 THEN 0.0
+         |         ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]')))::DOUBLE / len(lines) END AS blf,
+         |    CASE WHEN len(lines) = 0 THEN 0.0
+         |         ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$')))::DOUBLE / len(lines) END AS elf,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(words) END AS awf,
+         |    CAST(len(list_intersect(list_distinct(list_transform(words, x -> lower(x))), $stops)) AS BIGINT) AS stop_word_hits
+         |  FROM w)
+         |SELECT __key, word_count,
+         |  round(mwl, 6) AS mean_word_len, round(swr, 6) AS symbol_word_ratio,
+         |  round(blf, 6) AS bullet_line_frac, round(elf, 6) AS ellipsis_line_frac,
+         |  round(awf, 6) AS alpha_word_frac, stop_word_hits,
+         |  CAST(CASE WHEN word_count BETWEEN 15 AND 100000
+         |    AND mwl BETWEEN 3 AND 10
+         |    AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+         |    AND stop_word_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM m ORDER BY CAST(__key AS BIGINT) ASC LIMIT 400""".stripMargin
+    },
+
     q("p_text_metrics") { (s, dir) =>
       TextMetrics.annotate(docs(s, dir), "text")
         .select(col("doc_id").cast("string").as("__key"),

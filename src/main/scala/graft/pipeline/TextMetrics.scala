@@ -120,6 +120,69 @@ object TextMetrics {
   def fingerprintDigest(textColName: String, k: Int = 8, w: Int = 4): Column =
     xxhash64(concat_ws(",", fingerprint(textColName, k, w)))
 
+  /** The Gopher rule-filter stopword set (Rae et al. 2021, A1.1:
+    * a document must contain ≥ 2 of these). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality rules (Rae et al., "Scaling Language Models" 2021,
+   * Appendix A1.1) — the named heuristic bundle large-scale curation
+   * pipelines cut on, as ONE branch-free projection (map-only, no
+   * shuffle, whole-stage codegen at any scale):
+   *
+   *   word_count ∈ [minWords, maxWords]; mean word length ∈ [3, 10];
+   *   symbol-to-word ratio (`#` / `...`) ≤ 0.1; ≤ 90% of lines start
+   *   with a bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of
+   *   words contain an alphabetic character; ≥ 2 distinct stopwords
+   *   from [[GopherStops]] present.
+   *
+   * Returns a struct with every measured value (audit trail — which
+   * rule fired) plus the combined `pass`.
+   */
+  def gopherRules(text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val nW = nWords.cast("double")
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nW)
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nW)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*]"))).cast("double") /
+        nLines.cast("double"))
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") /
+        nLines.cast("double"))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      lit(GopherStops.toArray)))
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      nWords.cast("long").as("word_count"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_word_hits"),
+      pass.as("pass"))
+  }
+
+  /** Keep only documents passing every Gopher rule. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.filter(gopherRules(col(textCol), minWords, maxWords).getField("pass"))
+
   /** All metrics in one projection. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens_ws", tokenCountWs(col(textCol)))

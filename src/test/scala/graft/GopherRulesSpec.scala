@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.TextMetrics
+
+/** Gopher rule filter (Rae et al. 2021 A1.1): hand-computed rule
+  * measurements, per-rule rejection, empty edge. */
+class GopherRulesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("gopher-rules")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  private def rulesOf(text: String, minWords: Int = 2) = {
+    val sp = spark; import sp.implicits._
+    Seq(text).toDF("t")
+      .select(TextMetrics.gopherRules(col("t"), minWords = minWords).as("g"))
+      .select("g.*").collect()(0)
+  }
+
+  test("hand-computed measurements on a known document") {
+    // 8 words: the(3) cat(3) sat(3) with(4) the(3) hat(3) and(3) ten(3) = 25 chars
+    val r = rulesOf("the cat sat with the hat and ten")
+    assert(r.getAs[Long]("word_count") == 8L)
+    assert(r.getAs[Double]("mean_word_len") == 25.0 / 8)
+    assert(r.getAs[Double]("symbol_word_ratio") == 0.0)
+    assert(r.getAs[Double]("alpha_word_frac") == 1.0)
+    // distinct stop hits: the, with, and = 3
+    assert(r.getAs[Long]("stop_word_hits") == 3L)
+    assert(r.getAs[Boolean]("pass"))
+  }
+
+  test("each rule rejects independently") {
+    // symbol ratio: 1 '#' over 4 words = 0.25 > 0.1
+    assert(!rulesOf("the cat # with").getAs[Boolean]("pass"))
+    // mean word length < 3
+    assert(!rulesOf("a an to of it be").getAs[Boolean]("pass"))
+    // ellipsis: 2 of 2 lines end '...' > 0.3
+    assert(!rulesOf("the cat sits here...\nwith the dog too...").getAs[Boolean]("pass"))
+    // bullets allowed up to 90%: 1 of 2 lines is fine
+    assert(rulesOf("- the cat with hat\nthe dog and bird sit").getAs[Boolean]("pass"))
+    // no alphabetic words: alpha frac 0 and stopword misses
+    assert(!rulesOf("12 34 56 78").getAs[Boolean]("pass"))
+    // under min word count
+    assert(!rulesOf("the with", minWords = 3).getAs[Boolean]("pass"))
+  }
+
+  test("empty text: zero counts, no pass, no NULL poisoning") {
+    val r = rulesOf("")
+    assert(r.getAs[Long]("word_count") == 0L)
+    assert(r.getAs[Double]("mean_word_len") == 0.0)
+    assert(!r.getAs[Boolean]("pass"))
+  }
+
+  test("gopherFilter keeps exactly the passing documents") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      ("good", "the cat sat with the hat and ten"),
+      ("bad", "a an to of it be")).toDF("k", "t")
+    val kept = TextMetrics.gopherFilter(df, "t", minWords = 2)
+      .select("k").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("good"))
+  }
+}
