@@ -350,7 +350,10 @@ final class Commands(
       "The maximum number of prefixes cannot exceed 16.")
     val schema = IndexSchema(name, defs, analyzer = analyzerCfg,
       docScore = score, docScoreField = scoreField)
-    val (raw, keyExpr) = source(prefixes)
+    // subscribed-prefix normalization (index_schema.cc:321-334): dups
+    // and already-covered prefixes drop before the source binds
+    val normPrefixes = graft.sources.Documents.normalizePrefixes(prefixes)
+    val (raw, keyExpr) = source(normPrefixes)
     val bound = if (skipScan) raw.limit(0) else raw
     // TEXT-bearing indexes default resident, like the reference's
     // always-in-memory text index — otherwise every query re-runs the
@@ -381,7 +384,7 @@ final class Commands(
         "SKIPINITIALSCAN cannot be combined with MAINTAIN/MAINTAIN_OPEN; " +
           "wire IndexMaintainer with the ingest state as docsSource instead")
     def boundSource(): () => DataFrame = () => {
-      val (raw2, key2) = source(prefixes)
+      val (raw2, key2) = source(normPrefixes)
       raw2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
     }
     maintainDir.foreach { d =>

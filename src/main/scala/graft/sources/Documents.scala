@@ -73,6 +73,29 @@ object Documents {
     * replaces a same-named column (numeric cast, vector sizing). */
   private[graft] def rawCol(alias: String): String = s"__${alias}__raw"
 
+  /** Subscribed-key-prefix normalization (reference
+    * index_schema.cc:321-334, table replayed from
+    * index_schema_test.cc:684-733): an empty list subscribes
+    * everything (≡ the "" prefix); a prefix is kept only when no
+    * ALREADY-KEPT entry is a prefix of it — one declared-order pass,
+    * so {"pre","prefix"} → {"pre"} but {"prefix","pre"} keeps both,
+    * exactly like the reference. */
+  def normalizePrefixes(prefixes: Seq[String]): Seq[String] =
+    if (prefixes.isEmpty) Seq("")
+    else prefixes.foldLeft(Vector.empty[String]) { (acc, p) =>
+      if (acc.exists(p.startsWith)) acc else acc :+ p
+    }
+
+  /** Which keys an index with these PREFIX subscriptions covers — the
+    * batch/stream analogue of the keyspace-notification prefix match:
+    * one boolean predicate, pushable to the scan. A key matching
+    * several prefixes is indexed once (a filter admits a row once;
+    * the reference gets the same effect from the normalized set). */
+  def keyPrefixPredicate(keyCol: Column, prefixes: Seq[String]): Column =
+    normalizePrefixes(prefixes)
+      .map(p => if (p.isEmpty) lit(true) else keyCol.startsWith(p))
+      .reduce(_ || _)
+
   /** String → float vector, the reference's NormalizeStringRecord
     * (vector_base.cc:532-551, table replayed by vector_test.cc:293-349):
     * a leading `[` is consumed (with its trailing `]` ONLY then), the
