@@ -55,13 +55,16 @@ final class Commands(
     argv.head.toUpperCase match {
       case "FT.CREATE" => ftCreate(new Args(argv.tail))
       case "FT.DROPINDEX" =>
+        requireIndex("FT.DROPINDEX", argv)
         engine.dropIndex(argv(1))
         // a stale maintainer would re-register views for (and its
         // docsSource branch re-CREATE) the dropped index on next batch
         maintainerByIndex.remove(argv(1))
         "OK"
       case "FT._LIST" => engine.listIndexes
-      case "FT.INFO" => engine.info(argv(1)) // scope/consistency args ≡ LOCAL here
+      case "FT.INFO" => // scope/consistency args ≡ LOCAL here
+        requireIndex("FT.INFO", argv)
+        engine.info(argv(1))
       // Server INFO, SEARCH section (reference metrics surface,
       // src/metrics.h:29-80): engine-wide counters as (metric, value).
       case "INFO" => engine.metricsInfo(source(Nil)._1.sparkSession)
@@ -72,6 +75,16 @@ final class Commands(
   }
 
   // ---------------------------------------------------------------- //
+
+  /** Arity + existence checks with the reference's messages
+    * (vmsdk wrong-arity; index_schema.h:59 not-found — single-db here,
+    * so the db number is always 0). */
+  private def requireIndex(cmd: String, argv: Seq[String]): Unit = {
+    if (argv.length < 2) throw new ExprParseException(
+      s"wrong number of arguments for '$cmd' command")
+    if (!engine.listIndexes.contains(argv(1))) throw new ExprParseException(
+      s"Index with name '${argv(1)}' not found in database 0")
+  }
 
   /** Redis cluster hash tag: a `{...}` span that routes the key. */
   private def hasHashTag(s: String): Boolean = {
@@ -348,11 +361,12 @@ final class Commands(
           "fields cannot exceed 64.")
     if (prefixes.size > 16) throw new ExprParseException(
       "The maximum number of prefixes cannot exceed 16.")
-    val schema = IndexSchema(name, defs, analyzer = analyzerCfg,
-      docScore = score, docScoreField = scoreField)
     // subscribed-prefix normalization (index_schema.cc:321-334): dups
     // and already-covered prefixes drop before the source binds
     val normPrefixes = graft.sources.Documents.normalizePrefixes(prefixes)
+    val schema = IndexSchema(name, defs, analyzer = analyzerCfg,
+      docScore = score, docScoreField = scoreField,
+      subscribedPrefixes = normPrefixes)
     val (raw, keyExpr) = source(normPrefixes)
     val bound = if (skipScan) raw.limit(0) else raw
     // TEXT-bearing indexes default resident, like the reference's

@@ -1109,13 +1109,29 @@ class SearchEngine {
       }
       coalesce(agg, lit(0L)).as(s"__fail_${fd.alias}")
     }
+    // total_term_occurrences (reference FT.INFO text block): token
+    // instances across TEXT fields — rides the same single stats job
+    val occExpr = schema.textFields.map(fd =>
+        coalesce(size(col(schema.tokensCol(fd.alias))), lit(0)).cast("long"))
+      .reduceOption(_ + _).getOrElse(lit(0L))
     val aggs = (count(lit(1)).as("num_docs") +:
       schema.fields.map(fd => count(col(fd.alias)).as(s"__t_${fd.alias}"))) ++
-      failAggs
+      failAggs :+ coalesce(sum(occExpr), lit(0L)).as("__occ")
     val stats = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numRecords = schema.fields.indices.map(i => stats.getLong(i + 1)).sum
     val failures = schema.fields.indices
       .map(i => stats.getLong(1 + schema.fields.size + i)).sum
+    val termOccurrences = stats.getLong(1 + 2 * schema.fields.size)
+    // num_terms: distinct terms across TEXT fields. The reference reads
+    // a counter it maintains per mutation; the batch engine answers the
+    // rare admin query with one exact distinct over the (resident)
+    // derived term sets instead of paying per-ingest bookkeeping.
+    val numTerms: Long =
+      if (schema.textFields.isEmpty) 0L
+      else docs.select(explode(flatten(array(schema.textFields.map(fd =>
+          coalesce(col(s"__${fd.alias}__terms"),
+            array().cast("array<string>"))): _*))).as("__term"))
+        .agg(countDistinct(col("__term"))).collect()(0).getLong(0)
     val spark = docs.sparkSession
     import spark.implicits._
     val fieldRows = schema.fields.zipWithIndex.map { case (fd, i) =>
@@ -1156,6 +1172,15 @@ class SearchEngine {
       // index_schema.cc:1214-1216)
       .withColumn("score", lit(schema.docScore))
       .withColumn("score_field", lit(schema.docScoreField.orNull))
+      // index_definition block (reference FT.INFO reply,
+      // index_schema.cc:1203-1216): the normalized PREFIX subscriptions
+      // and the (single-valued) language
+      .withColumn("prefixes", lit(schema.subscribedPrefixes.mkString(",")))
+      .withColumn("language", lit("english"))
+      // text-index counters (reference FT.INFO num_terms /
+      // total_term_occurrences): exact, from the derived term relations
+      .withColumn("num_terms", lit(numTerms))
+      .withColumn("total_term_occurrences", lit(termOccurrences))
   }
 
   /** Per-document ingested score (reference IndexSchema::

@@ -97,7 +97,11 @@ final case class IndexSchema(
     // parity means store + surface, not invent a scorer). Named
     // docScore* to stay clear of scoreField(vectorAlias) below.
     docScore: Double = 1.0,
-    docScoreField: Option[String] = None) {
+    docScoreField: Option[String] = None,
+    // Normalized PREFIX subscriptions (reference index_schema.cc:321-334,
+    // surfaced by FT.INFO's index_definition block); Nil when the index
+    // was bound directly to a table rather than through FT.CREATE.
+    subscribedPrefixes: Seq[String] = Nil) {
 
   private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
 

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{Commands, SearchEngine}
+import graft.query.ExprParseException
+import graft.sources.Documents
+
+/**
+ * Replays the FT.INFO reply-field expectations from the reference's
+ * command table (testing/ft_info_test.cc happy_path_* and error rows,
+ * over src/commands/ft_info.cc + index_schema.cc:1203-1263): the
+ * index_definition block (prefixes, default score, score_field,
+ * language), the text counters (num_terms, total_term_occurrences),
+ * state/backfill fields, and the error message shapes. RESP framing is
+ * not replayed (DataFrame reply by design).
+ */
+class FtInfoParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("ft-info-parity")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  test("happy path: index_definition block fields (prefixes, score, language)") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("prefix_1a", 1.0, "merge fast"), ("other", 2.0, "merge slow"))
+      .toDF("pk", "price", "body")
+    val engine = new SearchEngine
+    val cmds = new Commands(engine, prefixes =>
+      (docs.filter(Documents.keyPrefixPredicate(col("pk"), prefixes)), col("pk")))
+    cmds.execute(Seq("FT.CREATE", "info_t", "PREFIX", "1", "prefix_",
+      "SCHEMA", "price", "NUMERIC", "body", "TEXT"))
+
+    val info = engine.info("info_t").collect()
+    val r = info.head
+    assert(r.getAs[String]("prefixes") == "prefix_")
+    assert(r.getAs[Double]("score") == 1.0)
+    assert(r.getAs[String]("score_field") == null)
+    assert(r.getAs[String]("language") == "english")
+    assert(r.getAs[String]("state") == "ready")
+    assert(!r.getAs[Boolean]("backfill_in_progress"))
+    assert(r.getAs[Double]("backfill_complete_percent") == 100.0)
+    assert(r.getAs[Long]("mutation_queue_size") == 0L)
+    assert(r.getAs[Long]("num_docs") == 1L) // only the prefix_ match
+  }
+
+  test("text counters: exact num_terms and total_term_occurrences") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("k1", "merge fast"), ("k2", "merge slow"), ("k3", ""))
+      .toDF("pk", "body")
+    val engine = new SearchEngine
+    val cmds = new Commands(engine, _ => (docs, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "terms_t", "SCHEMA", "body", "TEXT"))
+    val r = engine.info("terms_t").collect().head
+    // distinct stems: merg, fast, slow
+    assert(r.getAs[Long]("num_terms") == 3L)
+    // token instances: 2 + 2 + 0
+    assert(r.getAs[Long]("total_term_occurrences") == 4L)
+  }
+
+  test("no TEXT fields: counters are zero without extra jobs") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("k1", 1.0)).toDF("pk", "price")
+    val engine = new SearchEngine
+    val cmds = new Commands(engine, _ => (docs, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "nums_t", "SCHEMA", "price", "NUMERIC"))
+    val r = engine.info("nums_t").collect().head
+    assert(r.getAs[Long]("num_terms") == 0L)
+    assert(r.getAs[Long]("total_term_occurrences") == 0L)
+  }
+
+  test("error shapes: wrong arity and not-found, reference messages") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("k1", 1.0)).toDF("pk", "price")
+    val cmds = new Commands(new SearchEngine, _ => (docs, col("pk")))
+    val e1 = intercept[ExprParseException](cmds.execute(Seq("FT.INFO")))
+    assert(e1.getMessage == "wrong number of arguments for 'FT.INFO' command")
+    val e2 = intercept[ExprParseException](
+      cmds.execute(Seq("FT.INFO", "non_exist_test_name")))
+    assert(e2.getMessage ==
+      "Index with name 'non_exist_test_name' not found in database 0")
+    val e3 = intercept[ExprParseException](
+      cmds.execute(Seq("FT.DROPINDEX", "nope")))
+    assert(e3.getMessage == "Index with name 'nope' not found in database 0")
+  }
+}
