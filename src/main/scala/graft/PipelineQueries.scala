@@ -1012,6 +1012,85 @@ object PipelineQueries {
     // doc_id-dependent planted repeats; the oracle then recomputes
     // line counts, duplicate-line fraction and duplicate-character
     // fraction from scratch via unnest + group-by.
+    // Gopher duplicate word-n-gram fractions (table A1): doc_id-planted
+    // span duplication gives the dup rules real signal; the oracle
+    // recomputes the position-marking coverage from scratch (per-doc
+    // word positions → n-grams → top/duplicated grams → covered
+    // positions → char fractions). The unit spec covers all nine
+    // measurements; the gate pins a representative column set.
+    q("p_repetition_ngram") { (s, dir) =>
+      val t = when(col("doc_id") % 2 === 0,
+        concat_ws(" ", substring(col("text"), 1, 60),
+          substring(col("text"), 1, 60), substring(col("text"), 61, 100)))
+        .otherwise(substring(col("text"), 1, 220))
+      docs(s, dir)
+        .withColumn("__r", TextMetrics.ngramRepetitionStats(t))
+        .select(col("doc_id").cast("string").as("__key"),
+          round(col("__r.top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+          round(col("__r.top_3gram_char_frac"), 6).as("top_3gram_char_frac"),
+          round(col("__r.dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
+          round(col("__r.dup_8gram_char_frac"), 6).as("dup_8gram_char_frac"))
+        .orderBy(col("__key").cast("long").asc)
+        .limit(300)
+    } {
+      def topBlock(n: Int) =
+        s"""g$n AS (SELECT doc_id, i, array_to_string(words[i:i+${n - 1}], ' ') AS g
+           |       FROM w, unnest(generate_series(1, len(words)-${n - 1})) AS t(i)),
+           |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1,2),
+           |t$n AS (SELECT doc_id, g FROM (
+           |  SELECT doc_id, g, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY c DESC, strlen(g) DESC, g ASC) AS rn
+           |  FROM c$n) WHERE rn = 1),
+           |cov$n AS (SELECT DISTINCT gr.doc_id, p.p
+           |         FROM g$n gr JOIN t$n USING (doc_id, g),
+           |         unnest(generate_series(gr.i, gr.i+${n - 1})) AS p(p)),
+           |f$n AS (SELECT tot.doc_id,
+           |         coalesce(sum(strlen(pos.word)), 0)::DOUBLE / tot.tc AS f
+           |       FROM tot
+           |       LEFT JOIN cov$n ON tot.doc_id = cov$n.doc_id
+           |       LEFT JOIN pos ON pos.doc_id = cov$n.doc_id AND pos.i = cov$n.p
+           |       GROUP BY tot.doc_id, tot.tc)""".stripMargin
+      def dupBlock(n: Int) =
+        s"""g$n AS (SELECT doc_id, i, array_to_string(words[i:i+${n - 1}], ' ') AS g
+           |       FROM w, unnest(generate_series(1, len(words)-${n - 1})) AS t(i)),
+           |d$n AS (SELECT doc_id, g FROM (
+           |  SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1,2) WHERE c >= 2),
+           |cov$n AS (SELECT DISTINCT gr.doc_id, p.p
+           |         FROM g$n gr JOIN d$n USING (doc_id, g),
+           |         unnest(generate_series(gr.i, gr.i+${n - 1})) AS p(p)),
+           |f$n AS (SELECT tot.doc_id,
+           |         coalesce(sum(strlen(pos.word)), 0)::DOUBLE / tot.tc AS f
+           |       FROM tot
+           |       LEFT JOIN cov$n ON tot.doc_id = cov$n.doc_id
+           |       LEFT JOIN pos ON pos.doc_id = cov$n.doc_id AND pos.i = cov$n.p
+           |       GROUP BY tot.doc_id, tot.tc)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN substr(text,1,60) || ' ' || substr(text,1,60) || ' ' || substr(text,61,100)
+         |      ELSE substr(text,1,220) END AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id,
+         |        list_filter(string_split_regex(t, '\\s+'), x -> strlen(x) > 0) AS words
+         |      FROM s),
+         |pos AS (SELECT doc_id, i, words[i] AS word
+         |        FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+         |tot AS (SELECT doc_id, sum(strlen(word)) AS tc FROM pos GROUP BY 1),
+         |${topBlock(2)},
+         |${topBlock(3)},
+         |${dupBlock(5)},
+         |${dupBlock(8)}
+         |SELECT CAST(tot.doc_id AS VARCHAR) AS __key,
+         |  round(f2.f, 6) AS top_2gram_char_frac,
+         |  round(f3.f, 6) AS top_3gram_char_frac,
+         |  round(f5.f, 6) AS dup_5gram_char_frac,
+         |  round(f8.f, 6) AS dup_8gram_char_frac
+         |FROM tot
+         |JOIN f2 USING (doc_id) JOIN f3 USING (doc_id)
+         |JOIN f5 USING (doc_id) JOIN f8 USING (doc_id)
+         |ORDER BY tot.doc_id ASC LIMIT 300""".stripMargin
+    },
+
     q("p_repetition") { (s, dir) =>
       val lines = concat_ws("\n",
         substring(col("text"), 1, 20), substring(col("text"), 21, 20),

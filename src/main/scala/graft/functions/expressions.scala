@@ -766,6 +766,135 @@ case class RepetitionStats(child: Expression)
 }
 
 /**
+ * Gopher duplicate word-n-gram statistics (Rae et al. 2021, table A1)
+ * in one row-local pass — the other half of the repetition family next
+ * to [[RepetitionStats]]' line rules:
+ *
+ *  - `top_{2,3,4}gram_char_frac`: characters covered by occurrences of
+ *    the MOST FREQUENT n-gram over all word characters. Coverage marks
+ *    word positions (overlapping occurrences never double-count, so
+ *    the fraction is bounded by 1). The top gram is chosen by
+ *    (count desc, gram length desc, gram asc) — a total order both
+ *    engines can reproduce.
+ *  - `dup_{5..10}gram_char_frac`: characters covered by ANY n-gram
+ *    occurring more than once, over all word characters — the
+ *    standard position-marking formulation of Gopher's "fraction of
+ *    characters inside duplicate n-grams".
+ *
+ * Words split on whitespace; fewer than n words → 0.0 for that n;
+ * empty text → all zeros. O(Σn × words) per row, map-only at any
+ * scale.
+ */
+case class NgramRepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import NgramRepetitionStats.{TopNs, DupNs}
+
+  override def dataType: DataType = StructType(
+    TopNs.map(n => StructField(s"top_${n}gram_char_frac", DoubleType, nullable = false)) ++
+      DupNs.map(n => StructField(s"dup_${n}gram_char_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "ngram_repetition_stats"
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[UTF8String].toString
+      .split("\\s+").filterNot(_.isEmpty)
+    val lens = words.map(_.length)
+    var totalChars = 0L
+    var i = 0
+    while (i < lens.length) { totalChars += lens(i); i += 1 }
+    val out = new Array[Any](TopNs.length + DupNs.length)
+    var oi = 0
+    TopNs.foreach { n =>
+      out(oi) = if (totalChars == 0) 0.0 else topFrac(words, lens, totalChars, n)
+      oi += 1
+    }
+    DupNs.foreach { n =>
+      out(oi) = if (totalChars == 0) 0.0 else dupFrac(words, lens, totalChars, n)
+      oi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  private def gramAt(words: Array[String], i: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(words(i))
+    var j = 1
+    while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+    sb.toString
+  }
+
+  private def markedFrac(words: Array[String], lens: Array[Int],
+                         totalChars: Long, n: Int,
+                         covers: String => Boolean): Double = {
+    val marked = new Array[Boolean](words.length)
+    var i = 0
+    while (i + n <= words.length) {
+      if (covers(gramAt(words, i, n))) {
+        var j = i
+        while (j < i + n) { marked(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var chars = 0L
+    i = 0
+    while (i < words.length) { if (marked(i)) chars += lens(i); i += 1 }
+    chars.toDouble / totalChars
+  }
+
+  private def counts(words: Array[String], n: Int): java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    var i = 0
+    while (i + n <= words.length) {
+      val g = gramAt(words, i, n)
+      val e = m.get(g)
+      if (e == null) m.put(g, Array(1)) else e(0) += 1
+      i += 1
+    }
+    m
+  }
+
+  private def topFrac(words: Array[String], lens: Array[Int],
+                      totalChars: Long, n: Int): Double = {
+    if (words.length < n) return 0.0
+    val m = counts(words, n)
+    var best: String = null
+    var bestC = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey; val c = e.getValue()(0)
+      if (best == null || c > bestC ||
+          (c == bestC && (g.length > best.length ||
+            (g.length == best.length && g.compareTo(best) < 0)))) {
+        best = g; bestC = c
+      }
+    }
+    markedFrac(words, lens, totalChars, n, _ == best)
+  }
+
+  private def dupFrac(words: Array[String], lens: Array[Int],
+                      totalChars: Long, n: Int): Double = {
+    if (words.length < n) return 0.0
+    val m = counts(words, n)
+    markedFrac(words, lens, totalChars, n, g => m.get(g)(0) >= 2)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object NgramRepetitionStats {
+  val TopNs: Seq[Int] = Seq(2, 3, 4)
+  val DupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+  /** The paper's rejection thresholds per measurement (table A1):
+    * a document FAILS when a fraction exceeds its threshold. */
+  val Thresholds: Map[String, Double] = Map(
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+    "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+    "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+    "dup_10gram_char_frac" -> 0.10)
+}
+
+/**
  * Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03)
  * in ONE row-local pass: xxhash64 of every k-char (code-point) gram —
  * the same `xxhash64('fp', substr(text, i, k))` chain the HOF

@@ -70,6 +70,9 @@ package object functions {
   /** Duplicate-line repetition stats struct (one JVM pass). */
   def repetition_stats(text: Column): Column =
     expr2col(RepetitionStats(col2expr(text)))
+  /** Gopher duplicate word-n-gram stats struct (one JVM pass). */
+  def ngram_repetition_stats(text: Column): Column =
+    expr2col(NgramRepetitionStats(col2expr(text)))
   /** Winnowing fingerprint: sorted-distinct window-min gram hashes. */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     expr2col(WinnowFingerprint(col2expr(text), k, w))

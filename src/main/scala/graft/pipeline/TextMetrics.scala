@@ -183,6 +183,24 @@ object TextMetrics {
                    minWords: Int = 50, maxWords: Int = 100000): DataFrame =
     df.filter(gopherRules(col(textCol), minWords, maxWords).getField("pass"))
 
+  /** Gopher duplicate word-n-gram measurements (Rae et al. 2021 table
+    * A1): `top_{2,3,4}gram_char_frac` + `dup_{5..10}gram_char_frac` as
+    * one struct — one row-local JVM pass
+    * ([[graft.functions.NgramRepetitionStats]]), map-only at scale. */
+  def ngramRepetitionStats(text: Column): Column =
+    graft.functions.ngram_repetition_stats(text)
+
+  /** True when every n-gram repetition fraction is at or under its
+    * published threshold (table A1: top 2/3/4-gram ≤ 0.20/0.18/0.16,
+    * dup 5..10-gram ≤ 0.15..0.10) — the repetition half of the Gopher
+    * filter, composable with [[gopherRules]]' pass. */
+  def ngramRepetitionPass(text: Column): Column = {
+    val s = ngramRepetitionStats(text)
+    graft.functions.NgramRepetitionStats.Thresholds
+      .map { case (f, t) => s.getField(f) <= t }
+      .reduce(_ && _)
+  }
+
   /** All metrics in one projection. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
