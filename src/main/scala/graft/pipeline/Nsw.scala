@@ -132,12 +132,21 @@ object Nsw {
     while (i < nOld) { if (!removed.get(i)) liveIdx(g.keys(i)) = i; i += 1 }
     var n = nOld
     changes.sortBy(_._2).foreach { case (op, key, vec) =>
-      liveIdx.remove(key).foreach(removed.set) // supersede / delete
-      if (op == "upsert") {
-        keys(n) = key; vecs(n) = vec
-        insertNode(vecs, adj, n, m, efConstruction, metric)
-        liveIdx(key) = n
-        n += 1
+      // Unchanged-vector upserts are a no-op (reference
+      // VectorBase::ModifyRecord returns kMissing when the new vector
+      // equals the tracked one, vector_base.cc:236-241): skipping the
+      // tombstone + reinsert keeps no-op document updates from
+      // churning the graph (dead-node growth → premature rebuilds).
+      val unchanged = op == "upsert" && vec != null &&
+        liveIdx.get(key).exists(oldI => java.util.Arrays.equals(vecs(oldI), vec))
+      if (!unchanged) {
+        liveIdx.remove(key).foreach(removed.set) // supersede / delete
+        if (op == "upsert") {
+          keys(n) = key; vecs(n) = vec
+          insertNode(vecs, adj, n, m, efConstruction, metric)
+          liveIdx(key) = n
+          n += 1
+        }
       }
     }
     val deadCount = removed.cardinality()

@@ -237,4 +237,28 @@ class NswUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(t => (t._1, t._2)).take(5).map(_._2)
     assert(got.toSeq == exact.toSeq)
   }
+
+  test("unchanged-vector upsert is a no-op (ModifyRecord kMissing, vector_base.cc:236-241)") {
+    val rnd = new scala.util.Random(11)
+    val n = 50
+    val vecs = Array.fill(n)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val g0 = Nsw.buildLocal(vecs.indices.map(_.toString).toArray, vecs,
+      m = 6, efConstruction = 40, metric = "L2")
+
+    // re-upsert every key with its IDENTICAL vector: zero churn
+    val same = vecs.indices.map(i => ("upsert", i.toString, vecs(i).clone())).toArray
+    val g1 = Nsw.applyLocal(g0, same, m = 6, efConstruction = 40,
+      metric = "L2", rebuildFraction = 0.5)
+    assert(g1.keys.length == n && g1.removed.isEmpty,
+      s"no-op upserts churned the graph: ${g1.keys.length} nodes, ${g1.removed.length} dead")
+
+    // a genuinely-changed vector still re-indexes (supersede + insert)
+    val changed = Array(("upsert", "0", Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val g2 = Nsw.applyLocal(g1, changed, m = 6, efConstruction = 40,
+      metric = "L2", rebuildFraction = 0.5)
+    assert(g2.keys.length == n + 1 && g2.removed.length == 1)
+    // and the old vector for key "0" no longer answers
+    val idxOfNew = g2.keys.length - 1
+    assert(g2.keys(idxOfNew) == "0" && !g2.removed.contains(idxOfNew))
+  }
 }
