@@ -367,6 +367,16 @@ final class Commands(
     val schema = IndexSchema(name, defs, analyzer = analyzerCfg,
       docScore = score, docScoreField = scoreField,
       subscribedPrefixes = normPrefixes)
+    // registry checks at the command surface only (reference
+    // SchemaManager::CreateIndexSchema, schema_manager.cc:148 +
+    // max-indexes config default 1000, :50-62; internal re-register
+    // paths — maintainer refresh — keep replace semantics)
+    if (engine.listIndexes.contains(name)) throw new ExprParseException(
+      s"Index $name in database 0 already exists.")
+    if (engine.listIndexes.size >= engine.maxIndexes)
+      throw new ExprParseException(
+        "Invalid range: Value above maximum; Maximum number of indexes " +
+          s"reached (${engine.maxIndexes}). Cannot create additional indexes.")
     val (raw, keyExpr) = source(normPrefixes)
     val bound = if (skipScan) raw.limit(0) else raw
     // TEXT-bearing indexes default resident, like the reference's

@@ -331,6 +331,10 @@ class SearchEngine {
   var maxSearchResultRecordSize: Long = 5L * 1024 * 1024
   var maxSearchResultFieldsCount: Int = 1000
 
+  /** FT.CREATE registry cap (reference `--max-indexes`, default 1000,
+    * schema_manager.cc:50-62) — enforced at the command surface. */
+  var maxIndexes: Int = 1000
+
   /** Posting fetch is only taken when the fetched key slice is ≤ this
     * fraction of the corpus — the reference planner's cardinality rule
     * (its query planner fetches the SMALLEST child and scans when

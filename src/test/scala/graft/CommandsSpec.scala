@@ -38,6 +38,15 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   // runs next (the forked test JVM cleans up on exit).
   override def afterAll(): Unit = ()
 
+  // FT.CREATE of a live index is rejected like the reference
+  // (schema_manager.cc:148) — tests re-creating "products" drop first
+  private def recreate(): Unit = {
+    if (engine.listIndexes.contains("products"))
+      cmds.execute(Seq("FT.DROPINDEX", "products"))
+    cmds.execute(create)
+    ()
+  }
+
   private val create = Seq("FT.CREATE", "products", "ON", "HASH",
     "PREFIX", "1", "product:", "SCHEMA",
     "price", "NUMERIC",
@@ -47,6 +56,8 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "DIM", "2", "TYPE", "FLOAT32", "DISTANCE_METRIC", "L2")
 
   test("FT.CREATE parses the full schema grammar and registers the index") {
+    if (engine.listIndexes.contains("products"))
+      cmds.execute(Seq("FT.DROPINDEX", "products"))
     assert(cmds.execute(create) == "OK")
     assert(cmds.execute(Seq("FT._LIST")) == Seq("products"))
     val info = cmds.execute(Seq("FT.INFO", "products"))
@@ -83,7 +94,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FT.SEARCH with options: filter, sort, paging, RETURN AS, total count") {
-    cmds.execute(create)
+    recreate()
     val reply = cmds.execute(Seq("FT.SEARCH", "products",
       "@color:{blue} @price:[5 20]",
       "SORTBY", "price", "ASC", "LIMIT", "0", "1",
@@ -96,7 +107,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FT.SEARCH KNN via PARAMS with little-endian FLOAT32 bytes") {
-    cmds.execute(create)
+    recreate()
     val buf = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.putFloat(1.0f); buf.putFloat(0.1f)
     val blob = new String(buf.array(), java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -107,7 +118,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FT.AGGREGATE command tokens route through the stage pipeline") {
-    cmds.execute(create)
+    recreate()
     val df = cmds.execute(Seq("FT.AGGREGATE", "products", "*",
       "APPLY", "@price * 2", "AS", "p2x",
       "FILTER", "@p2x < 60",
@@ -119,7 +130,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FT.AGGREGATE non-stage options among stages: SLOP/INORDER/VERBATIM/ADDSCORES") {
-    cmds.execute(create)
+    recreate()
     // ADDSCORES parses as a flag with no effect (the reference parses
     // addscores_ and its exec never reads it); VERBATIM flows into the
     // query's text parsing (search.cc:1040-1042) — 'training' must NOT
@@ -144,7 +155,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("RETURN 0 behaves as NOCONTENT; SKIPINITIALSCAN registers empty") {
-    cmds.execute(create)
+    recreate()
     val reply = cmds.execute(Seq("FT.SEARCH", "products", "@price:[0 100]",
       "RETURN", "0")).asInstanceOf[SearchEngine.SearchReply]
     assert(reply.rows.head.schema.fieldNames.toSeq == Seq("__key"))
@@ -159,7 +170,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("DIALECT 2-4 accepted, others rejected; TIMEOUT capped (Verify parity)") {
-    cmds.execute(create)
+    recreate()
     // reference Verify: dialect ∈ [2,4] (ft_search_parser.cc:85-88)
     for (d <- Seq("2", "3", "4"))
       cmds.execute(Seq("FT.SEARCH", "products", "*", "DIALECT", d))
@@ -274,7 +285,7 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("WITHSORTKEYS adds the #-prefixed sort key per result (search.h:71)") {
-    cmds.execute(create)
+    recreate()
     val reply = cmds.execute(Seq("FT.SEARCH", "products", "@price:[5 30]",
       "SORTBY", "price", "DESC", "WITHSORTKEYS", "NOCONTENT"))
       .asInstanceOf[SearchEngine.SearchReply]

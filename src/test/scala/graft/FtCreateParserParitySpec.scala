@@ -377,6 +377,27 @@ class FtCreateParserParitySpec extends AnyFunSuite {
       "Invalid range: Value above maximum; The maximum number of text fields cannot exceed 64."))
   }
 
+  test("registry checks: already-exists and max-indexes (ft_create_test.cc:218-255)") {
+    val engine = new SearchEngine
+    val cmds = new Commands(engine, _ => (emptyDocs(true), col("pk")))
+    cmds.execute(Seq("FT.CREATE", "dup_reg", "SCHEMA", "hash_field10", "NUMERIC"))
+    val e1 = intercept[Exception](
+      cmds.execute(Seq("FT.CREATE", "dup_reg", "SCHEMA", "hash_field10", "NUMERIC")))
+    assert(e1.getMessage == "Index dup_reg in database 0 already exists.")
+
+    engine.maxIndexes = 2
+    cmds.execute(Seq("FT.CREATE", "reg2", "SCHEMA", "hash_field10", "NUMERIC"))
+    val e2 = intercept[Exception](
+      cmds.execute(Seq("FT.CREATE", "reg3", "SCHEMA", "hash_field10", "NUMERIC")))
+    assert(e2.getMessage ==
+      "Invalid range: Value above maximum; Maximum number of indexes " +
+        "reached (2). Cannot create additional indexes.")
+    // dropping frees a slot
+    cmds.execute(Seq("FT.DROPINDEX", "reg2"))
+    cmds.execute(Seq("FT.CREATE", "reg3", "SCHEMA", "hash_field10", "NUMERIC"))
+    assert(engine.listIndexes.toSet == Set("dup_reg", "reg3"))
+  }
+
   test("alias/type effects visible through FT.INFO on the happy paths") {
     val r = run("happy_path_hnsw_and_tag_1",
       " idx1 on HASH PREFIx 3 abc def ghi SChema hash_field10 as a10 tag SEPARATOR '|' CASESENSITIVE hash_field1 as hf11 vector hnsw 6 TYPE FLOAT32 DIM 3 DISTANCE_METRIC IP ")
