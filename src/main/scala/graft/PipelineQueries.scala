@@ -965,6 +965,112 @@ object PipelineQueries {
          |FROM m ORDER BY CAST(__key AS BIGINT) ASC LIMIT 400""".stripMargin
     },
 
+    // Composed quality pipeline: Gopher rules ∧ n-gram repetition
+    // thresholds ∧ deterministic hash sample, ONE dataflow and ONE
+    // oracle — a stage-order or threshold divergence hash-mismatches.
+    // The repetition thresholds compare UNROUNDED fractions on both
+    // engines (the struct carries raw doubles; only gate output
+    // rounds).
+    q("p_pipeline_quality_e2e") { (s, dir) =>
+      val t = concat_ws("\n",
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("- "), substring(col("text"), 41, 20)))
+          .otherwise(substring(col("text"), 41, 20)),
+        when(col("doc_id") % 3 === 0,
+          concat(substring(col("text"), 61, 20), lit("...")))
+          .otherwise(substring(col("text"), 61, 20)),
+        substring(col("text"), 81, 40),
+        when(col("doc_id") % 5 === 0, lit("alpha beta"))
+          .otherwise(lit("of that have with be to")))
+      val kept = docs(s, dir)
+        .withColumn("__t", t)
+        .withColumn("__g", TextMetrics.gopherRules(col("__t"), minWords = 15))
+        .withColumn("__nr", TextMetrics.ngramRepetitionStats(col("__t")))
+        .filter(col("__g.pass") &&
+          col("__nr.top_2gram_char_frac") <= lit(0.20) &&
+          col("__nr.dup_5gram_char_frac") <= lit(0.15))
+      Curation.sampleByHash(kept, "doc_id", 0.5)
+        .select(col("doc_id").cast("string").as("__key"),
+          col("__g.word_count").as("word_count"))
+        .orderBy(col("__key").cast("long").asc)
+        .limit(400)
+    } {
+      val stops = TextMetrics.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    substr(text, 1, 40),
+         |    CASE WHEN doc_id % 2 = 0 THEN '- ' || substr(text, 41, 20)
+         |         ELSE substr(text, 41, 20) END,
+         |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 61, 20) || '...'
+         |         ELSE substr(text, 61, 20) END,
+         |    substr(text, 81, 40),
+         |    CASE WHEN doc_id % 5 = 0 THEN 'alpha beta'
+         |         ELSE 'of that have with be to' END) AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> strlen(x) > 0) AS words,
+         |    list_filter(string_split(t, chr(10)), l -> strlen(trim(l)) > 0) AS lines
+         |  FROM s),
+         |gm AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS word_count,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(words, x -> strlen(x)))::DOUBLE / len(words) END AS mwl,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(t, '#|\\.\\.\\.'))::DOUBLE / len(words) END AS swr,
+         |    CASE WHEN len(lines) = 0 THEN 0.0
+         |         ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]')))::DOUBLE / len(lines) END AS blf,
+         |    CASE WHEN len(lines) = 0 THEN 0.0
+         |         ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$')))::DOUBLE / len(lines) END AS elf,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(words) END AS awf,
+         |    CAST(len(list_intersect(list_distinct(list_transform(words, x -> lower(x))), $stops)) AS BIGINT) AS sh
+         |  FROM w),
+         |pos AS (SELECT doc_id, i, words[i] AS word
+         |        FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+         |tot AS (SELECT doc_id, sum(strlen(word)) AS tc FROM pos GROUP BY 1),
+         |g2 AS (SELECT doc_id, i, array_to_string(words[i:i+1], ' ') AS g
+         |       FROM w, unnest(generate_series(1, len(words)-1)) AS t(i)),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
+         |t2 AS (SELECT doc_id, g FROM (
+         |  SELECT doc_id, g, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY c DESC, strlen(g) DESC, g ASC) AS rn
+         |  FROM c2) WHERE rn = 1),
+         |cov2 AS (SELECT DISTINCT gr.doc_id, p.p
+         |         FROM g2 gr JOIN t2 USING (doc_id, g),
+         |         unnest(generate_series(gr.i, gr.i+1)) AS p(p)),
+         |f2 AS (SELECT tot.doc_id,
+         |         coalesce(sum(strlen(pos.word)), 0)::DOUBLE / tot.tc AS f
+         |       FROM tot
+         |       LEFT JOIN cov2 ON tot.doc_id = cov2.doc_id
+         |       LEFT JOIN pos ON pos.doc_id = cov2.doc_id AND pos.i = cov2.p
+         |       GROUP BY tot.doc_id, tot.tc),
+         |g5 AS (SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS g
+         |       FROM w, unnest(generate_series(1, len(words)-4)) AS t(i)),
+         |d5 AS (SELECT doc_id, g FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1,2) WHERE c >= 2),
+         |cov5 AS (SELECT DISTINCT gr.doc_id, p.p
+         |         FROM g5 gr JOIN d5 USING (doc_id, g),
+         |         unnest(generate_series(gr.i, gr.i+4)) AS p(p)),
+         |f5 AS (SELECT tot.doc_id,
+         |         coalesce(sum(strlen(pos.word)), 0)::DOUBLE / tot.tc AS f
+         |       FROM tot
+         |       LEFT JOIN cov5 ON tot.doc_id = cov5.doc_id
+         |       LEFT JOIN pos ON pos.doc_id = cov5.doc_id AND pos.i = cov5.p
+         |       GROUP BY tot.doc_id, tot.tc)
+         |SELECT CAST(gm.doc_id AS VARCHAR) AS __key, gm.word_count
+         |FROM gm JOIN f2 USING (doc_id) JOIN f5 USING (doc_id)
+         |WHERE gm.word_count BETWEEN 15 AND 100000
+         |  AND gm.mwl BETWEEN 3 AND 10
+         |  AND gm.swr <= 0.1 AND gm.blf <= 0.9 AND gm.elf <= 0.3
+         |  AND gm.awf >= 0.8 AND gm.sh >= 2
+         |  AND f2.f <= 0.20 AND f5.f <= 0.15
+         |  AND CAST(concat('0x', substr(md5(CAST(gm.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 32768
+         |ORDER BY gm.doc_id ASC LIMIT 400""".stripMargin
+    },
+
     q("p_text_metrics") { (s, dir) =>
       TextMetrics.annotate(docs(s, dir), "text")
         .select(col("doc_id").cast("string").as("__key"),
