@@ -87,4 +87,51 @@ class ExpressionFuzzSpec extends AnyFunSuite {
         assert(math.abs(x - scale * c) <= scale / 2 + 1e-7f, s"iter $iter bound") }
     }
   }
+
+  test("NgramRepetitionStats matches the Scala model on collision-heavy word streams") {
+    import graft.functions.NgramRepetitionStats
+    // tiny alphabet forces gram collisions; separators mix spaces/newlines
+    val alpha = Vector("a", "bb", "ab", "c", "\u00e9\u00e9")
+    val seps = Vector(" ", "  ", "\n", " \n ")
+    def model(text: String): Seq[Double] = {
+      val words = text.split("\\s+").filterNot(_.isEmpty)
+      val total = words.map(_.length).sum.toDouble
+      def grams(n: Int) = words.sliding(n).map(_.mkString(" ")).toSeq
+      def cover(n: Int, pred: String => Boolean): Double = {
+        val marked = Array.fill(words.length)(false)
+        for (i <- 0 to words.length - n
+             if pred(words.slice(i, i + n).mkString(" ")))
+          (i until i + n).foreach(marked(_) = true)
+        words.indices.filter(marked).map(words(_).length).sum / total
+      }
+      val tops = Seq(2, 3, 4).map { n =>
+        if (total == 0 || words.length < n) 0.0
+        else {
+          val cnt = grams(n).groupBy(identity).view.mapValues(_.size).toMap
+          // count desc, joined-length desc, lexicographic asc
+          val best = cnt.keys.toSeq.sortBy(g => (-cnt(g), -g.length, g)).head
+          cover(n, _ == best)
+        }
+      }
+      val dups = Seq(5, 6, 7, 8, 9, 10).map { n =>
+        if (total == 0 || words.length < n) 0.0
+        else {
+          val cnt = grams(n).groupBy(identity).view.mapValues(_.size).toMap
+          cover(n, g => cnt(g) >= 2)
+        }
+      }
+      tops ++ dups
+    }
+    val rnd = new scala.util.Random(4242L)
+    for (iter <- 1 to 500) {
+      val k = rnd.nextInt(30)
+      val text = Vector.fill(k)(alpha(rnd.nextInt(alpha.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+      val expected = model(text)
+      val row = NgramRepetitionStats(Literal(UTF8String.fromString(text), StringType))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val got = (0 until 9).map(row.getDouble)
+      assert(got == expected, s"iter $iter: text=<$text>")
+    }
+  }
 }
