@@ -1755,6 +1755,48 @@ object PipelineQueries {
     // through colorspace curves SQL can't express; they are pinned by
     // MultimodalSpec instead.
 
+    // Perceptual-hash image near-dup: planted groups of three (base,
+    // +6-brightness jitter, independent content). dHash pooling is
+    // linear, so the jittered copy is 0 bits away while independent
+    // noise is ~32 — the oracle reconstructs the exact expected pair
+    // set from the planting arithmetic.
+    q("p_image_neardup") { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long].map { id =>
+          val group = (id / 3).toInt
+          val seed = if (id % 3 == 2) group + 1000 else group
+          val bright = if (id % 3 == 1) 6 else 0
+          val rnd = new java.util.Random(seed.toLong)
+          val img = new java.awt.image.BufferedImage(32, 24,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < 24) {
+            var x = 0
+            while (x < 32) {
+              val v = 30 + rnd.nextInt(190) + bright
+              img.setRGB(x, y, v * 0x010101)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRow(id, "image", bos.toByteArray, 0, 0, 0, 0, 0, "png")
+        }
+      Multimodal.imageNearDups(media, maxHamming = 3)
+        .select(col("a").cast("string").as("a"),
+          col("b").cast("string").as("b"))
+        .orderBy(col("a").cast("long").asc, col("b").cast("long").asc)
+    } {
+      """SELECT CAST(d.doc_id AS VARCHAR) AS a,
+        |  CAST(d.doc_id + 1 AS VARCHAR) AS b
+        |FROM documents d
+        |WHERE d.doc_id < 300 AND d.doc_id % 3 = 0
+        |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+        |ORDER BY d.doc_id ASC""".stripMargin
+    },
+
     q("p_image_decode") { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).filter(col("doc_id") % 10 === 0)

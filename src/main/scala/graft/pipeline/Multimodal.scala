@@ -125,6 +125,50 @@ object Multimodal {
       val global = if (cells.isEmpty) 0f else cells.sum / cells.length
       Array.tabulate(dim)(i => if (i < g * g) cells(i) else global)
     }
+
+    /**
+     * dHash perceptual fingerprint (difference hash — the standard
+     * public 64-bit image near-dup signature): grayscale average-pool
+     * to a 9×8 grid, then one bit per horizontal neighbor pair
+     * (left < right). Average pooling is linear, so uniform
+     * brightness/contrast shifts preserve every gradient sign — near-
+     * identical images land within a few bits while different content
+     * lands ~32 bits apart.
+     */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val gw = 9; val gh = 8
+      val r = gray(img)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val cell = cy * gw + math.min(gw - 1, x * gw / w)
+          sums(cell) += r.getSample(x, y, 0)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def mean(c: Int): Double =
+        if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c)
+      var bits = 0L
+      var bit = 0
+      y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw - 1) {
+          if (mean(y * gw + x) < mean(y * gw + x + 1)) bits |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
   }
 
   /**
@@ -385,6 +429,61 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /**
+   * Perceptual image hashes: one 64-bit [[ImageCodec.dHash]] per
+   * decodable image ([[StubCodec]] surrogate for anything else, so the
+   * plumbing is total). Map-only — the multimodal entry point into the
+   * dedup family.
+   */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { m =>
+        val hv = ImageCodec.decode(m.payload) match {
+          case Some(img) => ImageCodec.dHash(img)
+          case None =>
+            // deterministic surrogate from the raw bytes
+            var h = 1125899906842597L
+            m.payload.foreach(b => h = h * 31 + b)
+            h
+        }
+        (m.media_id, hv)
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /**
+   * Image near-duplicate pairs by perceptual hash — the SimHash
+   * pigeonhole construction applied to [[imageHashes]]: the 64-bit
+   * dHash splits into 4 disjoint 16-bit bands; a pair within Hamming
+   * distance ≤ 3 MUST agree on at least one whole band, so candidates
+   * come from 4 exact band-key self-joins (shuffle on (band, key) —
+   * never an all-pairs product) and the verified Hamming distance
+   * filters exactly. Guaranteed-total recall for maxHamming ≤ 3; above
+   * that the band join is a (documented) candidate generator.
+   */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val hashes = imageHashes(media)
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"),
+      col("media_id").as("a"), col("dhash").as("ha"))
+    val b = bands.select(col("band"), col("key"),
+      col("media_id").as("b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /**

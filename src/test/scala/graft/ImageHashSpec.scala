@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.Multimodal
+import graft.pipeline.Multimodal.{ImageCodec, MediaRow}
+
+/** Perceptual image hashing (dHash) + banded near-dup join: brightness
+  * invariance, content sensitivity, pigeonhole recall, exact pairs. */
+class ImageHashSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("image-hash")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  /** Deterministic per-seed noise image (independent seeds are
+    * ~32 bits apart; a uniform brightness shift is 0 bits away —
+    * pooling is linear and 30..219+b never clamps). */
+  private def noise(seed: Int, w: Int = 32, h: Int = 24,
+                    brightness: Int = 0): java.awt.image.BufferedImage = {
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 30 + rnd.nextInt(190) + brightness
+      img.setRGB(x, y, v * 0x010101)
+    }
+    img
+  }
+
+  private def gradient(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 255 / w) * 0x010101)
+    img
+  }
+
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: brightness-shift invariant, content sensitive") {
+    val base = ImageCodec.dHash(noise(seed = 1))
+    // uniform brightness shift preserves every gradient sign exactly
+    assert(hamming(base, ImageCodec.dHash(noise(seed = 1, brightness = 6))) == 0)
+    // independent content lands ~32 bits away
+    assert(hamming(base, ImageCodec.dHash(noise(seed = 2))) >= 12)
+    // resolution independence on smooth content: same pattern, 2x size
+    assert(hamming(ImageCodec.dHash(gradient(32, 24)),
+      ImageCodec.dHash(gradient(64, 48))) <= 3)
+  }
+
+  test("imageNearDups finds exactly the planted jittered pairs (banded, no all-pairs)") {
+    val sp = spark; import sp.implicits._
+    // groups of 3: id 3k base, 3k+1 jittered copy, 3k+2 distinct phase
+    val rows = (0 until 60).map { id =>
+      val group = id / 3
+      val payload = (id % 3) match {
+        case 0 => png(noise(seed = group))
+        case 1 => png(noise(seed = group, brightness = 6))
+        case _ => png(noise(seed = group + 1000))
+      }
+      MediaRow(id.toLong, "image", payload, 0, 0, 0, 0, 0, "png")
+    }
+    val media = sp.createDataset(rows)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 60 by 3).map(k => (k.toLong, (k + 1).toLong)).toSet
+    assert(pairs == expected, s"got ${pairs.toSeq.sorted}")
+  }
+}
