@@ -1056,6 +1056,7 @@ class SearchEngine {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val valueBytes: Long = v match {
       case s: String => s.getBytes(utf8).length.toLong
+      case b: Array[Byte] => b.length.toLong // binary blob: raw width
       case a: scala.collection.Seq[_] => a.headOption match {
         case Some(_: Float) => 4L * a.length
         case Some(_: Double) => 8L * a.length

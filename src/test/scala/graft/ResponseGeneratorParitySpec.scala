@@ -104,6 +104,24 @@ class ResponseGeneratorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nc.rows.length == 1)
   }
 
+  test("content limits: binary values count their raw blob width") {
+    val sp = spark; import sp.implicits._
+    val e = new SearchEngine
+    e.maxSearchResultRecordSize = 100
+    val schema = IndexSchema("resp_bin_t", Seq(FieldDef("tagf", TagField())))
+    // a 200-byte payload rides along as a non-indexed returned column
+    val docs = Seq(
+      ("big", "x", Array.fill[Byte](200)(1)),
+      ("small", "y", Array.fill[Byte](10)(1)))
+      .toDF("__key", "tagf", "payload")
+    e.createIndex(schema, Documents.enrich(docs, schema))
+    val reply = e.searchReply("resp_bin_t", "*", SearchOptions(
+      returnFields = Seq(("payload", None))))
+    // 200-byte blob + name exceeds 100; the 10-byte one survives —
+    // a "[B@hashcode" string form would have passed both
+    assert(reply.rows.map(_.getAs[String]("__key")).toSeq == Seq("small"))
+  }
+
   test("stale index: fetched keys re-verify against live content (VerifyFilter)") {
     val sp = spark; import sp.implicits._
     val e = new SearchEngine
