@@ -1873,6 +1873,50 @@ object PipelineQueries {
         |ORDER BY CAST(doc_id AS BIGINT) ASC""".stripMargin
     },
 
+    // Audio near-dup by envelope-gradient fingerprint: planted triples
+    // (base noise, 0.5× gain copy — RMS is linear in gain so the
+    // fingerprint is identical, independent noise) through the banded
+    // Hamming join; the oracle reconstructs the expected pair set from
+    // the planting arithmetic, like p_image_neardup.
+    q("p_audio_neardup") { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long].map { id =>
+          val group = (id / 3).toInt
+          val seed = if (id % 3 == 2) group + 1000 else group
+          val gain = if (id % 3 == 1) 0.5 else 1.0
+          val rnd = new java.util.Random(seed.toLong)
+          val n = 6400
+          val raw = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = math.round((rnd.nextInt(16000) - 8000) * gain).toInt
+            raw(2 * i) = (v & 0xFF).toByte
+            raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Multimodal.MediaRow(id, "audio", bos.toByteArray,
+            0, 0, 0, 16000, 400, "wav")
+        }
+      Multimodal.audioNearDups(media, maxHamming = 3)
+        .select(col("a").cast("string").as("a"),
+          col("b").cast("string").as("b"))
+        .orderBy(col("a").cast("long").asc, col("b").cast("long").asc)
+    } {
+      """SELECT CAST(d.doc_id AS VARCHAR) AS a,
+        |  CAST(d.doc_id + 1 AS VARCHAR) AS b
+        |FROM documents d
+        |WHERE d.doc_id < 300 AND d.doc_id % 3 = 0
+        |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+        |ORDER BY d.doc_id ASC""".stripMargin
+    },
+
     q("p_video_decode") { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).filter(col("doc_id") % 10 === 0)

@@ -237,6 +237,21 @@ object Multimodal {
         math.sqrt(s / (until - from)).toFloat
       }
     }
+
+    /** 64-bit perceptual fingerprint: sign of each successive
+      * difference over the 65-point loudness envelope (the audio
+      * dHash). RMS is linear in gain, so uniform volume changes
+      * preserve every bit. */
+    def envelopeHash(samples: Array[Float]): Long = {
+      val e = envelope(samples, 65)
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i) < e(i + 1)) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
   }
 
   final case class VideoFeatures(
@@ -465,19 +480,24 @@ object Multimodal {
    * filters exactly. Guaranteed-total recall for maxHamming ≤ 3; above
    * that the band join is a (documented) candidate generator.
    */
-  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
-    val hashes = imageHashes(media)
-    val bands = hashes.select(col("media_id"), col("dhash"),
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    bandedNearDups(imageHashes(media).withColumnRenamed("dhash", "hash"),
+      maxHamming)
+
+  /** Banded Hamming self-join over (media_id, hash) — shared by the
+    * image and audio near-dup paths. */
+  private def bandedNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("hash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+          shiftright(col("hash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("media_id"), col("hash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val a = bands.select(col("band"), col("key"),
-      col("media_id").as("a"), col("dhash").as("ha"))
+      col("media_id").as("a"), col("hash").as("ha"))
     val b = bands.select(col("band"), col("key"),
-      col("media_id").as("b"), col("dhash").as("hb"))
+      col("media_id").as("b"), col("hash").as("hb"))
     a.join(b, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -485,6 +505,36 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Perceptual audio fingerprints, the audio twin of [[imageHashes]]:
+   * one 64-bit envelope-gradient hash per decodable payload — the
+   * 65-point loudness envelope's successive-difference signs. The
+   * envelope is linear in gain, so uniform volume changes preserve
+   * every bit while independent content lands ~32 bits apart.
+   */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { m =>
+        val hv = AudioCodec.decode(m.payload) match {
+          case Some(d) => AudioCodec.envelopeHash(d.samples)
+          case None =>
+            var h = 1125899906842597L
+            m.payload.foreach(b => h = h * 31 + b)
+            h
+        }
+        (m.media_id, hv)
+      }
+    }.toDF("media_id", "hash")
+  }
+
+  /** Audio near-duplicate pairs: [[audioHashes]] through the same
+    * banded pigeonhole join as [[imageNearDups]] — guaranteed-total
+    * recall for maxHamming ≤ 3, band-key shuffle only. */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    bandedNearDups(audioHashes(media), maxHamming)
 
   /**
    * Audio decode + feature extraction, the audio twin of

@@ -66,6 +66,49 @@ class ImageHashSpec extends AnyFunSuite with BeforeAndAfterAll {
       ImageCodec.dHash(gradient(64, 48))) <= 3)
   }
 
+  /** 16-bit PCM mono WAV of seeded noise, optionally gain-scaled. */
+  private def wav(seed: Int, n: Int = 6400, gain: Double = 1.0): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val raw = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.round((rnd.nextInt(16000) - 8000) * gain).toInt
+      raw(2 * i) = (v & 0xFF).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio envelopeHash: gain invariant, content sensitive; near-dups exact") {
+    val sp = spark; import sp.implicits._
+    import graft.pipeline.Multimodal.AudioCodec
+    def hashOf(bytes: Array[Byte]): Long =
+      AudioCodec.envelopeHash(AudioCodec.decode(bytes).get.samples)
+    val base = hashOf(wav(seed = 1))
+    assert(hamming(base, hashOf(wav(seed = 1, gain = 0.5))) <= 3)
+    assert(hamming(base, hashOf(wav(seed = 2))) >= 12)
+
+    // planted triples through the banded join, like the image test
+    val rows = (0 until 30).map { id =>
+      val group = id / 3
+      val payload = (id % 3) match {
+        case 0 => wav(seed = group)
+        case 1 => wav(seed = group, gain = 0.5)
+        case _ => wav(seed = group + 1000)
+      }
+      MediaRow(id.toLong, "audio", payload, 0, 0, 0, 16000, 400, "wav")
+    }
+    val pairs = Multimodal.audioNearDups(sp.createDataset(rows), maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30 by 3).map(k => (k.toLong, (k + 1).toLong)).toSet
+    assert(pairs == expected, s"got ${pairs.toSeq.sorted}")
+  }
+
   test("imageNearDups finds exactly the planted jittered pairs (banded, no all-pairs)") {
     val sp = spark; import sp.implicits._
     // groups of 3: id 3k base, 3k+1 jittered copy, 3k+2 distinct phase
