@@ -1917,6 +1917,52 @@ object PipelineQueries {
         |ORDER BY d.doc_id ASC""".stripMargin
     },
 
+    // Video near-dup by frame-sampled perceptual hash: planted triples
+    // (base, +6-brightness re-encode, independent) of 4-frame
+    // MJPEG-AVIs with JPEG-robust block-pattern frames; a pair
+    // qualifies at ≥ 50% matched frames. Oracle = planting arithmetic.
+    q("p_video_neardup") { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long].map { id =>
+          val group = (id / 3).toInt
+          val seed0 = if (id % 3 == 2) group + 1000 else group
+          val bright = if (id % 3 == 1) 6 else 0
+          val frames = (0 until 4).map { f =>
+            val rnd = new java.util.Random((seed0 * 17 + f).toLong)
+            val bits = Array.fill(48)(rnd.nextBoolean())
+            val img = new java.awt.image.BufferedImage(32, 24,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < 24) {
+              var x = 0
+              while (x < 32) {
+                val b = (y / 4) * 8 + (x / 4)
+                val v = math.min(255, (if (bits(b)) 180 else 70) + bright)
+                img.setRGB(x, y, v * 0x010101)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          Multimodal.MediaRow(id, "video",
+            Multimodal.VideoCodec.encodeMjpegAvi(frames, fps = 4),
+            32, 24, 3, 0, 1000, "avi")
+        }
+      Multimodal.videoNearDups(media, maxHamming = 3, minSharedFrac = 0.5)
+        .select(col("a").cast("string").as("a"),
+          col("b").cast("string").as("b"))
+        .orderBy(col("a").cast("long").asc, col("b").cast("long").asc)
+    } {
+      """SELECT CAST(d.doc_id AS VARCHAR) AS a,
+        |  CAST(d.doc_id + 1 AS VARCHAR) AS b
+        |FROM documents d
+        |WHERE d.doc_id < 150 AND d.doc_id % 3 = 0
+        |  AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+        |ORDER BY d.doc_id ASC""".stripMargin
+    },
+
     q("p_video_decode") { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).filter(col("doc_id") % 10 === 0)

@@ -646,6 +646,70 @@ object Multimodal {
    * payloads fall back to [[StubCodec]] surrogates with declared
    * metadata passed through.
    */
+  /**
+   * Per-frame perceptual hashes for decodable MJPEG-AVI video: one
+   * [[ImageCodec.dHash]] per frame (every `stride`-th frame — the
+   * frame-sampling knob). Undecodable payloads hash their bytes once
+   * at frame 0 so the plumbing is total. Map-only; rows explode per
+   * sampled frame, never per pixel.
+   */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      VideoCodec.decode(m.payload) match {
+        case Some(v) =>
+          (0 until v.frameCount by math.max(1, stride)).iterator.flatMap { i =>
+            ImageCodec.decode(v.frames(i))
+              .map(img => (m.media_id, i, ImageCodec.dHash(img)))
+          }
+        case None =>
+          var h = 1125899906842597L
+          m.payload.foreach(b => h = h * 31 + b)
+          Iterator.single((m.media_id, 0, h))
+      }
+    }.toDF("media_id", "frame_idx", "hash")
+  }
+
+  /**
+   * Video near-duplicate pairs: frames band-join exactly like
+   * [[imageNearDups]] (per-frame dHash, 4×16-bit pigeonhole bands —
+   * candidates shuffle on (band, key), never an all-pairs product);
+   * a video pair qualifies when the matched-frame count over the
+   * smaller video's sampled-frame count reaches `minSharedFrac`
+   * (re-encoded/brightness-shifted copies match nearly all frames,
+   * unrelated content nearly none).
+   */
+  def videoNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
+                    minSharedFrac: Double = 0.5, stride: Int = 1): DataFrame = {
+    val fh = videoFrameHashes(media, stride)
+    val counts = fh.groupBy(col("media_id")).agg(
+      countDistinct(col("frame_idx")).as("n_frames"))
+    val framePairs = bandedNearDups(
+      fh.withColumn("media_id",
+        concat_ws("#", col("media_id"), col("frame_idx"))), maxHamming)
+      .select(
+        split(col("a"), "#").getItem(0).cast("long").as("a"),
+        split(col("a"), "#").getItem(1).cast("int").as("fa"),
+        split(col("b"), "#").getItem(0).cast("long").as("b"),
+        split(col("b"), "#").getItem(1).cast("int").as("fb"))
+      .filter(col("a") =!= col("b"))
+      // canonical orientation after dropping the frame suffix
+      .select(
+        least(col("a"), col("b")).as("a"),
+        when(col("a") < col("b"), col("fa")).otherwise(col("fb")).as("fa"),
+        greatest(col("a"), col("b")).as("b"))
+    val matched = framePairs.groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("fa")).as("n_matched"))
+    matched
+      .join(counts.select(col("media_id").as("a"), col("n_frames").as("na")), Seq("a"))
+      .join(counts.select(col("media_id").as("b"), col("n_frames").as("nb")), Seq("b"))
+      .withColumn("shared_frac",
+        col("n_matched").cast("double") / least(col("na"), col("nb")))
+      .filter(col("shared_frac") >= minSharedFrac)
+      .select(col("a"), col("b"), col("shared_frac"))
+  }
+
   def videoFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[VideoFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -109,6 +109,44 @@ class ImageHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == expected, s"got ${pairs.toSeq.sorted}")
   }
 
+  /** JPEG-robust block-pattern frame: 8×6 blocks of 4×4 px, intensity
+    * 70/180 per seeded bit — pooled cell means keep block signs
+    * through lossy MJPEG round-trips. */
+  private def blockFrame(seed: Int, brightness: Int = 0): java.awt.image.BufferedImage = {
+    val rnd = new scala.util.Random(seed)
+    val bits = Array.fill(48)(rnd.nextBoolean())
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val b = (y / 4) * 8 + (x / 4)
+      val v = math.min(255, (if (bits(b)) 180 else 70) + brightness)
+      img.setRGB(x, y, v * 0x010101)
+    }
+    img
+  }
+
+  private def mjpeg(group: Int, brightness: Int = 0, nFrames: Int = 4): Array[Byte] =
+    Multimodal.VideoCodec.encodeMjpegAvi(
+      (0 until nFrames).map(f => blockFrame(group * 17 + f, brightness)), fps = 4)
+
+  test("videoNearDups: brightness-shifted re-encode matches, unrelated content does not") {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 30).map { id =>
+      val group = id / 3
+      val payload = (id % 3) match {
+        case 0 => mjpeg(group)
+        case 1 => mjpeg(group, brightness = 6)
+        case _ => mjpeg(group + 1000)
+      }
+      MediaRow(id.toLong, "video", payload, 32, 24, 3, 0, 1000, "avi")
+    }
+    val pairs = Multimodal.videoNearDups(sp.createDataset(rows),
+      maxHamming = 3, minSharedFrac = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30 by 3).map(k => (k.toLong, (k + 1).toLong)).toSet
+    assert(pairs == expected, s"got ${pairs.toSeq.sorted}")
+  }
+
   test("imageNearDups finds exactly the planted jittered pairs (banded, no all-pairs)") {
     val sp = spark; import sp.implicits._
     // groups of 3: id 3k base, 3k+1 jittered copy, 3k+2 distinct phase
