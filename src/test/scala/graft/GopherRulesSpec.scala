@@ -74,4 +74,47 @@ class GopherRulesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("k").collect().map(_.getString(0)).toSeq
     assert(kept == Seq("good"))
   }
+
+  test("differential fuzz: measurements match a naive model on random documents") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val alpha = Vector("the", "cat", "#", "a", "...", "line...", "- x", "12",
+      "with", "elephant", "be", "...", "to")
+    val seps = Vector(" ", "  ", "\n", " \n")
+    val rnd = new scala.util.Random(8181L)
+    val samples = (1 to 200).map { i =>
+      (i, Vector.fill(rnd.nextInt(25))(alpha(rnd.nextInt(alpha.size)))
+        .mkString(seps(rnd.nextInt(seps.size))))
+    }
+    def model(text: String): (Long, Double, Double, Double, Double, Double, Long) = {
+      val words = text.split("\\s+").filterNot(_.isEmpty)
+      val lines = text.split("\n").map(_.trim).filterNot(_.isEmpty)
+      val n = words.length
+      val mwl = if (n == 0) 0.0 else words.map(_.length).sum.toDouble / n
+      val sym = if (n == 0) 0.0
+        else "#|\\.\\.\\.".r.findAllIn(text).size.toDouble / n
+      val blf = if (lines.isEmpty) 0.0
+        else lines.count(l => l.startsWith("-") || l.startsWith("*")).toDouble / lines.length
+      val elf = if (lines.isEmpty) 0.0
+        else lines.count(_.endsWith("...")).toDouble / lines.length
+      val awf = if (n == 0) 0.0
+        else words.count(_.exists(_.isLetter)).toDouble / n
+      val sh = TextMetrics.GopherStops.count(st => words.map(_.toLowerCase).contains(st))
+      (n.toLong, mwl, sym, blf, elf, awf, sh.toLong)
+    }
+    val got = samples.toDF("i", "t")
+      .select(col("i"), TextMetrics.gopherRules(col("t"), minWords = 2).as("g"))
+      .select("i", "g.*").collect().map(r => r.getAs[Int]("i") -> r).toMap
+    samples.foreach { case (i, text) =>
+      val (wc, mwl, sym, blf, elf, awf, sh) = model(text)
+      val r = got(i)
+      assert(r.getAs[Long]("word_count") == wc, s"i=$i wc <$text>")
+      assert(math.abs(r.getAs[Double]("mean_word_len") - mwl) < 1e-5, s"i=$i mwl <$text>")
+      assert(math.abs(r.getAs[Double]("symbol_word_ratio") - sym) < 1e-5, s"i=$i sym <$text>")
+      assert(math.abs(r.getAs[Double]("bullet_line_frac") - blf) < 1e-5, s"i=$i blf <$text>")
+      assert(math.abs(r.getAs[Double]("ellipsis_line_frac") - elf) < 1e-5, s"i=$i elf <$text>")
+      assert(math.abs(r.getAs[Double]("alpha_word_frac") - awf) < 1e-5, s"i=$i awf <$text>")
+      assert(r.getAs[Long]("stop_word_hits") == sh, s"i=$i sh <$text>")
+    }
+  }
 }
