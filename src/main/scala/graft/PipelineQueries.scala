@@ -1316,9 +1316,9 @@ object PipelineQueries {
     q("p_dsir_select") { (s, dir) =>
       val d = docs(s, dir)
       val nB = 1024
-      val ratio = Curation.dsirLogRatio(
-        Curation.dsirBucketCounts(d.filter(col("lang") === "en"), "text", nB),
-        Curation.dsirBucketCounts(d, "text", nB))
+      val (tgt, raw) =
+        Curation.dsirBucketCountsSplit(d, "text", col("lang") === "en", nB)
+      val ratio = Curation.dsirLogRatio(tgt, raw)
       Curation.dsirResample(d, "doc_id", "text", ratio, k = 200)
         .select(col("doc_id").cast("string").as("__key"),
           round(col("__dsir_logw"), 4).as("logw"))
@@ -1387,9 +1387,9 @@ object PipelineQueries {
         d.filter(col("doc_id") % 97 === 0), "text", n = 8)
       val quality = clean.filter(size(split(col("text"), " ")) >= 30)
       val nB = 1024
-      val ratio = Curation.dsirLogRatio(
-        Curation.dsirBucketCounts(quality.filter(col("lang") === "en"), "text", nB),
-        Curation.dsirBucketCounts(quality, "text", nB))
+      val (tgt, raw) = Curation.dsirBucketCountsSplit(
+        quality, "text", col("lang") === "en", nB)
+      val ratio = Curation.dsirLogRatio(tgt, raw)
       val selected = Curation.dsirResample(quality, "doc_id", "text", ratio, k = 150)
       Curation.packSequences(selected, "doc_id",
           tokens = size(split(col("text"), " ")), budget = 512,

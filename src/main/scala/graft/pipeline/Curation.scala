@@ -443,6 +443,30 @@ object Curation {
     out
   }
 
+  /** Both DSIR histograms in ONE corpus scan for the common fit shape
+    * where the target is a predicate over the pool ("the English
+    * subset"): per bucket, the pool count and the count over rows
+    * satisfying `targetPred`. Identical counts to two
+    * [[dsirBucketCounts]] calls — at half the dominant model-fit cost
+    * (the n-gram explode + md5 hashing runs once, not twice). Returns
+    * (target, pool). */
+  def dsirBucketCountsSplit(pool: DataFrame, textCol: String,
+                            targetPred: Column,
+                            nBuckets: Int): (Array[Long], Array[Long]) = {
+    val rows = pool.select(targetPred.as("__t"),
+        explode(dsirBuckets(col(textCol), nBuckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val raw = new Array[Long](nBuckets)
+    val tgt = new Array[Long](nBuckets)
+    rows.foreach { r =>
+      raw(r.getAs[Int]("b")) = r.getAs[Long]("c")
+      tgt(r.getAs[Int]("b")) = r.getAs[Long]("ct")
+    }
+    (tgt, raw)
+  }
+
   /** Per-bucket log importance ratio log p̂_T(b) − log p̂_R(b), add-1
     * smoothed on both bag models (paper §2.2's hashed generative
     * models; smoothing keeps buckets unseen in either corpus finite). */

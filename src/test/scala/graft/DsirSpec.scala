@@ -102,4 +102,19 @@ class DsirSpec extends AnyFunSuite {
       assert(g == bucketsOf(t), s"text: '$t'")
     }
   }
+
+  test("dsirBucketCountsSplit equals two separate dsirBucketCounts scans") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("en", "the cat sat on the mat"),
+      ("en", "a dog ran far"),
+      ("fr", "le chat dort ici"),
+      ("fr", "the mixed language row"),
+      ("en", "")).toDF("lang", "t")
+    val b = 64
+    val (tgt, raw) = Curation.dsirBucketCountsSplit(df, "t", col("lang") === "en", b)
+    assert(tgt.toSeq == Curation.dsirBucketCounts(df.filter(col("lang") === "en"), "t", b).toSeq)
+    assert(raw.toSeq == Curation.dsirBucketCounts(df, "t", b).toSeq)
+  }
 }
