@@ -1280,18 +1280,18 @@ class SearchEngine {
     // they occupy no position in the token stream, so they must not
     // contribute a matcher either (a StemSpec("the") can never match and
     // would wrongly reject every document).
-    val textMatchers = collectTextMatchers(filter).filterNot {
+    val matcherGroups = collectMatcherGroups(filter).map(_.filterNot {
       case Term(_, w) =>
         analyzerCfg.stopWords.contains(graft.text.Analyzer.caseFold(w, analyzerCfg))
       case _ => false
-    }
-    if (textMatchers.size < 2) return df
+    }).filter(_.nonEmpty)
+    if (matcherGroups.size < 2) return df
     require(schema.analyzer.withOffsets,
       "SLOP/INORDER requires positions; the index was created NOOFFSETS")
     // Positional constraints apply within a single field; fields named
     // by the matchers (or all text fields when unfielded).
     val fieldsInPlay: Seq[FieldDef] = {
-      val named = textMatchers.flatMap(_.field).distinct
+      val named = matcherGroups.flatten.flatMap(_.field).distinct
       if (named.nonEmpty) named.map(schema.fieldOrFail)
       else schema.textFields
     }
@@ -1304,7 +1304,12 @@ class SearchEngine {
           case tf: TextField if tf.noStem => analyzerCfg.copy(stem = false)
           case _ => analyzerCfg
         }
-        val specs = textMatchers.map(graft.text.Proximity.toSpec(_, eff))
+        val specs = matcherGroups.map {
+          case Seq(single) => graft.text.Proximity.toSpec(single, eff)
+          case alts =>
+            graft.text.Proximity.AnySpec(
+              alts.map(graft.text.Proximity.toSpec(_, eff)))
+        }
         graft.functions.proximity_match(
           col(schema.tokensCol(fd.alias)), specs, slop, inorder)
       }
@@ -1312,9 +1317,32 @@ class SearchEngine {
     df.filter(cond)
   }
 
-  private def collectTextMatchers(p: Predicate): Seq[TextPredicate] = p match {
+  /** Proximity matcher groups: a plain text leaf is a one-matcher
+    * group; an AND contributes each child's groups; a PURE-TEXT OR
+    * subtree collapses to ONE group of alternatives (the reference's
+    * OrProximityIterator, orproximity.h:20-31 — its positions are the
+    * union of the branches'). Mixed ORs and NOTs keep filter semantics
+    * only (the reference's proximity tree is likewise built from text
+    * iterators alone). */
+  private def collectMatcherGroups(p: Predicate): Seq[Seq[TextPredicate]] = p match {
+    case t: TextPredicate => Seq(Seq(t))
+    case And(cs) => cs.flatMap(collectMatcherGroups)
+    case Or(cs) =>
+      val leaves = cs.flatMap(orTextLeaves)
+      if (leaves.nonEmpty && leaves.length == countLeaves(Or(cs))) Seq(leaves)
+      else Seq.empty
+    case _ => Seq.empty
+  }
+
+  /** Text leaves of an OR subtree (nested ORs flatten). */
+  private def orTextLeaves(p: Predicate): Seq[TextPredicate] = p match {
     case t: TextPredicate => Seq(t)
-    case And(cs) => cs.flatMap(collectTextMatchers)
-    case _ => Seq.empty // OR/NOT branches don't participate in proximity
+    case Or(cs) => cs.flatMap(orTextLeaves)
+    case _ => Seq.empty
+  }
+
+  private def countLeaves(p: Predicate): Int = p match {
+    case Or(cs) => cs.map(countLeaves).sum
+    case _ => 1
   }
 }

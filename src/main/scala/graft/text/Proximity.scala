@@ -40,6 +40,14 @@ object Proximity {
   final case class PhraseSpec(words: Seq[String]) extends Spec {
     def matches(t: String): Boolean = t == words.head
   }
+  /** OR alternatives as ONE matcher — the reference's
+    * OrProximityIterator (orproximity.h:20-31): inside a proximity
+    * constraint, an OR subtree supplies the union of its branches'
+    * positions, so `(cat|dog) fast` with SLOP means cat-or-dog near
+    * fast. */
+  final case class AnySpec(branches: Seq[Spec]) extends Spec {
+    def matches(t: String): Boolean = branches.exists(_.matches(t))
+  }
 
   /**
    * Builds the matcher for one predicate under the EFFECTIVE analyzer

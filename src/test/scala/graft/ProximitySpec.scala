@@ -87,4 +87,38 @@ class ProximitySpec extends AnyFunSuite {
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs < 5000, s"bounded reject took ${elapsedMs}ms")
   }
+
+  test("OR inside SLOP: a pure-text OR is one matcher over the union of positions (orproximity.h)") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.engine.{SearchEngine, SearchOptions}
+    import graft.model._
+    import graft.sources.Documents
+    val e = new SearchEngine
+    val schema = IndexSchema("orprox_t", Seq(
+      FieldDef("body", TextField()), FieldDef("price", NumericField)))
+    val docs = Seq(
+      ("d1", "cat runs fast today", 1.0),          // cat near fast
+      ("d2", "fast dog appears", 2.0),             // dog adjacent to fast
+      ("d3", "cat sits calmly while others wander slowly and then suddenly move fast", 3.0),
+      ("d4", "dog stands alone", 4.0))             // no fast at all
+      .toDF("__key", "body", "price")
+    e.createIndex(schema, Documents.enrich(docs, schema))
+    def keys(q: String, slop: Int) =
+      e.search("orprox_t", q, SearchOptions(slop = Some(slop)))
+        .collect().map(_.getAs[String]("__key")).toSet
+    // the OR group supplies cat-or-dog positions; d3 has both words but
+    // far apart, so SLOP 1 rejects it (previously the OR was dropped
+    // from proximity and d3 leaked through)
+    assert(keys("(cat|dog) fast", 1) == Set("d1", "d2"))
+    // a wide slop admits d3 again — the group still participates
+    assert(keys("(cat|dog) fast", 20) == Set("d1", "d2", "d3"))
+    // a NON-pure OR (text|numeric) keeps filter-only semantics — no
+    // proximity matcher from that subtree, so far-apart d3 passes via
+    // its price branch
+    val mixed = e.search("orprox_t", "(cat|@price:[3 3]) fast",
+      SearchOptions(slop = Some(1))).collect().map(_.getAs[String]("__key")).toSet
+    assert(mixed == Set("d1", "d3"))
+  }
 }
