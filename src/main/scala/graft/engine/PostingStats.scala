@@ -47,6 +47,28 @@ final class PostingStats(
       sumOf(rel.filter(col("term") === term)) + overlay().getOrElse(term, 0L)
     })
 
+  /** The tracked distinct-term universe: the hot key set when resident
+    * (the maintained merge is additive, so keys cover every term seen
+    * since the last exact refresh), else the stats relation's `term`
+    * column unioned with any overlay terms added since it was
+    * persisted. Serves FT.INFO `num_terms` in O(vocabulary) — never a
+    * corpus-proportional job (the reference answers from counters it
+    * maintains per mutation; the stats relation IS that counter store
+    * here). Between compactions a maintained store may retain terms
+    * whose last document was deleted — the same additive upper-bound
+    * semantics the routing guard already documents. */
+  def termUniverse: Either[Set[String], DataFrame] = hot match {
+    case Some(m) => Left(m.keySet ++ overlay().keys)
+    case None =>
+      val rel = relation.get.select(col("term"))
+      val ov = overlay().keys.toSeq
+      Right(
+        if (ov.isEmpty) rel
+        else rel.union(rel.sparkSession
+          .createDataset(ov)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("term")))
+  }
+
   /** Sum of counts over matching terms; `dataPred` must be the same
     * predicate expressed over the `term` column (pushed into the tiny
     * stats scan on the data path). */

@@ -82,6 +82,12 @@ class SearchEngine {
     * semi-join order (ascending = min-child first). Planner telemetry
     * for specs; not part of the public surface. */
   private[graft] var lastRouteEstimates: Seq[Long] = Nil
+  /** Memoized FT.INFO counters per index — the batch analogue of the
+    * reference maintaining its reply counters per mutation
+    * (index_schema.cc): between registrations the relation is
+    * immutable, so the stats row is computed once and invalidated on
+    * any index mutation (createIndex / dropIndex / registerPosting). */
+  private val infoStatsCache = scala.collection.mutable.HashMap.empty[String, (org.apache.spark.sql.Row, Long)]
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -95,6 +101,7 @@ class SearchEngine {
                       posting: DataFrame): this.type = {
     postings((indexName, field)) = posting
     postingStats.remove((indexName, field)) // stats describe the OLD relation
+    infoStatsCache.remove(indexName)
     this
   }
 
@@ -116,6 +123,7 @@ class SearchEngine {
   def registerPostingStats(indexName: String, field: String,
                            stats: PostingStats): this.type = {
     postingStats((indexName, field)) = stats
+    infoStatsCache.remove(indexName) // num_terms may now serve from stats
     this
   }
 
@@ -358,6 +366,7 @@ class SearchEngine {
     // the routing guard's N describes the registered relation; a
     // re-registration (e.g. maintainer refresh) must re-measure it
     docCounts.remove(schema.name)
+    infoStatsCache.remove(schema.name)
     this
   }
 
@@ -369,6 +378,7 @@ class SearchEngine {
     if (catalog.remove(name).isEmpty)
       throw new IllegalArgumentException(s"no such index: $name")
     docCounts.remove(name)
+    infoStatsCache.remove(name)
     buildStates.remove(name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
     postings.filterInPlace { case ((idx, _), _) => idx != name }
@@ -1087,6 +1097,39 @@ class SearchEngine {
    * `num_tracked` mirrors the reference's untracked-key bookkeeping
    * (a NULL field value ≡ key untracked for that field).
    */
+  /** num_terms: distinct terms across TEXT fields. The reference reads
+    * a counter it maintains per mutation (index_schema.cc FT.INFO);
+    * when every TEXT field carries registered posting stats the same
+    * answer comes from their term universes in O(vocabulary) — the
+    * stats relation IS the maintained counter store. Only a stats-less
+    * index pays the exact distinct over the derived term sets. */
+  private def computeNumTerms(schema: IndexSchema, docs: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    if (schema.textFields.isEmpty) 0L
+    else {
+      val sts = schema.textFields.map(fd =>
+        postingStats.get((schema.name, fd.alias)))
+      if (sts.forall(_.isDefined)) {
+        val unis = sts.flatten.map(_.termUniverse)
+        if (unis.forall(_.isLeft))
+          unis.iterator.flatMap(_.left.toOption.get).toSet.size.toLong
+        else {
+          val sp = docs.sparkSession
+          unis.map {
+            case Left(s) => sp
+              .createDataset(s.toSeq)(org.apache.spark.sql.Encoders.STRING)
+              .toDF("term")
+            case Right(df) => df
+          }.reduce(_ union _)
+            .agg(countDistinct(col("term"))).collect()(0).getLong(0)
+        }
+      } else docs.select(explode(flatten(array(schema.textFields.map(fd =>
+          coalesce(col(s"__${fd.alias}__terms"),
+            array().cast("array<string>"))): _*))).as("__term"))
+        .agg(countDistinct(col("__term"))).collect()(0).getLong(0)
+    }
+  }
+
   def info(indexName: String): DataFrame = {
     val (schema, docs) = index(indexName)
     import org.apache.spark.sql.functions._
@@ -1122,21 +1165,18 @@ class SearchEngine {
     val aggs = (count(lit(1)).as("num_docs") +:
       schema.fields.map(fd => count(col(fd.alias)).as(s"__t_${fd.alias}"))) ++
       failAggs :+ coalesce(sum(occExpr), lit(0L)).as("__occ")
-    val stats = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // counters memoized per registration (reference: maintained per
+    // mutation, read O(1) at reply time — here the relation is immutable
+    // between registrations, so one computation serves every FT.INFO)
+    val (stats, numTermsCached) = infoStatsCache.getOrElseUpdate(indexName, {
+      val row = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (row, computeNumTerms(schema, docs))
+    })
     val numRecords = schema.fields.indices.map(i => stats.getLong(i + 1)).sum
     val failures = schema.fields.indices
       .map(i => stats.getLong(1 + schema.fields.size + i)).sum
     val termOccurrences = stats.getLong(1 + 2 * schema.fields.size)
-    // num_terms: distinct terms across TEXT fields. The reference reads
-    // a counter it maintains per mutation; the batch engine answers the
-    // rare admin query with one exact distinct over the (resident)
-    // derived term sets instead of paying per-ingest bookkeeping.
-    val numTerms: Long =
-      if (schema.textFields.isEmpty) 0L
-      else docs.select(explode(flatten(array(schema.textFields.map(fd =>
-          coalesce(col(s"__${fd.alias}__terms"),
-            array().cast("array<string>"))): _*))).as("__term"))
-        .agg(countDistinct(col("__term"))).collect()(0).getLong(0)
+    val numTerms: Long = numTermsCached
     val spark = docs.sparkSession
     import spark.implicits._
     val fieldRows = schema.fields.zipWithIndex.map { case (fd, i) =>
@@ -1180,7 +1220,11 @@ class SearchEngine {
       // index_definition block (reference FT.INFO reply,
       // index_schema.cc:1203-1216): the normalized PREFIX subscriptions
       // and the (single-valued) language
-      .withColumn("prefixes", lit(schema.subscribedPrefixes.mkString(",")))
+      // array<string>, matching the reference's array reply
+      // (index_schema.cc:1206-1210) — a joined string is ambiguous when
+      // a prefix contains the separator and renders the subscribe-all
+      // sentinel "" invisibly
+      .withColumn("prefixes", typedLit(schema.subscribedPrefixes))
       .withColumn("language", lit("english"))
       // text-index counters (reference FT.INFO num_terms /
       // total_term_occurrences): exact, from the derived term relations

@@ -108,8 +108,11 @@ object Documents {
     val body = when(s0.startsWith("["),
       regexp_replace(regexp_replace(s0, "^\\[", ""), "\\]$", ""))
       .otherwise(s0)
+    // absl::SkipWhitespace skips elements that are ENTIRELY whitespace of
+    // any kind (tab/newline, not only 0x20, which is all Spark's trim
+    // strips) — keep an element only when it has a non-whitespace char
     val floats = transform(
-      filter(split(body, ","), e => trim(e) =!= lit("")),
+      filter(split(body, ","), e => e.rlike("\\S")),
       e => trim(e).try_cast(FloatType))
     when(exists(floats, x => x.isNull),
       lit(null).cast(ArrayType(FloatType))).otherwise(floats)

@@ -45,7 +45,10 @@ class FtInfoParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val info = engine.info("info_t").collect()
     val r = info.head
-    assert(r.getAs[String]("prefixes") == "prefix_")
+    // array reply (index_schema.cc:1206-1210), not a joined string: a
+    // prefix containing the separator stays unambiguous and the
+    // subscribe-all sentinel "" stays visible
+    assert(r.getAs[scala.collection.Seq[String]]("prefixes").toSeq == Seq("prefix_"))
     assert(r.getAs[Double]("score") == 1.0)
     assert(r.getAs[String]("score_field") == null)
     assert(r.getAs[String]("language") == "english")
@@ -68,6 +71,22 @@ class FtInfoParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("num_terms") == 3L)
     // token instances: 2 + 2 + 0
     assert(r.getAs[Long]("total_term_occurrences") == 4L)
+  }
+
+  test("num_terms served from registered posting stats equals the exact distinct") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("k1", "merge fast"), ("k2", "merge slow"), ("k3", "fast fast"))
+      .toDF("pk", "body")
+    val engine = new SearchEngine
+    val cmds = new Commands(engine, _ => (docs, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "terms_pi", "SCHEMA", "body", "TEXT"))
+    val exact = engine.info("terms_pi").collect().head.getAs[Long]("num_terms")
+    val dir = java.nio.file.Files.createTempDirectory("graft-info-spec").toString
+    engine.buildPostings("terms_pi", dir)
+    // stats route (O(vocabulary), no corpus job) must agree exactly
+    val viaStats = engine.info("terms_pi").collect().head.getAs[Long]("num_terms")
+    assert(viaStats == exact)
+    assert(viaStats == 3L) // merg, fast, slow
   }
 
   test("no TEXT fields: counters are zero without extra jobs") {

@@ -39,7 +39,13 @@ class VectorNormalizeParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("cardinality_1", "[ 0.1]", Some(Seq(0.1f))),
     ("cardinality_1_1", "[,0.1]", Some(Seq(0.1f))),
     ("cardinality_3_1", "[ 0.1, ,0.2,0.3,]", Some(Seq(0.1f, 0.2f, 0.3f))),
-    ("cardinality_3_fail", "[ 0.1, ,0.2,a,]", None))
+    ("cardinality_3_fail", "[ 0.1, ,0.2,a,]", None),
+    // absl::SkipWhitespace skips elements that are entirely ANY
+    // whitespace, not only 0x20 — a tab/newline-only element is skipped
+    // like an empty one, never a failed parse
+    ("ws_tab_element", "[0.1,\t,0.2]", Some(Seq(0.1f, 0.2f))),
+    ("ws_newline_element", "[0.1,\n ,0.2]", Some(Seq(0.1f, 0.2f))),
+    ("ws_padded_value", "[\t0.1 ,\n0.2]", Some(Seq(0.1f, 0.2f))))
 
   test("NormalizeStringRecord table: element skipping and whole-record failure") {
     val sp = spark; import sp.implicits._
