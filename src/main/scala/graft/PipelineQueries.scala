@@ -445,6 +445,38 @@ object PipelineQueries {
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin
     },
 
+    // The degenerate-corpus guard (round-8 verdict, wrong #1): 12k rows
+    // carrying ONE identical text — the blank-image/boilerplate mode real
+    // corpora are full of — must dedup through the hamming=0 groupBy tier
+    // as a LINEAR star anchored at the min key (11,999 edges), never an
+    // O(modal²) band self-join straggler; the natural corpus rides along
+    // so the guard is exercised in the presence of dispersed hashes too.
+    q("p_dedup_simhash_degenerate") { (s, dir) =>
+      val boiler = s.range(12000).select(
+        (col("id") + lit(PlantOffset)).as("doc_id"),
+        lit("the same boilerplate page body repeated across the whole crawl")
+          .as("text"))
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(boiler)
+      val pairs = Dedup.simhashNearDups(d, "doc_id", "text")
+        .select(col("key_a").cast("long").as("a"),
+          col("key_b").cast("long").as("b"), col("hamming"))
+        .filter(col("a") >= PlantOffset) // planted-planted edges only
+        .persist()
+      val nEdges = pairs.count()
+      val anchored = pairs.filter(col("a") === PlantOffset).count()
+      val allZero = pairs.filter(col("hamming") =!= 0.0).count() == 0L
+      pairs.unpersist()
+      val sp = s
+      import sp.implicits._
+      Seq((nEdges.toDouble, anchored.toDouble, allZero))
+        .toDF("n_edges", "n_anchored", "all_hamming_zero")
+    } {
+      """SELECT CAST(11999 AS DOUBLE) AS n_edges,
+        |  CAST(11999 AS DOUBLE) AS n_anchored,
+        |  TRUE AS all_hamming_zero""".stripMargin
+    },
+
     // ExactSubstr dedup (Lee et al. ACL'22): every duplicated
     // ≥20-token window survives only at its canonical (min key, pos)
     // occurrence; other occurrences are cut, overlaps merging into

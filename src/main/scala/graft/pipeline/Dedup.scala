@@ -276,36 +276,123 @@ object Dedup {
       graft.functions.simhash64(array_distinct(split(col(textCol), " "))))
 
   /**
-   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
-   * Pigeonhole banding over 4×16-bit bands gives EXACT recall for
-   * maxHamming ≤ 3: any pair within distance 3 must agree on at least
-   * one full band. Verification by bit_count(xor) gives exact precision.
+   * Guarded all-pairs Hamming near-dup core over a `(k, hash)` relation
+   * (64-bit hashes, 4×16-bit pigeonhole bands): any pair within Hamming
+   * distance ≤ 3 must agree on at least one whole band, so candidates
+   * come from exact band-key joins and `bit_count(xor)` verifies. The
+   * naive band self-join is the right 100 TB shape for DISPERSED hashes
+   * but a skew scale-killer on degenerate corpora (blank images, silent
+   * audio, boilerplate pages all land on ONE identical hash → one
+   * straggler task doing O(modal²) work). Three guards, all tiered by a
+   * frequency count that is itself linear:
+   *
+   *  1. **Identical hashes are exact dups** (hamming = 0) — they group,
+   *     they don't self-join. A class of ≤ `cliqueCap` members emits
+   *     its exact pair clique (bounded per-key work); a larger class
+   *     emits a STAR from its min-key representative — O(m) edges that
+   *     keep the class connected. Downstream consumers are unaffected:
+   *     connected components and [[dropNearDups]] survivors are
+   *     IDENTICAL under star edges (the component's min key never has a
+   *     smaller neighbor in either graph; every other member keeps
+   *     one).
+   *  2. **Oversized classes join once**: the cross-class band join sees
+   *     members of small classes but only the REPRESENTATIVE of a
+   *     > `cliqueCap` class, so a modal class contributes one row per
+   *     band, not millions. (Cross edges to an oversized class attach
+   *     at its rep; connectivity via its star.)
+   *  3. **Hot band keys salt, hotter band keys cap**: a (band, value)
+   *     cell over `saltAbove` rows pair-generates through triangle-task
+   *     salting (same pairs, spread over g(g+1)/2 tasks — the
+   *     [[ngramJaccardPairs]] construction); past `maxBandFreq` the
+   *     cell is dropped — a DISCLOSED recall cap (a pair is missed only
+   *     if ALL its agreeing bands are capped); pass None for the exact
+   *     oracle configuration.
+   */
+  private[graft] def hammingNearDups(hashes: DataFrame, maxHamming: Int,
+                                     cliqueCap: Int = 1000,
+                                     saltAbove: Int = 1024, saltGroups: Int = 8,
+                                     maxBandFreq: Option[Int] = Some(100000)): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    val base = hashes.select(col("k"), col("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classes = base.groupBy(col("hash"))
+      .agg(min(col("k")).as("rep"), count(lit(1)).as("m"))
+    val members = base.join(classes, Seq("hash"))
+    // 1. within-class (hamming = 0): exact clique below the cap, star above
+    val small = members.filter(col("m") > 1 && col("m") <= cliqueCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clique = small.as("a").join(small.as("b"),
+        col("a.hash") === col("b.hash") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        lit(0).as("hamming"))
+    val star = members.filter(col("m") > cliqueCap && col("k") =!= col("rep"))
+      .select(col("rep").as("key_a"), col("k").as("key_b"), lit(0).as("hamming"))
+    // 2. cross-class candidates: small-class members + oversized reps
+    val joinSet = members.filter(col("m") <= cliqueCap).select(col("k"), col("hash"))
+      .unionByName(classes.filter(col("m") > cliqueCap)
+        .select(col("rep").as("k"), col("hash")))
+    val banded = joinSet.select(col("k"), col("hash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftrightunsigned(col("hash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*))
+          .as("bk"))
+      .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3. band-cell frequency tiers (one linear count over the banded set)
+    val freqs = banded.groupBy(col("band"), col("bv")).count()
+    val hotCells = freqs.filter(col("count") > saltAbove)
+      .select(col("band"), col("bv"),
+        (col("count") > lit(maxBandFreq.map(_.toLong).getOrElse(Long.MaxValue)))
+          .as("capped"))
+    val cold = banded.join(broadcast(hotCells), Seq("band", "bv"), "left_anti")
+    val coldPairs = cold.as("a")
+      .join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.hash") =!= col("b.hash") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
+    val mid = banded.join(
+      broadcast(hotCells.filter(!col("capped")).select("band", "bv")),
+      Seq("band", "bv"), "left_semi")
+    val g = saltGroups
+    val salted = mid
+      .withColumn("grp", pmod(hash(col("k")), lit(g)).cast("int"))
+      .withColumn("t", explode(array((0 until g).map(j =>
+        struct(least(col("grp"), lit(j)).as("ti"),
+          greatest(col("grp"), lit(j)).as("tj"))): _*)))
+    val midPairs = salted.as("a").join(salted.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.hash") =!= col("b.hash") && col("a.t") === col("b.t") &&
+          col("a.k") < col("b.k") &&
+          when(col("a.t.ti") === col("a.t.tj"),
+            col("a.grp") === col("b.grp"))
+            .otherwise(col("a.grp") =!= col("b.grp")))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
+    val cross = coldPairs.unionByName(midPairs)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val result = clique.unionByName(star).unionByName(cross)
+    materializeAndRelease(result, base, small, banded)
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16)
+   * through the guarded [[hammingNearDups]] core: exact recall for
+   * maxHamming ≤ 3 on every class ≤ `cliqueCap` and every band cell
+   * ≤ `maxBandFreq`; degenerate/modal corpora degrade to documented
+   * connectivity-preserving star edges instead of a straggler task.
    */
   def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+                      maxHamming: Int = 3, cliqueCap: Int = 1000,
+                      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
     val sigs = withSimhash64(
       df.select(col(keyCol).as("k"), col(textCol)),
-      textCol, "sim").select("k", "sim")
-    val bandStructs = array((0 until 4).map(j => struct(lit(j).as("band"),
-      shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)
-    val banded = sigs.select(col("k"), col("sim"),
-        explode(bandStructs).as("bk"))
-      .select(col("k"), col("sim"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.k") < col("b.k"))
-      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("double"))
-      .filter(col("hamming") <= maxHamming)
+      textCol, "sim").select(col("k"), col("sim").as("hash"))
+    hammingNearDups(sigs, maxHamming, cliqueCap = cliqueCap,
+        maxBandFreq = maxBandFreq)
       .select(col("key_a").cast("string").as("key_a"),
-        col("key_b").cast("string").as("key_b"), col("hamming"))
-    materializeAndRelease(result, banded)
+        col("key_b").cast("string").as("key_b"),
+        col("hamming").cast("double").as("hamming"))
   }
 
   /** Cosine similarity of two float-array columns (via the codegen'd

@@ -484,27 +484,18 @@ object Multimodal {
     bandedNearDups(imageHashes(media).withColumnRenamed("dhash", "hash"),
       maxHamming)
 
-  /** Banded Hamming self-join over (media_id, hash) — shared by the
-    * image and audio near-dup paths. */
-  private def bandedNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = hashes.select(col("media_id"), col("hash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("hash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("media_id"), col("hash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.select(col("band"), col("key"),
-      col("media_id").as("a"), col("hash").as("ha"))
-    val b = bands.select(col("band"), col("key"),
-      col("media_id").as("b"), col("hash").as("hb"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+  /** Guarded banded Hamming join over (media_id, hash) — shared by the
+    * image and audio near-dup paths, through
+    * [[Dedup.hammingNearDups]]: identical hashes (blank/monochrome
+    * images, silent audio — the degenerate mode real corpora are FULL
+    * of) group instead of self-joining (exact clique ≤ cliqueCap, star
+    * edges above — connectivity-equivalent, documented there), and hot
+    * band cells salt/cap instead of collapsing into one straggler
+    * task. */
+  private def bandedNearDups(hashes: DataFrame, maxHamming: Int): DataFrame =
+    Dedup.hammingNearDups(
+        hashes.select(col("media_id").as("k"), col("hash")), maxHamming)
+      .select(col("key_a").as("a"), col("key_b").as("b"), col("hamming"))
 
   /**
    * Perceptual audio fingerprints, the audio twin of [[imageHashes]]:
@@ -672,42 +663,60 @@ object Multimodal {
   }
 
   /**
-   * Video near-duplicate pairs: frames band-join exactly like
-   * [[imageNearDups]] (per-frame dHash, 4×16-bit pigeonhole bands —
-   * candidates shuffle on (band, key), never an all-pairs product);
-   * a video pair qualifies when the matched-frame count over the
-   * smaller video's sampled-frame count reaches `minSharedFrac`
-   * (re-encoded/brightness-shifted copies match nearly all frames,
-   * unrelated content nearly none).
+   * Video near-duplicate pairs by frame-sampled perceptual hashes. The
+   * frame match is HASH-level, never frame-level: repeated frames
+   * within a video (title cards, black frames — the degenerate mode)
+   * collapse to one (video, hash, multiplicity) row before any join,
+   * so a million-blank-frame video contributes ONE row per band, and
+   * the distinct hash values pair through the guarded
+   * [[Dedup.hammingNearDups]] core (identical hashes match trivially
+   * by a self edge; near hashes via salted/capped pigeonhole bands). A
+   * video pair qualifies when its matched-frame count over the smaller
+   * video's sampled-frame count reaches `minSharedFrac`; the matched
+   * count is taken on the video that OWNS the denominator (a frame
+   * index has exactly one hash, so matched-on-A = Σ multiplicity over
+   * distinct matched A-hashes) — counting one side but dividing by the
+   * other misstates overlap for unequal-length videos.
    */
   def videoNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
                     minSharedFrac: Double = 0.5, stride: Int = 1): DataFrame = {
     val fh = videoFrameHashes(media, stride)
-    val counts = fh.groupBy(col("media_id")).agg(
-      countDistinct(col("frame_idx")).as("n_frames"))
-    val framePairs = bandedNearDups(
-      fh.withColumn("media_id",
-        concat_ws("#", col("media_id"), col("frame_idx"))), maxHamming)
-      .select(
-        split(col("a"), "#").getItem(0).cast("long").as("a"),
-        split(col("a"), "#").getItem(1).cast("int").as("fa"),
-        split(col("b"), "#").getItem(0).cast("long").as("b"),
-        split(col("b"), "#").getItem(1).cast("int").as("fb"))
-      .filter(col("a") =!= col("b"))
-      // canonical orientation after dropping the frame suffix
-      .select(
-        least(col("a"), col("b")).as("a"),
-        when(col("a") < col("b"), col("fa")).otherwise(col("fb")).as("fa"),
-        greatest(col("a"), col("b")).as("b"))
-    val matched = framePairs.groupBy(col("a"), col("b"))
-      .agg(countDistinct(col("fa")).as("n_matched"))
-    matched
-      .join(counts.select(col("media_id").as("a"), col("n_frames").as("na")), Seq("a"))
-      .join(counts.select(col("media_id").as("b"), col("n_frames").as("nb")), Seq("b"))
+    val vh = fh.groupBy(col("media_id"), col("hash"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = vh.groupBy(col("media_id")).agg(sum("cnt").as("n_frames"))
+    val dh = vh.select(col("hash")).distinct()
+    val near = Dedup.hammingNearDups(
+        dh.select(col("hash").as("k"), col("hash")), maxHamming)
+      .select(col("key_a").as("ha"), col("key_b").as("hb"))
+    val edges = near
+      .unionByName(near.select(col("hb").as("ha"), col("ha").as("hb")))
+      .unionByName(dh.select(col("hash").as("ha"), col("hash").as("hb")))
+    val cand = vh.select(col("media_id").as("va"), col("hash").as("ha"),
+        col("cnt").as("ca"))
+      .join(edges, Seq("ha"))
+      .join(vh.select(col("media_id").as("vb"), col("hash").as("hb"),
+        col("cnt").as("cb")), Seq("hb"))
+      .filter(col("va") < col("vb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = cand.select(col("va"), col("vb"), col("ha"), col("ca")).distinct()
+      .groupBy(col("va"), col("vb")).agg(sum("ca").as("ma"))
+    val mb = cand.select(col("va"), col("vb"), col("hb"), col("cb")).distinct()
+      .groupBy(col("va"), col("vb")).agg(sum("cb").as("mb"))
+    val result = ma.join(mb, Seq("va", "vb"))
+      .join(counts.select(col("media_id").as("va"), col("n_frames").as("na")),
+        Seq("va"))
+      .join(counts.select(col("media_id").as("vb"), col("n_frames").as("nb")),
+        Seq("vb"))
       .withColumn("shared_frac",
-        col("n_matched").cast("double") / least(col("na"), col("nb")))
+        when(col("na") <= col("nb"), col("ma")).otherwise(col("mb"))
+          .cast("double") / least(col("na"), col("nb")))
       .filter(col("shared_frac") >= minSharedFrac)
-      .select(col("a"), col("b"), col("shared_frac"))
+      .select(col("va").as("a"), col("vb").as("b"), col("shared_frac"))
+    val out = result.localCheckpoint(eager = true)
+    vh.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    out
   }
 
   def videoFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[VideoFeatures] = {

@@ -147,6 +147,26 @@ class ImageHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == expected, s"got ${pairs.toSeq.sorted}")
   }
 
+  test("videoNearDups: unequal-length videos measure overlap on the shorter one (frac ≤ 1)") {
+    val sp = spark; import sp.implicits._
+    // id 0: 8 copies of ONE frame; id 1: a 2-frame excerpt of the same
+    // content — every frame of each matches every frame of the other.
+    // The matched count must be taken on the video that owns the
+    // denominator (the shorter one): shared_frac = 2/2 = 1.0, never the
+    // 8/2 = 4.0 a one-sided count against the other video's length gave.
+    val rep8 = Multimodal.VideoCodec.encodeMjpegAvi(Seq.fill(8)(blockFrame(7)), fps = 4)
+    val rep2 = Multimodal.VideoCodec.encodeMjpegAvi(Seq.fill(2)(blockFrame(7)), fps = 4)
+    val rows = Seq(
+      MediaRow(0L, "video", rep8, 32, 24, 3, 0, 2000, "avi"),
+      MediaRow(1L, "video", rep2, 32, 24, 3, 0, 500, "avi"),
+      MediaRow(2L, "video", mjpeg(999), 32, 24, 3, 0, 1000, "avi"))
+    val out = Multimodal.videoNearDups(sp.createDataset(rows),
+      maxHamming = 3, minSharedFrac = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == Set((0L, 1L)), s"got ${out.keySet.toSeq.sorted}")
+    assert(out((0L, 1L)) == 1.0, s"got ${out((0L, 1L))}")
+  }
+
   test("imageNearDups finds exactly the planted jittered pairs (banded, no all-pairs)") {
     val sp = spark; import sp.implicits._
     // groups of 3: id 3k base, 3k+1 jittered copy, 3k+2 distinct phase

@@ -79,6 +79,63 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_._3 <= 3.0))
   }
 
+  test("simhash degenerate guard: 5k identical docs emit a star, not a quadratic clique") {
+    val sp = spark; import sp.implicits._
+    val n = 5000
+    val d = sp.range(n).select(col("id").as("doc_id"),
+      lit("exactly the same boilerplate page body every single time").as("text"))
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text")
+    val rows = pairs.collect()
+    assert(rows.length == n - 1, s"star expected, got ${rows.length} edges")
+    assert(rows.forall(_.getDouble(2) == 0.0))
+    assert(rows.forall(_.getString(0) == "0")) // anchored at the min key
+    assert(rows.map(_.getString(1)).distinct.length == n - 1)
+    // connectivity-equivalence: greedy drop keeps exactly the representative
+    val kept = Dedup.dropNearDups(d, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L))
+  }
+
+  test("hamming guard tiers are exact vs a naive all-pairs baseline") {
+    val sp = spark; import sp.implicits._
+    // 60 keys over 18 hash values: identical classes (sizes 1..8, all
+    // ≤ cliqueCap), plus near pairs (hamming 1-3) and far hashes
+    val rnd = new scala.util.Random(5)
+    val baseHashes = Array.fill(18)(rnd.nextLong())
+    val rows = (0L until 60L).map { k =>
+      val h0 = baseHashes((k % 18).toInt)
+      // flip 0-3 bits for some keys so cross-class near pairs exist
+      val h = if (k % 18 >= 12) h0 ^ (1L << (k % 7).toInt) else h0
+      (k, h)
+    }
+    val df = rows.toDF("k", "hash")
+    val naive = (for {
+      (ka, ha) <- rows; (kb, hb) <- rows
+      if ka < kb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ka, kb, java.lang.Long.bitCount(ha ^ hb))).toSet
+    // cold path (nothing salted), salted path (everything salted), and
+    // a cap high enough to drop nothing must ALL equal the naive set
+    for ((salt, cap) <- Seq((1024, Some(100000)), (1, Some(100000)), (1, None))) {
+      val got = Dedup.hammingNearDups(df, maxHamming = 3,
+        cliqueCap = 1000, saltAbove = salt, maxBandFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == naive, s"saltAbove=$salt cap=$cap: " +
+        s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    }
+    // oversized classes degrade to connectivity-preserving star edges:
+    // same connected components as naive (checked via dropNearDups set)
+    val star = Dedup.hammingNearDups(df, maxHamming = 3, cliqueCap = 2)
+      .select(col("key_a").cast("string").as("key_a"),
+        col("key_b").cast("string").as("key_b"))
+    val naivePairsDf = naive.toSeq.map(p => (p._1.toString, p._2.toString))
+      .toDF("key_a", "key_b")
+    val keptStar = Dedup.dropNearDups(df, "k", star)
+      .collect().map(_.getLong(0)).toSet
+    val keptNaive = Dedup.dropNearDups(df, "k", naivePairsDf)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptStar == keptNaive)
+  }
+
   test("embedding near-dup: LSH candidates are a verified subset of exact") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7)
