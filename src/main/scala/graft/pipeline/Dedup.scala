@@ -307,16 +307,58 @@ object Dedup {
    *     cell is dropped — a DISCLOSED recall cap (a pair is missed only
    *     if ALL its agreeing bands are capped); pass None for the exact
    *     oracle configuration.
+   *
+   * The guard is ADAPTIVE: class sizes and member-weighted band-cell
+   * frequencies are measured first (two bounded aggregations over the
+   * DISTINCT hashes — the planner stats); a corpus whose largest class
+   * fits `cliqueCap` and whose hottest cell fits `saltAbove` takes the
+   * plain pigeonhole self-join (the right plan for dispersed hashes —
+   * no guard machinery, no extra stages), and only a measured-skewed
+   * corpus pays the tiered path. Same output either way below the
+   * tiers' thresholds.
    */
+  // saltAbove calibrates to TASK time, not row count: an 8192-row cell
+  // is ~32M pair-checks — sub-second in one task; salting below that
+  // buys nothing and forces the tiered plan onto harmless corpora.
   private[graft] def hammingNearDups(hashes: DataFrame, maxHamming: Int,
                                      cliqueCap: Int = 1000,
-                                     saltAbove: Int = 1024, saltGroups: Int = 8,
+                                     saltAbove: Int = 8192, saltGroups: Int = 8,
                                      maxBandFreq: Option[Int] = Some(100000)): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    def bandsOf(c: Column) = array((0 until 4).map(j => struct(lit(j).as("band"),
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)
     val base = hashes.select(col("k"), col("hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classes = base.groupBy(col("hash"))
       .agg(min(col("k")).as("rep"), count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // planner stats over DISTINCT hashes, ONE job: the hottest
+    // member-weighted band cell (Σ class sizes per cell) and the
+    // largest identical class (max-of-per-cell-max — every class lands
+    // in all four of its cells)
+    val sRow = classes.select(col("m"), explode(bandsOf(col("hash"))).as("bk"))
+      .groupBy(col("bk.band"), col("bk.bv"))
+      .agg(sum(col("m")).as("cf"), max(col("m")).as("mm"))
+      .agg(max(col("cf")), max(col("mm"))).collect()(0)
+    val maxCell = if (sRow.isNullAt(0)) 0L else sRow.getLong(0)
+    val maxM = if (sRow.isNullAt(1)) 0L else sRow.getLong(1)
+    if (maxM <= cliqueCap && maxCell <= saltAbove) {
+      // dispersed corpus (the measured-normal case): plain pigeonhole
+      // self-join — per-cell work is bounded by the stats just taken
+      val banded = base.select(col("k"), col("hash"),
+          explode(bandsOf(col("hash"))).as("bk"))
+        .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val result = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.k") < col("b.k"))
+        .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+          bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      return materializeAndRelease(result, base, classes, banded)
+    }
     val members = base.join(classes, Seq("hash"))
     // 1. within-class (hamming = 0): exact clique below the cap, star above
     val small = members.filter(col("m") > 1 && col("m") <= cliqueCap)
@@ -332,9 +374,7 @@ object Dedup {
       .unionByName(classes.filter(col("m") > cliqueCap)
         .select(col("rep").as("k"), col("hash")))
     val banded = joinSet.select(col("k"), col("hash"),
-        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-          shiftrightunsigned(col("hash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*))
-          .as("bk"))
+        explode(bandsOf(col("hash"))).as("bk"))
       .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. band-cell frequency tiers (one linear count over the banded set)
@@ -372,7 +412,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
     val result = clique.unionByName(star).unionByName(cross)
-    materializeAndRelease(result, base, small, banded)
+    materializeAndRelease(result, base, classes, small, banded)
   }
 
   /**

@@ -698,12 +698,19 @@ object Multimodal {
       .join(vh.select(col("media_id").as("vb"), col("hash").as("hb"),
         col("cnt").as("cb")), Seq("hb"))
       .filter(col("va") < col("vb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ma = cand.select(col("va"), col("vb"), col("ha"), col("ca")).distinct()
-      .groupBy(col("va"), col("vb")).agg(sum("ca").as("ma"))
-    val mb = cand.select(col("va"), col("vb"), col("hb"), col("cb")).distinct()
-      .groupBy(col("va"), col("vb")).agg(sum("cb").as("mb"))
-    val result = ma.join(mb, Seq("va", "vb"))
+    // one aggregation pass: per pair, multiplicities summed over the
+    // DISTINCT matched hashes of each side (cnt is a function of
+    // (video, hash), so a set of (hash, cnt) structs dedups exactly;
+    // set size is bounded by the video's distinct-hash count)
+    val matched = cand.groupBy(col("va"), col("vb"))
+      .agg(collect_set(struct(col("ha"), col("ca"))).as("sa"),
+        collect_set(struct(col("hb"), col("cb"))).as("sb"))
+      .select(col("va"), col("vb"),
+        aggregate(col("sa"), lit(0L),
+          (acc, x) => acc + x.getField("ca")).as("ma"),
+        aggregate(col("sb"), lit(0L),
+          (acc, x) => acc + x.getField("cb")).as("mb"))
+    val result = matched
       .join(counts.select(col("media_id").as("va"), col("n_frames").as("na")),
         Seq("va"))
       .join(counts.select(col("media_id").as("vb"), col("n_frames").as("nb")),
@@ -715,7 +722,6 @@ object Multimodal {
       .select(col("va").as("a"), col("vb").as("b"), col("shared_frac"))
     val out = result.localCheckpoint(eager = true)
     vh.unpersist(blocking = false)
-    cand.unpersist(blocking = false)
     out
   }
 

@@ -113,6 +113,29 @@ object DedupSweep {
       }
       corpus.unpersist()
     }
+
+    // Degenerate-hash guard sweep (round 9): half the corpus is ONE
+    // identical boilerplate text — the modal class real crawls are full
+    // of — and half dispersed random-vocab docs. The guarded
+    // simhashNearDups routes the modal class through the hamming=0
+    // star tier, so 10× rows must cost ~10× (the unguarded band
+    // self-join was O(modal²): 2.5e9 pair-checks in one task at the
+    // 100k row already).
+    for (n <- Seq(100000L, 1000000L)) {
+      val modal = spark.range(n / 2).select(col("id").as("doc_id"),
+        lit("the same boilerplate page body repeated across the whole crawl")
+          .as("text"))
+      val dispersed = spark.range(n / 2).select((col("id") + off).as("doc_id"),
+        expr("array_join(transform(sequence(0, 9), " +
+          "j -> concat('w', pmod(hash(id, j), 1000000))), ' ')").as("text"))
+      val corpus = modal.unionByName(dispersed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"degenerate corpus: ${corpus.count()} rows (${n / 2} modal)")
+      t(s"simhashNearDups degenerate ${n / 1000}k (50% modal)") {
+        Dedup.simhashNearDups(corpus, "doc_id", "text").count()
+      }
+      corpus.unpersist()
+    }
     spark.stop()
   }
 }
