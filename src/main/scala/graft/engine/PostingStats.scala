@@ -69,6 +69,19 @@ final class PostingStats(
           .toDF("term")))
   }
 
+  /** The (term, cnt) counts as data — the persistence form: the hot
+    * map when resident (it already folds maintenance adds), else the
+    * stats relation (an un-persisted overlay re-derives on the next
+    * maintained publish; both tiers keep the same additive
+    * upper-bound contract the routing guard documents). */
+  def countsRelation(spark: SparkSession): DataFrame = hot match {
+    case Some(m) =>
+      import org.apache.spark.sql.Encoders
+      spark.createDataset(m.toSeq)(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).toDF("term", "cnt")
+    case None => relation.get
+  }
+
   /** Sum of counts over matching terms; `dataPred` must be the same
     * predicate expressed over the `term` column (pushed into the tiny
     * stats scan on the data path). */

@@ -57,7 +57,11 @@ object SearchEngine {
                               mutationQueueSize: Long)
   val Ready: BuildState = BuildState("ready", false, 100.0, 0L)
 
-  /** Restore an index saved by [[SearchEngine.saveIndex]] into `engine`. */
+  /** Restore an index saved by [[SearchEngine.saveIndex]] into
+    * `engine`, re-attaching any saved derived state: postings (+stats)
+    * through [[SearchEngine.loadPostings]] and NSW graphs per vector
+    * field — the full restart path (reference RDB load restores its
+    * indexes without rebuild, rdb_serialization.cc:324). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                 engine: SearchEngine): SearchEngine = {
     val schema = graft.util.FsIO
@@ -65,6 +69,14 @@ object SearchEngine {
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no saved index at $path (missing schema.bin)"))
     engine.createIndex(schema, spark.read.parquet(s"$path/data"))
+    if (graft.util.FsIO.isDir(spark, s"$path/postings"))
+      engine.loadPostings(schema.name, s"$path/postings")
+    schema.fields.foreach { fd =>
+      if (graft.util.FsIO.isDir(spark, s"$path/ann/${fd.alias}"))
+        engine.registerAnn(schema.name, fd.alias,
+          graft.pipeline.Nsw.load(spark, s"$path/ann/${fd.alias}"))
+    }
+    engine
   }
 }
 
@@ -1260,12 +1272,42 @@ class SearchEngine {
    * declaration alongside; [[SearchEngine.loadIndex]] restores both.
    * Rebuild-from-source (`--skip-rdb-load`) ≡ re-running the
    * [[graft.sources.Documents.enrich]] ingest instead.
+   *
+   * Attached derived state rides along — the reference's RDB sections
+   * serialize the INDEXES themselves (rdb_serialization.cc:324), not
+   * just documents: every registered posting relation (term / suffix /
+   * positional, each with its stats) is written in the exact layout
+   * [[loadPostings]] re-attaches, and each registered NSW graph saves
+   * under `ann/<field>` — so a reloaded engine serves posting-routed
+   * and graph-ANN queries without any rebuild.
    */
   def saveIndex(indexName: String, path: String): Unit = {
     val (schema, docs) = index(indexName)
+    val spark = docs.sparkSession
     docs.write.mode("overwrite").parquet(s"$path/data")
-    graft.util.FsIO.writeObjAtomic(docs.sparkSession,
-      s"$path/schema.bin", schema)
+    graft.util.FsIO.writeObjAtomic(spark, s"$path/schema.bin", schema)
+    // subdir names MUST match what loadPostings probes: <a>/<a>__stats,
+    // <a>__suffix/<a>__suffix_stats, <a>__pos/<a>__pos_stats
+    def savePosting(p: DataFrame, sub: String, statsSub: String,
+                    stats: Option[PostingStats]): Unit = {
+      graft.text.PostingIndex.save(p, s"$path/postings/$sub")
+      stats.foreach(st =>
+        PostingStats.save(st.countsRelation(spark),
+          s"$path/postings/$statsSub"))
+    }
+    schema.fields.foreach { fd =>
+      val a = fd.alias
+      postings.get((indexName, a)).foreach(p =>
+        savePosting(p, a, s"${a}__stats", postingStats.get((indexName, a))))
+      suffixPostings.get((indexName, a)).foreach(p =>
+        savePosting(p, s"${a}__suffix", s"${a}__suffix_stats",
+          tokenStats.get((indexName, a))))
+      posPostings.get((indexName, a)).foreach(p =>
+        savePosting(p, s"${a}__pos", s"${a}__pos_stats",
+          posStats.get((indexName, a))))
+      annIndexes.get((indexName, a)).foreach(ann =>
+        graft.pipeline.Nsw.save(ann, s"$path/ann/$a"))
+    }
   }
 
   /** Execute with cooperative cancellation (reference R5 TIMEOUT,

@@ -137,6 +137,71 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orig == restored && orig.nonEmpty)
   }
 
+  test("save/load carries postings, stats and NSW graphs (S5 derived state)") {
+    import graft.model._
+    val dir = "/root/testdata/sf0.001"
+    // source engine: a docs index with built postings (a RARE term so
+    // the cardinality guard routes: testdata's ~40-word vocabulary
+    // puts every term above the selectivity ceiling) + an NSW graph on
+    // the embeddings index
+    val sp = spark; import sp.implicits._
+    val e1 = new SearchEngine
+    val docSchema = IndexSchema("sl_docs", Seq(
+      FieldDef("lang", TagField()), FieldDef("text", TextField())))
+    val corpus = ((1 to 40).map(i => (i.toLong, "en", s"common filler text number $i")) :+
+      (99L, "en", "the rareword appears once")).toDF("doc_id", "lang", "text")
+    e1.createIndex(docSchema, graft.sources.Documents.enrich(
+      corpus, docSchema, keyExpr = Some(col("doc_id"))))
+    val pdir = java.nio.file.Files.createTempDirectory("graft-sl-pi").toString
+    e1.buildPostings("sl_docs", pdir)
+    val annSchema = IndexSchema("sl_emb", Seq(
+      FieldDef("label", NumericField),
+      FieldDef("embedding", "vec", VectorField(dim = 64, metric = DistanceMetric.L2))))
+    val enriched = graft.sources.Documents.enrich(
+      Fixtures.table(spark, dir, "embeddings"), annSchema,
+      keyExpr = Some(col("vec_id")))
+    e1.createIndex(annSchema, enriched)
+    e1.registerAnn("sl_emb", "vec",
+      graft.pipeline.Nsw.build(enriched, "__key", "vec", metric = "L2",
+        numPartitions = 2))
+
+    val t1 = java.nio.file.Files.createTempDirectory("graft-sl-docs").toString
+    val t2 = java.nio.file.Files.createTempDirectory("graft-sl-emb").toString
+    e1.saveIndex("sl_docs", t1)
+    e1.saveIndex("sl_emb", t2)
+    val e2 = new SearchEngine
+    SearchEngine.loadIndex(spark, t1, e2)
+    SearchEngine.loadIndex(spark, t2, e2)
+
+    // FT.INFO surfaces the re-attached structures without any rebuild
+    val attached = e2.info("sl_docs")
+      .filter(col("field") === "text").collect().head
+      .getAs[String]("attached_indexes")
+    assert(attached.contains("posting"), s"got '$attached'")
+    assert(e2.info("sl_emb").filter(col("field") === "vec").collect().head
+      .getAs[String]("attached_indexes").contains("ann_graph"))
+
+    // text query: same results, and the reloaded engine ROUTES via the
+    // re-attached posting + stats (the guard declines without stats)
+    val q = "@text:rareword"
+    val orig = e1.search("sl_docs", q, SearchOptions(limit = (0, 50), noContent = true))
+      .collect().map(_.getString(0)).toSeq
+    val restored = e2.search("sl_docs", q, SearchOptions(limit = (0, 50), noContent = true))
+      .collect().map(_.getString(0)).toSeq
+    assert(orig == restored && orig.nonEmpty)
+    assert(e2.lastRouteEstimates.nonEmpty,
+      "reloaded engine did not route via the re-attached posting")
+
+    // graph-ANN query: the reloaded graph serves the SAME beam result
+    // as the source engine's in-memory graph (match-all KNN → graph path)
+    val knnQ = "*=>[KNN 10 @vec $q]"
+    val opts = SearchOptions(params = Map("q" ->
+      graft.query.VectorParam(Queries.queryVec)), noContent = true)
+    val ka = e1.search("sl_emb", knnQ, opts).collect().map(_.getString(0)).toSeq
+    val kb = e2.search("sl_emb", knnQ, opts).collect().map(_.getString(0)).toSeq
+    assert(ka == kb && ka.length == 10)
+  }
+
   test("TIMEOUT cancels a slow query cooperatively (R5)") {
     val sp = spark; import sp.implicits._
     val slow = udf((x: Long) => { Thread.sleep(200); x })
