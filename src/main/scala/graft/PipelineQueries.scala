@@ -1505,6 +1505,66 @@ object PipelineQueries {
         |FROM p ORDER BY __key ASC""".stripMargin
     },
 
+    // Cross-modality composed pipeline — text exact-dedup feeds IMAGE
+    // near-dup dedup feeds a quality floor, as ONE dataflow (the first
+    // composed oracle that crosses modalities). Images are planted
+    // triples keyed by doc_id arithmetic (like p_image_neardup), built
+    // ON THE TEXT-DEDUP SURVIVORS — so the image stage's pair set
+    // depends on stage 1's output and the composition itself is under
+    // test: a base doc deduped away by TEXT leaves its jittered copy
+    // with no image partner, and the oracle's join reproduces exactly
+    // that interaction. Greater-side drop (dropNearDups), then a
+    // token floor; the oracle recomputes all three stages in SQL with
+    // the image pairs replaced by the planting arithmetic.
+    q("p_pipeline_multimodal_e2e") { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+      val keep = d.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = d.join(keep, Seq("doc_id"))
+      val media = deduped.select(col("doc_id")).as[Long].map { id =>
+        val group = (id / 3).toInt
+        val seed = if (id % 3 == 2) group + 1000 else group
+        val bright = if (id % 3 == 1) 6 else 0
+        val rnd = new java.util.Random(seed.toLong)
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 24) {
+          var x = 0
+          while (x < 32) {
+            val v = 30 + rnd.nextInt(190) + bright
+            img.setRGB(x, y, v * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, "image", bos.toByteArray, 0, 0, 0, 0, 0, "png")
+      }
+      val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+        .select(col("a").cast("string").as("key_a"),
+          col("b").cast("string").as("key_b"))
+      val afterImg = Dedup.dropNearDups(deduped, "doc_id", pairs)
+      afterImg.filter(size(split(col("text"), " ")) >= 20)
+        .select(col("doc_id").cast("string").as("__key"))
+        .orderBy(col("__key").asc)
+    } {
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id < 300 GROUP BY md5(text)),
+        |d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |drops AS (
+        |  SELECT b.doc_id FROM d1 a JOIN d1 b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 3 = 0),
+        |d2 AS (SELECT * FROM d1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT CAST(doc_id AS VARCHAR) AS __key FROM d2
+        |WHERE len(string_split(text, ' ')) >= 20
+        |ORDER BY __key ASC""".stripMargin
+    },
+
     // -------------------- curation --------------------------------- //
 
     // PII is synthesized deterministically (the corpus has none): the
