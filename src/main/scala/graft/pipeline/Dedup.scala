@@ -327,28 +327,27 @@ object Dedup {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
     def bandsOf(c: Column) = array((0 until 4).map(j => struct(lit(j).as("band"),
       shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)
-    val base = hashes.select(col("k"), col("hash"))
+    // One banded relation serves BOTH the planner stats and the fast
+    // path's join — the dispersed case pays exactly one extra
+    // aggregation over rows it had to materialize anyway.
+    val banded = hashes.select(col("k"), col("hash"),
+        explode(bandsOf(col("hash"))).as("bk"))
+      .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val classes = base.groupBy(col("hash"))
-      .agg(min(col("k")).as("rep"), count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // planner stats over DISTINCT hashes, ONE job: the hottest
-    // member-weighted band cell (Σ class sizes per cell) and the
-    // largest identical class (max-of-per-cell-max — every class lands
-    // in all four of its cells)
-    val sRow = classes.select(col("m"), explode(bandsOf(col("hash"))).as("bk"))
-      .groupBy(col("bk.band"), col("bk.bv"))
-      .agg(sum(col("m")).as("cf"), max(col("m")).as("mm"))
+    // planner stats, ONE job: per (cell, hash) multiplicities roll up
+    // to the hottest member-weighted cell (Σ) and the largest
+    // identical class (max-of-per-cell-max — every class lands whole
+    // in each of its four cells)
+    val sRow = banded.groupBy(col("band"), col("bv"), col("hash"))
+      .agg(count(lit(1)).as("mc"))
+      .groupBy(col("band"), col("bv"))
+      .agg(sum(col("mc")).as("cf"), max(col("mc")).as("mm"))
       .agg(max(col("cf")), max(col("mm"))).collect()(0)
     val maxCell = if (sRow.isNullAt(0)) 0L else sRow.getLong(0)
     val maxM = if (sRow.isNullAt(1)) 0L else sRow.getLong(1)
     if (maxM <= cliqueCap && maxCell <= saltAbove) {
       // dispersed corpus (the measured-normal case): plain pigeonhole
       // self-join — per-cell work is bounded by the stats just taken
-      val banded = base.select(col("k"), col("hash"),
-          explode(bandsOf(col("hash"))).as("bk"))
-        .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val result = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -357,8 +356,14 @@ object Dedup {
           bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
         .filter(col("hamming") <= maxHamming)
         .distinct()
-      return materializeAndRelease(result, base, classes, banded)
+      return materializeAndRelease(result, banded)
     }
+    // measured-skewed corpus: the tiered plan (class machinery derives
+    // from band 0 of the cached relation — one row per member)
+    val base = banded.filter(col("band") === 0).select(col("k"), col("hash"))
+    val classes = base.groupBy(col("hash"))
+      .agg(min(col("k")).as("rep"), count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = base.join(classes, Seq("hash"))
     // 1. within-class (hamming = 0): exact clique below the cap, star above
     val small = members.filter(col("m") > 1 && col("m") <= cliqueCap)
@@ -373,24 +378,24 @@ object Dedup {
     val joinSet = members.filter(col("m") <= cliqueCap).select(col("k"), col("hash"))
       .unionByName(classes.filter(col("m") > cliqueCap)
         .select(col("rep").as("k"), col("hash")))
-    val banded = joinSet.select(col("k"), col("hash"),
+    val crossBanded = joinSet.select(col("k"), col("hash"),
         explode(bandsOf(col("hash"))).as("bk"))
       .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3. band-cell frequency tiers (one linear count over the banded set)
-    val freqs = banded.groupBy(col("band"), col("bv")).count()
+    // 3. band-cell frequency tiers (one linear count over the join set)
+    val freqs = crossBanded.groupBy(col("band"), col("bv")).count()
     val hotCells = freqs.filter(col("count") > saltAbove)
       .select(col("band"), col("bv"),
         (col("count") > lit(maxBandFreq.map(_.toLong).getOrElse(Long.MaxValue)))
           .as("capped"))
-    val cold = banded.join(broadcast(hotCells), Seq("band", "bv"), "left_anti")
+    val cold = crossBanded.join(broadcast(hotCells), Seq("band", "bv"), "left_anti")
     val coldPairs = cold.as("a")
       .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.hash") =!= col("b.hash") && col("a.k") < col("b.k"))
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
-    val mid = banded.join(
+    val mid = crossBanded.join(
       broadcast(hotCells.filter(!col("capped")).select("band", "bv")),
       Seq("band", "bv"), "left_semi")
     val g = saltGroups
@@ -412,7 +417,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
     val result = clique.unionByName(star).unionByName(cross)
-    materializeAndRelease(result, base, classes, small, banded)
+    materializeAndRelease(result, banded, classes, small, crossBanded)
   }
 
   /**

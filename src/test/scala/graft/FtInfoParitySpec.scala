@@ -100,6 +100,27 @@ class FtInfoParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("total_term_occurrences") == 0L)
   }
 
+  test("memoized counters invalidate on re-registration (no stale FT.INFO)") {
+    val sp = spark; import sp.implicits._
+    val engine = new SearchEngine
+    val docs1 = Seq(("k1", "merge fast")).toDF("pk", "body")
+    val cmds = new Commands(engine, _ => (docs1, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "inv_t", "SCHEMA", "body", "TEXT"))
+    val r1 = engine.info("inv_t").collect().head
+    assert(r1.getAs[Long]("num_docs") == 1L)
+    assert(r1.getAs[Long]("num_terms") == 2L) // merg, fast
+    // maintainer-style refresh: re-register the SAME index name with a
+    // grown relation — the memoized counter row must not survive
+    val docs2 = Seq(("k1", "merge fast"), ("k2", "slow query plan"))
+      .toDF("pk", "body")
+    val (schema, _) = engine.index("inv_t")
+    engine.createIndex(schema,
+      graft.sources.Documents.enrich(docs2, schema, keyExpr = Some(col("pk"))))
+    val r2 = engine.info("inv_t").collect().head
+    assert(r2.getAs[Long]("num_docs") == 2L)
+    assert(r2.getAs[Long]("num_terms") == 5L) // merg fast slow queri plan
+  }
+
   test("error shapes: wrong arity and not-found, reference messages") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("k1", 1.0)).toDF("pk", "price")

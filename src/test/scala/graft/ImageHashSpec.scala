@@ -167,6 +167,28 @@ class ImageHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((0L, 1L)) == 1.0, s"got ${out((0L, 1L))}")
   }
 
+  test("imageNearDups degenerate guard: 3k identical blank images emit a star") {
+    val sp = spark; import sp.implicits._
+    // the modal class real corpora are full of — EVERY blank image
+    // produces the IDENTICAL dHash (all gradient signs equal); the
+    // shared guarded core must group them (star), never band-self-join
+    val blank = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val n = 3000
+    val rows = (0 until n).map(id =>
+      MediaRow(id.toLong, "image", blank, 0, 0, 0, 0, 0, "png"))
+    val pairs = Multimodal.imageNearDups(sp.createDataset(rows), maxHamming = 3)
+      .collect()
+    assert(pairs.length == n - 1, s"star expected, got ${pairs.length} edges")
+    assert(pairs.forall(_.getAs[Long]("a") == 0L)) // anchored at min id
+    assert(pairs.forall(r => r.getAs[Int]("hamming") == 0))
+  }
+
   test("imageNearDups finds exactly the planted jittered pairs (banded, no all-pairs)") {
     val sp = spark; import sp.implicits._
     // groups of 3: id 3k base, 3k+1 jittered copy, 3k+2 distinct phase
