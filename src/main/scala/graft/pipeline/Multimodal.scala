@@ -629,15 +629,6 @@ object Multimodal {
   }
 
   /**
-   * Video decode + feature extraction, completing the modality set
-   * ([[imageFeatures]] / [[audioFeatures]]): an MJPEG-AVI payload
-   * yields TRUE dimensions, frame count, duration and frame rate, with
-   * the embedding = the middle frame's grid thumbnail (temporal
-   * midpoint — the standard one-frame video descriptor); undecodable
-   * payloads fall back to [[StubCodec]] surrogates with declared
-   * metadata passed through.
-   */
-  /**
    * Per-frame perceptual hashes for decodable MJPEG-AVI video: one
    * [[ImageCodec.dHash]] per frame (every `stride`-th frame — the
    * frame-sampling knob). Undecodable payloads hash their bytes once
@@ -725,6 +716,15 @@ object Multimodal {
     out
   }
 
+  /**
+   * Video decode + feature extraction, completing the modality set
+   * ([[imageFeatures]] / [[audioFeatures]]): an MJPEG-AVI payload
+   * yields TRUE dimensions, frame count, duration and frame rate, with
+   * the embedding = the middle frame's grid thumbnail (temporal
+   * midpoint — the standard one-frame video descriptor); undecodable
+   * payloads fall back to [[StubCodec]] surrogates with declared
+   * metadata passed through.
+   */
   def videoFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[VideoFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._

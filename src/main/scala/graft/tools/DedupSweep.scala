@@ -136,6 +136,51 @@ object DedupSweep {
       }
       corpus.unpersist()
     }
+
+    // Video repeated-frame degeneracy (round 9): half the videos are
+    // 50 copies of ONE black frame (title-card/black-frame mode — all
+    // share one hash class), half distinct content. The (video, hash,
+    // multiplicity) collapse must keep pair work at the HASH level:
+    // the modal half's output is all-pairs BY SEMANTICS (they are
+    // mutual near-dups), but no frame-level product (50 k frames at
+    // n=1000 would be ~1.25e9 frame pairs unguarded).
+    {
+      import spark.implicits._
+      def frame(seed: Int): java.awt.image.BufferedImage = {
+        val rnd = new scala.util.Random(seed)
+        val bits = Array.fill(48)(rnd.nextBoolean())
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 24) {
+          var x = 0
+          while (x < 32) {
+            val b = (y / 4) * 8 + (x / 4)
+            img.setRGB(x, y, (if (bits(b)) 180 else 70) * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      for (n <- Seq(100, 1000)) {
+        val media = spark.range(n).map { id =>
+          val frames =
+            if (id % 2 == 0) Seq.fill(50)(frame(0))
+            else (0 until 50).map(f => frame((id * 50 + f).toInt))
+          graft.pipeline.Multimodal.MediaRow(id, "video",
+            graft.pipeline.Multimodal.VideoCodec.encodeMjpegAvi(frames, fps = 4),
+            32, 24, 3, 0, 12500, "avi")
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"video degenerate corpus: ${media.count()} videos × 50 frames" +
+          s" (${n / 2} modal)")
+        t(s"videoNearDups degenerate $n videos (50% modal)") {
+          graft.pipeline.Multimodal.videoNearDups(media,
+            maxHamming = 3, minSharedFrac = 0.5).count()
+        }
+        media.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -98,14 +98,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("hamming guard tiers are exact vs a naive all-pairs baseline") {
     val sp = spark; import sp.implicits._
-    // 60 keys over 18 hash values: identical classes (sizes 1..8, all
-    // ≤ cliqueCap), plus near pairs (hamming 1-3) and far hashes
-    val rnd = new scala.util.Random(5)
+    // per seed: ~60 keys over 18 hash values — identical classes
+    // (sizes 1..8, all ≤ cliqueCap), near pairs (hamming 1-3, bit
+    // flips), far hashes; multi-seed so class shapes, collision
+    // patterns and band layouts vary across runs
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val baseHashes = Array.fill(18)(rnd.nextLong())
+      val rows = (0L until 60L).map { k =>
+        val h0 = baseHashes((k % 18).toInt)
+        val h = if (k % 18 >= 12) h0 ^ (1L << ((k + seed) % 7).toInt) else h0
+        (k, h)
+      }
+      val df = rows.toDF("k", "hash")
+      val naive = (for {
+        (ka, ha) <- rows; (kb, hb) <- rows
+        if ka < kb && java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (ka, kb, java.lang.Long.bitCount(ha ^ hb))).toSet
+      // cold path (nothing salted), salted path (everything salted),
+      // and a cap high enough to drop nothing must ALL equal naive
+      for ((salt, cap) <- Seq((1024, Some(100000)), (1, Some(100000)), (1, None))) {
+        val got = Dedup.hammingNearDups(df, maxHamming = 3,
+          cliqueCap = 1000, saltAbove = salt, maxBandFreq = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == naive, s"seed=$seed saltAbove=$salt cap=$cap: " +
+          s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+      }
+    }
+    // survivor-equality block below reuses the LAST seed's corpus
+    val rnd = new scala.util.Random(91)
     val baseHashes = Array.fill(18)(rnd.nextLong())
     val rows = (0L until 60L).map { k =>
       val h0 = baseHashes((k % 18).toInt)
-      // flip 0-3 bits for some keys so cross-class near pairs exist
-      val h = if (k % 18 >= 12) h0 ^ (1L << (k % 7).toInt) else h0
+      val h = if (k % 18 >= 12) h0 ^ (1L << ((k + 91) % 7).toInt) else h0
       (k, h)
     }
     val df = rows.toDF("k", "hash")
@@ -113,15 +138,6 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ka, ha) <- rows; (kb, hb) <- rows
       if ka < kb && java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (ka, kb, java.lang.Long.bitCount(ha ^ hb))).toSet
-    // cold path (nothing salted), salted path (everything salted), and
-    // a cap high enough to drop nothing must ALL equal the naive set
-    for ((salt, cap) <- Seq((1024, Some(100000)), (1, Some(100000)), (1, None))) {
-      val got = Dedup.hammingNearDups(df, maxHamming = 3,
-        cliqueCap = 1000, saltAbove = salt, maxBandFreq = cap)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      assert(got == naive, s"saltAbove=$salt cap=$cap: " +
-        s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
-    }
     // oversized classes degrade to connectivity-preserving star edges:
     // same connected components as naive (checked via dropNearDups set)
     val star = Dedup.hammingNearDups(df, maxHamming = 3, cliqueCap = 2)
