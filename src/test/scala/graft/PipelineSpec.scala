@@ -152,6 +152,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptStar == keptNaive)
   }
 
+  test("simhash near-dups: empty and single-row corpora yield no pairs") {
+    val sp = spark; import sp.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(empty, "doc_id", "text").count() == 0L)
+    val one = Seq((1L, "a single document")).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(one, "doc_id", "text").count() == 0L)
+  }
+
   test("embedding near-dup: LSH candidates are a verified subset of exact") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Structural plan invariants for headline gates — the shapes the 100 TB
+ * story rests on, pinned so a refactor that silently un-pushes a
+ * filter, turns a top-k into a global sort, or drops map-side
+ * aggregation fails HERE instead of surfacing as a bench regression
+ * two rounds later. Asserts against the FORMATTED physical plan of the
+ * same DataFrames the driver gates run (sf0.001; plan shape is
+ * SF-independent).
+ */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-shape")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("q_numeric_range: range predicate reaches the parquet scan; top-k, not global sort") {
+    val p = plan("q_numeric_range")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p.take(800))
+    assert(p.contains("LessThanOrEqual(l_quantity,20.0)"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange ("), "a LIMIT'd filter scan must not shuffle")
+  }
+
+  test("q_knn_l2: exact KNN plans as TakeOrderedAndProject (distributed top-k heaps)") {
+    val p = plan("q_knn_l2")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange ("), "KNN must not global-sort")
+  }
+
+  test("p_quality_gopher: branch-free rule projection is map-only (zero Exchange)") {
+    val p = plan("p_quality_gopher")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "Gopher rules must stay a projection")
+  }
+
+  test("a_groupby_reducers: map-side partial aggregation below the shuffle") {
+    val p = plan("a_groupby_reducers")
+    assert(p.contains("partial_"), "reducers must partial-aggregate map-side")
+    assert(p.contains("Exchange"))
+  }
+
+  test("q_text_posting: term lookup is a pushed point-read; retrieval is a semi-join") {
+    val p = plan("q_text_posting")
+    assert(p.contains("EqualTo(term,"), "the term must reach the posting scan")
+    assert(p.contains("LeftSemi"), "posting retrieval must be a semi-join")
+  }
+
+  test("q_save_load_posting: the reloaded files serve pushed scans + semi-joins") {
+    val p = plan("q_save_load_posting")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("PushedFilters"))
+  }
+}
