@@ -645,6 +645,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = keys("*=>[KNN 2 @emb $q EF_RUNTIME 50]", knn2)
     assert(!top.contains("k4"), s"deleted vector still served: $top")
     assert(top.contains("k5"), s"upserted vector missing: $top")
+
+    // saveIndex mid-churn snapshots the MAINTAINED views (store view =
+    // main ⊖ tombstones ∪ delta materializes compacted; upserted NSW
+    // graph rides along): a FRESH engine restored from the save serves
+    // the post-churn corpus through re-attached structures, no rebuild
+    // and no batch replay — the reference's RDB-after-mutations shape.
+    val snap = java.nio.file.Files.createTempDirectory("graft-churn-save").toString
+    engine.saveIndex("auto", snap)
+    val e2 = new graft.engine.SearchEngine
+    graft.engine.SearchEngine.loadIndex(spark, snap, e2)
+    e2.postingRouteMaxSelectivity = 1.0
+    def keys2(q: String, opts: graft.engine.SearchOptions =
+        graft.engine.SearchOptions(noContent = true)): Seq[String] =
+      e2.search("auto", q, opts).collect()
+        .map(_.getAs[String]("__key")).toSeq
+    val kite = e2.search("auto", "@body:kite",
+      graft.engine.SearchOptions(noContent = true))
+    assert(kite.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "reloaded engine did not route via the snapshotted posting")
+    assert(kite.collect().map(_.getAs[String]("__key")).toSeq == Seq("k2"))
+    assert(keys2("@body:shadow").isEmpty)             // superseded pre-save
+    assert(keys2("@body:\"widow spider\"") == Seq("k5"))
+    assert(keys2("@cat:{tools}").toSet == Set("k1", "k5"))
+    val topR = keys2("*=>[KNN 2 @emb $q EF_RUNTIME 50]", knn2)
+    assert(topR.contains("k5") && !topR.contains("k4"), s"got $topR")
   }
 
   test("openIndex: maintained indexes survive a restart; batch replay is idempotent") {
