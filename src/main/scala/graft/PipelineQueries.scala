@@ -1565,6 +1565,41 @@ object PipelineQueries {
         |ORDER BY __key ASC""".stripMargin
     },
 
+    // Streaming windowed aggregation semantics, oracle-checked on the
+    // BATCH plan (WindowedStats.tumbling runs the identical window
+    // groupBy on batch and streaming inputs — the streaming runtime
+    // itself is spec-gated in MultimodalStreamingSpec): 1-hour tumbling
+    // windows by event_type over the events table, full reducer
+    // surface, vs DuckDB's date_trunc buckets. Pins the window
+    // alignment (epoch-aligned hours) and the empty→0 SUM/AVG
+    // coalescing shared with the FT.AGGREGATE reducers.
+    q("p_windowed_stats") { (s, dir) =>
+      val ev = Fixtures.table(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      graft.streaming.WindowedStats.tumbling(ev, "ts", Seq("event_type"),
+          "value", window = "1 hour", watermark = "10 minutes")
+        // ts is TIMESTAMP_NTZ in the testdata parquet: NTZ has no direct
+        // long cast — route via TIMESTAMP (identity-valued under the UTC
+        // session) to epoch seconds, matching DuckDB's epoch()
+        .select(col("window_start").cast("timestamp").cast("long")
+            .cast("double").as("win_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"),
+          round(col("avg_value"), 4).as("avg_value"),
+          round(col("min_value"), 4).as("min_value"),
+          round(col("max_value"), 4).as("max_value"))
+        .orderBy(col("win_start").asc, col("event_type").asc)
+    } {
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS win_start,
+        |  event_type, CAST(count(*) AS DOUBLE) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start ASC, event_type ASC""".stripMargin
+    },
+
     // -------------------- curation --------------------------------- //
 
     // PII is synthesized deterministically (the corpus has none): the
