@@ -1600,6 +1600,47 @@ object PipelineQueries {
         |ORDER BY win_start ASC, event_type ASC""".stripMargin
     },
 
+    // Online (stateful) near-dup suppression, oracle-checked on the
+    // BATCH plan: flatMapGroupsWithState runs on batch Datasets with
+    // empty initial state, so the OPERATOR LOGIC — band routing,
+    // per-group seen-set, first-seen-wins in doc_key sort order, the
+    // any-band OR reduction — is DuckDB-checkable without the streaming
+    // runtime (spec-gated in MultimodalStreamingSpec). Texts are
+    // per-doc random-vocab (the natural corpus's heavily-shared token
+    // sets produce occasional SimHash collisions even across distinct
+    // sets — a one-token difference can flip zero majority votes), so
+    // ONLY the planted copies share a SimHash; at maxHamming=0 the
+    // flagged member of each pair is exactly the lexicographically-
+    // greater key — SQL-predictable, both the flag and dup_of.
+    q("p_stateful_dedup") { (s, dir) =>
+      import s.implicits._
+      val base = docs(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          expr("array_join(transform(sequence(0, 9), " +
+            "j -> concat('w', pmod(hash(doc_id, j), 1000000))), ' ')")
+            .as("text"))
+      val corpus = base.unionByName(base.select(
+        (col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text")))
+      val sims = Dedup.withSimhash64(corpus, "text", "sim")
+        .select(col("doc_id").cast("string").as("k"), col("sim"))
+        .as[(String, Long)]
+      graft.streaming.StatefulDedup
+        .dedupDecisions(s, sims, maxHamming = 0, stateTtl = None)
+        .toDF()
+        .groupBy(col("doc_key"))
+        .agg(max(col("is_duplicate")).as("is_dup"), max(col("dup_of")).as("dup_of"))
+        .filter(col("is_dup"))
+        .select(col("doc_key"), col("dup_of"))
+        .orderBy(col("doc_key").asc)
+    } {
+      s"""WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        |p AS (SELECT CAST(doc_id AS VARCHAR) AS a,
+        |             CAST(doc_id + $PlantOffset AS VARCHAR) AS b FROM base)
+        |SELECT CASE WHEN a > b THEN a ELSE b END AS doc_key,
+        |       CASE WHEN a > b THEN b ELSE a END AS dup_of
+        |FROM p ORDER BY doc_key ASC""".stripMargin
+    },
+
     // -------------------- curation --------------------------------- //
 
     // PII is synthesized deterministically (the corpus has none): the
