@@ -1600,6 +1600,43 @@ object PipelineQueries {
         |ORDER BY win_start ASC, event_type ASC""".stripMargin
     },
 
+    // Session windows (gap-based), same batch-plan oracle strategy as
+    // p_windowed_stats: Spark's session_window(start = first event,
+    // end = last event + gap) re-derived in DuckDB as a lag-break
+    // cumulative-sum grouping per user. Fractional-second timestamps
+    // floor to epoch seconds on both sides.
+    q("p_session_windows") { (s, dir) =>
+      val ev = Fixtures.table(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("value"))
+      graft.streaming.WindowedStats.sessions(ev, "ts", Seq("user_id"),
+          "value", gap = "30 minutes", watermark = "10 minutes")
+        .select(
+          col("window_start").cast("timestamp").cast("long")
+            .cast("double").as("win_start"),
+          col("window_end").cast("timestamp").cast("long")
+            .cast("double").as("win_end"),
+          col("user_id"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id").asc, col("win_start").asc)
+    } {
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT CAST(floor(epoch(min(ts))) AS DOUBLE) AS win_start,
+        |  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS DOUBLE) AS win_end,
+        |  user_id, CAST(count(*) AS DOUBLE) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id ASC, win_start ASC""".stripMargin
+    },
+
     // Online (stateful) near-dup suppression, oracle-checked on the
     // BATCH plan: flatMapGroupsWithState runs on batch Datasets with
     // empty initial state, so the OPERATOR LOGIC — band routing,
