@@ -1600,6 +1600,34 @@ object PipelineQueries {
         |ORDER BY win_start ASC, event_type ASC""".stripMargin
     },
 
+    // Sliding windows: 1-hour windows every 30 minutes — each event
+    // lands in exactly two windows, re-derived in DuckDB by unnesting
+    // the two aligned starts per event. Completes the windowed family
+    // (tumbling/sliding/session all DuckDB-checked).
+    q("p_sliding_windows") { (s, dir) =>
+      val ev = Fixtures.table(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      graft.streaming.WindowedStats.tumbling(ev, "ts", Seq("event_type"),
+          "value", window = "1 hour", watermark = "10 minutes",
+          slide = Some("30 minutes"))
+        .select(col("window_start").cast("timestamp").cast("long")
+            .cast("double").as("win_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("win_start").asc, col("event_type").asc)
+    } {
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL 30 MINUTE, ts) AS tb FROM events),
+        |x AS (
+        |  SELECT event_type, value,
+        |    unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws FROM b)
+        |SELECT CAST(floor(epoch(ws)) AS DOUBLE) AS win_start, event_type,
+        |  CAST(count(*) AS DOUBLE) AS n, round(sum(value), 4) AS sum_value
+        |FROM x GROUP BY ws, event_type
+        |ORDER BY win_start ASC, event_type ASC""".stripMargin
+    },
+
     // Session windows (gap-based), same batch-plan oracle strategy as
     // p_windowed_stats: Spark's session_window(start = first event,
     // end = last event + gap) re-derived in DuckDB as a lag-break
