@@ -885,7 +885,39 @@ object Queries {
       e2
     })
 
+  private val scoreEngines = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchEngine]
+  /** Engine whose `orders_sc` index declares SCORE 0.5 + SCORE_FIELD
+    * through FT.CREATE (reference GetDocumentScore,
+    * index_schema_test.cc:2676-2800) — the per-doc ingested score
+    * surface, previously spec-only. */
+  private def scoreEng(spark: SparkSession, dir: String): SearchEngine =
+    scoreEngines.getOrElseUpdate((spark, dir), {
+      val e = new SearchEngine
+      val cmds = new Commands(e,
+        _ => (Fixtures.table(spark, dir, "orders"), col("o_orderkey")))
+      cmds.execute(Seq("FT.CREATE", "orders_sc",
+        "SCORE", "0.5", "SCORE_FIELD", "o_totalprice",
+        "SCHEMA", "o_orderstatus", "TAG"))
+      e
+    })
+
   private val replyQueries: Seq[(String, Q, String)] = Seq(
+    (
+      // Per-document ingested score (reference IndexSchema::
+      // GetDocumentScore): the SCORE_FIELD attribute's numeric value,
+      // the declared default where absent/non-numeric — oracle-checked
+      // over the whole orders table (fallback table is spec-pinned in
+      // ScoreFieldParitySpec).
+      "q_doc_scores",
+      (s: SparkSession, dir: String) =>
+        scoreEng(s, dir).documentScores("orders_sc")
+          .select(col("__key"), round(col("score"), 4).as("score"))
+          .orderBy(col("__key").cast("long").asc)
+          .limit(200),
+      """SELECT CAST(o_orderkey AS VARCHAR) AS __key,
+        |  round(o_totalprice, 4) AS score
+        |FROM orders ORDER BY o_orderkey ASC LIMIT 200""".stripMargin
+    ),
     (
       "q_reply_total", // S7/R6: ONE plan feeds pre-LIMIT total + page
       (s: SparkSession, dir: String) => {
@@ -993,6 +1025,20 @@ object Queries {
           .toDF("n_results", "recall_ok")
       },
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
+    ),
+    (
+      // R4 WITHSORTKEYS (reference search.h:71, ft_search.cc:153-159):
+      // each row carries "#" + the SORTBY value — previously spec-only,
+      // now oracle-checked on a string field (exact rendering parity).
+      "q_withsortkeys",
+      (s: SparkSession, dir: String) =>
+        eng(s, dir).search("part", "@p_size:[10 20]",
+          SearchOptions(limit = (0, 50), sortBy = Some(("p_brand", true)),
+            noContent = true, withSortKeys = true)),
+      """SELECT CAST(p_partkey AS VARCHAR) AS __key,
+        |  '#' || p_brand AS __sortkey
+        |FROM part WHERE p_size >= 10 AND p_size <= 20
+        |ORDER BY p_brand ASC, __key ASC LIMIT 50""".stripMargin
     ),
     (
       "q_preflight", // round-8 tripwire: testdata schema drift fails HERE,
