@@ -308,14 +308,25 @@ object Dedup {
    *     if ALL its agreeing bands are capped); pass None for the exact
    *     oracle configuration.
    *
-   * The guard is ADAPTIVE: class sizes and member-weighted band-cell
-   * frequencies are measured first (two bounded aggregations over the
-   * DISTINCT hashes — the planner stats); a corpus whose largest class
-   * fits `cliqueCap` and whose hottest cell fits `saltAbove` takes the
-   * plain pigeonhole self-join (the right plan for dispersed hashes —
-   * no guard machinery, no extra stages), and only a measured-skewed
-   * corpus pays the tiered path. Same output either way below the
-   * tiers' thresholds.
+   * The guard is ADAPTIVE: band-cell frequencies are measured first,
+   * and a corpus whose hottest cell fits `cliqueCap` takes the plain
+   * pigeonhole self-join (the right plan for dispersed hashes — no
+   * guard machinery, no extra stages); only a measured-skewed corpus
+   * pays the tiered path. Same output either way below the tiers'
+   * thresholds. The stats job is CHEAP by construction: an
+   * identical-hash class lands WHOLE in each of its four cells, so
+   * maxCell ≥ maxClass and the cell histogram alone (≤ 4·2^16 groups —
+   * map-side partial aggregation bounds the shuffle regardless of
+   * corpus size) proves every class fits `cliqueCap` in the common
+   * dispersed case; the per-class exact count (a ~n-group shuffle that
+   * partial aggregation cannot compress) is paid only in the narrow
+   * band where cells exceed `cliqueCap` but still fit `saltAbove`.
+   *
+   * Null hashes never pair: the fast path's band join drops them
+   * (null bv matches nothing), and the tiered path filters them up
+   * front — otherwise groupBy(hash) would fuse every null-hash row
+   * (e.g. simhash of null text) into one giant spurious "identical"
+   * class, declaring distinct documents exact dups.
    */
   // saltAbove calibrates to TASK time, not row count: an 8192-row cell
   // is ~32M pair-checks — sub-second in one task; salting below that
@@ -327,24 +338,39 @@ object Dedup {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
     def bandsOf(c: Column) = array((0 until 4).map(j => struct(lit(j).as("band"),
       shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)
+    // Null-hash rows can never pair (see scaladoc); drop them before
+    // EITHER plan so the tiered path's groupBy(hash) agrees with the
+    // fast path's null-propagating band join.
+    val nonNull = hashes.filter(col("hash").isNotNull)
     // One banded relation serves BOTH the planner stats and the fast
     // path's join — the dispersed case pays exactly one extra
     // aggregation over rows it had to materialize anyway.
-    val banded = hashes.select(col("k"), col("hash"),
+    val banded = nonNull.select(col("k"), col("hash"),
         explode(bandsOf(col("hash"))).as("bk"))
       .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // planner stats, ONE job: per (cell, hash) multiplicities roll up
-    // to the hottest member-weighted cell (Σ) and the largest
-    // identical class (max-of-per-cell-max — every class lands whole
-    // in each of its four cells)
-    val sRow = banded.groupBy(col("band"), col("bv"), col("hash"))
-      .agg(count(lit(1)).as("mc"))
-      .groupBy(col("band"), col("bv"))
-      .agg(sum(col("mc")).as("cf"), max(col("mc")).as("mm"))
-      .agg(max(col("cf")), max(col("mm"))).collect()(0)
-    val maxCell = if (sRow.isNullAt(0)) 0L else sRow.getLong(0)
-    val maxM = if (sRow.isNullAt(1)) 0L else sRow.getLong(1)
+    // planner stats, tier 1 (always): the cell histogram. groupBy on
+    // (band, bv) has at most 4·2^16 groups, so map-side partial
+    // aggregation bounds the exchange at ~256k rows per task however
+    // large the corpus — NOT the 4n-group per-(cell, hash) rollup the
+    // guard used to pay on every call.
+    val cRow = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("cf"))
+      .agg(max(col("cf"))).collect()(0)
+    val maxCell = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
+    // planner stats, tier 2 (rare): the exact largest identical-hash
+    // class. maxCell ≥ maxM (a class lands whole in each of its four
+    // cells), so maxCell ≤ cliqueCap already PROVES maxM ≤ cliqueCap;
+    // and maxCell > saltAbove forces the tiered path regardless of
+    // maxM. Only the in-between band pays the ~n-group shuffle.
+    val maxM =
+      if (maxCell <= math.min(cliqueCap.toLong, saltAbove.toLong)) 0L
+      else if (maxCell <= saltAbove) {
+        val mRow = banded.filter(col("band") === 0)
+          .groupBy(col("hash")).agg(count(lit(1)).as("m"))
+          .agg(max(col("m"))).collect()(0)
+        if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+      } else Long.MaxValue
     if (maxM <= cliqueCap && maxCell <= saltAbove) {
       // dispersed corpus (the measured-normal case): plain pigeonhole
       // self-join — per-cell work is bounded by the stats just taken
@@ -426,10 +452,24 @@ object Dedup {
    * maxHamming ≤ 3 on every class ≤ `cliqueCap` and every band cell
    * ≤ `maxBandFreq`; degenerate/modal corpora degrade to documented
    * connectivity-preserving star edges instead of a straggler task.
+   *
+   * SEMANTICS OF THE DEFAULTS (changed in r9, aligned in r10): with
+   * the default guard thresholds the RAW PAIR SET is exact only below
+   * the tiers — an identical-hash class larger than `cliqueCap` emits
+   * a star (m−1 edges) instead of its m(m−1)/2 clique, and a band
+   * cell hotter than `maxBandFreq` is dropped (a pair is missed only
+   * if ALL its agreeing bands are capped). Connected components and
+   * [[dropNearDups]] survivors are IDENTICAL either way; callers
+   * consuming raw pairs or pair counts who need the exact set must
+   * pass `maxBandFreq = None` and a `cliqueCap` above their largest
+   * duplicate class. The default cap equals the core's (100000 —
+   * ~1.4·10^8 pair-checks per salted task-group before a cell is
+   * dropped); r9 briefly defaulted 10000 here with no rationale for
+   * diverging from the core.
    */
   def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
                       maxHamming: Int = 3, cliqueCap: Int = 1000,
-                      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
+                      maxBandFreq: Option[Int] = Some(100000)): DataFrame = {
     val sigs = withSimhash64(
       df.select(col(keyCol).as("k"), col(textCol)),
       textCol, "sim").select(col("k"), col("sim").as("hash"))

@@ -152,6 +152,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptStar == keptNaive)
   }
 
+  test("hamming planner tier 2: hot cell of singleton classes routes back to the exact fast path") {
+    val sp = spark; import sp.implicits._
+    // 8 singleton classes differing only in band-0 low bits: the
+    // (band 1..3, base) cells hold all 8 rows (> cliqueCap = 4), so
+    // the cell histogram alone cannot prove dispersal and the planner
+    // must pay the exact per-class count — which finds maxM = 1 and
+    // keeps the plain pigeonhole plan. Every pair differs in ≤ 3 bits,
+    // so the exact fast-path output is the full 28-pair set.
+    val base = 0x0123456789ABCDEFL
+    val rows = (0L until 8L).map(i => (i, base ^ i))
+    val df = rows.toDF("k", "hash")
+    val naive = (for {
+      (ka, ha) <- rows; (kb, hb) <- rows
+      if ka < kb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ka, kb, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(naive.size == 28)
+    val got = Dedup.hammingNearDups(df, maxHamming = 3,
+        cliqueCap = 4, saltAbove = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+  }
+
+  test("hamming guard: null hashes never pair on either path") {
+    val sp = spark; import sp.implicits._
+    // 30 null-text docs (null simhash) would form one spurious
+    // > cliqueCap "identical" class on the tiered path if null hashes
+    // grouped — emitting star edges that declare distinct documents
+    // exact dups. A real oversized class (12 boilerplate copies)
+    // forces the tiered route; a genuine dup pair must still surface.
+    val nulls = sp.range(30).select(col("id").as("doc_id"),
+      lit(null).cast("string").as("text"))
+    val boiler = sp.range(100L, 112L).select(col("id").as("doc_id"),
+      lit("exactly the same boilerplate page body every single time").as("text"))
+    val dupPair = Seq((1000L, "a genuinely duplicated document body"),
+      (1001L, "a genuinely duplicated document body")).toDF("doc_id", "text")
+    val d = nulls.unionByName(boiler).unionByName(dupPair)
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text", cliqueCap = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (101L to 111L).map(i => ("100", i.toString)).toSet +
+      (("1000", "1001"))
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} extra=${(pairs -- expected).take(5)}")
+  }
+
   test("simhash near-dups: empty and single-row corpora yield no pairs") {
     val sp = spark; import sp.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
