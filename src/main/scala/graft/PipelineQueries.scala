@@ -477,6 +477,76 @@ object PipelineQueries {
         |  TRUE AS all_hamming_zero""".stripMargin
     },
 
+    // The maxBandFreq capped tier EXECUTED (round-9 verdict, wrong #2:
+    // the disclosed-drop accounting was code-reviewed, never run).
+    // Planted two-part corpus, thresholds lowered (saltAbove=8,
+    // cap=20) so the cap binds: group A = 40 singleton hashes sharing
+    // bands 1-3 (three freq-40 cells, all capped) and differing by
+    // ≤ 3 low bits — every A near-pair's agreeing bands are ALL
+    // capped, so the capped run MUST miss all of them; group B = 15
+    // planted pairs sharing bands 0-1 across the whole group (two
+    // freq-30 capped cells) but each pair agreeing alone on a private
+    // band-3 value (freq-2 cold cell) — one uncapped agreeing band,
+    // so every B pair MUST survive. The recall bound ("a pair is
+    // missed only if ALL its agreeing bands are capped") is checked
+    // literally per pair against [[Dedup.cappedCells]] — the
+    // disclosure artifact — in BOTH directions, and the capped output
+    // is pinned a subset of the exact (maxBandFreq=None) oracle
+    // configuration, whose pair count DuckDB re-derives from the
+    // same bit arithmetic.
+    q("p_dedup_hamming_capped") { (s, dir) =>
+      val baseA = 0x0123456789ABCDEFL
+      val aRows = (0L until 40L).map(i => (i, baseA ^ i))
+      val bRows = (0 until 15).flatMap { p =>
+        val b0 = ((p.toLong * 0x1111L) << 48) | (0x00A5L << 32) |
+          (0xF00DL << 16) | 0xBEEFL
+        Seq((1000L + 2 * p, b0), (1001L + 2 * p, b0 ^ (1L << (32 + (p % 3)))))
+      }
+      val sp = s
+      import sp.implicits._
+      val df = (aRows ++ bRows).toDF("k", "hash")
+      val exactSet = Dedup.hammingNearDups(df, maxHamming = 3,
+          cliqueCap = 1000, saltAbove = 8, maxBandFreq = None)
+        .select("key_a", "key_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cappedSet = Dedup.hammingNearDups(df, maxHamming = 3,
+          cliqueCap = 1000, saltAbove = 8, maxBandFreq = Some(20))
+        .select("key_a", "key_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cellSet = Dedup.cappedCells(df, cliqueCap = 1000,
+          saltAbove = 8, maxBandFreq = 20)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val hashOf = (aRows ++ bRows).toMap
+      def agreeing(a: Long, b: Long): Seq[(Int, Long)] =
+        (0 until 4).flatMap { j =>
+          val va = (hashOf(a) >>> (16 * j)) & 0xFFFFL
+          val vb = (hashOf(b) >>> (16 * j)) & 0xFFFFL
+          if (va == vb) Some((j, va)) else None
+        }
+      val missed = exactSet -- cappedSet
+      val missedOnlyAllCapped = missed.nonEmpty &&
+        missed.forall(p => agreeing(p._1, p._2).forall(cellSet.contains))
+      val survivorsUncapped = cappedSet.nonEmpty &&
+        cappedSet.forall(p => agreeing(p._1, p._2).exists(c => !cellSet.contains(c)))
+      Seq((exactSet.size.toDouble, cappedSet.size.toDouble,
+          cellSet.size.toDouble, missedOnlyAllCapped, survivorsUncapped,
+          cappedSet.subsetOf(exactSet)))
+        .toDF("n_exact", "n_capped", "n_capped_cells",
+          "missed_only_all_capped", "survivors_have_uncapped",
+          "capped_subset_exact")
+    } {
+      """SELECT
+        |  CAST((SELECT count(*)
+        |        FROM generate_series(0, 39) s(i), generate_series(0, 39) t(j)
+        |        WHERE i < j AND bit_count(CAST(xor(i, j) AS BIGINT)) <= 3)
+        |       + 15 AS DOUBLE) AS n_exact,
+        |  CAST(15 AS DOUBLE) AS n_capped,
+        |  CAST(5 AS DOUBLE) AS n_capped_cells,
+        |  TRUE AS missed_only_all_capped,
+        |  TRUE AS survivors_have_uncapped,
+        |  TRUE AS capped_subset_exact""".stripMargin
+    },
+
     // ExactSubstr dedup (Lee et al. ACL'22): every duplicated
     // ≥20-token window survives only at its canonical (min key, pos)
     // occurrence; other occurrences are cut, overlaps merging into

@@ -447,6 +447,42 @@ object Dedup {
   }
 
   /**
+   * Disclosure companion for [[hammingNearDups]]' capped tier: the
+   * (band, bv, freq) cells the given configuration DROPS, i.e. the
+   * exact recall liability of a `maxBandFreq` run — a candidate pair
+   * is missed iff ALL of its agreeing bands appear here. Frequencies
+   * are measured over the same cross-join set the tiered path builds
+   * (small-class members plus one representative per > `cliqueCap`
+   * identical-hash class, nulls dropped), NOT the raw corpus: an
+   * oversized class contributes ONE row per cell, so a raw-corpus
+   * histogram would overstate cell heat and disclose cells the join
+   * never actually drops. Empty when the corpus routes to the fast
+   * path (capping exists only past `saltAbove`, and the fast path
+   * requires every cell ≤ `saltAbove`).
+   */
+  def cappedCells(hashes: DataFrame, cliqueCap: Int = 1000,
+                  saltAbove: Int = 8192,
+                  maxBandFreq: Int = 100000): DataFrame = {
+    def bandsOf(c: Column) = array((0 until 4).map(j => struct(lit(j).as("band"),
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)
+    // mirrors the tiered path's joinSet construction (kept in lockstep
+    // with hammingNearDups — the disclosure must count what the join
+    // counts)
+    val base = hashes.filter(col("hash").isNotNull)
+      .select(col("k"), col("hash"))
+    val classes = base.groupBy(col("hash"))
+      .agg(min(col("k")).as("rep"), count(lit(1)).as("m"))
+    val members = base.join(classes, Seq("hash"))
+    val joinSet = members.filter(col("m") <= cliqueCap).select(col("k"), col("hash"))
+      .unionByName(classes.filter(col("m") > cliqueCap)
+        .select(col("rep").as("k"), col("hash")))
+    joinSet.select(explode(bandsOf(col("hash"))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > saltAbove && col("freq") > maxBandFreq)
+  }
+
+  /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16)
    * through the guarded [[hammingNearDups]] core: exact recall for
    * maxHamming ≤ 3 on every class ≤ `cliqueCap` and every band cell

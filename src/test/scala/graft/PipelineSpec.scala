@@ -196,6 +196,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(expected -- pairs).take(5)} extra=${(pairs -- expected).take(5)}")
   }
 
+  test("cappedCells: empty on dispersed corpora; counts class reps, not members") {
+    val sp = spark; import sp.implicits._
+    // dispersed: every cell at or below the thresholds → no disclosure
+    val rnd = new scala.util.Random(17)
+    val dispersed = (0L until 200L).map(k => (k, rnd.nextLong())).toDF("k", "hash")
+    assert(Dedup.cappedCells(dispersed, saltAbove = 50, maxBandFreq = 50).count() == 0L)
+    // one identical-hash class of 30: the tiered join sees ONE rep per
+    // oversized class, so with cliqueCap = 5 the class's cells carry
+    // freq 1 — a raw-corpus histogram would wrongly disclose them as
+    // capped (freq 30 > 8) though the join never drops them
+    val modal = (0L until 30L).map(k => (k, 42L)).toDF("k", "hash")
+    assert(Dedup.cappedCells(modal, cliqueCap = 5, saltAbove = 8,
+      maxBandFreq = 8).count() == 0L)
+    // same corpus with cliqueCap above the class size: members join
+    // individually, cells really are hot → disclosed (4 cells)
+    assert(Dedup.cappedCells(modal, cliqueCap = 1000, saltAbove = 8,
+      maxBandFreq = 8).count() == 4L)
+  }
+
   test("simhash near-dups: empty and single-row corpora yield no pairs") {
     val sp = spark; import sp.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
