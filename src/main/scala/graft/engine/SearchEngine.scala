@@ -11,6 +11,19 @@ import graft.text.Analyzer
 import graft.functions.vector_distance
 
 /**
+ * Physical-layout pruning hint for a NUMERIC field whose relation was
+ * written by [[graft.sources.Layout.saveNumericBucketed]]: partition
+ * column `bucketCol` holds `floor(field/step)`, so a range predicate
+ * `lo ≤ f ≤ hi` implies `floor(lo/step) ≤ bucketCol ≤ floor(hi/step)`
+ * — a PartitionFilter that prunes directories before any scan task
+ * launches. The hint only ever ADDS an implied superset conjunct; the
+ * compiled range predicate keeps exact semantics.
+ */
+final case class NumericBucketLayout(bucketCol: String, step: Double) {
+  require(step > 0, "step must be positive")
+}
+
+/**
  * FT.SEARCH options (reference: src/query/search.h:43-111,
  * src/commands/ft_search_parser.cc:102-242).
  *
@@ -82,14 +95,17 @@ object SearchEngine {
 
 class SearchEngine {
 
+  // LinkedHashMap for FT._LIST insertion order; guarded by its own
+  // monitor (all other engine caches are lock-free TrieMaps — queries
+  // read them concurrently with maintainer-thread registration)
   private val catalog = scala.collection.mutable.LinkedHashMap.empty[String, (IndexSchema, DataFrame)]
-  private val annIndexes = scala.collection.mutable.HashMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
-  private val postings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
-  private val postingStats = scala.collection.mutable.HashMap.empty[(String, String), PostingStats]
-  private val suffixPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
-  private val tokenStats = scala.collection.mutable.HashMap.empty[(String, String), PostingStats]
-  private val posPostings = scala.collection.mutable.HashMap.empty[(String, String), DataFrame]
-  private val posStats = scala.collection.mutable.HashMap.empty[(String, String), PostingStats]
+  private val annIndexes = scala.collection.concurrent.TrieMap.empty[(String, String), graft.pipeline.Nsw.NswIndex]
+  private val postings = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val postingStats = scala.collection.concurrent.TrieMap.empty[(String, String), PostingStats]
+  private val suffixPostings = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val tokenStats = scala.collection.concurrent.TrieMap.empty[(String, String), PostingStats]
+  private val posPostings = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val posStats = scala.collection.concurrent.TrieMap.empty[(String, String), PostingStats]
   /** Estimated cardinalities of the last query's routed conjuncts, in
     * semi-join order (ascending = min-child first). Planner telemetry
     * for specs; not part of the public surface. */
@@ -99,7 +115,8 @@ class SearchEngine {
     * (index_schema.cc): between registrations the relation is
     * immutable, so the stats row is computed once and invalidated on
     * any index mutation (createIndex / dropIndex / registerPosting). */
-  private val infoStatsCache = scala.collection.mutable.HashMap.empty[String, (org.apache.spark.sql.Row, Long)]
+  private val infoStatsCache = scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.Row, Long)]
+  private val layouts = scala.collection.concurrent.TrieMap.empty[(String, String), NumericBucketLayout]
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -136,6 +153,17 @@ class SearchEngine {
                            stats: PostingStats): this.type = {
     postingStats((indexName, field)) = stats
     infoStatsCache.remove(indexName) // num_terms may now serve from stats
+    this
+  }
+
+  /** Declare the registered relation's physical layout for a NUMERIC
+    * field ([[NumericBucketLayout]]): range predicates on the field
+    * then AND the implied bucket PartitionFilter under the compiled
+    * filter, pruning partition directories at 100-TB layouts. Like all
+    * derived registrations, call AFTER createIndex (which drops it). */
+  def registerLayout(indexName: String, field: String,
+                     layout: NumericBucketLayout): this.type = {
+    layouts((indexName, field)) = layout
     this
   }
 
@@ -374,20 +402,36 @@ class SearchEngine {
     val stored =
       if (resident) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docs
-    catalog(schema.name) = (schema, stored)
-    // the routing guard's N describes the registered relation; a
-    // re-registration (e.g. maintainer refresh) must re-measure it
+    catalog.synchronized { catalog(schema.name) = (schema, stored) }
+    // ALL derived state describes the PREVIOUS registered relation —
+    // a re-registration (maintainer docs refresh, FT.CREATE over an
+    // existing name) must not leave queries routing through postings
+    // built from the old corpus, FT.INFO serving the old vocabulary's
+    // num_terms from surviving stats (r9 ADVICE), or KNN reading an
+    // old graph. Every call site (loadIndex, Commands, Queries,
+    // Maintainer.onBatch) registers derived state strictly AFTER
+    // createIndex, so dropping here is safe; callers that keep a
+    // still-valid posting simply re-register it.
     docCounts.remove(schema.name)
     infoStatsCache.remove(schema.name)
+    annIndexes.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    postings.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    postingStats.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    suffixPostings.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    tokenStats.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    posPostings.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    posStats.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    layouts.filterInPlace { case ((idx, _), _) => idx != schema.name }
     this
   }
 
   def index(name: String): (IndexSchema, DataFrame) =
-    catalog.getOrElse(name, throw new IllegalArgumentException(s"no such index: $name"))
+    catalog.synchronized { catalog.get(name) }
+      .getOrElse(throw new IllegalArgumentException(s"no such index: $name"))
 
   /** FT.DROPINDEX analogue. Error if absent, like the reference. */
   def dropIndex(name: String): Unit = {
-    if (catalog.remove(name).isEmpty)
+    if (catalog.synchronized { catalog.remove(name) }.isEmpty)
       throw new IllegalArgumentException(s"no such index: $name")
     docCounts.remove(name)
     infoStatsCache.remove(name)
@@ -399,13 +443,14 @@ class SearchEngine {
     tokenStats.filterInPlace { case ((idx, _), _) => idx != name }
     posPostings.filterInPlace { case ((idx, _), _) => idx != name }
     posStats.filterInPlace { case ((idx, _), _) => idx != name }
+    layouts.filterInPlace { case ((idx, _), _) => idx != name }
     ()
   }
 
   /** FT._LIST analogue. */
-  def listIndexes: Seq[String] = catalog.keys.toSeq
+  def listIndexes: Seq[String] = catalog.synchronized { catalog.keys.toSeq }
 
-  private val buildStates = scala.collection.mutable.HashMap.empty[String, SearchEngine.BuildState]
+  private val buildStates = scala.collection.concurrent.TrieMap.empty[String, SearchEngine.BuildState]
 
   /** Current build state (defaults to ready — batch-registered indexes
     * are fully built the moment createIndex returns). */
@@ -432,7 +477,7 @@ class SearchEngine {
     this
   }
 
-  private val docCounts = scala.collection.mutable.HashMap.empty[String, Long]
+  private val docCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
   /** Memoized N for the planner's selectivity threshold. */
   private def docCount(name: String): Long =
     docCounts.getOrElseUpdate(name, index(name)._2.count())
@@ -776,6 +821,11 @@ class SearchEngine {
       // column is not unique (two rows sharing a key must not admit
       // each other through the other's postings).
       df = df.filter(compiler.compile(parsed.filter))
+      // Layout pruning (registerLayout): AND the PartitionFilter each
+      // NUMERIC range implies on its declared bucket column — a
+      // superset by construction, so semantics stay with the compiled
+      // predicate above; the only effect is fewer files scanned.
+      layoutPrune(schema, parsed.filter).foreach(c => df = df.filter(c))
     }
     (opts.slop, parsed.filter) match {
       case (Some(s), f) => df = applyProximity(df, schema, f, s, opts.inorder, analyzerCfg)
@@ -783,6 +833,32 @@ class SearchEngine {
       case _ =>
     }
     df
+  }
+
+  /** The PartitionFilter a predicate tree implies under the
+    * registered [[NumericBucketLayout]] hints, if any: range leaves
+    * map to bucket bounds (`lo ≤ f` implies `floor(lo/step) ≤ __nb` —
+    * exclusive bounds imply the same floor, a sound superset); AND
+    * combines any available child prunes; OR prunes only when EVERY
+    * branch does (else a branch could match outside the pruned set);
+    * NOT and non-numeric leaves never prune. */
+  private def layoutPrune(schema: IndexSchema, p: Predicate): Option[Column] = p match {
+    case NumericRange(field, min, _, max, _) =>
+      layouts.get((schema.name, field)).flatMap { l =>
+        val lo =
+          if (min.isNegInfinity) None
+          else Some(col(l.bucketCol) >= math.floor(min / l.step).toLong)
+        val hi =
+          if (max.isPosInfinity) None
+          else Some(col(l.bucketCol) <= math.floor(max / l.step).toLong)
+        Seq(lo, hi).flatten.reduceOption(_ && _)
+      }
+    case And(cs) => cs.flatMap(layoutPrune(schema, _)).reduceOption(_ && _)
+    case Or(cs) =>
+      val ps = cs.map(layoutPrune(schema, _))
+      if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.flatten.reduce(_ || _))
+      else None
+    case _ => None
   }
 
   /** KNN + SORTBY/LIMIT/RETURN back half over an already-filtered plan. */

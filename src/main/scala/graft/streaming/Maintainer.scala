@@ -416,6 +416,22 @@ final class IndexMaintainer(
     val enriched = Documents.enrich(upserts, schema)
     val changedKeys = batch.select(col("__key").cast("string").as("__key"))
 
+    // refresh the docs relation FIRST: createIndex drops ALL derived
+    // state for the index (it describes the previous relation), so
+    // the store/ann registrations below must come after it — the
+    // same createIndex-then-register order every other caller uses
+    docsSource.foreach { src =>
+      // preserve the TEXT-index residency default a FT.CREATE
+      // registration had; unpersist the superseded relation (no-op if
+      // it was never persisted — an in-flight query over it would
+      // recompute, which is correct, just slower)
+      val old = engine.index(indexName)._2
+      engine.createIndex(schema, Documents.enrich(src(), schema),
+        resident = schema.textFields.nonEmpty)
+      old.unpersist(blocking = false)
+      ()
+    }
+
     postingStores.foreach { case (field, store) =>
       val rows = schema.fieldOrFail(field).ftype match {
         case _: TextField => PostingIndex.build(enriched, schema, field)
@@ -459,17 +475,6 @@ final class IndexMaintainer(
       engine.registerAnn(indexName, field, next)
     }
 
-    docsSource.foreach { src =>
-      // preserve the TEXT-index residency default a FT.CREATE
-      // registration had; unpersist the superseded relation (no-op if
-      // it was never persisted — an in-flight query over it would
-      // recompute, which is correct, just slower)
-      val old = engine.index(indexName)._2
-      engine.createIndex(schema, Documents.enrich(src(), schema),
-        resident = schema.textFields.nonEmpty)
-      old.unpersist(blocking = false)
-      ()
-    }
     // a batch fully applied means the index serves current data — for a
     // SKIPINITIALSCAN index the stream IS the initial fill (FT.INFO
     // state flips to ready; steady-state mutations are not backfill)

@@ -121,6 +121,65 @@ class FtInfoParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Long]("num_terms") == 5L) // merg fast slow queri plan
   }
 
+  test("docs refresh drops registered posting stats: num_terms never serves the old vocabulary") {
+    val sp = spark; import sp.implicits._
+    // r9 ADVICE: createIndex cleared infoStatsCache but left
+    // postingStats, so a maintainer-style docs refresh could serve the
+    // OLD corpus's num_terms from surviving stats until postings were
+    // re-registered. createIndex now drops ALL derived state.
+    val engine = new SearchEngine
+    val docs1 = Seq(("k1", "merge fast")).toDF("pk", "body")
+    val cmds = new Commands(engine, _ => (docs1, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "stale_t", "SCHEMA", "body", "TEXT"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-spec").toString
+    engine.buildPostings("stale_t", dir) // registers postings + stats
+    assert(engine.info("stale_t").collect().head.getAs[Long]("num_terms") == 2L)
+    // refresh the SAME index name with a different corpus, WITHOUT
+    // re-registering postings or stats
+    val docs2 = Seq(("k1", "merge fast"), ("k2", "slow query plan"))
+      .toDF("pk", "body")
+    val (schema, _) = engine.index("stale_t")
+    engine.createIndex(schema,
+      graft.sources.Documents.enrich(docs2, schema, keyExpr = Some(col("pk"))))
+    // must be the NEW vocabulary via the exact path, not 2 from stats
+    assert(engine.info("stale_t").collect().head.getAs[Long]("num_terms") == 5L)
+  }
+
+  test("FT.INFO after a maintainer batch equals a fresh recompute (no stale counters)") {
+    val sp = spark; import sp.implicits._
+    // verdict r9 #6: a maintained index (docs changed, postings/stats
+    // re-registered by IndexMaintainer.onBatch) must serve
+    // num_docs/num_terms/total_term_occurrences identical to an engine
+    // built fresh over the final corpus — whatever mix of memoized
+    // rows, registered stats, and exact jobs each side uses.
+    var currentDocs = Seq(("k1", "merge fast"), ("k2", "merge slow"))
+      .toDF("pk", "body")
+    val engine = new SearchEngine
+    val cmds = new Commands(engine, _ => (currentDocs, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "maint_info_t", "SCHEMA", "body", "TEXT"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-info").toString
+    val m = graft.streaming.IndexMaintainer.forIndex(engine, "maint_info_t",
+      dir, docsSource = Some(() => currentDocs)).register()
+    // warm the memoized counters on the original corpus
+    assert(engine.info("maint_info_t").collect().head.getAs[Long]("num_docs") == 2L)
+    // batch: one upsert of a new doc, one delete of an existing key
+    currentDocs = Seq(("k1", "merge fast"), ("k3", "slow query plan"))
+      .toDF("pk", "body")
+    val batch = Seq(("upsert", "k3", "slow query plan"),
+      ("delete", "k2", null.asInstanceOf[String]))
+      .toDF("op", "__key", "body")
+    m.onBatch(batch)
+    val got = engine.info("maint_info_t").collect().head
+    val fresh = new SearchEngine
+    val freshCmds = new Commands(fresh, _ => (currentDocs, col("pk")))
+    freshCmds.execute(Seq("FT.CREATE", "maint_info_t", "SCHEMA", "body", "TEXT"))
+    val want = fresh.info("maint_info_t").collect().head
+    for (f <- Seq("num_docs", "num_terms", "total_term_occurrences"))
+      assert(got.getAs[Long](f) == want.getAs[Long](f),
+        s"$f: got ${got.getAs[Long](f)}, fresh recompute ${want.getAs[Long](f)}")
+    assert(got.getAs[Long]("num_docs") == 2L)
+  }
+
   test("error shapes: wrong arity and not-found, reference messages") {
     val sp = spark; import sp.implicits._
     val docs = Seq(("k1", 1.0)).toDF("pk", "price")
