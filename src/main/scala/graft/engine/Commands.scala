@@ -448,6 +448,17 @@ final class Commands(
     }
 
   private def ftSearch(a: Args): SearchEngine.SearchReply = {
+    val (index, query, opts) = parseFtSearch(a)
+    engine.searchReply(index, query, opts)
+  }
+
+  /** Parse FT.SEARCH arguments WITHOUT executing — the RESP adapter
+    * ([[graft.resp.RespCommands]]) needs the parsed options to shape
+    * the wire reply (NOCONTENT / WITHSORTKEYS / KNN score naming). */
+  private[graft] def parseFtSearch(argv: Seq[String]): (String, String, SearchOptions) =
+    parseFtSearch(new Args(argv))
+
+  private def parseFtSearch(a: Args): (String, String, SearchOptions) = {
     val index = a.next()
     val query = a.next()
     var opts = SearchOptions()
@@ -510,7 +521,7 @@ final class Commands(
       }
     }
     requireAllParamsUsed(query, opts)
-    engine.searchReply(index, query, opts)
+    (index, query, opts)
   }
 
   private def ftAggregate(a: Args): DataFrame = {

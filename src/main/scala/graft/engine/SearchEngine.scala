@@ -989,9 +989,23 @@ class SearchEngine {
       if (!opts.withSortKeys) Nil
       else Seq((opts.sortBy match {
         case Some((field, _)) =>
-          val src = if (scoreName.contains(field)) col(field)
-                    else col(schema.fieldOrFail(field).alias)
-          concat(lit("#"), coalesce(src.cast("string"), lit("")))
+          val (src, isNumeric) =
+            if (scoreName.contains(field)) (col(field), true)
+            else {
+              val fd = schema.fieldOrFail(field)
+              (col(fd.alias), fd.ftype == NumericField)
+            }
+          // a NUMERIC sort key renders like the hash stores it: "25",
+          // not the Spark double's "25.0" (GetSortKeyValue returns the
+          // raw hash string)
+          val rendered =
+            if (!isNumeric) src.cast("string")
+            else {
+              val d = src.cast("double")
+              when(d === d.cast("long").cast("double"),
+                d.cast("long").cast("string")).otherwise(src.cast("string"))
+            }
+          concat(lit("#"), coalesce(rendered, lit("")))
         case None => lit("#")
       }).as("__sortkey"))
 

@@ -150,10 +150,15 @@ object Dedup {
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
       .distinct()
 
-    // Broadcast the (small, LSH-pruned) candidate pairs into both verify
-    // joins: the big shingle relation is then scanned in place from
-    // cache instead of being shuffled twice.
-    val withSh = broadcast(cands)
+    // Candidate-pair size is DATA-DEPENDENT (dup-heavy or short-doc
+    // corpora push LSH candidates into the tens of millions), so the
+    // verify joins must NOT force a broadcast: the r10 100× rehearsal
+    // killed a forced broadcast(cands) here with driver.maxResultSize
+    // (1.1 GiB of candidate pairs). AQE picks broadcast when the
+    // runtime size is actually small and falls back to a shuffled
+    // join — the cached shingle relation shuffles narrow (k, sh) rows
+    // only — when it is not.
+    val withSh = cands
       .join(base.select(col("k").as("key_a"), col("sh").as("sh_a")), "key_a")
       .join(base.select(col("k").as("key_b"), col("sh").as("sh_b")), "key_b")
     val result = withSh

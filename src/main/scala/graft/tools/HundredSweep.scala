@@ -1,0 +1,166 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * 100× scale rehearsal (round-9 verdict #4): synthesizes a ~sf10
+ * corpus from sf0.1 — 100 replicas with shifted keys — and runs the
+ * heaviest gates once-warmed, printing sf0.1 vs 100× medians so a
+ * hidden super-linear work term finally shows.
+ *
+ * Replica construction keeps growth ANALYZABLE:
+ *  - documents: replica 0 verbatim; replicas i > 0 get a per-replica
+ *    deterministic token PERMUTATION (tokens sorted by a salted
+ *    hash) — unigram statistics (langid, quality, DSIR buckets,
+ *    token counts) are preserved while bigram shingles and simhash
+ *    signatures decorrelate, so the NEAR-DUP graph grows linearly
+ *    (each replica's internal dups replicate; replicas don't
+ *    cross-pair into 100-member cliques — the modal-corpus regime is
+ *    separately stress-tested by DedupSweep/p_dedup_simhash_degenerate).
+ *  - embeddings: replicas perturbed per element (deterministic hash
+ *    noise, ±0.5%) so ANN structure is realistic rather than 100
+ *    exact copies of every vector.
+ *  - lineitem/orders/events: keys shifted per replica; dimension
+ *    tables carried (FKs stay valid — each replica re-references the
+ *    same dims, like tenants sharing reference data).
+ *
+ * Keys shift by i·10^8: gate-planted copies live at +10^7/+2·10^7
+ * (PlantOffset), safely inside each replica's key range.
+ */
+object HundredSweep {
+  private val HX = "/tmp/graft-sf10x"
+  private val Shift = 100000000L
+
+  private def permuteText(text: Column, salt: Column): Column =
+    array_join(
+      array_sort(split(text, " "), (l, r) =>
+        when(xxhash64(concat(l, salt)) < xxhash64(concat(r, salt)), -1)
+          .when(xxhash64(concat(l, salt)) > xxhash64(concat(r, salt)), 1)
+          .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0))),
+      " ")
+
+  private def synth(spark: SparkSession, replicas: Int): Unit = {
+    if (graft.util.FsIO.exists(spark, s"$HX/_DONE")) return
+    val src = "/root/testdata/sf0.1"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(HX))
+
+    def replicate(table: String, perReplica: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until replicas).map(i => perReplica(base, i))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$HX/$table.parquet")
+      println(s"synth $table x$replicas done")
+    }
+
+    // the permutation salt MUST be per-document: a per-replica salt
+    // sorts every doc's tokens in the same global hash order, which
+    // MANUFACTURES dense within-replica near-dup clusters (docs
+    // sharing vocabulary get near-identical sorted token sequences) —
+    // found when the minhash row went 270× super-linear on the v1
+    // corpus; with per-doc orders, bigram similarity across docs and
+    // replicas reflects only the natural/planted structure
+    replicate("documents", { (d, i) =>
+      val shifted = d.withColumn("doc_id", col("doc_id") + lit(i * Shift))
+      if (i == 0) shifted
+      else shifted.withColumn("text",
+        permuteText(col("text"), concat(lit(s"#r$i#"), col("doc_id"))))
+    })
+    replicate("embeddings", { (e, i) =>
+      val shifted = e.withColumn("vec_id", col("vec_id") + lit(i * Shift))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, j) => (x * (lit(1.0f) +
+          (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000L)).cast("float") -
+            lit(500f)) / lit(100000f))).cast("float")))
+    })
+    replicate("events", (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * Shift)))
+    replicate("lineitem", (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * Shift)))
+    replicate("orders", (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * Shift)))
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+        .parquet(s"$HX/$t.parquet")
+    }
+    graft.util.FsIO.writeTextAtomic(spark, s"$HX/_DONE", "ok")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = sys.env.getOrElse("SWEEP_REPS", "2").toInt
+    val replicas = sys.env.getOrElse("SWEEP_REPLICAS", "100").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", "96g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    synth(spark, replicas)
+    val sf = "/root/testdata/sf0.1"
+
+    def timeOnce(f: () => Long): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    def med(f: () => Long): Double = {
+      val ts = (1 to reps).map(_ => timeOnce(f)).sorted
+      ts(ts.length / 2)
+    }
+    println(f"${"item"}%-24s ${"sf0.1"}%8s ${"100x"}%9s ratio  (work grows ~100x)")
+    def row(name: String, small: () => Long, big: () => Long): Unit =
+      try {
+        timeOnce(small); timeOnce(big) // warm both (fixtures, JIT)
+        val s = med(small); val b = med(big)
+        println(f"$name%-24s $s%8.2f $b%9.2f ${b / math.max(s, 1e-9)}%5.1f")
+      } catch {
+        case e: Throwable =>
+          println(f"$name%-24s ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+
+    // ANN joins: operators timed directly (the GATES spend their time
+    // computing exact oracle yardsticks, which are quadratic at 1M)
+    import graft.pipeline.Ann
+    def embs(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def ivfJoin(dir: String, cells: Int): Long = {
+      val e = embs(dir)
+      Ann.knnJoinIvf(e.filter(col("vec_id") % 10007 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 10007 =!= 0), "vec_id", "embedding",
+        k = 5, nCells = cells, nProbe = 4, metric = "L2").count()
+    }
+    // The near-dup PRODUCTION banding: 8 rows/band × 16 bands puts the
+    // LSH S-curve at J≈0.8-0.9 (the training-data near-dup regime), so
+    // the J≈0.05 cross-replica mass that floods the gate's sharp-0.5
+    // config (4 rows/band → J^4 false-positive tail → ~40M candidates
+    // → O(cands × |shingles|) verify I/O) never becomes candidates.
+    def minhashSharp(dir: String): Long =
+      graft.pipeline.Dedup.minhashNearDups(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 16, threshold = 0.85).count()
+
+    val annItems: Map[String, (() => Long, () => Long)] = Map(
+      "minhash_nd_prod" -> ((() => minhashSharp(sf), () => minhashSharp(HX))),
+      "ann_topk_brute" -> ((
+        () => Ann.topK(embs(sf), "vec_id", "embedding",
+          graft.Queries.queryVec, 20, "L2").count(),
+        () => Ann.topK(embs(HX), "vec_id", "embedding",
+          graft.Queries.queryVec, 20, "L2").count())),
+      "ann_knn_join_ivf" -> ((() => ivfJoin(sf, 16), () => ivfJoin(HX, 64))))
+
+    val defaults = Seq("q_tag_or", "q_bool_composed", "q_not", "q_numeric_range",
+      "p_dedup_minhash_lsh", "p_dedup_simhash", "p_dedup_ngram_salted",
+      "p_dsir_select", "p_pipeline_e2e", "ann_topk_brute", "ann_knn_join_ivf")
+    val items = if (args.nonEmpty) args.toSeq else defaults
+    items.foreach { g =>
+      annItems.get(g) match {
+        case Some((small, big)) => row(g, small, big)
+        case None =>
+          val fn = graft.Queries.all(g)
+          row(g, () => fn(spark, sf).count(), () => fn(spark, HX).count())
+      }
+    }
+    spark.stop()
+  }
+}

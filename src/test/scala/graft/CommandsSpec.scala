@@ -291,7 +291,9 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[SearchEngine.SearchReply]
     assert(reply.rows.head.schema.fieldNames.toSeq == Seq("__key", "__sortkey"))
     assert(reply.rows.map(_.getString(0)).toSeq == Seq("p2", "p3", "p1"))
-    assert(reply.rows.map(_.getString(1)).toSeq == Seq("#24.5", "#15.0", "#9.99"))
+    // numeric sort keys render like the hash stores them: integral
+    // values carry no ".0" (GetSortKeyValue returns the raw string)
+    assert(reply.rows.map(_.getString(1)).toSeq == Seq("#24.5", "#15", "#9.99"))
     // no SORTBY → empty sort key, still present (GetSortKeyValue "" path)
     val noSort = cmds.execute(Seq("FT.SEARCH", "products", "@price:[5 30]",
       "WITHSORTKEYS", "NOCONTENT")).asInstanceOf[SearchEngine.SearchReply]
