@@ -1027,6 +1027,76 @@ object Queries {
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
     ),
     (
+      // RESP round-trip (r10): the FT.SEARCH reply SERIALIZED TO RESP2
+      // BYTES and decoded back must carry exactly the oracle's rows —
+      // the wire layer (framing, WITHSORTKEYS "#" values, total
+      // prefix, key ordering) is itself DuckDB-checked, not just
+      // spec-pinned. Shapes per reference ft_search.cc:140-190.
+      "q_resp_search",
+      (s: SparkSession, dir: String) => {
+        val e = eng(s, dir)
+        val cmds = new graft.engine.Commands(e, _ => sys.error("no source"))
+        val bytes = new graft.resp.RespCommands(e, cmds).execute(Seq(
+          "FT.SEARCH", "part", "@p_size:[10 20]", "SORTBY", "p_brand",
+          "ASC", "WITHSORTKEYS", "RETURN", "1", "p_brand",
+          "LIMIT", "0", "50"))
+        // content reply: triples (key, #sortkey, [field, value, ...])
+        // — the reference's NOCONTENT wire form is keys-only, so the
+        // sortkey round-trip needs the content shape
+        val decoded = graft.resp.Resp.decode(bytes).asInstanceOf[Vector[Any]]
+        val total = decoded.head.asInstanceOf[Long]
+        val rows = decoded.tail.grouped(3).map { p =>
+          val fields = p(2).asInstanceOf[Vector[Any]]
+            .grouped(2).map(q => (q(0), q(1))).toMap
+          (p(0).asInstanceOf[String], p(1).asInstanceOf[String],
+            fields("p_brand").asInstanceOf[String], total.toDouble)
+        }.toSeq
+        val sp = s; import sp.implicits._
+        rows.toDF("__key", "__sortkey", "p_brand", "total")
+      },
+      """SELECT CAST(p_partkey AS VARCHAR) AS __key,
+        |  '#' || p_brand AS __sortkey,
+        |  p_brand,
+        |  CAST((SELECT count(*) FROM part
+        |        WHERE p_size >= 10 AND p_size <= 20) AS DOUBLE) AS total
+        |FROM part WHERE p_size >= 10 AND p_size <= 20
+        |ORDER BY p_brand ASC, __key ASC LIMIT 50""".stripMargin
+    ),
+    (
+      // RESP round-trip for FT.AGGREGATE (ft_aggregate.cc:369-404):
+      // [n, [name, value,...]...] decoded back and compared as rows —
+      // GROUPBY + SUM over the wire with the reference's %g value
+      // rendering re-derived in SQL (integral sums carry no ".0").
+      "q_resp_aggregate",
+      (s: SparkSession, dir: String) => {
+        val e = eng(s, dir)
+        val cmds = new graft.engine.Commands(e, _ => sys.error("no source"))
+        val bytes = new graft.resp.RespCommands(e, cmds).execute(Seq(
+          "FT.AGGREGATE", "lineitem", "*",
+          "GROUPBY", "1", "@l_returnflag",
+          "REDUCE", "SUM", "1", "@l_quantity", "AS", "sum_qty",
+          "SORTBY", "2", "@l_returnflag", "ASC"))
+        val decoded = graft.resp.Resp.decode(bytes).asInstanceOf[Vector[Any]]
+        val n = decoded.head.asInstanceOf[Long]
+        val rows = decoded.tail.map { rec =>
+          val m = rec.asInstanceOf[Vector[Any]].grouped(2)
+            .map(p => (p(0).asInstanceOf[String], p(1).asInstanceOf[String]))
+            .toMap
+          (m("l_returnflag"), m("sum_qty"), n.toDouble)
+        }
+        val sp = s; import sp.implicits._
+        rows.toDF("l_returnflag", "sum_qty", "n_rows")
+      },
+      """SELECT l_returnflag,
+        |  CASE WHEN sum(l_quantity) = floor(sum(l_quantity))
+        |    THEN CAST(CAST(sum(l_quantity) AS BIGINT) AS VARCHAR)
+        |    ELSE CAST(sum(l_quantity) AS VARCHAR) END AS sum_qty,
+        |  CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem)
+        |       AS DOUBLE) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin
+    ),
+    (
       // R4 WITHSORTKEYS (reference search.h:71, ft_search.cc:153-159):
       // each row carries "#" + the SORTBY value — previously spec-only,
       // now oracle-checked on a string field (exact rendering parity).

@@ -31,6 +31,42 @@ object Resp {
     out.toByteArray
   }
 
+  /** Decode one RESP2 value from `bytes` (the inverse of the encoders
+    * above): arrays → Vector, bulk/simple strings → String, integers
+    * → Long, errors → RespError, null bulk → null. Trailing bytes are
+    * an error — a reply is exactly one value. Used by the round-trip
+    * oracle gates: the wire layer itself is DuckDB-checked by
+    * serializing a reply and parsing it back. */
+  final case class RespError(message: String)
+  def decode(bytes: Array[Byte]): Any = {
+    val (v, rest) = decodeOne(bytes)
+    require(rest.isEmpty, s"trailing bytes after RESP value: ${rest.length}")
+    v
+  }
+  private def decodeOne(b: Array[Byte]): (Any, Array[Byte]) = {
+    val nl = b.indexOfSlice("\r\n".getBytes(UTF_8))
+    require(nl > 0, "malformed RESP: missing CRLF")
+    val head = new String(b.slice(1, nl), UTF_8)
+    val rest = b.drop(nl + 2)
+    b(0).toChar match {
+      case '+' => (head, rest)
+      case '-' => (RespError(head), rest)
+      case ':' => (head.toLong, rest)
+      case '$' =>
+        val n = head.toInt
+        if (n < 0) (null, rest)
+        else (new String(rest.take(n), UTF_8), rest.drop(n + 2))
+      case '*' =>
+        var r = rest
+        val items = Vector.newBuilder[Any]
+        (0 until head.toInt).foreach { _ =>
+          val (v, r2) = decodeOne(r); r = r2; items += v
+        }
+        (items.result(), r)
+      case c => throw new IllegalArgumentException(s"unknown RESP type byte '$c'")
+    }
+  }
+
   /** C-style `%.12g` (the reference's snprintf score/value rendering,
     * ft_search.cc:70): Java's %g keeps trailing zeros, C's trims them
     * — strip the zero tail (and a bare trailing '.') from the
