@@ -505,12 +505,16 @@ object PipelineQueries {
       val sp = s
       import sp.implicits._
       val df = (aRows ++ bRows).toDF("k", "hash")
+      // saltGroups = 2 (not the default 8): identical semantics — the
+      // triangle construction emits the same pairs for any g — but 3
+      // task-groups instead of 36 on this 70-row corpus, where group
+      // scheduling is the entire cost
       val exactSet = Dedup.hammingNearDups(df, maxHamming = 3,
-          cliqueCap = 1000, saltAbove = 8, maxBandFreq = None)
+          cliqueCap = 1000, saltAbove = 8, saltGroups = 2, maxBandFreq = None)
         .select("key_a", "key_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val cappedSet = Dedup.hammingNearDups(df, maxHamming = 3,
-          cliqueCap = 1000, saltAbove = 8, maxBandFreq = Some(20))
+          cliqueCap = 1000, saltAbove = 8, saltGroups = 2, maxBandFreq = Some(20))
         .select("key_a", "key_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val cellSet = Dedup.cappedCells(df, cliqueCap = 1000,
