@@ -171,9 +171,13 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
           pairs += bulk(fmtG(r.getDouble(i)))
         }
       }
+      // content pairs = the document's stored attributes (reference
+      // attribute_contents): skip the key/sortkey/score plus the
+      // enrichment internals (`__alias__tags`/`__alias__raw`/... all
+      // start with "__"), which have no hash-field analogue
       names.zipWithIndex.foreach { case (n, i) =>
-        if (n != schema.keyColumn && n != "__sortkey" &&
-            !scoreName.contains(n) && !r.isNullAt(i)) {
+        if (n != schema.keyColumn && !scoreName.contains(n) &&
+            !n.startsWith("__") && !r.isNullAt(i)) {
           pairs += bulk(n)
           pairs += bulk(render(r.get(i)))
         }

@@ -139,6 +139,20 @@ class RespSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("full-content reply carries stored attributes only, no enrichment internals") {
+    val got = decode(resp.execute(Seq("FT.SEARCH", "r_t", "@size:[20 30]")))
+    got match {
+      case Vector(total, key, fields: Vector[_]) =>
+        assert(total == 1L && key == "k2")
+        val names = fields.grouped(2).map(_.head.asInstanceOf[String]).toSet
+        // the reference replies the doc's hash fields (attribute
+        // contents) — never derived index state; pk rides as the key
+        assert(!names.exists(_.startsWith("__")), s"internals leaked: $names")
+        assert(names.contains("body") && names.contains("size"))
+      case other => fail(s"unexpected shape: $other")
+    }
+  }
+
   test("FT.AGGREGATE: [n, [name, value...]...] with names as simple strings") {
     val got = decode(resp.execute(Seq("FT.AGGREGATE", "r_t", "*",
       "GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "n")))
