@@ -347,13 +347,17 @@ object Dedup {
     // EITHER plan so the tiered path's groupBy(hash) agrees with the
     // fast path's null-propagating band join.
     val nonNull = hashes.filter(col("hash").isNotNull)
-    // One banded relation serves BOTH the planner stats and the fast
-    // path's join — the dispersed case pays exactly one extra
-    // aggregation over rows it had to materialize anyway.
-    val banded = nonNull.select(col("k"), col("hash"),
+    // Persist the NARROW (k, hash) relation — computing `hash`
+    // upstream (e.g. simhash over full text) is the expensive part;
+    // the 4× banded explode is trivial to re-derive from cache, so
+    // caching post-explode would just store 4× the rows for nothing.
+    // One cached relation serves the planner stats, both sides of the
+    // fast path's join, and the tiered path's class machinery.
+    val sigs = nonNull.select(col("k"), col("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("k"), col("hash"),
         explode(bandsOf(col("hash"))).as("bk"))
       .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // planner stats, tier 1 (always): the cell histogram. groupBy on
     // (band, bv) has at most 4·2^16 groups, so map-side partial
     // aggregation bounds the exchange at ~256k rows per task however
@@ -371,8 +375,7 @@ object Dedup {
     val maxM =
       if (maxCell <= math.min(cliqueCap.toLong, saltAbove.toLong)) 0L
       else if (maxCell <= saltAbove) {
-        val mRow = banded.filter(col("band") === 0)
-          .groupBy(col("hash")).agg(count(lit(1)).as("m"))
+        val mRow = sigs.groupBy(col("hash")).agg(count(lit(1)).as("m"))
           .agg(max(col("m"))).collect()(0)
         if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
       } else Long.MaxValue
@@ -387,11 +390,11 @@ object Dedup {
           bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
         .filter(col("hamming") <= maxHamming)
         .distinct()
-      return materializeAndRelease(result, banded)
+      return materializeAndRelease(result, sigs)
     }
-    // measured-skewed corpus: the tiered plan (class machinery derives
-    // from band 0 of the cached relation — one row per member)
-    val base = banded.filter(col("band") === 0).select(col("k"), col("hash"))
+    // measured-skewed corpus: the tiered plan (class machinery reads
+    // the cached (k, hash) relation directly — one row per member)
+    val base = sigs
     val classes = base.groupBy(col("hash"))
       .agg(min(col("k")).as("rep"), count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -448,7 +451,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
     val result = clique.unionByName(star).unionByName(cross)
-    materializeAndRelease(result, banded, classes, small, crossBanded)
+    materializeAndRelease(result, sigs, classes, small, crossBanded)
   }
 
   /**
