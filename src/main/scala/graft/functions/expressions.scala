@@ -1328,3 +1328,62 @@ case class BloomMightContainLong(child: Expression, bits: Array[Byte])
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * TAG-field tokenization in ONE row-local JVM pass: split on the
+ * LITERAL separator, trim ASCII spaces (0x20 — Spark `trim`
+ * semantics), ASCII-fold A-Z unless `caseSensitive` (reference
+ * tag.cc:87 folds ASCII only, not Unicode lower), drop empties.
+ * Replaces the `split` + `transform(trim)` + `transform(translate)` +
+ * `filter(length > 0)` chain, whose lambdas evaluate interpreted per
+ * (element × row) and whose CollapseProject-inlining into TAG
+ * predicates pushed every tag Filter OUT of whole-stage codegen; this
+ * expression generates one compiled method call, keeping the
+ * scan→filter stage fused.
+ */
+case class TagsOf(child: Expression, sep: String, caseSensitive: Boolean)
+    extends UnaryExpression {
+  require(sep.nonEmpty, "empty tag separator")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tags_of"
+
+  def tagsOf(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var more = true
+    while (more) {
+      val idx = str.indexOf(sep, start)
+      val end = if (idx < 0) str.length else idx
+      var a = start
+      var b = end
+      while (a < b && str.charAt(a) == ' ') a += 1
+      while (b > a && str.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        if (caseSensitive) out += UTF8String.fromString(str.substring(a, b))
+        else {
+          val arr = new Array[Char](b - a)
+          var i = a
+          while (i < b) {
+            val c = str.charAt(i)
+            arr(i - a) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            i += 1
+          }
+          out += UTF8String.fromString(new String(arr))
+        }
+      }
+      if (idx < 0) more = false else start = idx + sep.length
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = tagsOf(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tagsOfExpr", this, classOf[TagsOf].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.tagsOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -58,6 +58,9 @@ package object functions {
   /** Distinct space-joined word n-gram STRINGS (one JVM loop). */
   def word_ngrams(words: Column, n: Int): Column =
     expr2col(WordNgrams(col2expr(words), n))
+  /** TAG tokenization (split/trim/fold/drop-empties, one JVM pass). */
+  def tags_of(s: Column, sep: String, caseSensitive: Boolean): Column =
+    expr2col(TagsOf(col2expr(s), sep, caseSensitive))
   /** Bloom membership probe of a long-hash column (serialized bits). */
   def bloom_might_contain(hash: Column, bits: Array[Byte]): Column =
     expr2col(BloomMightContainLong(col2expr(hash), bits))

@@ -154,15 +154,14 @@ object Documents {
           // under the alias (RETURN projections, FT.INFO counts)
           if (fd.alias != fd.identifier || isJsonPath(fd.identifier))
             df = df.withColumn(fd.alias, src.cast(StringType))
-          val rawTags = split(src.cast(StringType), java.util.regex.Pattern.quote(sep))
-          val trimmed = transform(rawTags, t => trim(t))
-          // ASCII-only fold (tag.cc:87) — translate, not Unicode lower
-          val folded =
-            if (caseSensitive) trimmed
-            else transform(trimmed, t => translate(t,
-              "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
+          // one-pass JVM tokenization (split on the literal separator,
+          // trim, ASCII-only fold per tag.cc:87, drop empties): the
+          // former split/transform/transform/filter HOF chain inlined
+          // into every TAG predicate (CollapseProject) and its
+          // interpreted lambdas forced the Filter out of whole-stage
+          // codegen — tags_of generates one compiled call instead
           df = df.withColumn(schema.tagsCol(fd.alias),
-            filter(folded, t => length(t) > 0))
+            graft.functions.tags_of(src.cast(StringType), sep, caseSensitive))
         case tf: TextField =>
           if (fd.alias != fd.identifier || isJsonPath(fd.identifier))
             df = df.withColumn(fd.alias, src.cast(StringType))

@@ -22,6 +22,45 @@ class ExpressionFuzzSpec extends AnyFunSuite {
   private val pieces = Vector("a", "b", "zz", "Q7", "1", "é", "ß", "中文",
     "😀", "x y", "", " ", "tok", "naïve", "..", "ß😀é")
 
+  test("TagsOf matches the legacy split/trim/fold/filter semantics") {
+    import graft.functions.TagsOf
+    // plain-Scala model of the replaced HOF chain: literal-separator
+    // split keeping trailing empties, Spark trim (ASCII space 0x20
+    // both ends), ASCII-only A-Z fold, drop empties
+    def model(s: String, sep: String, cs: Boolean): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      var more = true
+      while (more) {
+        val i = s.indexOf(sep, start)
+        if (i < 0) { parts += s.substring(start); more = false }
+        else { parts += s.substring(start, i); start = i + sep.length }
+      }
+      parts.toSeq
+        .map(_.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse)
+        .map(t => if (cs) t else t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c))
+        .filter(_.nonEmpty)
+    }
+    def run(s: String, sep: String, cs: Boolean): Seq[String] = {
+      val out = TagsOf(Literal(UTF8String.fromString(s), StringType), sep, cs)
+        .eval(null).asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    val edges = Seq("", " ", ",", ",,", " A , b ,", "x,Y Z", "a||B|| ||c",
+      "NEWS", "né,É中 ,😀", "  spaced  out  ", "trail,", ",lead")
+    for (s <- edges; sep <- Seq(",", "||"); cs <- Seq(true, false))
+      assert(run(s, sep, cs) == model(s, sep, cs), s"s='$s' sep='$sep' cs=$cs")
+    val rnd = new scala.util.Random(20260814L)
+    // whole code points only: picking raw UTF-16 units would produce
+    // lone surrogates, which UTF8String round-trips as replacements
+    val atoms = Vector("a", "A", " ", ",", "z", "Z", "|", "é", "😀", " ", " ")
+    for (iter <- 1 to 1000) {
+      val s = Vector.fill(rnd.nextInt(16))(atoms(rnd.nextInt(atoms.size))).mkString
+      for ((sep, cs) <- Seq((",", false), (",", true), ("||", false)))
+        assert(run(s, sep, cs) == model(s, sep, cs), s"iter $iter s='$s' sep='$sep' cs=$cs")
+    }
+  }
+
   test("WordNgrams matches the Scala model on random unicode word arrays") {
     val rnd = new scala.util.Random(20260813L)
     for (iter <- 1 to 1000) {
