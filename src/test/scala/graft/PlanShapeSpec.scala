@@ -71,4 +71,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"))
     assert(p.contains("PushedFilters"))
   }
+
+  /** The round-10 TagsOf win: TAG predicates must evaluate via the
+    * codegen'd tags_of expression INSIDE the same whole-stage-codegen
+    * span as the scan. The regression PlanAudit caught (interpreted
+    * HOF lambdas forcing the Filter out of codegen) shows up here as
+    * either a `lambdafunction` in the condition or a Filter whose
+    * codegen id differs from the scan's ColumnarToRow. */
+  private def assertTagFilterFused(name: String): Unit = {
+    val p = plan(name)
+    assert(p.contains("tags_of("), s"$name: tag filter must use the TagsOf expression\n" + p.take(1200))
+    assert(!p.contains("lambdafunction"),
+      s"$name: interpreted HOF lambda back on the tag path\n" + p.take(1200))
+    val filterIds = raw"\(\d+\) Filter \[codegen id : (\d+)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    val scanIds = raw"\(\d+\) ColumnarToRow \[codegen id : (\d+)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(filterIds.nonEmpty, s"$name: tag Filter fell out of whole-stage codegen\n" + p.take(1200))
+    assert(scanIds.exists(filterIds.contains),
+      s"$name: Filter codegen ids $filterIds share no span with scan ids $scanIds\n" + p.take(1200))
+  }
+
+  test("q_tag_or: TAG filter fused into the scan's whole-stage-codegen span") {
+    assertTagFilterFused("q_tag_or")
+  }
+
+  test("q_not: NOT-of-TAG filter fused into the scan's whole-stage-codegen span") {
+    assertTagFilterFused("q_not")
+  }
 }
