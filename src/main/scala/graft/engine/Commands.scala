@@ -378,7 +378,15 @@ final class Commands(
         "Invalid range: Value above maximum; Maximum number of indexes " +
           s"reached (${engine.maxIndexes}). Cannot create additional indexes.")
     val (raw, keyExpr) = source(normPrefixes)
-    val bound = if (skipScan) raw.limit(0) else raw
+    // The PREFIX subscription is ENGINE-side, like the reference's
+    // index_schema.cc prefix matching — a source that ignores the
+    // prefixes it is handed still yields a correctly-restricted index.
+    // (Sources that pre-filter just produce a redundant conjunct.)
+    val subscribed =
+      if (normPrefixes == Seq("")) raw
+      else raw.filter(
+        graft.sources.Documents.keyPrefixPredicate(keyExpr, normPrefixes))
+    val bound = if (skipScan) subscribed.limit(0) else subscribed
     // TEXT-bearing indexes default resident, like the reference's
     // always-in-memory text index — otherwise every query re-runs the
     // analyzer over the corpus (tokenize-on-read, a per-query cost the
@@ -409,7 +417,11 @@ final class Commands(
           "wire IndexMaintainer with the ingest state as docsSource instead")
     def boundSource(): () => DataFrame = () => {
       val (raw2, key2) = source(normPrefixes)
-      raw2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
+      val sub2 =
+        if (normPrefixes == Seq("")) raw2
+        else raw2.filter(
+          graft.sources.Documents.keyPrefixPredicate(key2, normPrefixes))
+      sub2.withColumn(schema.keyColumn, key2.cast(org.apache.spark.sql.types.StringType))
     }
     maintainDir.foreach { d =>
       maintainerByIndex(name) =

@@ -24,6 +24,25 @@ final case class NumericBucketLayout(bucketCol: String, step: Double) {
 }
 
 /**
+ * Key-prefix layout hint for a registered relation written by
+ * [[graft.sources.Layout.saveKeyPrefixPartitioned]]: partition column
+ * `partitionCol` holds the first `prefixLen` characters of the key, so
+ * a PREFIX subscription (reference index_schema.cc prefix matching,
+ * COMMANDS.md:38) implies a PartitionFilter — equality when the
+ * subscribed prefix is at least `prefixLen` long, startsWith otherwise.
+ * A superset by construction; the exact startsWith on the key column
+ * (applied at bind, [[Commands]]) keeps the semantics.
+ */
+final case class KeyPrefixLayout(partitionCol: String, prefixLen: Int) {
+  require(prefixLen > 0, "prefixLen must be positive")
+  /** The PartitionFilter one subscribed prefix implies. */
+  def pruneCond(prefix: String): org.apache.spark.sql.Column =
+    if (prefix.length >= prefixLen)
+      org.apache.spark.sql.functions.col(partitionCol) === prefix.take(prefixLen)
+    else org.apache.spark.sql.functions.col(partitionCol).startsWith(prefix)
+}
+
+/**
  * FT.SEARCH options (reference: src/query/search.h:43-111,
  * src/commands/ft_search_parser.cc:102-242).
  *
@@ -117,6 +136,7 @@ class SearchEngine {
     * any index mutation (createIndex / dropIndex / registerPosting). */
   private val infoStatsCache = scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.Row, Long)]
   private val layouts = scala.collection.concurrent.TrieMap.empty[(String, String), NumericBucketLayout]
+  private val keyLayouts = scala.collection.concurrent.TrieMap.empty[String, KeyPrefixLayout]
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -164,6 +184,19 @@ class SearchEngine {
   def registerLayout(indexName: String, field: String,
                      layout: NumericBucketLayout): this.type = {
     layouts((indexName, field)) = layout
+    this
+  }
+
+  /** Declare the registered relation's key-prefix physical layout
+    * ([[KeyPrefixLayout]]): when the index carries PREFIX
+    * subscriptions, every query then ANDs the implied partition-column
+    * conjunct (engine-side, no caller cooperation — the reference's
+    * prefix matching lives in index_schema.cc, not in its clients),
+    * pruning partition directories before any scan task launches.
+    * Like all derived registrations, call AFTER createIndex. */
+  def registerKeyPrefixLayout(indexName: String,
+                              layout: KeyPrefixLayout): this.type = {
+    keyLayouts(indexName) = layout
     this
   }
 
@@ -422,6 +455,7 @@ class SearchEngine {
     posPostings.filterInPlace { case ((idx, _), _) => idx != schema.name }
     posStats.filterInPlace { case ((idx, _), _) => idx != schema.name }
     layouts.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    keyLayouts.remove(schema.name)
     this
   }
 
@@ -444,6 +478,7 @@ class SearchEngine {
     posPostings.filterInPlace { case ((idx, _), _) => idx != name }
     posStats.filterInPlace { case ((idx, _), _) => idx != name }
     layouts.filterInPlace { case ((idx, _), _) => idx != name }
+    keyLayouts.remove(name)
     ()
   }
 
@@ -525,6 +560,16 @@ class SearchEngine {
     val compiler = new PredicateCompiler(schema, analyzerCfg)
     var df = docs
     lastRouteEstimates = Nil
+    // Key-prefix layout pruning (registerKeyPrefixLayout): AND the
+    // PartitionFilter the index's PREFIX subscriptions imply — a
+    // superset of the exact startsWith applied at bind, so semantics
+    // are untouched; the effect is fewer files scanned, match-all
+    // queries included.
+    keyLayouts.get(schema.name).foreach { kl =>
+      schema.subscribedPrefixes.filter(_.nonEmpty)
+        .map(kl.pruneCond).reduceOption(_ || _)
+        .foreach(c => df = df.filter(c))
+    }
     if (!parsed.isMatchAll) {
       // Route posting-servable conjuncts through posting lookup +
       // semi-join; everything else compiles to the columnar predicate

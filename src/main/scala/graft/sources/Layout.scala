@@ -109,13 +109,18 @@ object Layout {
   /** Register the engine-side pruning hint a saved layout implies (a
     * no-op for layouts that prune natively). Call AFTER createIndex —
     * like all derived registrations. `field` is the schema field name
-    * whose alias reads from the layout's source column. */
+    * whose alias reads from the layout's source column (unused by the
+    * keyPrefix layout, which keys off the index's PREFIX
+    * subscriptions). */
   def registerHints(engine: graft.engine.SearchEngine, indexName: String,
                     spark: SparkSession, path: String, field: String): Unit =
     describe(spark, path).foreach {
       case TableLayout("numericBucket", _, pc, step, _) =>
         engine.registerLayout(indexName, field,
           graft.engine.NumericBucketLayout(pc, step))
-      case _ => () // tag partitioning prunes natively; keyPrefix is read-side
+      case TableLayout("keyPrefix", _, pc, _, plen) =>
+        engine.registerKeyPrefixLayout(indexName,
+          graft.engine.KeyPrefixLayout(pc, plen))
+      case _ => () // tag partitioning prunes natively
     }
 }

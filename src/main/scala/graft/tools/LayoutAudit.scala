@@ -67,6 +67,25 @@ object LayoutAudit {
       s"filesRead=${q3.select(input_file_name()).distinct().count()}" +
       s"/filesTotal=${files(s"$tmp/bykey")}")
     println(s"  ${partitionFilters(q3)}")
+
+    // key-prefix layout through the ENGINE: PREFIX-subscribed index +
+    // registerHints → the subscription itself becomes a PartitionFilter
+    val keyedN = docs.select(concat(lit("doc"), col("doc_id")).as("k"),
+      col("n_chars"), col("text"))
+    Layout.saveKeyPrefixPartitioned(keyedN, "k", s"$tmp/bykeyN", prefixLen = 4)
+    val kpN = spark.read.parquet(s"$tmp/bykeyN")
+    val e3 = new SearchEngine()
+    val cmds = new graft.engine.Commands(e3, _ => (kpN, col("k")))
+    cmds.execute(Seq("FT.CREATE", "docs_kp", "PREFIX", "1", "doc12",
+      "SCHEMA", "n_chars", "NUMERIC"))
+    Layout.registerHints(e3, "docs_kp", spark, s"$tmp/bykeyN", "k")
+    val q4 = e3.search("docs_kp", "*",
+      SearchOptions(limit = (0, 100000), noContent = true))
+    println(s"KEY ENGINE PREFIX doc12 match-all  rows=${q4.count()}  " +
+      s"filesRead=${kpN.filter(col("__kp") === "doc1" && col("k").startsWith("doc12"))
+        .select(input_file_name()).distinct().count()}" +
+      s"/filesTotal=${files(s"$tmp/bykeyN")}")
+    println(s"  ${partitionFilters(q4)}")
     spark.stop()
   }
 }

@@ -67,4 +67,21 @@ class KeyPrefixParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = engine.search("overlap_t", "*").collect()
     assert(rows.length == 2)
   }
+
+  test("PREFIX subscription is engine-side: an unfiltered source still restricts") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("user:1", 10.0), ("user:2", 20.0),
+      ("item:1", 30.0), ("other", 40.0)).toDF("pk", "price")
+    val engine = new SearchEngine
+    // the source IGNORES the prefixes it is handed — the reference's
+    // prefix matching lives in the index (index_schema.cc), not in its
+    // clients, so the engine must restrict regardless
+    val cmds = new Commands(engine, _ => (docs, col("pk")))
+    cmds.execute(Seq("FT.CREATE", "pfx_eng", "PREFIX", "1", "user:",
+      "SCHEMA", "price", "NUMERIC"))
+    val keys = engine.search("pfx_eng", "*").collect()
+      .map(_.getAs[String]("__key")).toSet
+    assert(keys == Set("user:1", "user:2"))
+  }
 }

@@ -167,4 +167,51 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p2.select("k").collect().map(_.getString(0)).sorted.toSeq == want2)
     assert(filesRead(p2) < total)
   }
+
+  test("key-prefix layout prunes through the ENGINE query path for a PREFIX-subscribed index") {
+    // NUMERIC schema: non-resident, so the prune is visible on the
+    // parquet scan (TEXT indexes persist; cached plans have no
+    // PartitionFilters line — the on-disk layout story is the
+    // non-resident one)
+    val keyed = docs.select(concat(lit("doc"), col("doc_id")).as("k"),
+      col("n_chars"), col("text"))
+    Layout.saveKeyPrefixPartitioned(keyed, "k", s"$tmp/bykeyEng", prefixLen = 4)
+    val part = spark.read.parquet(s"$tmp/bykeyEng")
+    assert(Layout.describe(spark, s"$tmp/bykeyEng").exists(_.kind == "keyPrefix"))
+    def mkEngine(src: DataFrame, idx: String): SearchEngine = {
+      val e = new SearchEngine()
+      val cmds = new graft.engine.Commands(e, _ => (src, col("k")))
+      cmds.execute(Seq("FT.CREATE", idx, "PREFIX", "1", "doc1",
+        "SCHEMA", "n_chars", "NUMERIC"))
+      e
+    }
+    val engine = mkEngine(part, "docs_kp")
+    Layout.registerHints(engine, "docs_kp", spark, s"$tmp/bykeyEng", "k")
+    val out = engine.search("docs_kp", "*",
+      SearchOptions(limit = (0, 10000), noContent = true))
+    // the hint turns the subscription into a PartitionFilter on __kp
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("__kp"), s"no partition filter on __kp:\n$plan")
+    // identical result to an engine over the UNPARTITIONED relation
+    // with the same subscription and no hint
+    val flat = mkEngine(keyed, "docs_kp0")
+    val want = flat.search("docs_kp0", "*",
+        SearchOptions(limit = (0, 10000), noContent = true))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == want)
+    assert(want.nonEmpty)
+    // and a filtered query through the same engine also prunes + agrees
+    val q = engine.search("docs_kp", "@n_chars:[100 400]",
+      SearchOptions(limit = (0, 10000), noContent = true))
+    val pfq = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pfq.contains("__kp"), s"no partition filter on __kp:\n$pfq")
+    val wantQ = flat.search("docs_kp0", "@n_chars:[100 400]",
+        SearchOptions(limit = (0, 10000), noContent = true))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == wantQ)
+  }
 }
