@@ -1387,3 +1387,72 @@ case class TagsOf(child: Expression, sep: String, caseSensitive: Boolean)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * b-bit minwise sketch (Li & König, CACM '11): the LOW BYTE of each
+ * MinHash signature component, packed into a fixed-width binary. The
+ * staged LSH verify ships this 1-byte-per-component sketch to the
+ * candidate-pair prefilter instead of the full variable-width shingle
+ * set — at the sharp oracle banding (4 rows/band) a dup-heavy corpus
+ * floods the verify join with tens of millions of low-Jaccard
+ * candidates, and the payload drops ~8× vs 8-byte components and
+ * 10-100× vs raw shingle arrays ([[graft.pipeline.Dedup]]).
+ */
+case class SigPackBytes(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sig_pack_bytes"
+
+  def pack(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = v.getLong(i).toByte; i += 1 }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = pack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigPackExpr", this, classOf[SigPackBytes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.pack($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Fraction of equal bytes between two equal-length binaries — the
+ * b-bit minwise agreement A. The unbiased Jaccard estimate is
+ * (A − 2⁻⁸)/(1 − 2⁻⁸) (a random non-matching component still agrees
+ * on its low byte with probability 1/256); [[graft.pipeline.Dedup]]
+ * applies that correction in Column algebra.
+ */
+case class ByteAgreeFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "byte_agree_frac"
+
+  def agree(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length,
+      s"sketch length mismatch: ${a.length} vs ${b.length}")
+    if (a.length == 0) return 1.0
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    agree(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteAgreeExpr", this, classOf[ByteAgreeFrac].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.agree($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -49,6 +49,12 @@ package object functions {
   /** MinHash signature of an array<string> shingle column. */
   def minhash_sig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
     expr2col(MinHashSig(col2expr(shingles), a, b))
+  /** b-bit minwise sketch: low byte per signature component. */
+  def sig_pack_bytes(sig: Column): Column =
+    expr2col(SigPackBytes(col2expr(sig)))
+  /** Fraction of equal bytes between two equal-length binaries. */
+  def byte_agree_frac(a: Column, b: Column): Column =
+    expr2col(ByteAgreeFrac(col2expr(a), col2expr(b)))
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     expr2col(SimHash64(col2expr(tokens)))

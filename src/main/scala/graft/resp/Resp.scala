@@ -72,6 +72,11 @@ object Resp {
     * — strip the zero tail (and a bare trailing '.') from the
     * mantissa, preserving any exponent. */
   def fmtG(d: Double): String = {
+    // C printf renders non-finite as inf/-inf/nan; Java says Infinity/NaN
+    if (java.lang.Double.isNaN(d))
+      return if ((java.lang.Double.doubleToRawLongBits(d) & Long.MinValue) != 0L) "-nan" else "nan"
+    if (d == Double.PositiveInfinity) return "inf"
+    if (d == Double.NegativeInfinity) return "-inf"
     val s = String.format(java.util.Locale.ROOT, "%.12g", Double.box(d))
     val (mant, exp) = s.indexOf('e') match {
       case -1 => (s, "")

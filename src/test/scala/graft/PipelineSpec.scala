@@ -60,6 +60,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(near._3 - 12.0 / 14.0) < 1e-9) // 13 bigrams each, 12 shared
   }
 
+  test("staged sketch-prefilter verify ≡ direct verify (randomized corpus)") {
+    // 200 docs over a tiny vocabulary: heavy banding collisions across
+    // the full Jaccard spectrum, including near-threshold pairs the
+    // 4σ sketch margin must keep alive, plus size-skewed pairs the
+    // exact size bound prunes.
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val random = (0 until 200).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted: exact copies, one-token edits (near-threshold J), and a
+    // doc embedded in one 4× its size (size-bound territory)
+    val baseTokens = Vector.tabulate(20)(j => vocab(j % vocab.length))
+    val planted = Seq(
+      (1000L, baseTokens.mkString(" ")),
+      (1001L, baseTokens.mkString(" ")),
+      (1002L, baseTokens.updated(10, "omega").mkString(" ")),
+      (1003L, (baseTokens ++ Vector.fill(60)("sigma")).mkString(" ")))
+    val docs = (random ++ planted).toDF("doc_id", "text")
+    def run(pre: Boolean) = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5,
+      sketchPrefilter = pre)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val staged = run(true)
+    val direct = run(false)
+    assert(staged == direct)
+    assert(staged.nonEmpty) // the corpus must actually exercise the verify
+  }
+
   test("ngram jaccard join matches minhash-verified values (no cross join)") {
     val exact = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
       shingleN = 2, threshold = 0.5)
