@@ -48,7 +48,10 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private val create = Seq("FT.CREATE", "products", "ON", "HASH",
-    "PREFIX", "1", "product:", "SCHEMA",
+    // subscription must COVER the doc keys (p1..p4): since the r11
+    // engine-side PREFIX filter, a non-matching prefix correctly
+    // yields an empty index (reference index_schema.cc prefix match)
+    "PREFIX", "1", "p", "SCHEMA",
     "price", "NUMERIC",
     "colors", "AS", "color", "TAG", "SEPARATOR", ",",
     "descr", "TEXT", "SORTABLE",
