@@ -551,6 +551,74 @@ object PipelineQueries {
         |  TRUE AS capped_subset_exact""".stripMargin
     },
 
+    // minhashNearDups' maxBandFreq hot-bucket cap EXECUTING where it
+    // binds (the minhash analogue of p_dedup_hamming_capped; r11 —
+    // SharpProbe measured sharp bandings putting 88% of 2.4e9 banded
+    // pair rows into common-shingle buckets at 100×). Planted corpus:
+    // a 60-doc family sharing a 40-token common block (pairwise
+    // J = 39/43 ≈ 0.907 — mutual TRUE near-dups, but every agreeing
+    // band carries the family-common band value, bucket size ≈ 60 >
+    // cap 20 → all capped → all C(60,2) family pairs missed, by
+    // construction), plus 10 disjoint-vocabulary keeper pairs
+    // (J = 18/20 = 0.9, pair-specific size-2 buckets → kept). The
+    // recall bound is checked literally per pair in both directions
+    // against the cappedBandBuckets disclosure: missed ⇒ ALL agreeing
+    // bands capped; surviving ⇒ ≥1 uncapped agreeing band.
+    q("p_dedup_minhash_capped") { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val common = (0 until 40).map(i => s"c$i").mkString(" ")
+      val family = (0 until 60).map(i => (100L + i, s"$common f$i"))
+      val keepers = (0 until 10).flatMap { p =>
+        val toks = (0 until 20).map(t => s"k${p}_$t")
+        Seq((1000L + 2 * p, toks.mkString(" ")),
+          (1001L + 2 * p, (toks.init :+ s"k${p}_x").mkString(" ")))
+      }
+      val df = (family ++ keepers).toDF("doc_id", "text")
+      def run(cap: Option[Int]) = Dedup.minhashNearDups(df, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5,
+          maxBandFreq = cap)
+        .select("key_a", "key_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val exactSet = run(None)
+      val cappedSet = run(Some(20))
+      val bucketSet = Dedup.cappedBandBuckets(df, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, maxBandFreq = 20)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      // per-doc band values, recomputed through the same public pieces
+      val bandOf = df.select(col("doc_id").cast("string").as("k"),
+          explode(Dedup.bandKeys(Dedup.minhashSignature(
+            Dedup.hashedShingles(col("text"), 2), 128, 42L), 32, 4)).as("bk"))
+        .select(col("k"), col("bk.band"), col("bk.bh")).collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
+      def agreeing(a: String, b: String): Set[(Int, Long)] =
+        bandOf(a).intersect(bandOf(b))
+      val missed = exactSet -- cappedSet
+      val missedOnlyAllCapped = missed.nonEmpty &&
+        missed.forall(p => agreeing(p._1, p._2).forall(bucketSet.contains))
+      val survivorsUncapped = cappedSet.nonEmpty &&
+        cappedSet.forall(p =>
+          agreeing(p._1, p._2).exists(c => !bucketSet.contains(c)))
+      Seq((exactSet.size.toDouble, cappedSet.size.toDouble,
+          bucketSet.nonEmpty, missedOnlyAllCapped, survivorsUncapped,
+          cappedSet.subsetOf(exactSet)))
+        .toDF("n_exact", "n_capped", "cap_binds",
+          "missed_only_all_capped", "survivors_have_uncapped",
+          "capped_subset_exact")
+    } {
+      """SELECT
+        |  CAST((SELECT count(*) FROM generate_series(0, 59) s(i),
+        |        generate_series(0, 59) t(j) WHERE i < j)
+        |       + 10 AS DOUBLE) AS n_exact,
+        |  CAST(10 AS DOUBLE) AS n_capped,
+        |  TRUE AS cap_binds,
+        |  TRUE AS missed_only_all_capped,
+        |  TRUE AS survivors_have_uncapped,
+        |  TRUE AS capped_subset_exact""".stripMargin
+    },
+
     // ExactSubstr dedup (Lee et al. ACL'22): every duplicated
     // ≥20-token window survives only at its canonical (min key, pos)
     // occurrence; other occurrences are cut, overlaps merging into

@@ -124,7 +124,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, keyCol: String, textCol: String,
                       shingleN: Int = 2, numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.7, seed: Long = 42L,
-                      sketchPrefilter: Boolean = true): DataFrame = {
+                      sketchPrefilter: Boolean = true,
+                      maxBandFreq: Option[Int] = Some(1000)): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // Persist the (k, hashed shingles) base: it feeds the signature
@@ -151,8 +152,32 @@ object Dedup {
       .select(col("k"), col("bk.band"), col("bk.bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cands = banded.as("a")
-      .join(banded.as("b"),
+    // Hot-bucket guard (the banding analogue of ngramJaccardPairs'
+    // maxShingleFreq stop-shingle cap): a band bucket's candidate
+    // contribution is C(members, 2), and on natural text sharp
+    // bandings (few rows/band) grow buckets CORRELATED with common
+    // shingles — every doc containing the globally-minimal common
+    // shingles for a band's hash functions lands in one bucket, so
+    // the bucket is O(corpus) and its pair count O(corpus²) [measured:
+    // at 100× data the 4-row τ=0.5 banding puts 2.14e9 of 2.43e9
+    // banded pair rows in 329 buckets of >1000 members — one 28,649-
+    // member bucket alone implies 4.1e8 pairs, all J≈0.05 rejects].
+    // Buckets over the cap are dropped from candidate generation; a
+    // pair is missed IFF ALL its agreeing bands are capped
+    // ([[cappedBandBuckets]] disclosure, checkable per pair like the
+    // hamming tier's [[cappedCells]]). A true near-dup pair shares
+    // its RARE shingles too, so its agreeing bands include pair-
+    // specific small buckets; the capped buckets are precisely the
+    // common-min ones that carry no near-dup signal. None disables.
+    val admitted = maxBandFreq match {
+      case None => banded
+      case Some(cap) =>
+        val hot = banded.groupBy("band", "bh").count()
+          .filter(col("count") > cap).select("band", "bh")
+        banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    }
+    val cands = admitted.as("a")
+      .join(admitted.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.k") < col("b.k"))
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
@@ -209,6 +234,33 @@ object Dedup {
       .select(col("key_a").cast("string").as("key_a"),
         col("key_b").cast("string").as("key_b"), col("jaccard"))
     materializeAndRelease(result, base, sigs, banded)
+  }
+
+  /**
+   * Disclosure for [[minhashNearDups]]' `maxBandFreq` guard (the
+   * minhash analogue of [[cappedCells]]): the (band, bh, freq) band
+   * buckets the cap DROPS from candidate generation, built by the
+   * identical shingle→signature→banding construction so it counts
+   * exactly what the detector's anti-join drops. The recall bound it
+   * makes checkable: a pair present at `maxBandFreq = None` is absent
+   * from the capped run IFF every band the two signatures agree on
+   * hashes into one of these buckets (agreement is recomputable per
+   * pair from [[minhashSignature]] + [[bandKeys]]). Empty when the
+   * cap never binds — the common case away from sharp bandings.
+   */
+  def cappedBandBuckets(df: DataFrame, keyCol: String, textCol: String,
+                        shingleN: Int = 2, numHashes: Int = 128,
+                        bands: Int = 32, seed: Long = 42L,
+                        maxBandFreq: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    df.select(
+        minhashSignature(hashedShingles(col(textCol), shingleN),
+          numHashes, seed).as("sig"))
+      .select(explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .groupBy("band", "bh").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxBandFreq)
   }
 
   /**
