@@ -135,13 +135,58 @@ object HundredSweep {
     // the J≈0.05 cross-replica mass that floods the gate's sharp-0.5
     // config (4 rows/band → J^4 false-positive tail → ~40M candidates
     // → O(cands × |shingles|) verify I/O) never becomes candidates.
-    def minhashSharp(dir: String): Long =
+    def minhashProd(dir: String): Long =
       graft.pipeline.Dedup.minhashNearDups(
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleN = 2, numHashes = 128, bands = 16, threshold = 0.85).count()
+    // The gate's SHARP oracle banding (4 rows/band, τ=0.5): SharpProbe
+    // measured 2.43e9 banded pair rows at 100×, 88% from 329 buckets
+    // of >1000 members (common-shingle-correlated minima — max bucket
+    // 28,649 docs ⇒ 4.1e8 pairs from ONE bucket, all J≈0.05 rejects).
+    // The r11 maxBandFreq hot-bucket cap drops those buckets from
+    // candidate generation (disclosed via cappedBandBuckets); with
+    // cap=100 the surviving ~6e7 candidates flow through the staged
+    // sketch prefilter and the run completes on one box. The
+    // operator default (1000) kills the O(N²) bucket terms at any
+    // scale; 100 here additionally fits this machine's ~90 GB scratch.
+    def minhashSharp(dir: String): Long =
+      graft.pipeline.Dedup.minhashNearDups(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5,
+        maxBandFreq = Some(100)).count()
+
+    // NSW graph build + query (r10 verdict #6): graph build is the one
+    // plausibly super-linear ANN term (per-insert beam over a growing
+    // graph); queries are timed against a memoized per-dir index so
+    // the row measures beam search alone.
+    import graft.pipeline.Nsw
+    val nswIdx = scala.collection.mutable.Map.empty[String, Nsw.NswIndex]
+    def nswBuild(dir: String): Long = {
+      val idx = Nsw.build(embs(dir), "vec_id", "embedding",
+        metric = "L2", numPartitions = 8, m = 16, efConstruction = 100)
+      val n = idx.graphs.count()
+      nswIdx.remove(dir).foreach(_.unpersistIndex())
+      nswIdx(dir) = idx
+      n
+    }
+    def nswQuery(dir: String): Long = {
+      val idx = nswIdx.getOrElseUpdate(dir, {
+        val i = Nsw.build(embs(dir), "vec_id", "embedding",
+          metric = "L2", numPartitions = 8, m = 16, efConstruction = 100)
+        i.graphs.count(); i
+      })
+      (0 until 10).map { j =>
+        val q = graft.Queries.queryVec.clone()
+        q(j % q.length) += 0.01f * (j + 1)
+        idx.search(q, 10, ef = 100).count()
+      }.sum
+    }
 
     val annItems: Map[String, (() => Long, () => Long)] = Map(
-      "minhash_nd_prod" -> ((() => minhashSharp(sf), () => minhashSharp(HX))),
+      "minhash_nd_prod" -> ((() => minhashProd(sf), () => minhashProd(HX))),
+      "minhash_nd_sharp" -> ((() => minhashSharp(sf), () => minhashSharp(HX))),
+      "nsw_build" -> ((() => nswBuild(sf), () => nswBuild(HX))),
+      "nsw_query" -> ((() => nswQuery(sf), () => nswQuery(HX))),
       "ann_topk_brute" -> ((
         () => Ann.topK(embs(sf), "vec_id", "embedding",
           graft.Queries.queryVec, 20, "L2").count(),
@@ -151,7 +196,9 @@ object HundredSweep {
 
     val defaults = Seq("q_tag_or", "q_bool_composed", "q_not", "q_numeric_range",
       "p_dedup_minhash_lsh", "p_dedup_simhash", "p_dedup_ngram_salted",
-      "p_dsir_select", "p_pipeline_e2e", "ann_topk_brute", "ann_knn_join_ivf")
+      "p_dsir_select", "p_pipeline_e2e", "ann_topk_brute", "ann_knn_join_ivf",
+      "minhash_nd_sharp", "nsw_build", "nsw_query",
+      "q_hybrid_knn", "q_ann_inline_recall")
     val items = if (args.nonEmpty) args.toSeq else defaults
     items.foreach { g =>
       annItems.get(g) match {
