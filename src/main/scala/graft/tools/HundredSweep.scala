@@ -182,7 +182,77 @@ object HundredSweep {
       }.sum
     }
 
+    // S1 maintenance at 100×: per-batch cost of the full serving path —
+    // DocState bucketed write (state commits first, the Ingest
+    // contract), LSM posting apply, doc-relation refresh, and the
+    // FIRST query after the batch. The batch is a FIXED 500-doc
+    // template collected from sf0.1 once (driver-side, re-keyed per
+    // call), so the timed path contains zero corpus scans: the right
+    // scale shape is cost ∝ batch + touched buckets, NOT corpus.
+    import graft.engine.{SearchEngine, SearchOptions}
+    import graft.model.{FieldDef, IndexSchema, TextField}
+    val mCtx = scala.collection.mutable.Map.empty[
+      String, (graft.streaming.DocState, graft.streaming.IndexMaintainer, SearchEngine)]
+    var mSeq = 10L
+    val mTemplate: Array[(String, String)] =
+      spark.read.parquet(s"$sf/documents.parquet")
+        .orderBy("doc_id").limit(500)
+        .select(col("text"), col("lang")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    def maintainSetup(dir: String) = mCtx.getOrElseUpdate(dir, {
+      val statePath = s"/tmp/graft-mstate-${math.abs(dir.hashCode)}"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("__key"),
+          col("text"), col("lang"))
+      // nBuckets must scale with the corpus (DocState's documented
+      // write amplification is O(touched/nBuckets) of the corpus): a
+      // fixed 64 puts a 500-key batch in EVERY bucket — a full-corpus
+      // rewrite per batch. Target ~80 docs/bucket at both scales so a
+      // 500-key batch rewrites ≤500 buckets ≈ batch-proportional I/O.
+      val nDocs = docs.count()
+      val buckets = math.max(64, (nDocs / 80).toInt)
+      val state = graft.streaming.DocState.init(docs, statePath, buckets)
+      val e = new SearchEngine
+      val schema = IndexSchema("documents_m",
+        Seq(FieldDef("text", TextField())))
+      def relation() = graft.streaming.Ingest.readState(spark, statePath)
+      val enriched = graft.sources.Documents.enrich(relation(), schema)
+      e.createIndex(schema, enriched)
+      val storeDir =
+        java.nio.file.Files.createTempDirectory("graft-mstore").toString
+      val store = graft.text.PostingStore.init(spark,
+        graft.text.PostingIndex.build(enriched, schema, "text"), storeDir)
+      val m = new graft.streaming.IndexMaintainer(e, "documents_m", schema,
+        postingStores = Map("text" -> store),
+        docsSource = Some(() => relation())).register()
+      (state, m, e)
+    })
+    def maintainBatch(dir: String): Long = {
+      val (state, m, e) = maintainSetup(dir)
+      mSeq += 1
+      val keyBase = 777000000L + mSeq * 1000L
+      import spark.implicits._
+      val batch = mTemplate.zipWithIndex.toSeq
+        .map { case ((text, lang), i) => ((keyBase + i).toString, text, lang) }
+        .toDF("__key", "text", "lang")
+        .withColumn("op", lit("upsert"))
+        .withColumn("__seq", lit(mSeq))
+      def ph[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tState) = ph(state.applyBatch(batch))
+      val (_, tBatch) = ph(m.onBatch(batch))
+      val (n, tQuery) = ph(e.search("documents_m", "@text:dup",
+        SearchOptions(limit = (0, 100), noContent = true)).count())
+      println(f"    maintain_batch[$dir] state=$tState%.2f onBatch=$tBatch%.2f " +
+        f"firstQuery=$tQuery%.2f")
+      n
+    }
+
     val annItems: Map[String, (() => Long, () => Long)] = Map(
+      "maintain_batch" -> ((() => maintainBatch(sf), () => maintainBatch(HX))),
       "minhash_nd_prod" -> ((() => minhashProd(sf), () => minhashProd(HX))),
       "minhash_nd_sharp" -> ((() => minhashSharp(sf), () => minhashSharp(HX))),
       "nsw_build" -> ((() => nswBuild(sf), () => nswBuild(HX))),
@@ -198,7 +268,7 @@ object HundredSweep {
       "p_dedup_minhash_lsh", "p_dedup_simhash", "p_dedup_ngram_salted",
       "p_dsir_select", "p_pipeline_e2e", "ann_topk_brute", "ann_knn_join_ivf",
       "minhash_nd_sharp", "nsw_build", "nsw_query",
-      "q_hybrid_knn", "q_ann_inline_recall")
+      "q_hybrid_knn", "q_ann_inline_recall", "maintain_batch")
     val items = if (args.nonEmpty) args.toSeq else defaults
     items.foreach { g =>
       annItems.get(g) match {
