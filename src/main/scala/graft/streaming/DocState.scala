@@ -99,7 +99,14 @@ final class DocState private (
     * `nextGen`, then commit via MANIFEST rename. */
   private def commit(rows: DataFrame, touched: Seq[Long]): Unit = {
     val g = nextGen
+    // cluster by bucket BEFORE the partitioned write: without it every
+    // shuffle task holding rows of a bucket writes its own file into
+    // that bucket's dir — measured 10,652 files for a 437-bucket
+    // generation (~24 per bucket), and every later read/merge pays the
+    // per-file open cost ~24×. One shuffle of the batch (tiny) buys
+    // exactly one file per touched bucket.
     rows.withColumn("__bpart", col("__bucket"))
+      .repartition(col("__bpart"))
       .write.partitionBy("__bpart").parquet(s"$dir/g$g")
     // buckets that actually produced rows; a bucket the batch emptied
     // (all keys tombstoned) simply drops out of the manifest
