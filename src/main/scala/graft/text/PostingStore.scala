@@ -98,7 +98,12 @@ final class PostingStore private (spark: SparkSession, dir: String,
     val newDelta = readOr(spark, fs, deltaPath(dir, segGen), rowSchema)
       .join(keys, Seq("__key"), "left_anti") // superseded rows die
       .unionByName(upserts.select(rowSchema.fieldNames.toSeq.map(col): _*))
-    newTomb.write.mode("overwrite").parquet(tombPath(dir, next))
+    // segments are small by construction (compaction bounds them), but
+    // unclustered writes still fragment them across every shuffle
+    // partition — ~32-64 files a query's view must open per store.
+    // Tomb is keys-only → one file; delta → a handful (same clustered-
+    // write discipline as DocState.commit).
+    newTomb.coalesce(1).write.mode("overwrite").parquet(tombPath(dir, next))
     writeDelta(newDelta, deltaPath(dir, next))
     commit(spark, dir, mainGen, next, layout) // atomic MANIFEST swap = commit point
     val prev = segGen
@@ -111,8 +116,11 @@ final class PostingStore private (spark: SparkSession, dir: String,
     * main and the not-yet-compacted rows at storage level. */
   private def writeDelta(df: DataFrame, path: String): Unit = layout match {
     case PostingStore.CellLayout =>
-      df.write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    case _ => df.write.mode("overwrite").parquet(path)
+      // cluster by cell before the partitioned write: one file per
+      // cell per delta instead of one per (cell × shuffle partition)
+      df.repartition(col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    case _ => df.coalesce(4).write.mode("overwrite").parquet(path)
   }
 
   /** Fold delta + tombstones into a fresh main in the store's layout. */

@@ -268,7 +268,11 @@ object HundredSweep {
       "p_dedup_minhash_lsh", "p_dedup_simhash", "p_dedup_ngram_salted",
       "p_dsir_select", "p_pipeline_e2e", "ann_topk_brute", "ann_knn_join_ivf",
       "minhash_nd_sharp", "nsw_build", "nsw_query",
-      "q_hybrid_knn", "q_ann_inline_recall", "maintain_batch")
+      "q_hybrid_knn", "q_ann_inline_recall", "maintain_batch",
+      // FT.AGGREGATE family (single Catalyst plans — partial agg +
+      // AQE + codegen end to end; rows close the last family without
+      // direct 100× evidence)
+      "a_groupby_reducers", "a_apply_revenue")
     val items = if (args.nonEmpty) args.toSeq else defaults
     items.foreach { g =>
       annItems.get(g) match {
