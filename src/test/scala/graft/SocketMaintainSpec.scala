@@ -188,4 +188,48 @@ class SocketMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(searchKeys("@txt:hash") == Set("d3", "d4"))
     assert(searchKeys("@txt:probe") == Set("d4"))
   }
+
+  test("FT.DROPINDEX under concurrent query load: clean errors, no torn state") {
+    // a second index the readers hammer while the first is dropped and
+    // re-created — admin ops and queries share the synchronized catalog;
+    // every reply must be either a valid result or a clean not-found
+    // error, and the connection must survive both
+    assert(cmd("FT.CREATE", "drop_idx", "SCHEMA", "txt", "TEXT") == "OK")
+    val malformed = new AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        val sock = new Socket("127.0.0.1", port)
+        try {
+          val out = new BufferedOutputStream(sock.getOutputStream)
+          val in = new BufferedInputStream(sock.getInputStream)
+          while (!done.get) {
+            writeArgv(out, Seq("FT.SEARCH", "drop_idx", "@txt:hash",
+              "NOCONTENT"))
+            out.flush()
+            readReply(in) match {
+              case v: Vector[_] => () // served from a live registration
+              case ("ERR", _) => ()   // dropped mid-flight: clean error
+              case other => malformed.incrementAndGet()
+            }
+          }
+        } catch { case _: Throwable => malformed.incrementAndGet() }
+        finally sock.close()
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (1 to 5).foreach { _ =>
+        assert(cmd("FT.DROPINDEX", "drop_idx") == "OK")
+        assert(cmd("FT.CREATE", "drop_idx", "SCHEMA", "txt", "TEXT") == "OK")
+      }
+    } finally {
+      done.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(malformed.get == 0, s"${malformed.get} malformed replies/errors")
+    // final state serves exactly
+    assert(cmd("FT.SEARCH", "drop_idx", "@txt:hash", "NOCONTENT")
+      .asInstanceOf[Vector[Any]].head.asInstanceOf[Long] >= 1L)
+  }
 }
