@@ -79,6 +79,13 @@ object SearchEngine {
   /** Full FT.SEARCH reply: pre-LIMIT total + page (S7/R6). */
   final case class SearchReply(total: Long, rows: Array[org.apache.spark.sql.Row])
 
+  /** A complete cached reply plus the per-call metric effects to replay
+    * on a hit, so counters stay call-accurate (truncation + record
+    * drops). */
+  private[engine] final case class CachedReply(indexName: String, epoch: Long,
+      reply: SearchReply, limited: Boolean, dropped: Long,
+      lastUsed: java.util.concurrent.atomic.AtomicLong)
+
   /** Index build state (reference index_schema.h:102-109, FT.INFO
     * fields index_schema.cc:1244-1263): `state` is "ready" or
     * "backfill_in_progress"; percent counts the initial fill only —
@@ -137,6 +144,74 @@ class SearchEngine {
   private val infoStatsCache = scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.Row, Long)]
   private val layouts = scala.collection.concurrent.TrieMap.empty[(String, String), NumericBucketLayout]
   private val keyLayouts = scala.collection.concurrent.TrieMap.empty[String, KeyPrefixLayout]
+
+  // ---------------------------------------------------------------------
+  // Reply cache — the serving-floor lever (ServeLatencyProbe finding):
+  // a warm FT.SEARCH pays ~100 ms of per-call plan re-analysis and
+  // persist bookkeeping on identical requests. The reference serves
+  // repeats from its always-current in-memory index for free; the batch
+  // analogue is a bounded cache of COMPLETE non-vector replies, keyed by
+  // everything that can change the answer: index name + registration
+  // epoch, query string, the full option set (params canonicalized), and
+  // the mutable reply caps. Correctness rests on the r10 catalog
+  // contract: every results-affecting mutation goes through createIndex
+  // (maintainer batches, FT.CREATE over an existing name) or dropIndex —
+  // both bump the epoch and clear the index's entries, so a cached reply
+  // is valid for exactly one registration generation. Derived-state
+  // registrations (postings/stats/layouts) are results-invariant for the
+  // cached class (routing parity is fuzz-pinned); KNN replies are NOT
+  // cached (they depend on ANN registration and the hybrid planner's
+  // mutable threshold, and they bump planner counters per call).
+  // ---------------------------------------------------------------------
+  /** Serve repeated identical FT.SEARCH requests from a bounded reply
+    * cache (invalidated per index on createIndex/dropIndex). */
+  var replyCacheEnabled: Boolean = true
+  /** LRU bound on cached replies across all indexes. */
+  var replyCacheMaxEntries: Int = 256
+  /** Replies with more page rows than this are never cached (memory
+    * bound per entry; LIMIT-sized pages are far below it). */
+  var replyCacheMaxRows: Int = 10000
+  private[graft] val replyCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val replyCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private val epochs = scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def epochOf(name: String): Long =
+    epochs.getOrElseUpdate(name, new java.util.concurrent.atomic.AtomicLong).get()
+  // Ordering contract with the lookup path: searchReply reads the epoch
+  // BEFORE the catalog, so a lookup that races a re-registration either
+  // keys the new data under the old epoch (unreachable after the bump —
+  // harmless) or misses; it can never key OLD data under the NEW epoch.
+  // createIndex/dropIndex update the catalog first, then bump.
+  private def bumpEpoch(name: String): Unit = {
+    epochs.getOrElseUpdate(name, new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
+    ()
+  }
+  private val replyCache = scala.collection.concurrent.TrieMap.empty[String, SearchEngine.CachedReply]
+  private val replyTick = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def replyCacheSize: Int = replyCache.size
+  private def dropCachedReplies(name: String): Unit = {
+    replyCache.filterInPlace { case (_, v) => v.indexName != name }
+    ()
+  }
+  private def replyKey(name: String, ep: Long, query: String,
+                       opts: SearchOptions): String = {
+    def pv(v: ParamValue): String = v match {
+      case StringParam(s) => "s:" + s
+      case VectorParam(a) => "v:" + a.mkString(",") // by contents, not identity
+    }
+    val params = opts.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => k + "\u0001" + pv(v) }.mkString("\u0002")
+    Seq(name, ep, query, opts.limit, opts.sortBy, opts.returnFields,
+      opts.noContent, opts.slop, opts.inorder, opts.verbatim,
+      opts.withSortKeys, params, maxNonVectorResultsFetched,
+      maxSearchResultRecordSize, maxSearchResultFieldsCount).mkString("\u0000")
+  }
+  private def evictLruReplies(): Unit =
+    while (replyCache.size > replyCacheMaxEntries) {
+      val oldest = replyCache.minByOption { case (_, v) => v.lastUsed.get() }
+      oldest.foreach { case (k, _) => replyCache.remove(k) }
+      if (oldest.isEmpty) return
+    }
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -436,6 +511,10 @@ class SearchEngine {
       if (resident) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docs
     catalog.synchronized { catalog(schema.name) = (schema, stored) }
+    // catalog first, THEN the epoch bump (see bumpEpoch's ordering
+    // contract with the reply-cache lookup path)
+    bumpEpoch(schema.name)
+    dropCachedReplies(schema.name)
     // ALL derived state describes the PREVIOUS registered relation —
     // a re-registration (maintainer docs refresh, FT.CREATE over an
     // existing name) must not leave queries routing through postings
@@ -467,6 +546,8 @@ class SearchEngine {
   def dropIndex(name: String): Unit = {
     if (catalog.synchronized { catalog.remove(name) }.isEmpty)
       throw new IllegalArgumentException(s"no such index: $name")
+    bumpEpoch(name)
+    dropCachedReplies(name)
     docCounts.remove(name)
     infoStatsCache.remove(name)
     buildStates.remove(name)
@@ -1132,55 +1213,89 @@ class SearchEngine {
   def searchReply(indexName: String, query: String,
                   opts: SearchOptions = SearchOptions()): SearchEngine.SearchReply =
     Metrics.timed {
+      // epoch BEFORE the catalog read (bumpEpoch ordering contract)
+      val ep = epochOf(indexName)
       val (schema, docs) = index(indexName)
       val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
       recordQueryClass(parsed)
-      // ONE filtered plan, cached: the total count materializes it, the
-      // page reads the cache — one scan of the source, like the
-      // reference's single-pass total+page (search.cc:780-814).
-      // Non-vector queries materialize AT MOST cap+1 rows (the +1
-      // detects truncation): the reference's fetch cap, search.cc:623.
-      val cap = maxNonVectorResultsFetched
-      val base0 = filterStage(schema, docs, parsed, opts)
-      val base = (if (parsed.knn.isEmpty) base0.limit(cap + 1) else base0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val total = parsed.knn match {
-          case Some(k) =>
-            // bounded probe: k+1 rows decide min(count, k) — never a
-            // full count of the filtered cache
-            math.min(
-              base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull)
-                .limit(k.k + 1).count(),
-              k.k.toLong)
-          case None =>
-            val n = base.count()
-            if (n > cap) {
-              Metrics.nonVectorFetchLimited.incrementAndGet()
-              cap.toLong
-            } else n
-        }
-        // the page draws from the SAME truncated set the total counted
-        val pageBase = if (parsed.knn.isEmpty) base.limit(cap) else base
-        val page = finishSearch(indexName, schema, pageBase, parsed, opts)
-        SearchEngine.SearchReply(total,
-          applyContentLimits(page.collect(), page.schema, schema, parsed, opts))
-      } finally { base.unpersist(blocking = false); () }
+      val cacheable = replyCacheEnabled && parsed.knn.isEmpty
+      val key = if (cacheable) replyKey(indexName, ep, query, opts) else ""
+      val hit = if (cacheable) replyCache.get(key) else None
+      hit match {
+        case Some(e) =>
+          e.lastUsed.set(replyTick.incrementAndGet())
+          replyCacheHits.incrementAndGet()
+          // replay the per-call metric effects so counters stay
+          // call-accurate (EngineAdminSpec / ResponseGeneratorParitySpec
+          // semantics: every capped/dropping call counts)
+          if (e.limited) Metrics.nonVectorFetchLimited.incrementAndGet()
+          if (e.dropped > 0) Metrics.queryResultRecordDropped.addAndGet(e.dropped)
+          e.reply
+        case None =>
+          replyCacheMisses.incrementAndGet()
+          // ONE filtered plan, cached: the total count materializes it,
+          // the page reads the cache — one scan of the source, like the
+          // reference's single-pass total+page (search.cc:780-814).
+          // Non-vector queries materialize AT MOST cap+1 rows (the +1
+          // detects truncation): the reference's fetch cap, search.cc:623.
+          val cap = maxNonVectorResultsFetched
+          val base0 = filterStage(schema, docs, parsed, opts)
+          val base = (if (parsed.knn.isEmpty) base0.limit(cap + 1) else base0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            var limited = false
+            val total = parsed.knn match {
+              case Some(k) =>
+                // bounded probe: k+1 rows decide min(count, k) — never a
+                // full count of the filtered cache
+                math.min(
+                  base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull)
+                    .limit(k.k + 1).count(),
+                  k.k.toLong)
+              case None =>
+                val n = base.count()
+                if (n > cap) {
+                  limited = true
+                  Metrics.nonVectorFetchLimited.incrementAndGet()
+                  cap.toLong
+                } else n
+            }
+            // the page draws from the SAME truncated set the total counted
+            val pageBase = if (parsed.knn.isEmpty) base.limit(cap) else base
+            val page = finishSearch(indexName, schema, pageBase, parsed, opts)
+            val (rows, dropped) =
+              applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
+            if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
+            val reply = SearchEngine.SearchReply(total, rows)
+            if (cacheable && rows.length <= replyCacheMaxRows) {
+              replyCache.put(key, SearchEngine.CachedReply(indexName, ep, reply, limited,
+                dropped, new java.util.concurrent.atomic.AtomicLong(
+                  replyTick.incrementAndGet())))
+              // a re-registration that raced this compute bumped the
+              // epoch: the entry is unreachable (keys carry the epoch),
+              // remove it so it can't linger holding rows
+              if (epochOf(indexName) != ep) replyCache.remove(key)
+              evictLruReplies()
+            }
+            reply
+          } finally { base.unpersist(blocking = false); () }
+      }
     }
 
   /** Reply-record content limits (reference ProcessNeighborsForReply,
     * query/response_generator.cc:385-442): a record whose fetched
     * content holds more than [[maxSearchResultFieldsCount]] attributes
     * or more than [[maxSearchResultRecordSize]] bytes (attribute name
-    * + value, summed) is erased from the page and counted in
-    * [[Metrics.queryResultRecordDropped]]. Runs on the collected page
+    * + value, summed) is erased from the page; the caller counts the
+    * returned drop count into [[Metrics.queryResultRecordDropped]] (and
+    * the reply cache replays it per hit). Runs on the collected page
     * (≤ LIMIT rows — the reference likewise checks only the reply
     * vector, after trimming). NOCONTENT replies fetch no content, so
     * nothing can exceed. */
   private def applyContentLimits(rows: Array[org.apache.spark.sql.Row],
                                  pageSchema: org.apache.spark.sql.types.StructType,
                                  idxSchema: IndexSchema, parsed: ParsedQuery,
-                                 opts: SearchOptions): Array[org.apache.spark.sql.Row] = {
+                                 opts: SearchOptions): (Array[org.apache.spark.sql.Row], Long) = {
     val scoreNames = parsed.knn
       .map(k => k.asName.getOrElse(idxSchema.scoreField(k.field))).toSet
     // content = returned attributes; the key, WITHSORTKEYS pseudo-field
@@ -1188,20 +1303,24 @@ class SearchEngine {
     val contentIdx = pageSchema.fieldNames.zipWithIndex.filterNot { case (n, _) =>
       n == idxSchema.keyColumn || n == "__sortkey" || scoreNames(n)
     }
-    if (opts.noContent || contentIdx.isEmpty) rows
-    else rows.filter { r =>
-      var fields = 0
-      var size = 0L
-      contentIdx.foreach { case (n, i) =>
-        if (!r.isNullAt(i)) {
-          fields += 1
-          size += contentByteSize(n, r.get(i))
+    if (opts.noContent || contentIdx.isEmpty) (rows, 0L)
+    else {
+      var dropped = 0L
+      val kept = rows.filter { r =>
+        var fields = 0
+        var size = 0L
+        contentIdx.foreach { case (n, i) =>
+          if (!r.isNullAt(i)) {
+            fields += 1
+            size += contentByteSize(n, r.get(i))
+          }
         }
+        val keep = fields <= maxSearchResultFieldsCount &&
+          size <= maxSearchResultRecordSize
+        if (!keep) dropped += 1
+        keep
       }
-      val keep = fields <= maxSearchResultFieldsCount &&
-        size <= maxSearchResultRecordSize
-      if (!keep) Metrics.queryResultRecordDropped.incrementAndGet()
-      keep
+      (kept, dropped)
     }
   }
 
