@@ -169,7 +169,15 @@ object IndexMaintainer {
     }.getOrElse(Map.empty)
     val m = new IndexMaintainer(engine, indexName, schema, termStores, graphs,
       docsSource, compactRowThreshold, sfxStores, posStores,
-      statsDir = Some(dir)).register()
+      statsDir = Some(dir))
+    // restore the durable doc LSM BEFORE register(): adoption
+    // re-registers the composed relation via createIndex, which drops
+    // derived state — the same createIndex-then-register order as
+    // onBatch. With a manifest present this is O(overlay); the first
+    // post-restart batch then folds as an overlay instead of paying a
+    // full state scan + base rewrite.
+    m.adoptDocLsm()
+    m.register()
     checkpointSeq.foreach { seq =>
       // surface the replay point: the caller replays the change feed
       // from the first __seq AFTER it. Seed the live watermark too —
@@ -238,6 +246,33 @@ final class IndexMaintainer(
   private var docOverlayEnriched: Option[DataFrame] = None
   private var docLsmRows: Long = 0L                       // overlay + tombs
   private var docBaseVersion: Int = -1
+  // Durable LSM pieces (restart adoption): each overlay batch also
+  // writes a tiny segment (`seg/v<k>/{keys,up}`, O(batch) rows) and the
+  // manifest names the live (base version, segment list) — the
+  // PostingStore commit discipline. openIndex then restores
+  //   base ⊖ tombs ∪ overlay
+  // with ZERO corpus work (no state scan, no base rewrite, no corpus
+  // enrichment); before this, the first post-restart batch re-adopted
+  // the base through a full state scan + write. Crash windows: a
+  // segment without a manifest entry is an orphan (GC'd at adopt) and
+  // its batch re-delivers (the stream checkpoint commits only after
+  // onBatch returns), so at-least-once replay converges.
+  private var docSegNext: Int = 0
+  private val docLiveSegs = scala.collection.mutable.ArrayBuffer.empty[Int]
+  private def docManifestPath = s"$docsDir/DOCLSM"
+  private def writeDocManifest(): Unit =
+    graft.util.FsIO.writeTextAtomic(spark, docManifestPath,
+      s"v=$docBaseVersion;segs=${docLiveSegs.mkString(",")}")
+  private def readDocManifest(): Option[(Int, Seq[Int])] =
+    graft.util.FsIO.readText(spark, docManifestPath).map { txt =>
+      txt.split(";", 2) match {
+        case Array(v, s) if v.startsWith("v=") && s.startsWith("segs=") =>
+          (v.drop(2).toInt,
+            s.drop(5).split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+        case _ => throw new java.io.IOException(
+          s"torn doc-LSM manifest at $docManifestPath: $txt")
+      }
+    }
   private lazy val docsDir: String = statsDir.map(d => s"$d/__docsbase")
     .getOrElse(java.nio.file.Files
       .createTempDirectory(s"graft-docsbase-$indexName").toString)
@@ -261,10 +296,17 @@ final class IndexMaintainer(
     docBaseEnriched = Some(newEnriched)
     docTombs = None; docOverlayRaw = None; docOverlayEnriched = None
     docLsmRows = 0L
+    // commit point: the manifest names the new base with no live
+    // segments (everything folded in); only THEN GC old bases (one
+    // version of reader grace) and the folded segments
+    docLiveSegs.clear()
+    writeDocManifest()
     graft.util.FsIO.listSubdirs(spark, docsDir)
       .filter(n => n.startsWith("v") &&
         n.drop(1).forall(_.isDigit) && n.drop(1).toInt < docBaseVersion - 1)
       .foreach(n => graft.util.FsIO.deleteRecursive(spark, s"$docsDir/$n"))
+    if (graft.util.FsIO.isDir(spark, s"$docsDir/seg"))
+      graft.util.FsIO.deleteRecursive(spark, s"$docsDir/seg")
     engine.createIndex(schema, newEnriched, resident = false)
   }
 
@@ -275,6 +317,17 @@ final class IndexMaintainer(
   private def overlayDocBatch(rawUpserts: DataFrame,
                               changedKeys: DataFrame): Unit = {
     val keys = changedKeys.select(col("__key").as(schema.keyColumn))
+    // durable segment FIRST (tiny: O(batch) rows, coalesced), then the
+    // manifest names it — restart adoption replays these instead of
+    // scanning the state
+    val segId = docSegNext
+    docSegNext += 1
+    keys.coalesce(1).write.mode("overwrite")
+      .parquet(s"$docsDir/seg/v$segId/keys")
+    rawUpserts.coalesce(1).write.mode("overwrite")
+      .parquet(s"$docsDir/seg/v$segId/up")
+    docLiveSegs += segId
+    writeDocManifest()
     val newTombs = persistDf(
       docTombs.fold(keys)(_.unionByName(keys)).distinct())
     val tombRows = newTombs.count()
@@ -296,6 +349,81 @@ final class IndexMaintainer(
       .unionByName(newOverlayEnriched)
     engine.createIndex(schema, composed, resident = false)
   }
+
+  /** Restart adoption (openIndex path): restore the durable doc LSM —
+    * base ⊖ tombs ∪ overlay — from the manifest's base version and
+    * segment list, and register the composed relation. O(overlay) work:
+    * no state scan, no base rewrite, no corpus enrichment (the base
+    * parquet re-enriches lazily like any registered relation; it is
+    * persisted when text fields exist, exactly as [[rebuildDocBase]]
+    * leaves it). The segment fold replays LSM semantics in one join:
+    * a key's overlay row survives iff its LATEST touching segment
+    * upserted it (a later delete-only touch tombstones it); tombstones
+    * hide every touched key's base row. Orphan segments (written but
+    * never committed to the manifest — crash window) are GC'd; their
+    * batches re-deliver via the stream checkpoint, idempotently.
+    * Returns false when there is nothing to adopt (no docsSource or no
+    * manifest — e.g. a maintainer that never processed a batch); the
+    * first batch then rebuilds from the state as before. A manifest
+    * naming a missing base dir is CORRUPTION and fails loudly (the ANN
+    * watermark policy). */
+  private[streaming] def adoptDocLsm(): Boolean =
+    docsSource.nonEmpty && readDocManifest().exists { case (bv, segs) =>
+      val kc = schema.keyColumn
+      val basePath = s"$docsDir/v$bv"
+      if (!graft.util.FsIO.isDir(spark, basePath))
+        throw new IllegalStateException(
+          s"doc-LSM manifest names missing base dir $basePath")
+      val baseEnriched0 = Documents.enrich(spark.read.parquet(basePath), schema)
+      val baseEnriched =
+        if (schema.textFields.nonEmpty) persistDf(baseEnriched0)
+        else baseEnriched0
+      docBaseEnriched = Some(baseEnriched)
+      docBaseVersion = bv
+      docLiveSegs.clear(); docLiveSegs ++= segs
+      docSegNext = if (segs.isEmpty) 0 else segs.max + 1
+      // GC orphan segments (on disk, not in the manifest)
+      if (graft.util.FsIO.isDir(spark, s"$docsDir/seg"))
+        graft.util.FsIO.listSubdirs(spark, s"$docsDir/seg")
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            !segs.contains(n.drop(1).toInt))
+          .foreach(n => graft.util.FsIO.deleteRecursive(spark, s"$docsDir/seg/$n"))
+      if (segs.isEmpty) {
+        docTombs = None; docOverlayRaw = None; docOverlayEnriched = None
+        docLsmRows = 0L
+        engine.createIndex(schema, baseEnriched, resident = false)
+      } else {
+        val keysAll = segs.map(i =>
+            spark.read.parquet(s"$docsDir/seg/v$i/keys")
+              .withColumn("__segver", lit(i)))
+          .reduce(_ unionByName _)
+        val upAll = segs.map(i =>
+            spark.read.parquet(s"$docsDir/seg/v$i/up")
+              .withColumn("__segver", lit(i)))
+          .reduce(_ unionByName _)
+        val lastTouch = keysAll.groupBy(col(kc))
+          .agg(max(col("__segver")).as("__lastver"))
+          .withColumnRenamed(kc, "__lt_key")
+        // change-feed rows carry "__key" (overlayDocBatch stores them
+        // unrenamed and enrichment keys them), so join on that
+        val overlayRaw0 = upAll.join(lastTouch,
+            upAll("__key") === lastTouch("__lt_key") &&
+              upAll("__segver") === lastTouch("__lastver"))
+          .drop("__lt_key", "__lastver", "__segver")
+        val newTombs = persistDf(keysAll.select(col(kc)).distinct())
+        val newOverlayRaw = persistDf(overlayRaw0)
+        val newOverlayEnriched = persistDf(Documents.enrich(newOverlayRaw, schema))
+        docTombs = Some(newTombs)
+        docOverlayRaw = Some(newOverlayRaw)
+        docOverlayEnriched = Some(newOverlayEnriched)
+        docLsmRows = newTombs.count() + newOverlayRaw.count()
+        val composed = baseEnriched
+          .join(broadcast(newTombs), Seq(kc), "left_anti")
+          .unionByName(newOverlayEnriched)
+        engine.createIndex(schema, composed, resident = false)
+      }
+      true
+    }
 
   /** Per-field guard stats for the maintained views, two-tier like
     * [[graft.engine.PostingStats]]:

@@ -131,4 +131,62 @@ class MaintainerDocsLsmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(engine.index("lsm_idx")._2.queryExecution.optimizedPlan
       .toString.contains("Join"), "post-compaction overlay did not compose")
   }
+
+  private def contentsOf(e: SearchEngine): Map[String, String] =
+    e.index("lsm_idx")._2.select(col("__key"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("restart adoption restores base ⊖ tombs ∪ overlay with ZERO state scans") {
+    // segment-borne delete + cross-segment upsert-then-delete before the
+    // "crash": d4 deleted, d43 upserted then deleted in a LATER segment
+    // (the fold's latest-touch-wins must tombstone it), d42 added
+    applyBatch(Seq(("upsert", "d43", "alpha doomed")))
+    applyBatch(Seq(("delete", "d4", null), ("upsert", "d42", "alpha survivor"),
+      ("delete", "d43", null)))
+    assert(relationContents() == expected.toMap)
+
+    // full process restart: fresh engine, openIndex over the same dir.
+    // The docsSource thunk COUNTS invocations — adoption and the next
+    // overlay batch must never scan the state.
+    val engine2 = new SearchEngine
+    val schema = IndexSchema("lsm_idx", Seq(FieldDef("text", TextField())))
+    engine2.createIndex(schema,
+      graft.sources.Documents.enrich(Ingest.readState(spark, statePath), schema))
+    var srcCalls = 0
+    val m2 = IndexMaintainer.openIndex(engine2, "lsm_idx", baseDir,
+      docsSource = Some(() => { srcCalls += 1; Ingest.readState(spark, statePath) }))
+    assert(srcCalls == 0, "adoption scanned the state")
+    assert(contentsOf(engine2) == expected.toMap)
+    assert(!contentsOf(engine2).contains("d4"), "segment-borne delete lost")
+    assert(!contentsOf(engine2).contains("d43"),
+      "upsert-then-delete across segments resurrected")
+    val plan = engine2.index("lsm_idx")._2.queryExecution.optimizedPlan.toString
+    assert(!plan.contains(statePath), "adopted plan re-scans the state")
+    assert(plan.contains("__docsbase"), "adopted plan does not read the base")
+
+    // next batch folds as an overlay — still no state scan, contents exact
+    val sp = spark; import sp.implicits._
+    seq += 1
+    expected("d50") = "alpha after restart"
+    Ingest.backfill(expected.toSeq.toDF("__key", "text"), statePath, nBuckets = 4)
+    m2.onBatch(Seq(("upsert", "d50", "alpha after restart", seq))
+      .toDF("op", "__key", "text", "__seq"))
+    assert(srcCalls == 0, "post-adoption overlay batch scanned the state")
+    assert(contentsOf(engine2) == expected.toMap)
+  }
+
+  test("orphan segments (crash window) are GC'd at adoption") {
+    val segDir = s"$baseDir/__docsbase/seg/v9999"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$segDir/junk"), "orphan")
+    val engine3 = new SearchEngine
+    val schema = IndexSchema("lsm_idx", Seq(FieldDef("text", TextField())))
+    engine3.createIndex(schema,
+      graft.sources.Documents.enrich(Ingest.readState(spark, statePath), schema))
+    IndexMaintainer.openIndex(engine3, "lsm_idx", baseDir,
+      docsSource = Some(() => Ingest.readState(spark, statePath)))
+    assert(!graft.util.FsIO.exists(spark, segDir), "orphan segment survived")
+    assert(contentsOf(engine3) == expected.toMap)
+  }
 }
