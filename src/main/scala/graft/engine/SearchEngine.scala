@@ -176,6 +176,10 @@ class SearchEngine {
   private val epochs = scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
   private def epochOf(name: String): Long =
     epochs.getOrElseUpdate(name, new java.util.concurrent.atomic.AtomicLong).get()
+  /** Registration generation of an index — bumps on createIndex /
+    * dropIndex. Any cache keyed by an index's contents must carry it
+    * (the RESP adapter's aggregate-reply cache does). */
+  private[graft] def registrationEpoch(name: String): Long = epochOf(name)
   // Ordering contract with the lookup path: searchReply reads the epoch
   // BEFORE the catalog, so a lookup that races a re-registration either
   // keys the new data under the old epoch (unreachable after the bump —

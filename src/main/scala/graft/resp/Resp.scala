@@ -128,12 +128,60 @@ object Resp {
 final class RespCommands(engine: SearchEngine, cmds: Commands) {
   import Resp._
 
+  // FT.AGGREGATE wire-reply cache, the aggregate counterpart of the
+  // engine's searchReply cache: an aggregate reply is a pure function
+  // of (index registration epoch, argv) — the aggregate's KNN
+  // front-end is EXACT (aggregateStages never consults ANN state),
+  // params/stages/TIMEOUT all ride argv, and every results-affecting
+  // mutation bumps the epoch (createIndex/dropIndex). Errors are never
+  // cached (they throw past the insert). Bounded by entries and by
+  // reply bytes.
+  var aggCacheMaxEntries: Int = 64
+  var aggCacheMaxBytes: Int = 1 << 20
+  private[graft] val aggCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val aggCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Byte], java.util.concurrent.atomic.AtomicLong)]
+  private val aggTick = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def aggCacheSize: Int = aggCache.size
+
+  private def ftAggregate(argv: Seq[String]): Array[Byte] = {
+    // epoch BEFORE execute (the engine's bumpEpoch ordering contract)
+    val ep = if (argv.length >= 2) Some(engine.registrationEpoch(argv(1))) else None
+    val key = ep.map(e => e.toString + "\u0000" + argv.mkString("\u0000"))
+    key.flatMap(aggCache.get) match {
+      case Some((bytes, used)) =>
+        used.set(aggTick.incrementAndGet())
+        aggCacheHits.incrementAndGet()
+        bytes
+      case None =>
+        val bytes = aggregateReply(
+          cmds.execute(argv).asInstanceOf[org.apache.spark.sql.DataFrame])
+        key.foreach { k =>
+          if (bytes.length <= aggCacheMaxBytes) {
+            aggCache.put(k, (bytes,
+              new java.util.concurrent.atomic.AtomicLong(aggTick.incrementAndGet())))
+            // a re-registration racing this compute keyed old data
+            // under an old epoch — unreachable; drop it eagerly
+            if (engine.registrationEpoch(argv(1)) != ep.get) aggCache.remove(k)
+            var evicting = aggCache.size > aggCacheMaxEntries
+            while (evicting) {
+              aggCache.minByOption { case (_, (_, u)) => u.get() } match {
+                case Some((old, _)) => aggCache.remove(old)
+                case None => evicting = false
+              }
+              evicting = evicting && aggCache.size > aggCacheMaxEntries
+            }
+          }
+        }
+        bytes
+    }
+  }
+
   def execute(argv: Seq[String]): Array[Byte] =
     try {
       argv.head.toUpperCase match {
         case "FT.SEARCH" => ftSearch(argv)
-        case "FT.AGGREGATE" => aggregateReply(
-          cmds.execute(argv).asInstanceOf[org.apache.spark.sql.DataFrame])
+        case "FT.AGGREGATE" => ftAggregate(argv)
         case "FT.INFO" => infoReply(
           cmds.execute(argv).asInstanceOf[org.apache.spark.sql.DataFrame])
         case "FT._LIST" =>
