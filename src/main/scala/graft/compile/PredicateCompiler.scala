@@ -62,9 +62,12 @@ class PredicateCompiler(schema: IndexSchema, analyzer: Analyzer.Config = Analyze
         if (exactVals.isEmpty) lit(false)
         else if (exactVals.size == 1) array_contains(tags, exactVals.head)
         else arrays_overlap(tags, lit(exactVals.toArray))
-      val prefixCond = prefixVals.foldLeft(lit(false)) { (acc, p) =>
-        acc || exists(tags, t => t.startsWith(p))
-      }
+      // one compiled pass for ALL prefixes — the exists/startsWith HOF
+      // chain ran interpreted per (tag × prefix × row) and pushed the
+      // whole Filter out of codegen (graft.functions.AnyPrefixMatch)
+      val prefixCond =
+        if (prefixVals.isEmpty) lit(false)
+        else graft.functions.any_prefix_match(tags, prefixVals)
       exactCond || prefixCond
 
     case t: TextPredicate => compileText(t)

@@ -998,7 +998,7 @@ object MinHashSig {
  */
 case class TokenMatch(child: Expression, pattern: String,
                       mode: TokenMatch.Mode, maxDist: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "token_match"
@@ -1006,8 +1006,7 @@ case class TokenMatch(child: Expression, pattern: String,
   @transient private lazy val patU =
     org.apache.spark.unsafe.types.UTF8String.fromString(pattern)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def matchesTokens(arr: ArrayData): Boolean = {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -1026,6 +1025,17 @@ case class TokenMatch(child: Expression, pattern: String,
       i += 1
     }
     false
+  }
+
+  override def nullSafeEval(v: Any): Any = matchesTokens(v.asInstanceOf[ArrayData])
+
+  // One compiled method call per ROW keeps the enclosing Filter inside
+  // the scan's whole-stage-codegen span — a CodegenFallback here
+  // evicted the ENTIRE pattern/fuzzy/verbatim filter from codegen (the
+  // round-10 TagsOf regression mechanism, found again by SmellAudit).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenMatchExpr", this, classOf[TokenMatch].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.matchesTokens($v);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -1049,13 +1059,12 @@ object TokenMatch {
 case class ProximityMatch(child: Expression,
                           specs: Seq[graft.text.Proximity.Spec],
                           slop: Int, inorder: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "proximity_match"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def matchesTokens(arr: ArrayData): Boolean = {
     val n = arr.numElements()
     val toks = new Array[(String, Int)](n)
     var i = 0
@@ -1067,6 +1076,59 @@ case class ProximityMatch(child: Expression,
     graft.text.Proximity.matches(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(toks),
       specs, slop, inorder)
+  }
+
+  override def nullSafeEval(v: Any): Any = matchesTokens(v.asInstanceOf[ArrayData])
+
+  // keep the SLOP filter inside the scan's codegen span (see TokenMatch)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("proxMatchExpr", this, classOf[ProximityMatch].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.matchesTokens($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Any-element-has-any-prefix over a plain `array<string>` (TAG prefix
+ * patterns, tag.cc prefix semantics): one JVM pass with early exit,
+ * zero-copy UTF8String byte comparison. Replaces the per-prefix
+ * `exists(tags, _.startsWith(p))` HOF chain, whose interpreted lambdas
+ * evicted every tag-PREFIX Filter from whole-stage codegen (the exact
+ * mechanism the round-10 TagsOf fix closed for tag MEMBERSHIP).
+ */
+case class AnyPrefixMatch(child: Expression, prefixes: Seq[String])
+    extends UnaryExpression {
+  require(prefixes.nonEmpty, "AnyPrefixMatch needs at least one prefix")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_prefix_match"
+
+  @transient private lazy val prefU =
+    prefixes.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  def matchesAny(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val el = arr.getUTF8String(i)
+      if (el != null) {
+        var j = 0
+        while (j < prefU.length) {
+          if (el.startsWith(prefU(j))) return true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(v: Any): Any = matchesAny(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anyPrefixExpr", this, classOf[AnyPrefixMatch].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.matchesAny($v);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -112,4 +112,7 @@ package object functions {
   def proximity_match(tokens: Column, specs: Seq[graft.text.Proximity.Spec],
                       slop: Int, inorder: Boolean): Column =
     expr2col(ProximityMatch(col2expr(tokens), specs, slop, inorder))
+  /** Any-element-has-any-prefix over array<string> (one pass). */
+  def any_prefix_match(arr: Column, prefixes: Seq[String]): Column =
+    expr2col(AnyPrefixMatch(col2expr(arr), prefixes))
 }

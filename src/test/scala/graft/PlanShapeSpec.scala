@@ -99,4 +99,44 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q_not: NOT-of-TAG filter fused into the scan's whole-stage-codegen span") {
     assertTagFilterFused("q_not")
   }
+
+  /** The SmellAudit finding this round: TokenMatch / ProximityMatch /
+    * tag-prefix matching ran as CodegenFallback (or HOF lambdas),
+    * evicting every pattern / fuzzy / SLOP / tag-prefix Filter from
+    * whole-stage codegen — the same mechanism the TagsOf pin above
+    * guards for tag membership. Each family representative's Filter
+    * must carry a codegen id and no interpreted lambda. */
+  private def assertFilterCodegen(name: String, marker: String): Unit = {
+    val p = plan(name)
+    assert(p.contains(marker), s"$name: expected $marker in plan\n" + p.take(1200))
+    // judge the QUERY path only: the tree section (every Filter must
+    // carry the `*` codegen marker) and the Filter conditions (no
+    // interpreted lambda). The resident cache-FILL projection below
+    // InMemoryRelation legitimately holds a lambdafunction (paid once
+    // per registration, not per query).
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val filters = tree.filter(_.matches(""".*[+:]- (\* )?Filter \(\d+\).*"""))
+    assert(filters.nonEmpty, s"$name: no Filter in plan\n" + p.take(1200))
+    assert(filters.forall(_.contains("* Filter")),
+      s"$name: Filter fell out of whole-stage codegen: $filters\n" + p.take(1200))
+    val conds = p.linesIterator.filter(_.trim.startsWith("Condition")).toSeq
+    assert(!conds.exists(_.contains("lambdafunction")),
+      s"$name: interpreted HOF lambda in a Filter condition: $conds")
+  }
+
+  test("q_text_prefix: token_match Filter stays codegen'd") {
+    assertFilterCodegen("q_text_prefix", "token_match(")
+  }
+
+  test("q_text_fuzzy: fuzzy token_match Filter stays codegen'd") {
+    assertFilterCodegen("q_text_fuzzy", "token_match(")
+  }
+
+  test("q_text_slop_inorder: proximity_match Filter stays codegen'd") {
+    assertFilterCodegen("q_text_slop_inorder", "proximity_match(")
+  }
+
+  test("q_tag_prefix: any_prefix_match Filter stays codegen'd") {
+    assertFilterCodegen("q_tag_prefix", "any_prefix_match(")
+  }
 }
