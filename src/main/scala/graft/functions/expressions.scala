@@ -1518,3 +1518,85 @@ case class ByteAgreeFrac(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/**
+ * All whitespace-token text statistics in ONE row-local pass — the
+ * counts behind [[graft.pipeline.TextMetrics]] (token count, stopword
+ * hits, summed token length, ASCII-keep chars for the punctuation
+ * ratio, per-language marker hits). The Column-algebra formulation
+ * re-split the text per metric (4+ regex splits per document) and ran
+ * `filter`/`aggregate` HOF lambdas interpreted per (token × row); at
+ * curation scale these metrics should run at scan speed. Tokenization
+ * reproduces `split(text, "\\s+")` with Spark's limit=-1 semantics
+ * (Java `Pattern.split(s, -1)`: leading empty token kept when the
+ * text starts with whitespace, trailing empties kept, "" → [""]);
+ * token length is code points (Spark `length`); marker/stopword hits
+ * are exact string equality — the differential fuzz spec pins all of
+ * this against the original formulas.
+ */
+case class TextStats(child: Expression, stopwords: Seq[String],
+                     profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("octets", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("ascii_keep", LongType, nullable = false),
+    StructField("lang_hits", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val stopSet = stopwords.toSet
+  // a marker word may appear in several profiles ("de" is in both the
+  // Spanish and pinyin-Chinese lists) — map to ALL its profile indexes
+  @transient private lazy val marker: Map[String, Array[Int]] =
+    profiles.zipWithIndex
+      .flatMap { case (words, i) => words.map(_ -> i) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toArray }
+
+  def compute(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val nChars = s.numChars().toLong
+    val octets = s.numBytes().toLong
+    var asciiKeep = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == ' ') asciiKeep += 1
+      i += 1
+    }
+    val toks = ws.split(str, -1)
+    var stopHits = 0L
+    var sumLen = 0L
+    val lang = new Array[Long](profiles.length)
+    var j = 0
+    while (j < toks.length) {
+      val t = toks(j)
+      sumLen += t.codePointCount(0, t.length)
+      if (stopSet.contains(t)) stopHits += 1
+      marker.get(t) match {
+        case Some(idxs) =>
+          var k = 0
+          while (k < idxs.length) { lang(idxs(k)) += 1; k += 1 }
+        case None =>
+      }
+      j += 1
+    }
+    InternalRow(nChars, octets, toks.length.toLong, stopHits, sumLen,
+      asciiKeep, ArrayData.toArrayData(lang))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStatsExpr", this, classOf[TextStats].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -115,4 +115,8 @@ package object functions {
   /** Any-element-has-any-prefix over array<string> (one pass). */
   def any_prefix_match(arr: Column, prefixes: Seq[String]): Column =
     expr2col(AnyPrefixMatch(col2expr(arr), prefixes))
+  /** All whitespace-token text statistics in one pass (struct). */
+  def text_stats(text: Column, stopwords: Seq[String],
+                 profiles: Seq[Seq[String]]): Column =
+    expr2col(TextStats(col2expr(text), stopwords, profiles))
 }

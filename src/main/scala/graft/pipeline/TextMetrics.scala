@@ -12,10 +12,22 @@ import org.apache.spark.sql.functions._
  */
 object TextMetrics {
 
+  /** One-pass stats struct shared by every whitespace-token metric
+    * ([[graft.functions.TextStats]]). Identical instances inside one
+    * projection are deduplicated by Catalyst subexpression elimination,
+    * so `annotate`'s seven metrics tokenize each document ONCE — the
+    * Column-algebra formulas re-split per metric and evaluated
+    * interpreted HOF lambdas per (token × row). The originals survive
+    * as the differential-fuzz model (TextStatsFuzzSpec). */
+  private def stats(text: Column): Column =
+    graft.functions.text_stats(text, Stopwords, LangProfiles.map(_._2))
+
   /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column =
-    when(length(text) === 0, lit(0.0))
-      .otherwise(size(split(text, "\\s+")).cast("double"))
+  def tokenCountWs(text: Column): Column = {
+    val st = stats(text)
+    when(st.getField("n_chars") === 0, lit(0.0))
+      .otherwise(st.getField("n_tokens").cast("double"))
+  }
 
   /**
    * BPE-ish token count: letter runs, digit runs and single
@@ -27,11 +39,12 @@ object TextMetrics {
       .cast("double")
 
   /** Ratio of punctuation (non-alphanumeric, non-space) bytes. */
-  def punctRatio(text: Column): Column =
-    when(octet_length(text) === 0, lit(0.0))
-      .otherwise((octet_length(text) -
-        octet_length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
-        octet_length(text))
+  def punctRatio(text: Column): Column = {
+    val st = stats(text)
+    val octets = st.getField("octets")
+    when(octets === 0, lit(0.0))
+      .otherwise((octets - st.getField("ascii_keep")).cast("double") / octets)
+  }
 
   /** English-ish stopword list used by both ratio and quality score. */
   val Stopwords: Seq[String] = Seq(
@@ -40,18 +53,18 @@ object TextMetrics {
 
   /** Fraction of tokens that are stopwords (duplicates counted). */
   def stopwordRatio(text: Column): Column = {
-    val ws = split(text, "\\s+")
-    when(size(ws) === 0, lit(0.0))
-      .otherwise(size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") /
-        size(ws).cast("double"))
+    val st = stats(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("stop_hits").cast("double") / n.cast("double"))
   }
 
   /** Mean token length in characters. */
   def meanTokenLen(text: Column): Column = {
-    val ws = split(text, "\\s+")
-    when(size(ws) === 0, lit(0.0))
-      .otherwise(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        size(ws).cast("double"))
+    val st = stats(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("sum_token_len").cast("double") / n.cast("double"))
   }
 
   /**
@@ -86,9 +99,9 @@ object TextMetrics {
    * (first wins). Unknown when nothing matches.
    */
   def langId(text: Column): Column = {
-    val ws = split(text, "\\s+")
-    val counts = LangProfiles.map { case (lang, words) =>
-      lang -> size(filter(ws, w => w.isin(words: _*)))
+    val hits = stats(text).getField("lang_hits")
+    val counts = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> hits.getItem(i)
     }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("unknown")) { case ((lang, cnt), els) =>
