@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -143,12 +143,49 @@ object ContainsCount {
 }
 
 /**
+ * Whole-stage-codegen via ONE compiled call per row into the
+ * expression's own JVM eval: `CodegenFallback` would instead force
+ * every enclosing operator out of whole-stage codegen (the round-10
+ * TagsOf regression mechanism — an interpreted Filter/Project island
+ * plus per-row eval plumbing). These traits generate
+ * `ev.value = ((Boxed) ref.genEval(v)).unbox()` — for expressions
+ * whose per-row work (hashing a document, scanning a codebook) dwarfs
+ * one virtual call and, for primitive results, one box.
+ * Expressions that can return null from a non-null input must NOT use
+ * these (they assume non-null results); see StrfTime/ParseTime.
+ */
+private[functions] trait UnaryRefEval extends UnaryExpression {
+  /** Called from generated code. */
+  def genEval(v: AnyRef): AnyRef = nullSafeEval(v).asInstanceOf[AnyRef]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.{boxedType, javaType}
+    val ref = ctx.addReferenceObj("refExpr", this, getClass.getName)
+    val (jt, bt) = (javaType(dataType), boxedType(dataType))
+    val unbox = if (jt != bt) s".${jt}Value()" else ""
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = (($bt) $ref.genEval($v))$unbox;")
+  }
+}
+
+private[functions] trait BinaryRefEval extends BinaryExpression {
+  /** Called from generated code. */
+  def genEval(l: AnyRef, r: AnyRef): AnyRef = nullSafeEval(l, r).asInstanceOf[AnyRef]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.{boxedType, javaType}
+    val ref = ctx.addReferenceObj("refExpr", this, getClass.getName)
+    val (jt, bt) = (javaType(dataType), boxedType(dataType))
+    val unbox = if (jt != bt) s".${jt}Value()" else ""
+    nullSafeCodeGen(ctx, ev,
+      (l, r) => s"${ev.value} = (($bt) $ref.genEval($l, $r))$unbox;")
+  }
+}
+
+/**
  * Damerau-Levenshtein (optimal string alignment) edit distance, for the
  * fuzzy text operator `%word%` (reference: src/indexes/text/fuzzy.h:24,
  * predicate.h:315-345). Early-exits on length-difference > max.
  */
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryRefEval {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "damerau_levenshtein"
@@ -195,15 +232,31 @@ object DamerauLevenshtein {
  * directives; unknown directives pass through literally.
  */
 case class StrfTime(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = StringType
+  // NaN/Inf timestamps format to null even from non-null inputs
+  override def nullable: Boolean = true
   override def prettyName: String = "timefmt"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val ts = l.asInstanceOf[Double]
     if (ts.isNaN || ts.isInfinite) return null
     UTF8String.fromString(StrfTime.format(ts.toLong, r.toString))
+  }
+
+  /** Called from generated code; null on NaN/Inf. */
+  def genEval(ts: Double, fmt: UTF8String): UTF8String =
+    if (ts.isNaN || ts.isInfinite) null
+    else UTF8String.fromString(StrfTime.format(ts.toLong, fmt.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("strfExpr", this, classOf[StrfTime].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""
+         |${ev.value} = $ref.genEval($l, $r);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -292,12 +345,30 @@ object StrfTime {
 
 /** `parsetime(str, fmt)` → unix seconds as double; Nil on parse failure. */
 case class ParseTime(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "parsetime"
   override def nullSafeEval(l: Any, r: Any): Any =
     StrfTime.parse(l.toString, r.toString).map(_.toDouble).orNull
+
+  /** Called from generated code; null on parse failure. */
+  def genEval(s: UTF8String, fmt: UTF8String): java.lang.Double =
+    StrfTime.parse(s.toString, fmt.toString)
+      .map(v => java.lang.Double.valueOf(v.toDouble)).orNull
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("parseTimeExpr", this, classOf[ParseTime].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("parsed")
+      s"""
+         |java.lang.Double $tmp = $ref.genEval($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -354,7 +425,7 @@ object FormatG {
  * ~10× slower at 128 hashes.
  */
 case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -404,7 +475,7 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
  * (MinHash, array_intersect) are order-insensitive.
  */
 case class HashedShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_shingles"
@@ -458,7 +529,7 @@ case class HashedShingles(child: Expression, n: Int)
  * × row) and rebuilds intermediate arrays at every step.
  */
 case class WordNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
@@ -506,7 +577,7 @@ case class WordNgrams(child: Expression, n: Int)
  * All-zero and empty vectors encode with scale 0 (codes all 0).
  */
 case class SqEncode(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", FloatType, nullable = false),
@@ -610,7 +681,7 @@ case class SqDistance(left: Expression, right: Expression, metric: String)
  * quantize garbage.
  */
 case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
   require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
 
   private val m = books.length
@@ -723,7 +794,7 @@ case class PqAdc(child: Expression, lut: Array[Float],
  * rules). Zero lines → (0, 0.0, 0.0).
  */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_lines", IntegerType, nullable = false),
@@ -786,7 +857,7 @@ case class RepetitionStats(child: Expression)
  * scale.
  */
 case class NgramRepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   import NgramRepetitionStats.{TopNs, DupNs}
 
@@ -908,7 +979,7 @@ object NgramRepetitionStats {
  * chars fingerprint to the empty array.
  */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
   require(k >= 1 && w >= 1, "k and w must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -1142,7 +1213,7 @@ case class AnyPrefixMatch(child: Expression, prefixes: Seq[String])
  * (element × centroid) pair.
  */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
@@ -1187,7 +1258,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
  * re-reads the array numPlanes times.
  */
 case class SignLsh(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_lsh"
@@ -1231,7 +1302,7 @@ case class SignLsh(child: Expression, planes: Array[Array[Double]])
  * (token × bit) pair.
  */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -1273,7 +1344,7 @@ case class SimHash64(child: Expression)
  * exchange for never materializing window STRINGS.
  */
 case class TokenWindowHashes(child: Expression, len: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefEval {
   require(len >= 1, s"window length must be >= 1, got $len")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -1325,7 +1396,7 @@ case class TokenWindowHashes(child: Expression, len: Int)
  * them from the same tokenization).
  */
 case class CutSpans(left: Expression, right: Expression, len: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryRefEval {
   require(len >= 1, s"window length must be >= 1, got $len")
 
   override def dataType: DataType = StringType
