@@ -1671,3 +1671,111 @@ case class TextStats(child: Expression, stopwords: Seq[String],
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * Raw counts behind [[graft.pipeline.TextMetrics.gopherRules]] in ONE
+ * row-local pass (word split, line split, symbol scan, stopword set) —
+ * the Column-algebra bundle re-split the text per rule and ran five
+ * interpreted HOF lambdas plus three per-element `rlike` regexes per
+ * document. The ratio/rounding arithmetic stays in Column space on
+ * this struct, so numeric semantics are untouched. Parity notes:
+ * word split is `split(text, "\\s+")` minus empties; line trim
+ * removes ASCII space 0x20 only (Spark `trim`); the symbol count
+ * reproduces `regexp_extract_all(text, "#|\\.\\.\\.")` leftmost-first
+ * alternation (`#` at a position wins, `...` consumes three dots);
+ * stopword hits count DISTINCT stops present among Unicode-lowercased
+ * words (`array_intersect(array_distinct(transform(_, lower)), …)`).
+ */
+case class GopherCounts(child: Expression)
+    extends UnaryExpression with UnaryRefEval {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("symbol_matches", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("bullet_lines", LongType, nullable = false),
+    StructField("ellipsis_lines", LongType, nullable = false),
+    StructField("alpha_words", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def prettyName: String = "gopher_counts"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val stops =
+    graft.pipeline.TextMetrics.GopherStops.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val str = u.toString
+
+    var nWords = 0L
+    var sumLen = 0L
+    var alphaWords = 0L
+    var stopMask = 0L
+    val toks = ws.split(str, -1)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        nWords += 1
+        sumLen += t.codePointCount(0, t.length)
+        var hasAlpha = false
+        var j = 0
+        while (!hasAlpha && j < t.length) {
+          val c = t.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+        if (t.length <= 6) { // longest stop is 4 chars; cheap pre-cut
+          val lw = UTF8String.fromString(t).toLowerCase
+          var s = 0
+          while (s < stops.length) {
+            if (lw.equals(stops(s))) stopMask |= (1L << s)
+            s += 1
+          }
+        }
+      }
+      i += 1
+    }
+
+    // leftmost-first "#|\.\.\." scan
+    var symbols = 0L
+    i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '#') { symbols += 1; i += 1 }
+      else if (c == '.' && i + 2 < str.length &&
+               str.charAt(i + 1) == '.' && str.charAt(i + 2) == '.') {
+        symbols += 1; i += 3
+      } else i += 1
+    }
+
+    var nLines = 0L
+    var bullets = 0L
+    var ellipses = 0L
+    var start = 0
+    var more = true
+    while (more) {
+      val nl = str.indexOf('\n', start)
+      val end = if (nl < 0) str.length else nl
+      var a = start
+      var b = end
+      while (a < b && str.charAt(a) == ' ') a += 1   // Spark trim: 0x20 only
+      while (b > a && str.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        nLines += 1
+        val f = str.charAt(a)
+        if (f == '-' || f == '*') bullets += 1
+        if (b - a >= 3 && str.charAt(b - 1) == '.' &&
+            str.charAt(b - 2) == '.' && str.charAt(b - 3) == '.') ellipses += 1
+      }
+      if (nl < 0) more = false else start = nl + 1
+    }
+
+    InternalRow(nWords, sumLen, symbols, nLines, bullets, ellipses,
+      alphaWords, java.lang.Long.bitCount(stopMask).toLong)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -119,4 +119,7 @@ package object functions {
   def text_stats(text: Column, stopwords: Seq[String],
                  profiles: Seq[Seq[String]]): Column =
     expr2col(TextStats(col2expr(text), stopwords, profiles))
+  /** Raw Gopher-rule counts in one pass (struct). */
+  def gopher_counts(text: Column): Column =
+    expr2col(GopherCounts(col2expr(text)))
 }

@@ -155,39 +155,37 @@ object TextMetrics {
    */
   def gopherRules(text: Column,
                   minWords: Int = 50, maxWords: Int = 100000): Column = {
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    val nWords = size(words)
+    // one-pass raw counts ([[graft.functions.GopherCounts]]); the
+    // ratio/round arithmetic stays in Column space so numeric
+    // semantics are identical to the original HOF bundle (which
+    // survives as the TextStatsFuzzSpec model)
+    val g = graft.functions.gopher_counts(text)
+    val nWords = g.getField("n_words")
     val nW = nWords.cast("double")
     val meanLen = when(nWords === 0, lit(0.0))
-      .otherwise(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nW)
+      .otherwise(g.getField("sum_word_len").cast("double") / nW)
     val symbolRatio = when(nWords === 0, lit(0.0))
-      .otherwise(size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
-        .cast("double") / nW)
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val nLines = size(lines)
+      .otherwise(g.getField("symbol_matches").cast("double") / nW)
+    val nLines = g.getField("n_lines")
     val bulletFrac = when(nLines === 0, lit(0.0))
-      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*]"))).cast("double") /
-        nLines.cast("double"))
+      .otherwise(g.getField("bullet_lines").cast("double") / nLines.cast("double"))
     val ellipsisFrac = when(nLines === 0, lit(0.0))
-      .otherwise(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") /
-        nLines.cast("double"))
+      .otherwise(g.getField("ellipsis_lines").cast("double") / nLines.cast("double"))
     val alphaFrac = when(nWords === 0, lit(0.0))
-      .otherwise(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
-    val stopHits = size(array_intersect(
-      array_distinct(transform(words, w => lower(w))),
-      lit(GopherStops.toArray)))
+      .otherwise(g.getField("alpha_words").cast("double") / nW)
+    val stopHits = g.getField("stop_hits")
     val pass = nWords >= minWords && nWords <= maxWords &&
       meanLen >= 3.0 && meanLen <= 10.0 &&
       symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
       alphaFrac >= 0.8 && stopHits >= 2
     struct(
-      nWords.cast("long").as("word_count"),
+      nWords.as("word_count"),
       round(meanLen, 6).as("mean_word_len"),
       round(symbolRatio, 6).as("symbol_word_ratio"),
       round(bulletFrac, 6).as("bullet_line_frac"),
       round(ellipsisFrac, 6).as("ellipsis_line_frac"),
       round(alphaFrac, 6).as("alpha_word_frac"),
-      stopHits.cast("long").as("stop_word_hits"),
+      stopHits.as("stop_word_hits"),
       pass.as("pass"))
   }
 

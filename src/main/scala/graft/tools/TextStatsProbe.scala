@@ -72,6 +72,30 @@ object TextStatsProbe {
           TextMetrics.stopwordRatio(col("text")),
           TextMetrics.meanTokenLen(col("text")), TextMetrics.langId(col("text")))
       }
+      def oldGopher(text: Column) = {
+        val ws2 = split(text, "\\s+")
+        val wordsC = filter(ws2, w => length(w) > 0)
+        val nWords = size(wordsC)
+        val nW = nWords.cast("double")
+        val meanLen = when(nWords === 0, lit(0.0))
+          .otherwise(aggregate(wordsC, lit(0L), (a, w) => a + length(w)).cast("double") / nW)
+        val symbolRatio = when(nWords === 0, lit(0.0))
+          .otherwise(size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / nW)
+        val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+        val nLines = size(lines)
+        val bulletFrac = when(nLines === 0, lit(0.0))
+          .otherwise(size(filter(lines, l => trim(l).rlike("^[-*]"))).cast("double") / nLines.cast("double"))
+        val ellipsisFrac = when(nLines === 0, lit(0.0))
+          .otherwise(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / nLines.cast("double"))
+        val alphaFrac = when(nWords === 0, lit(0.0))
+          .otherwise(size(filter(wordsC, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
+        val stopHits = size(array_intersect(
+          array_distinct(transform(wordsC, w => lower(w))),
+          lit(TextMetrics.GopherStops.toArray)))
+        struct(nWords, meanLen, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac, stopHits)
+      }
+      time("old_gopher") { oldGopher(col("text")) }
+      time("new_gopher") { TextMetrics.gopherRules(col("text")) }
       docs.unpersist()
     }
     spark.stop()

@@ -108,6 +108,75 @@ class TextStatsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // the ORIGINAL gopherRules HOF bundle (the model)
+  private def mGopher(text: org.apache.spark.sql.Column,
+                      minWords: Int = 50, maxWords: Int = 100000) = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val nW = nWords.cast("double")
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nW)
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nW)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*]"))).cast("double") /
+        nLines.cast("double"))
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") /
+        nLines.cast("double"))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      lit(TextMetrics.GopherStops.toArray)))
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      nWords.cast("long").as("word_count"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_word_hits"),
+      pass.as("pass"))
+  }
+
+  test("gopherRules over GopherCounts ≡ original HOF bundle on 1200 fuzz cases + edges") {
+    val rnd = new scala.util.Random(7)
+    val words = Array("the", "THE", "and", "That", "have", "with", "be",
+      "word", "##tag", "...", "a...b", "###", "x", "漢字", "ümlauts",
+      "-dash", "*star", "....", "w" * 12)
+    def randDoc(): String = {
+      val nLines = rnd.nextInt(6)
+      (0 until nLines).map { _ =>
+        val lead = Seq("", " ", "- ", "* ", "  - ")(rnd.nextInt(5))
+        val tail = Seq("", "...", " ...", ".", " ")(rnd.nextInt(5))
+        val n = rnd.nextInt(12)
+        lead + (0 until n).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" ") + tail
+      }.mkString("\n")
+    }
+    val edges = Seq("", "\n\n", "   \n  ", "- only bullets\n* here",
+      "ends in...\nhas ### the and that have", "the the the", null)
+    val docs = (edges ++ (1 to 1200).map(_ => randDoc())).zipWithIndex
+    val sp = spark; import sp.implicits._
+    val df = docs.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val out = df.select(col("id"),
+      TextMetrics.gopherRules(col("t"), 3, 20).as("n"),
+      mGopher(col("t"), 3, 20).as("o")).collect()
+    out.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"doc ${r.getInt(0)}: new=${r.get(1)} old=${r.get(2)} " +
+          s"text=${docs(r.getInt(0))._1}")
+    }
+  }
+
   test("annotate runs on text_stats over a real scan (CSE dedupes the instances)") {
     // parquet-backed (a literal LocalRelation constant-folds the whole
     // projection away at optimize time)
