@@ -174,8 +174,11 @@ class SearchEngine {
   private[graft] val replyCacheHits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val replyCacheMisses = new java.util.concurrent.atomic.AtomicLong
   private val epochs = scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  // read-only: a lookup for an unknown name must NOT insert (clients
+  // probing arbitrary index names over the socket would grow the map
+  // without bound); absent reads as epoch 0, the pre-first-create value
   private def epochOf(name: String): Long =
-    epochs.getOrElseUpdate(name, new java.util.concurrent.atomic.AtomicLong).get()
+    epochs.get(name).fold(0L)(_.get())
   /** Registration generation of an index — bumps on createIndex /
     * dropIndex. Any cache keyed by an index's contents must carry it
     * (the RESP adapter's aggregate-reply cache does). */
@@ -203,12 +206,22 @@ class SearchEngine {
       case StringParam(s) => "s:" + s
       case VectorParam(a) => "v:" + a.mkString(",") // by contents, not identity
     }
-    val params = opts.params.toSeq.sortBy(_._1)
-      .map { case (k, v) => k + "\u0001" + pv(v) }.mkString("\u0002")
-    Seq(name, ep, query, opts.limit, opts.sortBy, opts.returnFields,
-      opts.noContent, opts.slop, opts.inorder, opts.verbatim,
-      opts.withSortKeys, params, maxNonVectorResultsFetched,
-      maxSearchResultRecordSize, maxSearchResultFieldsCount).mkString("\u0000")
+    // length-prefixed join: user-controlled strings (query text, param
+    // names/values) may contain ANY character, so delimiter joining
+    // would let two different requests collide on one key and serve
+    // each other's cached replies — "<len>:<content>" per component is
+    // unambiguous regardless of content
+    val sb = new StringBuilder
+    def add(s: String): Unit = { sb.append(s.length).append(':').append(s); () }
+    add(name); add(ep.toString); add(query)
+    add(opts.limit.toString); add(opts.sortBy.toString)
+    opts.returnFields.foreach { case (f, as) => add(f); add(as.toString) }
+    add(Seq(opts.noContent, opts.slop, opts.inorder, opts.verbatim,
+      opts.withSortKeys).mkString(","))
+    opts.params.toSeq.sortBy(_._1).foreach { case (k, v) => add(k); add(pv(v)) }
+    add(Seq(maxNonVectorResultsFetched, maxSearchResultRecordSize,
+      maxSearchResultFieldsCount).mkString(","))
+    sb.toString
   }
   private def evictLruReplies(): Unit =
     while (replyCache.size > replyCacheMaxEntries) {
@@ -651,9 +664,15 @@ class SearchEngine {
     // are untouched; the effect is fewer files scanned, match-all
     // queries included.
     keyLayouts.get(schema.name).foreach { kl =>
-      schema.subscribedPrefixes.filter(_.nonEmpty)
-        .map(kl.pruneCond).reduceOption(_ || _)
-        .foreach(c => df = df.filter(c))
+      // an EMPTY prefix among the subscriptions matches every key
+      // (''.startsWith contract) — the implied partition filter is then
+      // the whole table, so no prune may apply at all: reducing over
+      // only the non-empty prefixes would wrongly exclude keys that the
+      // empty subscription admits
+      if (!schema.subscribedPrefixes.contains(""))
+        schema.subscribedPrefixes.filter(_.nonEmpty)
+          .map(kl.pruneCond).reduceOption(_ || _)
+          .foreach(c => df = df.filter(c))
     }
     if (!parsed.isMatchAll) {
       // Route posting-servable conjuncts through posting lookup +

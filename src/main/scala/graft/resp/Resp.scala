@@ -147,7 +147,15 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
   private def ftAggregate(argv: Seq[String]): Array[Byte] = {
     // epoch BEFORE execute (the engine's bumpEpoch ordering contract)
     val ep = if (argv.length >= 2) Some(engine.registrationEpoch(argv(1))) else None
-    val key = ep.map(e => e.toString + "\u0000" + argv.mkString("\u0000"))
+    // length-prefixed join — argv elements are arbitrary client bytes,
+    // so delimiter joining would let two different argv vectors collide
+    // on one cache key
+    val key = ep.map { e =>
+      val sb = new StringBuilder
+      sb.append(e).append('|')
+      argv.foreach(a => sb.append(a.length).append(':').append(a))
+      sb.toString
+    }
     key.flatMap(aggCache.get) match {
       case Some((bytes, used)) =>
         used.set(aggTick.incrementAndGet())

@@ -70,7 +70,10 @@ final class RespServer(commands: RespCommands, port: Int = 0) {
       } catch {
         case _: SocketException if !running.get => () // closed in stop()
         case _: Exception if !running.get => ()
-        case _: Exception => () // transient accept failure; keep serving
+        case _: Exception =>
+          // transient accept failure (e.g. EMFILE under connection
+          // pressure): back off instead of hot-looping on accept()
+          try Thread.sleep(50) catch { case _: InterruptedException => () }
       }
     }
 
@@ -133,14 +136,18 @@ object RespServer {
         buf
       })
     } else {
-      // inline command: the rest of this \r\n line, space-split
+      // inline command: terminated by NEWLINE (Redis accepts bare-LF
+      // inline commands; a trailing CR is stripped). EOF mid-line is a
+      // truncated command — reject it, never execute a partial line.
       val sb = new java.io.ByteArrayOutputStream()
       sb.write(first)
       var b = in.read()
-      while (b >= 0 && b != '\r') { sb.write(b); b = in.read() }
-      if (b == '\r' && in.read() != '\n')
-        throw new IllegalArgumentException("inline command: CR without LF")
-      Some(sb.toString(ISO_8859_1).split("\\s+").toSeq
+      while (b >= 0 && b != '\n') { sb.write(b); b = in.read() }
+      if (b < 0) throw new EOFException("EOF inside inline command")
+      val bytes = sb.toByteArray
+      val len = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      Some(new String(bytes, 0, len, ISO_8859_1).split("\\s+").toSeq
         .filter(_.nonEmpty).map(_.getBytes(ISO_8859_1)))
     }
   }
@@ -186,20 +193,30 @@ object RespServer {
     * (binary carriers), everything else strict-UTF-8-else-latin-1. */
   private[resp] def decodeArgv(raw: Seq[Array[Byte]]): Seq[String] = {
     val out = new Array[String](raw.length)
-    // locate PARAMS <count> name value name value … (flat clause; the
-    // keyword itself is ASCII so a byte-wise uppercase compare is safe)
+    // Locate PARAMS <count> name value name value … (flat clause; the
+    // keyword itself is ASCII so a byte-wise compare is safe). A
+    // candidate must be structurally VALID — index ≥ 3 (cmd, index,
+    // query always precede options), followed by a positive even count
+    // whose value slots all exist — so a query string or field value
+    // that merely EQUALS "params" cannot preempt the real clause; the
+    // LAST valid candidate wins (a clause keyword cannot appear after
+    // the real clause's own values and still validate).
     var paramsAt = -1
-    var i = 0
-    while (i < raw.length && paramsAt < 0) {
+    var paramCount = 0
+    var i = 3
+    while (i < raw.length) {
       val b = raw(i)
       if (b.length == 6 &&
-          new String(b, ISO_8859_1).equalsIgnoreCase("PARAMS")) paramsAt = i
+          new String(b, ISO_8859_1).equalsIgnoreCase("PARAMS") &&
+          i + 1 < raw.length) {
+        val cnt = new String(raw(i + 1), ISO_8859_1).toIntOption.getOrElse(-1)
+        if (cnt > 0 && cnt % 2 == 0 && i + 1 + cnt < raw.length) {
+          paramsAt = i
+          paramCount = cnt
+        }
+      }
       i += 1
     }
-    val paramCount =
-      if (paramsAt >= 0 && paramsAt + 1 < raw.length)
-        new String(raw(paramsAt + 1), ISO_8859_1).toIntOption.getOrElse(0)
-      else 0
     i = 0
     while (i < raw.length) {
       val isParamValue = paramsAt >= 0 &&

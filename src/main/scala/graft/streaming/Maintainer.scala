@@ -370,6 +370,11 @@ final class IndexMaintainer(
   private[streaming] def adoptDocLsm(): Boolean =
     docsSource.nonEmpty && readDocManifest().exists { case (bv, segs) =>
       val kc = schema.keyColumn
+      // the caller's pre-adoption registration (FT.CREATE MAINTAIN_OPEN
+      // enriches the state, possibly resident=persisted) is superseded
+      // here — release it or a full-corpus cache stays pinned for the
+      // process lifetime (no-op when it was never persisted)
+      val preAdoption = engine.index(indexName)._2
       val basePath = s"$docsDir/v$bv"
       if (!graft.util.FsIO.isDir(spark, basePath))
         throw new IllegalStateException(
@@ -422,6 +427,7 @@ final class IndexMaintainer(
           .unionByName(newOverlayEnriched)
         engine.createIndex(schema, composed, resident = false)
       }
+      preAdoption.unpersist(blocking = false)
       true
     }
 

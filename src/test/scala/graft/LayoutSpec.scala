@@ -214,4 +214,24 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(q.collect().map(_.getString(0)).sorted.toSeq == wantQ)
   }
+
+  test("an EMPTY prefix among the subscriptions disables the prune (matches every key)") {
+    // PREFIX 2 'doc1' '' subscribes ALL keys; pruning to the non-empty
+    // prefixes would silently exclude everything outside doc1*
+    val keyed = docs.select(concat(lit("doc"), col("doc_id")).as("k"),
+      col("n_chars"), col("text"))
+    Layout.saveKeyPrefixPartitioned(keyed, "k", s"$tmp/bykeyAll", prefixLen = 4)
+    val part = spark.read.parquet(s"$tmp/bykeyAll")
+    val e = new SearchEngine()
+    val cmds = new graft.engine.Commands(e, _ => (part, col("k")))
+    cmds.execute(Seq("FT.CREATE", "docs_kpa", "PREFIX", "2", "doc1", "",
+      "SCHEMA", "n_chars", "NUMERIC"))
+    Layout.registerHints(e, "docs_kpa", spark, s"$tmp/bykeyAll", "k")
+    val got = e.search("docs_kpa", "*",
+        SearchOptions(limit = (0, 100000), noContent = true))
+      .collect().map(_.getString(0)).toSet
+    val all = keyed.select("k").collect().map(_.getString(0)).toSet
+    assert(got == all,
+      s"empty-prefix subscription pruned away ${(all -- got).size} keys")
+  }
 }

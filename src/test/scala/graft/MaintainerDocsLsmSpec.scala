@@ -175,6 +175,23 @@ class MaintainerDocsLsmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(contentsOf(engine2) == expected.toMap)
   }
 
+  test("adoption releases the caller's pre-registration (no resident-corpus leak)") {
+    // FT.CREATE MAINTAIN_OPEN shape: the restart caller registers the
+    // state enrichment RESIDENT (persisted); adoption supersedes it and
+    // must unpersist it, or a full-corpus cache stays pinned forever
+    val engineR = new SearchEngine
+    val schema = IndexSchema("lsm_idx", Seq(FieldDef("text", TextField())))
+    val pre = graft.sources.Documents.enrich(Ingest.readState(spark, statePath), schema)
+    engineR.createIndex(schema, pre, resident = true)
+    def cached = spark.sharedState.cacheManager
+      .lookupCachedData(pre.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+    assert(cached.isDefined, "precondition: pre-registration is cached")
+    IndexMaintainer.openIndex(engineR, "lsm_idx", baseDir,
+      docsSource = Some(() => Ingest.readState(spark, statePath)))
+    assert(cached.isEmpty, "adoption leaked the superseded resident relation")
+    assert(contentsOf(engineR) == expected.toMap)
+  }
+
   test("orphan segments (crash window) are GC'd at adoption") {
     val segDir = s"$baseDir/__docsbase/seg/v9999"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segDir))
