@@ -938,6 +938,35 @@ object Queries {
         |      ORDER BY o_totalprice ASC, k ASC LIMIT 30 OFFSET 20)""".stripMargin
     ),
     (
+      // The same reply as q_reply_total with the reply cache DISABLED:
+      // q_reply_total's bench reps 2+ are cache hits by design (the
+      // serving contract), so THIS gate is the cold-path compute pin —
+      // a regression in the filter/total/page machinery moves here
+      // even when the cached gate stays flat.
+      "q_reply_total_cold",
+      (s: SparkSession, dir: String) => {
+        val e = eng(s, dir)
+        val saved = e.replyCacheEnabled
+        e.replyCacheEnabled = false
+        try {
+          val reply = e.searchReply("orders", "@o_orderstatus:{F}",
+            SearchOptions(limit = (20, 30), sortBy = Some(("o_totalprice", true)),
+              returnFields = Seq(("o_totalprice", None))))
+          val sp = s; import sp.implicits._
+          Seq((reply.total.toDouble, reply.rows.length.toDouble,
+            reply.rows.map(_.getString(0)).mkString(","))).toDF(
+            "total", "page_len", "page_keys")
+        } finally e.replyCacheEnabled = saved
+      },
+      """WITH m AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, o_totalprice
+        |  FROM orders WHERE lower(o_orderstatus) = 'f')
+        |SELECT CAST((SELECT count(*) FROM m) AS DOUBLE) AS total,
+        |  CAST(count(*) AS DOUBLE) AS page_len,
+        |  string_agg(k, ',' ORDER BY o_totalprice ASC, k ASC) AS page_keys
+        |FROM (SELECT k, o_totalprice FROM m
+        |      ORDER BY o_totalprice ASC, k ASC LIMIT 30 OFFSET 20)""".stripMargin
+    ),
+    (
       "q_fetch_cap", // reference max-nonvector-search-results-fetched
       (s: SparkSession, dir: String) => {
         val reply = capEng(s, dir).searchReply("part_cap", "*",
