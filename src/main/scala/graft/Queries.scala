@@ -946,8 +946,10 @@ object Queries {
       "q_reply_total_cold",
       (s: SparkSession, dir: String) => {
         val e = eng(s, dir)
-        val saved = e.replyCacheEnabled
+        val savedReply = e.replyCacheEnabled
+        val savedBase = e.baseCacheEnabled
         e.replyCacheEnabled = false
+        e.baseCacheEnabled = false // q_reply_total warmed the base cache too
         try {
           val reply = e.searchReply("orders", "@o_orderstatus:{F}",
             SearchOptions(limit = (20, 30), sortBy = Some(("o_totalprice", true)),
@@ -956,7 +958,10 @@ object Queries {
           Seq((reply.total.toDouble, reply.rows.length.toDouble,
             reply.rows.map(_.getString(0)).mkString(","))).toDF(
             "total", "page_len", "page_keys")
-        } finally e.replyCacheEnabled = saved
+        } finally {
+          e.replyCacheEnabled = savedReply
+          e.baseCacheEnabled = savedBase
+        }
       },
       """WITH m AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, o_totalprice
         |  FROM orders WHERE lower(o_orderstatus) = 'f')

@@ -86,6 +86,14 @@ object SearchEngine {
       reply: SearchReply, limited: Boolean, dropped: Long,
       lastUsed: java.util.concurrent.atomic.AtomicLong)
 
+  /** A materialized non-vector filter base: `df` holds at most cap+1
+    * rows (persisted, or a LocalRelation for narrow NOCONTENT bases —
+    * unpersist on those is a harmless no-op) and `n` its exact row
+    * count, from which every page's total and truncation flag derive. */
+  private[engine] final case class CachedBase(indexName: String, epoch: Long,
+      df: DataFrame, n: Long,
+      lastUsed: java.util.concurrent.atomic.AtomicLong)
+
   /** Index build state (reference index_schema.h:102-109, FT.INFO
     * fields index_schema.cc:1244-1263): `state` is "ready" or
     * "backfill_in_progress"; percent counts the initial fill only —
@@ -229,6 +237,87 @@ class SearchEngine {
       oldest.foreach { case (k, _) => replyCache.remove(k) }
       if (oldest.isEmpty) return
     }
+
+  // ---------------------------------------------------------------------
+  // Filtered-base cache — the second serving lever (ServeLatencyProbe
+  // decomposition): the reply cache only serves EXACT repeats, but the
+  // expensive half of a non-vector reply — filterStage + limit(cap+1) +
+  // the total count — depends on strictly fewer inputs than the reply
+  // (query, params, VERBATIM/SLOP/INORDER, the fetch cap; NOT the page
+  // offset/limit, SORTBY, RETURN, NOCONTENT, WITHSORTKEYS). A client
+  // paging through results, or re-requesting with different RETURN
+  // fields, re-pays the corpus scan today. This cache keeps the
+  // materialized cap+1-row base (persisted) plus its count for one
+  // registration epoch, so such variants pay one page-sized job over
+  // already-cached rows. Consistency bonus: when the cap truncates,
+  // every page of a paging sequence draws from the SAME materialized
+  // subset instead of a fresh nondeterministic limit() per call.
+  // Invalidation and race-ordering are identical to the reply cache
+  // (epoch read BEFORE catalog; insert re-checks the epoch). KNN is
+  // excluded for the reply cache's reasons. Narrow NOCONTENT bases
+  // (see the single-action path in searchReply) are LocalRelations of
+  // collected key/sortkey rows and carry their projection in the key so
+  // a content request can never hit a keys-only base; a NOCONTENT
+  // request may fall through to a full base (a superset projection).
+  // ---------------------------------------------------------------------
+  /** Cache the filtered cap+1-row base relation + total per (epoch,
+    * query, filter-affecting options), serving page/RETURN variants
+    * without re-scanning (invalidated per index on createIndex /
+    * dropIndex). */
+  var baseCacheEnabled: Boolean = true
+  /** LRU bound on cached filtered bases across all indexes. Each full
+    * entry is a persisted MEMORY_AND_DISK relation of at most cap+1
+    * rows; narrow NOCONTENT entries are driver-local key rows. */
+  var baseCacheMaxEntries: Int = 32
+  private[graft] val baseCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val baseCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private val baseCache = scala.collection.concurrent.TrieMap.empty[String, SearchEngine.CachedBase]
+  private[graft] def baseCacheSize: Int = baseCache.size
+  private def dropCachedBases(name: String): Unit = {
+    baseCache.filterInPlace { case (_, v) =>
+      val drop = v.indexName == name
+      if (drop) v.df.unpersist(blocking = false)
+      !drop
+    }
+    ()
+  }
+  /** Key of the base-affecting request subset. `projection` is "full"
+    * for the whole enriched row set or "nc:<sortalias>" for a narrow
+    * NOCONTENT base, so projections can never cross-serve downward. */
+  private def baseKey(name: String, ep: Long, query: String,
+                      opts: SearchOptions, cap: Int, projection: String): String = {
+    def pv(v: ParamValue): String = v match {
+      case StringParam(s) => "s:" + s
+      case VectorParam(a) => "v:" + a.mkString(",")
+    }
+    val sb = new StringBuilder
+    def add(s: String): Unit = { sb.append(s.length).append(':').append(s); () }
+    add(name); add(ep.toString); add(query); add(projection)
+    add(Seq(opts.slop, opts.inorder, opts.verbatim, cap).mkString(","))
+    opts.params.toSeq.sortBy(_._1).foreach { case (k, v) => add(k); add(pv(v)) }
+    sb.toString
+  }
+  private def evictLruBases(): Unit =
+    while (baseCache.size > baseCacheMaxEntries) {
+      val oldest = baseCache.minByOption { case (_, v) => v.lastUsed.get() }
+      oldest.foreach { case (k, _) =>
+        baseCache.remove(k).foreach(_.df.unpersist(blocking = false))
+      }
+      if (oldest.isEmpty) return
+    }
+  /** Insert a freshly materialized base; unpersists the loser of an
+    * insert race and any entry stranded by a racing re-registration
+    * (same contract as the reply cache's post-insert epoch re-check). */
+  private def putCachedBase(key: String, entry: SearchEngine.CachedBase): Unit = {
+    baseCache.putIfAbsent(key, entry) match {
+      case Some(_) => entry.df.unpersist(blocking = false) // lost the race
+      case None =>
+        if (epochOf(entry.indexName) != entry.epoch)
+          baseCache.remove(key).foreach(_.df.unpersist(blocking = false))
+        evictLruBases()
+    }
+    ()
+  }
 
   /**
    * Attach an inverted posting relation ([[graft.text.PostingIndex]])
@@ -532,6 +621,7 @@ class SearchEngine {
     // contract with the reply-cache lookup path)
     bumpEpoch(schema.name)
     dropCachedReplies(schema.name)
+    dropCachedBases(schema.name)
     // ALL derived state describes the PREVIOUS registered relation —
     // a re-registration (maintainer docs refresh, FT.CREATE over an
     // existing name) must not leave queries routing through postings
@@ -565,6 +655,7 @@ class SearchEngine {
       throw new IllegalArgumentException(s"no such index: $name")
     bumpEpoch(name)
     dropCachedReplies(name)
+    dropCachedBases(name)
     docCounts.remove(name)
     infoStatsCache.remove(name)
     buildStates.remove(name)
@@ -687,6 +778,20 @@ class SearchEngine {
         case And(cs) => cs
         case p => Seq(p)
       }
+      // One consistent snapshot of each derived-state registry per plan
+      // build (TrieMap snapshots are O(1)): a maintainer batch
+      // re-registering concurrently (createIndex drops postings/stats,
+      // onBatch re-adds them) must degrade a conjunct to the
+      // always-correct scan path — it must never crash plan
+      // construction between a routability check and the lookup it
+      // guards (the SocketMaintainSpec reader race). Shadowing the
+      // fields keeps every helper below on the snapshot.
+      val postings = this.postings.readOnlySnapshot()
+      val postingStats = this.postingStats.readOnlySnapshot()
+      val suffixPostings = this.suffixPostings.readOnlySnapshot()
+      val tokenStats = this.tokenStats.readOnlySnapshot()
+      val posPostings = this.posPostings.readOnlySnapshot()
+      val posStats = this.posStats.readOnlySnapshot()
       def postingFields(field: Option[String]): Option[Seq[String]] = {
         // postings hold the STEM sets — only routable when the query
         // stems too (not VERBATIM) and no target field is NOSTEM
@@ -1195,10 +1300,31 @@ class SearchEngine {
   def aggregateStages(indexName: String, query: String,
                       stages: Seq[graft.query.AggStage],
                       opts: SearchOptions = SearchOptions()): DataFrame = {
+    val ep = epochOf(indexName) // BEFORE the catalog read (cache contract)
     val (schema, docs) = index(indexName)
     val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
-    // same front half as FT.SEARCH — incl. posting routing + proximity
-    var df = filterStage(schema, docs, parsed, opts)
+    // Same front half as FT.SEARCH — incl. posting routing + proximity.
+    // A FULL filtered base cached by searchReply whose cap did NOT bind
+    // (n ≤ cap ⟹ the limit(cap+1) materialized the COMPLETE filtered
+    // set) is this front half already materialized — the
+    // search-then-aggregate-the-same-filter serving pattern skips the
+    // corpus scan. A truncated base is never valid here: aggregates are
+    // not subject to the search fetch cap.
+    var df = {
+      val cached =
+        if (baseCacheEnabled && parsed.knn.isEmpty) {
+          val cap = maxNonVectorResultsFetched
+          baseCache.get(baseKey(indexName, ep, query, opts, cap, "full"))
+            .filter(_.n <= cap)
+        } else None
+      cached match {
+        case Some(cb) =>
+          cb.lastUsed.set(replyTick.incrementAndGet())
+          baseCacheHits.incrementAndGet()
+          cb.df
+        case None => filterStage(schema, docs, parsed, opts)
+      }
+    }
 
     // Vector/hybrid front-end: working set = top-k neighbors sorted by
     // distance, score as a loadable pseudo-field (ft.aggregate.md:3-5).
@@ -1256,54 +1382,125 @@ class SearchEngine {
           e.reply
         case None =>
           replyCacheMisses.incrementAndGet()
-          // ONE filtered plan, cached: the total count materializes it,
-          // the page reads the cache — one scan of the source, like the
-          // reference's single-pass total+page (search.cc:780-814).
-          // Non-vector queries materialize AT MOST cap+1 rows (the +1
-          // detects truncation): the reference's fetch cap, search.cc:623.
-          val cap = maxNonVectorResultsFetched
-          val base0 = filterStage(schema, docs, parsed, opts)
-          val base = (if (parsed.knn.isEmpty) base0.limit(cap + 1) else base0)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            var limited = false
-            val total = parsed.knn match {
-              case Some(k) =>
-                // bounded probe: k+1 rows decide min(count, k) — never a
-                // full count of the filtered cache
-                math.min(
-                  base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull)
-                    .limit(k.k + 1).count(),
-                  k.k.toLong)
-              case None =>
-                val n = base.count()
-                if (n > cap) {
-                  limited = true
-                  Metrics.nonVectorFetchLimited.incrementAndGet()
-                  cap.toLong
-                } else n
-            }
-            // the page draws from the SAME truncated set the total counted
-            val pageBase = if (parsed.knn.isEmpty) base.limit(cap) else base
-            val page = finishSearch(indexName, schema, pageBase, parsed, opts)
-            val (rows, dropped) =
-              applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
-            if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
-            val reply = SearchEngine.SearchReply(total, rows)
-            if (cacheable && rows.length <= replyCacheMaxRows) {
-              replyCache.put(key, SearchEngine.CachedReply(indexName, ep, reply, limited,
-                dropped, new java.util.concurrent.atomic.AtomicLong(
-                  replyTick.incrementAndGet())))
-              // a re-registration that raced this compute bumped the
-              // epoch: the entry is unreachable (keys carry the epoch),
-              // remove it so it can't linger holding rows
-              if (epochOf(indexName) != ep) replyCache.remove(key)
-              evictLruReplies()
-            }
-            reply
-          } finally { base.unpersist(blocking = false); () }
+          val (reply, limited, dropped) =
+            if (parsed.knn.isEmpty)
+              nonVectorReply(indexName, ep, schema, docs, parsed, query, opts)
+            else
+              knnReply(indexName, schema, docs, parsed, opts)
+          if (cacheable && reply.rows.length <= replyCacheMaxRows) {
+            replyCache.put(key, SearchEngine.CachedReply(indexName, ep, reply, limited,
+              dropped, new java.util.concurrent.atomic.AtomicLong(
+                replyTick.incrementAndGet())))
+            // a re-registration that raced this compute bumped the
+            // epoch: the entry is unreachable (keys carry the epoch),
+            // remove it so it can't linger holding rows
+            if (epochOf(indexName) != ep) replyCache.remove(key)
+            evictLruReplies()
+          }
+          reply
       }
     }
+
+  /** Non-vector total+page compute behind the reply cache. Serves from
+    * the filtered-base cache when the base-affecting request subset
+    * matches (page/SORTBY/RETURN/NOCONTENT variants of a seen filter);
+    * otherwise materializes the base once — via a SINGLE collect of the
+    * narrow key/sort projection for NOCONTENT requests (the reference's
+    * single-pass total+page, search.cc:780-814, needs no second job
+    * when no content is fetched), or a persisted cap+1-row relation
+    * whose count fills the cache and whose page reads it (one scan of
+    * the source; the +1 detects truncation — the reference's fetch cap,
+    * search.cc:623). Either base then populates the base cache for the
+    * next variant of the same filter. */
+  private def nonVectorReply(indexName: String, ep: Long, schema: IndexSchema,
+                             docs: DataFrame, parsed: ParsedQuery, query: String,
+                             opts: SearchOptions): (SearchEngine.SearchReply, Boolean, Long) = {
+    val cap = maxNonVectorResultsFetched
+    def finishFrom(base: DataFrame, n: Long): (SearchEngine.SearchReply, Boolean, Long) = {
+      val limited = n > cap
+      if (limited) Metrics.nonVectorFetchLimited.incrementAndGet()
+      val total = math.min(n, cap.toLong)
+      // the page draws from the SAME truncated set the total counted
+      val page = finishSearch(indexName, schema, base.limit(cap), parsed, opts)
+      val (rows, dropped) =
+        applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
+      if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
+      (SearchEngine.SearchReply(total, rows), limited, dropped)
+    }
+    // NOCONTENT replies read only the key and the SORTBY source column
+    val narrowProjection: Option[Seq[String]] =
+      if (!opts.noContent) None
+      else Some((schema.keyColumn +: opts.sortBy.map { case (f, _) =>
+        schema.fieldOrFail(f).alias }.toSeq).distinct)
+    val fullKey = baseKey(indexName, ep, query, opts, cap, "full")
+    // a NOCONTENT request may serve from a full base (superset
+    // projection) but prefers its own narrow one; a content request
+    // must never see a keys-only base — the projection is in the key
+    val lookupKeys = narrowProjection match {
+      case Some(cols) =>
+        Seq(baseKey(indexName, ep, query, opts, cap, "nc:" + cols.mkString(",")), fullKey)
+      case None => Seq(fullKey)
+    }
+    val hit =
+      if (baseCacheEnabled) lookupKeys.view.flatMap(baseCache.get).headOption else None
+    hit match {
+      case Some(cb) =>
+        cb.lastUsed.set(replyTick.incrementAndGet())
+        baseCacheHits.incrementAndGet()
+        finishFrom(cb.df, cb.n)
+      case None =>
+        if (baseCacheEnabled) baseCacheMisses.incrementAndGet()
+        narrowProjection match {
+          case Some(cols) =>
+            val narrow = filterStage(schema, docs, parsed, opts)
+              .select(cols.map(col): _*).limit(cap + 1)
+            val collected = narrow.collect()
+            // the page re-runs finishSearch over a LocalRelation of the
+            // collected rows, keeping sort/offset/sortkey semantics on
+            // the one code path at LocalTableScan cost
+            val local = docs.sparkSession.createDataFrame(
+              java.util.Arrays.asList(collected: _*), narrow.schema)
+            if (baseCacheEnabled)
+              putCachedBase(lookupKeys.head, SearchEngine.CachedBase(indexName, ep,
+                local, collected.length.toLong,
+                new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
+            finishFrom(local, collected.length.toLong)
+          case None =>
+            val base = filterStage(schema, docs, parsed, opts).limit(cap + 1)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val n = base.count()
+            val out = finishFrom(base, n)
+            if (baseCacheEnabled)
+              putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep, base, n,
+                new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
+            else base.unpersist(blocking = false)
+            out
+        }
+    }
+  }
+
+  /** Vector/hybrid total+page compute (never cached — ANN registration
+    * and the hybrid planner's mutable threshold are not in any key, and
+    * planner counters bump per call). */
+  private def knnReply(indexName: String, schema: IndexSchema, docs: DataFrame,
+                       parsed: ParsedQuery, opts: SearchOptions): (SearchEngine.SearchReply, Boolean, Long) = {
+    val k = parsed.knn.get
+    val base = filterStage(schema, docs, parsed, opts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded probe: k+1 rows decide min(count, k) — never a full
+      // count of the filtered cache
+      val total = math.min(
+        base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull)
+          .limit(k.k + 1).count(),
+        k.k.toLong)
+      val page = finishSearch(indexName, schema, base, parsed, opts)
+      val (rows, dropped) =
+        applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
+      if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
+      (SearchEngine.SearchReply(total, rows), false, dropped)
+    } finally { base.unpersist(blocking = false); () }
+  }
 
   /** Reply-record content limits (reference ProcessNeighborsForReply,
     * query/response_generator.cc:385-442): a record whose fetched

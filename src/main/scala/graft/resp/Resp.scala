@@ -201,7 +201,9 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
           }
       }
     } catch {
-      case e: Exception => error(String.valueOf(e.getMessage))
+      case e: Exception =>
+        if (sys.props.contains("graft.resp.debugErrors")) e.printStackTrace()
+        error(String.valueOf(e.getMessage))
     }
 
   private def ftSearch(argv: Seq[String]): Array[Byte] = {

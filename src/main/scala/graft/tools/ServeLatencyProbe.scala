@@ -40,6 +40,29 @@ object ServeLatencyProbe {
     med("searchReply_full", 20) {
       engine.searchReply("sl_idx", q, SearchOptions(limit = (0, 10), noContent = true))
     }
+    // every call a NEW page of one filter: reply miss, filtered-base hit
+    var off = 0
+    med("searchReply_page_variant_nocontent", 20) {
+      off = (off + 10) % 200
+      engine.searchReply("sl_idx", q, SearchOptions(limit = (off, 10), noContent = true))
+    }
+    var off2 = 0
+    med("searchReply_page_variant_content", 20) {
+      off2 = (off2 + 10) % 200
+      engine.searchReply("sl_idx", q, SearchOptions(limit = (off2, 10)))
+    }
+    // uncached floors (both caches off): the single-action NOCONTENT
+    // collect vs the persist+count+page content compute
+    engine.replyCacheEnabled = false
+    engine.baseCacheEnabled = false
+    med("searchReply_uncached_nocontent", 10) {
+      engine.searchReply("sl_idx", q, SearchOptions(limit = (0, 10), noContent = true))
+    }
+    med("searchReply_uncached_content", 10) {
+      engine.searchReply("sl_idx", q, SearchOptions(limit = (0, 10)))
+    }
+    engine.replyCacheEnabled = true
+    engine.baseCacheEnabled = true
     // pieces
     val (schema, rel) = engine.index("sl_idx")
     med("parse", 20) {
