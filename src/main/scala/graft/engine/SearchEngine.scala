@@ -271,6 +271,11 @@ class SearchEngine {
   var baseCacheMaxEntries: Int = 32
   private[graft] val baseCacheHits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val baseCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  /** Telemetry: the column list the last single-action NOCONTENT miss
+    * collected — at scale this projection is the difference between
+    * shipping keys and shipping document text to the driver; specs pin
+    * it to exactly key + SORTBY source. */
+  private[graft] var lastBaseProjection: Seq[String] = Nil
   private val baseCache = scala.collection.concurrent.TrieMap.empty[String, SearchEngine.CachedBase]
   private[graft] def baseCacheSize: Int = baseCache.size
   private def dropCachedBases(name: String): Unit = {
@@ -1452,6 +1457,7 @@ class SearchEngine {
         if (baseCacheEnabled) baseCacheMisses.incrementAndGet()
         narrowProjection match {
           case Some(cols) =>
+            lastBaseProjection = cols
             val narrow = filterStage(schema, docs, parsed, opts)
               .select(cols.map(col): _*).limit(cap + 1)
             val collected = narrow.collect()

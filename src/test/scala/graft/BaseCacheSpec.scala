@@ -149,6 +149,16 @@ class BaseCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reply.rows.forall(_.getString(1).startsWith("#")))
   }
 
+  test("single-action NOCONTENT collects ONLY key + SORTBY source columns") {
+    val e = freshEngine(n = 10)
+    e.searchReply("bc_t", "@price:[1 5]",
+      SearchOptions(noContent = true, sortBy = Some(("price", true))))
+    assert(e.lastBaseProjection == Seq("__key", "price"),
+      "the narrow collect must never ship content columns to the driver")
+    e.searchReply("bc_t", "@price:[2 5]", SearchOptions(noContent = true))
+    assert(e.lastBaseProjection == Seq("__key"))
+  }
+
   test("FT.AGGREGATE reuses an untruncated full base as its front half") {
     val e = freshEngine(n = 20)
     val q = "@price:[5 14]"
