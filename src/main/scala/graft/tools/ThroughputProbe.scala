@@ -120,6 +120,47 @@ object ThroughputProbe {
     println(f"PROBE threads=$threads pipeline=$pipeline reqs=$n " +
       f"wall=$wall%.1f s qps=${n / wall}%.0f " +
       f"latency_per_pipelined_req=${nanos.get / 1e6 / n}%.1f ms")
+
+    // Paging workload: every request a DISTINCT page offset of one
+    // filter, so the reply cache never hits — what a client walking
+    // results costs. With the filtered-base cache each page is one
+    // LocalRelation-sized job over the cached narrow base; without it,
+    // each page re-pays the corpus scan.
+    val pageReqs = sys.env.getOrElse("PROBE_PAGE_REQS", "100").toInt
+    def pagingPhase(label: String): Unit = {
+      val pdone = new AtomicLong(0)
+      val p0 = System.nanoTime()
+      val ws = (0 until threads).map { tid =>
+        new Thread(() => {
+          val s = new Socket("127.0.0.1", port)
+          s.setTcpNoDelay(true)
+          val o = new BufferedOutputStream(s.getOutputStream)
+          val i = new BufferedInputStream(s.getInputStream)
+          var sent = 0
+          while (sent < pageReqs) {
+            val burst = math.min(pipeline, pageReqs - sent)
+            (0 until burst).foreach { j =>
+              val off = (tid * pageReqs + sent + j) * 10
+              writeArgv(o, Seq("FT.SEARCH", "tp_idx", "@text:dup",
+                "NOCONTENT", "LIMIT", off.toString, "10"))
+            }
+            o.flush()
+            (0 until burst).foreach(_ => skipReply(i))
+            pdone.addAndGet(burst)
+            sent += burst
+          }
+          s.close()
+        })
+      }
+      ws.foreach(_.start()); ws.foreach(_.join())
+      val pw = (System.nanoTime() - p0) / 1e9
+      println(f"PROBE paging($label) reqs=${pdone.get} wall=$pw%.1f s " +
+        f"qps=${pdone.get / pw}%.0f")
+    }
+    pagingPhase("base_cache_on")
+    engine.baseCacheEnabled = false
+    pagingPhase("base_cache_off")
+    engine.baseCacheEnabled = true
     server.stop()
     spark.stop()
   }
