@@ -31,6 +31,7 @@ object ColdScanProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val engine = new SearchEngine
     engine.replyCacheEnabled = false // measure compute, not the cache
+    engine.baseCacheEnabled = false // the filtered-base cache would serve reps 2+ too
     val cmds = new Commands(engine, _ => (docs, col("doc_id")))
     require(cmds.execute(Seq("FT.CREATE", "cold_idx", "SCHEMA",
       "text", "TEXT", "lang", "TAG", "source", "TAG")) == "OK")
