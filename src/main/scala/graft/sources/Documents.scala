@@ -43,6 +43,42 @@ object Documents {
   private def termsUdf(cfg: Analyzer.Config) =
     udf((s: String) => if (s == null) null else Analyzer.termSet(s, cfg))
 
+  // Cosine ingest-normalization (vector_base.cc:113-133): L2 magnitude
+  // in double precision, each element divided in double then cast back
+  // to float — bit-identical to the former aggregate/transform lambda
+  // chain, which had to go (see joinedUdf).
+  private val magnitudeUdf = udf((v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      java.lang.Double.valueOf(math.sqrt(acc))
+    })
+  private val unitNormalizeUdf = udf((v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      val mag = math.sqrt(acc)
+      if (mag > 0d) v.map(x => (x.toDouble / mag).toFloat) else v
+    })
+
+  // " t0 t1 … " — token stream joined for substring phrase matching.
+  // A UDF, not transform(tokens, t => t("_1")) + array_join: every
+  // higher-order-function lambda carries a NamedLambdaVariable whose
+  // value slot is SHARED by all plans referencing the expression
+  // instance, and the enriched relation registered in an engine catalog
+  // is exactly such a shared plan — two threads whose queries both
+  // drive the optimizer's driver-side local-relation fold (or any
+  // interpreted eval) race on the slot and corrupt each other's rows
+  // (found as a ~1/500 missing-document flicker under concurrent
+  // serving + maintenance; PureScanProbe reproduces it without the
+  // engine). Ingest-side projections must therefore stay lambda-free.
+  private def joinedUdf(cfg: Analyzer.Config) =
+    udf((s: String) =>
+      if (s == null) null
+      else Analyzer.tokenize(s, cfg).map(_.token).mkString(" ", " ", " "))
+
   def load(spark: SparkSession, path: String, schema: IndexSchema,
            keyExpr: Option[Column] = None,
            analyzer: Option[Analyzer.Config] = None): DataFrame = {
@@ -103,20 +139,39 @@ object Documents {
     * (absl::SkipWhitespace), and every remaining element must parse as
     * a float — one bad element fails the WHOLE record to NULL
     * (≡ nullptr, an indexing failure), never a partial vector. */
-  private[graft] def parseVectorString(src: Column): Column = {
-    val s0 = src.cast(StringType)
-    val body = when(s0.startsWith("["),
-      regexp_replace(regexp_replace(s0, "^\\[", ""), "\\]$", ""))
-      .otherwise(s0)
-    // absl::SkipWhitespace skips elements that are ENTIRELY whitespace of
-    // any kind (tab/newline, not only 0x20, which is all Spark's trim
-    // strips) — keep an element only when it has a non-whitespace char
-    val floats = transform(
-      filter(split(body, ","), e => e.rlike("\\S")),
-      e => trim(e).try_cast(FloatType))
-    when(exists(floats, x => x.isNull),
-      lit(null).cast(ArrayType(FloatType))).otherwise(floats)
-  }
+  private[graft] def parseVectorString(src: Column): Column =
+    parseVectorUdf(src.cast(StringType))
+
+  // Same semantics as the former filter/transform/exists column chain,
+  // in one lambda-free UDF (see joinedUdf for why registered-relation
+  // projections must not carry HOF lambdas). Element parse replicates
+  // trim + try_cast(FloatType): Spark's string→float cast is
+  // Float.parseFloat after trimming, NumberFormatException → null.
+  private val NonWs = java.util.regex.Pattern.compile("\\S")
+  private[graft] val parseVectorUdf =
+    udf((s: String) =>
+      if (s == null) null
+      else {
+        val body =
+          if (s.startsWith("[")) {
+            val b = s.substring(1)
+            if (b.endsWith("]")) b.substring(0, b.length - 1) else b
+          } else s
+        // absl::SkipWhitespace skips elements that are ENTIRELY
+        // whitespace of any kind (tab/newline, not only 0x20)
+        val elems = body.split(",", -1).filter(e => NonWs.matcher(e).find())
+        val out = new Array[Float](elems.length)
+        var i = 0
+        var ok = true
+        while (ok && i < elems.length) {
+          try { out(i) = java.lang.Float.parseFloat(elems(i).trim) }
+          catch { case _: NumberFormatException => ok = false }
+          i += 1
+        }
+        // one bad element fails the WHOLE record to NULL (≡ nullptr, an
+        // indexing failure), never a partial vector
+        if (ok) out else null
+      })
 
   def enrich(raw: DataFrame, schema: IndexSchema,
              keyExpr: Option[Column] = None,
@@ -172,10 +227,7 @@ object Documents {
           df = df
             .withColumn(schema.tokensCol(fd.alias), toks)
             .withColumn(s"__${fd.alias}__terms", termsUdf(cfg)(src.cast(StringType)))
-            .withColumn(s"__${fd.alias}__joined",
-              concat(lit(" "),
-                array_join(transform(col(schema.tokensCol(fd.alias)), t => t("_1")), " "),
-                lit(" ")))
+            .withColumn(s"__${fd.alias}__joined", joinedUdf(cfg)(src.cast(StringType)))
         case vf: VectorField =>
           // Wrong-dimension vectors are dropped from the index
           // (reference index_base.h:43-47) — represented as null here.
@@ -190,14 +242,11 @@ object Documents {
           val vecSrc = if (srcIsString) parseVectorString(src) else src
           val sized = when(size(vecSrc) === vf.dim, vecSrc).otherwise(lit(null))
           if (vf.metric == DistanceMetric.Cosine && vf.normalizeAtIngest) {
-            val mag = sqrt(aggregate(sized, lit(0.0d),
-              (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+            // lambda-free (see joinedUdf): magnitude + unit-normalize as
+            // UDFs instead of aggregate/transform lambdas
             df = df
-              .withColumn(s"__${fd.alias}__magnitude", mag)
-              .withColumn(fd.alias,
-                when(mag > 0d,
-                  transform(sized, x => (x.cast(DoubleType) / mag).cast(FloatType)))
-                  .otherwise(sized))
+              .withColumn(s"__${fd.alias}__magnitude", magnitudeUdf(sized))
+              .withColumn(fd.alias, unitNormalizeUdf(sized))
           } else if (fd.alias != fd.identifier) {
             df = df.withColumn(fd.alias, sized)
           } else {

@@ -74,15 +74,21 @@ object PostingIndex {
    * Size is Σ|token| rows ≈ 5-7× the token posting — the same
    * space-for-navigation trade the reference's trie makes in RAM.
    */
+  // Lambda-free (see Documents.joinedUdf: registered plans are shared
+  // across query threads, and HOF lambdas carry a shared mutable
+  // NamedLambdaVariable slot): struct-field extraction via getField
+  // (GetArrayStructFields, no lambda) and suffix expansion via a UDF.
+  private val suffixesUdf = udf((tok: String) =>
+    if (tok == null) null
+    else Array.tabulate(tok.length)(i => tok.substring(i)))
+
   def buildSuffixes(enrichedDocs: DataFrame, schema: IndexSchema,
                     fieldAlias: String): DataFrame = {
     val toks = enrichedDocs.select(col(schema.keyColumn).as("__key"),
-      explode(array_distinct(transform(col(schema.tokensCol(fieldAlias)),
-        t => t.getField("_1")))).as("tok"))
+      explode(array_distinct(
+        col(schema.tokensCol(fieldAlias)).getField("_1"))).as("tok"))
     toks.select(col("__key"),
-        explode(expr(
-          "transform(sequence(0, length(tok) - 1), i -> substring(tok, i + 1))"))
-          .as("term"),
+        explode(suffixesUdf(col("tok"))).as("term"),
         col("tok"))
       .withColumn("full", col("term") === col("tok"))
       .drop("tok")

@@ -44,12 +44,15 @@ class MaintainStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = IndexSchema("ms_t", Seq(
       FieldDef("body", TextField(withSuffixTrie = true)),
       FieldDef("cat", TagField()),
-      FieldDef("price", NumericField)))
+      FieldDef("price", NumericField),
+      FieldDef("vec", VectorField(dim = 2, metric = DistanceMetric.L2))))
     def corpus(extra: Int) = ((1 to 12).map { i =>
-      (s"k$i", s"stable anchor phrase token$i", "keep", i.toDouble)
+      (s"k$i", s"stable anchor phrase token$i", "keep", i.toDouble,
+        Array(i.toFloat, 0f))
     } ++ (1 to extra).map { i =>
-      (s"x$i", s"churn extra document word$i", "churn", 100.0 + i)
-    }).toDF("__key", "body", "cat", "price")
+      (s"x$i", s"churn extra document word$i", "churn", 100.0 + i,
+        Array(1000f + i, 0f))
+    }).toDF("__key", "body", "cat", "price", "vec")
 
     def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.groupBy("term").count().collect()
@@ -68,6 +71,13 @@ class MaintainStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.registerPositionalPosting("ms_t", "body", pos)
       e.registerPositionalStats("ms_t", "body", counts(pos))
       e.registerPosting("ms_t", "cat", PostingIndex.buildTags(docs, schema, "cat"))
+      // ANN on every OTHER cycle: readers cross both the graph-present
+      // and graph-absent planner regimes, and the drop window between
+      // createIndex and re-registration
+      if (extra % 2 == 0)
+        e.registerAnn("ms_t", "vec",
+          graft.pipeline.Nsw.build(docs, "__key", "vec", metric = "L2",
+            numPartitions = 2))
     }
     e.postingRouteMaxSelectivity = 1.0 // route every class: mechanics, not planning
     register(0)
@@ -88,22 +98,65 @@ class MaintainStressSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val errs = new AtomicInteger(0)
     val wrong = new AtomicInteger(0)
+    val wrongDetail = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val done = new AtomicBoolean(false)
     val firstErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val readers = shapes.map { case (_, q, expect) =>
+    val searchReaders = shapes.map { case (_, q, expect) =>
       new Thread(() => {
         while (!done.get) {
           try {
             val r = e.searchReply("ms_t", q,
               SearchOptions(limit = (0, 20), noContent = true))
             val stable = r.rows.map(_.getString(0)).count(_.startsWith("k"))
-            if (stable != expect) wrong.incrementAndGet()
+            if (stable != expect) {
+              val ep = e.registrationEpoch("ms_t")
+              val again = e.searchReply("ms_t", q,
+                SearchOptions(limit = (0, 20), noContent = true))
+              wrongDetail.add(s"$q ep=$ep -> ${r.rows.map(_.getString(0)).mkString(",")}" +
+                s" | requery(ep=${e.registrationEpoch("ms_t")}) -> " +
+                again.rows.map(_.getString(0)).mkString(","))
+              wrong.incrementAndGet()
+            }
           } catch { case t: Throwable =>
             firstErr.compareAndSet(null, t); errs.incrementAndGet()
           }
         }
       })
     }
+    // KNN: nearest-5 to the origin are always stable docs k1..k5 (churn
+    // vectors live at x≥1000) — exercises the hybrid planner + the ANN
+    // registration drop window (graph present on alternate cycles only)
+    val knnReader = new Thread(() => {
+      val opts = SearchOptions(limit = (0, 5), noContent = true,
+        params = Map("BLOB" -> graft.query.VectorParam(Array(0f, 0f))))
+      while (!done.get) {
+        try {
+          val r = e.searchReply("ms_t", "*=>[KNN 5 @vec $BLOB]", opts)
+          if (r.rows.map(_.getString(0)).toSet != Set("k1", "k2", "k3", "k4", "k5")) {
+            wrongDetail.add(s"knn -> ${r.rows.map(_.getString(0)).mkString(",")}")
+            wrong.incrementAndGet()
+          }
+        } catch { case t: Throwable =>
+          firstErr.compareAndSet(null, t); errs.incrementAndGet()
+        }
+      }
+    })
+    // FT.AGGREGATE over the churn-untouched tag: the count can't flicker
+    val aggReader = new Thread(() => {
+      while (!done.get) {
+        try {
+          val rows = e.aggregate("ms_t", "@cat:{keep}",
+            Seq("GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "cnt")).collect()
+          if (rows.head.getDouble(rows.head.fieldIndex("cnt")) != 12.0) {
+            wrongDetail.add(s"agg -> ${rows.head}")
+            wrong.incrementAndGet()
+          }
+        } catch { case t: Throwable =>
+          firstErr.compareAndSet(null, t); errs.incrementAndGet()
+        }
+      }
+    })
+    val readers = searchReaders ++ Seq(knnReader, aggReader)
     readers.foreach(_.start())
     try {
       // 8 full churn cycles: each drops ALL derived state (createIndex)
@@ -116,7 +169,9 @@ class MaintainStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(errs.get == 0,
       s"${errs.get} reader exceptions during churn; first: ${firstErr.get}")
-    assert(wrong.get == 0, s"${wrong.get} flickers of stable result sets")
+    assert(wrong.get == 0,
+      s"${wrong.get} flickers of stable result sets: " +
+        wrongDetail.toArray.mkString("; "))
     // post-churn: exact results through every class
     shapes.foreach { case (label, q, expect) =>
       val r = e.searchReply("ms_t", q, SearchOptions(limit = (0, 50), noContent = true))
