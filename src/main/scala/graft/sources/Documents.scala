@@ -34,19 +34,10 @@ import graft.text.Analyzer
  */
 object Documents {
 
-  /** Spark-side tokenizer UDFs (ingest-time only; queries use array ops). */
-  private def tokenizeUdf(cfg: Analyzer.Config) =
-    udf((s: String) =>
-      if (s == null) null
-      else Analyzer.tokenize(s, cfg).map(t => (t.token, t.pos)))
-
-  private def termsUdf(cfg: Analyzer.Config) =
-    udf((s: String) => if (s == null) null else Analyzer.termSet(s, cfg))
-
   // Cosine ingest-normalization (vector_base.cc:113-133): L2 magnitude
   // in double precision, each element divided in double then cast back
   // to float — bit-identical to the former aggregate/transform lambda
-  // chain, which had to go (see joinedUdf).
+  // chain, which had to go (see textDerivedUdf).
   private val magnitudeUdf = udf((v: Seq[Float]) =>
     if (v == null) null
     else {
@@ -63,21 +54,31 @@ object Documents {
       if (mag > 0d) v.map(x => (x.toDouble / mag).toFloat) else v
     })
 
-  // " t0 t1 … " — token stream joined for substring phrase matching.
-  // A UDF, not transform(tokens, t => t("_1")) + array_join: every
-  // higher-order-function lambda carries a NamedLambdaVariable whose
-  // value slot is SHARED by all plans referencing the expression
-  // instance, and the enriched relation registered in an engine catalog
-  // is exactly such a shared plan — two threads whose queries both
-  // drive the optimizer's driver-side local-relation fold (or any
-  // interpreted eval) race on the slot and corrupt each other's rows
-  // (found as a ~1/500 missing-document flicker under concurrent
-  // serving + maintenance; PureScanProbe reproduces it without the
-  // engine). Ingest-side projections must therefore stay lambda-free.
-  private def joinedUdf(cfg: Analyzer.Config) =
+  // All three text-derived columns from ONE tokenization (the terms
+  // set and the joined phrase string are pure functions of the token
+  // stream), extracted via getField — which matters twice over:
+  //  - ingest throughput: one tokenizer pass per document instead of
+  //    three separate UDFs each re-tokenizing;
+  //  - correctness: NOT transform(tokens, t => t("_1")) + array_join,
+  //    because every higher-order-function lambda carries a
+  //    NamedLambdaVariable whose value slot is SHARED by all plans
+  //    referencing the expression instance, and the enriched relation
+  //    registered in an engine catalog is exactly such a shared plan —
+  //    two threads whose queries both drive the optimizer's
+  //    driver-side local-relation fold (or any interpreted eval) race
+  //    on the slot and corrupt each other's rows (found as a ~1/500
+  //    missing-document flicker under concurrent serving +
+  //    maintenance; PureScanProbe reproduces it without the engine).
+  //    Ingest-side projections must therefore stay lambda-free.
+  private def textDerivedUdf(cfg: Analyzer.Config) =
     udf((s: String) =>
       if (s == null) null
-      else Analyzer.tokenize(s, cfg).map(_.token).mkString(" ", " ", " "))
+      else {
+        val toks = Analyzer.tokenize(s, cfg)
+        val terms = toks.map(t => Analyzer.stemToken(t.token, cfg)).distinct
+        (toks.map(t => (t.token, t.pos)), terms,
+          toks.map(_.token).mkString(" ", " ", " "))
+      })
 
   def load(spark: SparkSession, path: String, schema: IndexSchema,
            keyExpr: Option[Column] = None,
@@ -143,7 +144,7 @@ object Documents {
     parseVectorUdf(src.cast(StringType))
 
   // Same semantics as the former filter/transform/exists column chain,
-  // in one lambda-free UDF (see joinedUdf for why registered-relation
+  // in one lambda-free UDF (see textDerivedUdf for why registered-relation
   // projections must not carry HOF lambdas). Element parse replicates
   // trim + try_cast(FloatType): Spark's string→float cast is
   // Float.parseFloat after trimming, NumberFormatException → null.
@@ -223,11 +224,14 @@ object Documents {
           val cfg = idxCfg.copy(stem = idxCfg.stem && !tf.noStem,
             minStemSize = if (tf.minStemSize > 0) tf.minStemSize
                           else idxCfg.minStemSize)
-          val toks = tokenizeUdf(cfg)(src.cast(StringType))
+          val derived = textDerivedUdf(cfg)(src.cast(StringType))
+          val tmp = s"__${fd.alias}__derived"
           df = df
-            .withColumn(schema.tokensCol(fd.alias), toks)
-            .withColumn(s"__${fd.alias}__terms", termsUdf(cfg)(src.cast(StringType)))
-            .withColumn(s"__${fd.alias}__joined", joinedUdf(cfg)(src.cast(StringType)))
+            .withColumn(tmp, derived)
+            .withColumn(schema.tokensCol(fd.alias), col(tmp).getField("_1"))
+            .withColumn(s"__${fd.alias}__terms", col(tmp).getField("_2"))
+            .withColumn(s"__${fd.alias}__joined", col(tmp).getField("_3"))
+            .drop(tmp)
         case vf: VectorField =>
           // Wrong-dimension vectors are dropped from the index
           // (reference index_base.h:43-47) — represented as null here.
