@@ -621,12 +621,6 @@ class SearchEngine {
     val stored =
       if (resident) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docs
-    catalog.synchronized { catalog(schema.name) = (schema, stored) }
-    // catalog first, THEN the epoch bump (see bumpEpoch's ordering
-    // contract with the reply-cache lookup path)
-    bumpEpoch(schema.name)
-    dropCachedReplies(schema.name)
-    dropCachedBases(schema.name)
     // ALL derived state describes the PREVIOUS registered relation —
     // a re-registration (maintainer docs refresh, FT.CREATE over an
     // existing name) must not leave queries routing through postings
@@ -636,6 +630,15 @@ class SearchEngine {
     // Maintainer.onBatch) registers derived state strictly AFTER
     // createIndex, so dropping here is safe; callers that keep a
     // still-valid posting simply re-register it.
+    //
+    // Drops come BEFORE the catalog swap: a concurrent reader then sees
+    // (old docs, old derived) or (either docs, no derived — the
+    // always-correct scan path), never (NEW docs, OLD postings) — a
+    // mixed view whose posting semi-join would silently MISS documents
+    // that only exist in the new corpus, and whose reply, computed
+    // after the epoch bump, would be cached as fresh for the whole
+    // epoch (a post-batch query serving a pre-batch answer, violating
+    // the eviction contract).
     docCounts.remove(schema.name)
     infoStatsCache.remove(schema.name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != schema.name }
@@ -647,6 +650,12 @@ class SearchEngine {
     posStats.filterInPlace { case ((idx, _), _) => idx != schema.name }
     layouts.filterInPlace { case ((idx, _), _) => idx != schema.name }
     keyLayouts.remove(schema.name)
+    catalog.synchronized { catalog(schema.name) = (schema, stored) }
+    // catalog swap, THEN the epoch bump (see bumpEpoch's ordering
+    // contract with the reply-cache lookup path), THEN the cache drops
+    bumpEpoch(schema.name)
+    dropCachedReplies(schema.name)
+    dropCachedBases(schema.name)
     this
   }
 

@@ -158,15 +158,30 @@ class MaintainStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
     val readers = searchReaders ++ Seq(knnReader, aggReader)
     readers.foreach(_.start())
+    val staleAfterCommit = new AtomicInteger(0)
     try {
       // 8 full churn cycles: each drops ALL derived state (createIndex)
       // and re-registers it piecewise — the widest possible
       // inconsistency window for the routing snapshot to absorb
-      (1 to 8).foreach { round => register(round) }
+      (1 to 8).foreach { round =>
+        register(round)
+        // Freshness contract: once register returns, the cycle's marker
+        // doc (word$round exists ONLY in this generation) must be
+        // visible THROUGH searchReply — a reply computed from (new
+        // docs, old postings) during the registration window and cached
+        // under the new epoch would serve a stale miss here
+        // (createIndex drops derived state BEFORE the catalog swap
+        // precisely so that mixed view cannot exist).
+        val r = e.searchReply("ms_t", s"@body:word$round",
+          SearchOptions(limit = (0, 5), noContent = true))
+        if (r.total != 1) staleAfterCommit.incrementAndGet()
+      }
     } finally {
       done.set(true)
       readers.foreach(_.join(30000))
     }
+    assert(staleAfterCommit.get == 0,
+      s"${staleAfterCommit.get} post-commit queries served a pre-batch answer")
     assert(errs.get == 0,
       s"${errs.get} reader exceptions during churn; first: ${firstErr.get}")
     assert(wrong.get == 0,
