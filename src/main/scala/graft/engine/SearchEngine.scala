@@ -1336,7 +1336,12 @@ class SearchEngine {
           cb.lastUsed.set(replyTick.incrementAndGet())
           baseCacheHits.incrementAndGet()
           cb.df
-        case None => filterStage(schema, docs, parsed, opts)
+        case None =>
+          // count the miss too, so hits/misses describe one coherent
+          // lookup population across search AND aggregate traffic
+          if (baseCacheEnabled && parsed.knn.isEmpty)
+            baseCacheMisses.incrementAndGet()
+          filterStage(schema, docs, parsed, opts)
       }
     }
 
@@ -1483,13 +1488,23 @@ class SearchEngine {
           case None =>
             val base = filterStage(schema, docs, parsed, opts).limit(cap + 1)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val n = base.count()
-            val out = finishFrom(base, n)
-            if (baseCacheEnabled)
-              putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep, base, n,
-                new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
-            else base.unpersist(blocking = false)
-            out
+            // Every persisted base must end up either in the cache or
+            // unpersisted — including when count/finishFrom throws (a
+            // SORTBY on an unknown field raises in finishSearch via
+            // fieldOrFail, and the RESP handler keeps serving after the
+            // error), or repeated failing requests leak block-manager
+            // storage unboundedly.
+            try {
+              val n = base.count()
+              val out = finishFrom(base, n)
+              if (baseCacheEnabled)
+                putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep, base, n,
+                  new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
+              else base.unpersist(blocking = false)
+              out
+            } catch { case e: Throwable =>
+              base.unpersist(blocking = false); throw e
+            }
         }
     }
   }

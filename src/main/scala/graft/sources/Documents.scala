@@ -146,9 +146,26 @@ object Documents {
   // Same semantics as the former filter/transform/exists column chain,
   // in one lambda-free UDF (see textDerivedUdf for why registered-relation
   // projections must not carry HOF lambdas). Element parse replicates
-  // trim + try_cast(FloatType): Spark's string→float cast is
-  // Float.parseFloat after trimming, NumberFormatException → null.
+  // trim + try_cast(FloatType): Spark's Cast accepts, besides what
+  // Float.parseFloat takes, the special literals inf/+inf/-inf/
+  // infinity/nan case-insensitively (UTF8StringUtils.toFloatExact →
+  // special-literal table) — matching the reference's absl::SimpleAtof
+  // contract this parser cites. Float.parseFloat alone would reject
+  // 'inf'/'nan' spellings and fail the whole record to NULL.
   private val NonWs = java.util.regex.Pattern.compile("\\S")
+  /** One float element, try_cast semantics: Float.parseFloat plus the
+    * case-insensitive inf/infinity/nan literals with optional sign.
+    * Throws NumberFormatException on anything else. */
+  private def parseFloatElement(trimmed: String): Float = {
+    val (sign, mag0) =
+      if (trimmed.startsWith("-")) (-1f, trimmed.substring(1))
+      else if (trimmed.startsWith("+")) (1f, trimmed.substring(1))
+      else (1f, trimmed)
+    val mag = mag0.toLowerCase(java.util.Locale.ROOT)
+    if (mag == "inf" || mag == "infinity") sign * Float.PositiveInfinity
+    else if (mag == "nan") Float.NaN
+    else java.lang.Float.parseFloat(trimmed)
+  }
   private[graft] val parseVectorUdf =
     udf((s: String) =>
       if (s == null) null
@@ -165,7 +182,7 @@ object Documents {
         var i = 0
         var ok = true
         while (ok && i < elems.length) {
-          try { out(i) = java.lang.Float.parseFloat(elems(i).trim) }
+          try { out(i) = parseFloatElement(elems(i).trim) }
           catch { case _: NumberFormatException => ok = false }
           i += 1
         }
