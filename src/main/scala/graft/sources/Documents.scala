@@ -145,17 +145,29 @@ object Documents {
 
   // Same semantics as the former filter/transform/exists column chain,
   // in one lambda-free UDF (see textDerivedUdf for why registered-relation
-  // projections must not carry HOF lambdas). Element parse replicates
-  // trim + try_cast(FloatType): Spark's Cast accepts, besides what
-  // Float.parseFloat takes, the special literals inf/+inf/-inf/
-  // infinity/nan case-insensitively (UTF8StringUtils.toFloatExact →
-  // special-literal table) — matching the reference's absl::SimpleAtof
-  // contract this parser cites. Float.parseFloat alone would reject
-  // 'inf'/'nan' spellings and fail the whole record to NULL.
+  // projections must not carry HOF lambdas). The element-parse contract
+  // is absl::SimpleAtof — the reference's vector-string parser
+  // (vector_base.cc ingest path; strtod grammar via absl::from_chars
+  // with chars_format::general): decimal/scientific spellings, plus the
+  // case-insensitive inf/infinity/nan literals WITH optional sign.
+  // Two deliberate divergences from Spark's try_cast(FloatType)
+  // special-literal table, both in the reference's favor:
+  //   * signed nan ('+nan'/'-nan') is accepted — the strtod grammar
+  //     applies the sign production to nan; try_cast lists only
+  //     unsigned 'nan';
+  //   * Java-only spellings are REJECTED — trailing f/F/d/D suffixes
+  //     ('1.5f') and hex floats ('0x1.8p1') parse under
+  //     Float.parseFloat but fail SimpleAtof, so they must fail the
+  //     record to NULL here exactly as the reference NULLs them.
   private val NonWs = java.util.regex.Pattern.compile("\\S")
-  /** One float element, try_cast semantics: Float.parseFloat plus the
-    * case-insensitive inf/infinity/nan literals with optional sign.
-    * Throws NumberFormatException on anything else. */
+  // The SimpleAtof decimal grammar (chars_format::general: fixed or
+  // scientific, no hex, no type suffix). Float.parseFloat then does the
+  // actual conversion — it accepts a superset, so the regex is the
+  // gate, never the converter.
+  private val SimpleAtofDec = java.util.regex.Pattern.compile(
+    """[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""")
+  /** One float element, absl::SimpleAtof semantics (see block comment
+    * above). Throws NumberFormatException on anything else. */
   private def parseFloatElement(trimmed: String): Float = {
     val (sign, mag0) =
       if (trimmed.startsWith("-")) (-1f, trimmed.substring(1))
@@ -164,7 +176,9 @@ object Documents {
     val mag = mag0.toLowerCase(java.util.Locale.ROOT)
     if (mag == "inf" || mag == "infinity") sign * Float.PositiveInfinity
     else if (mag == "nan") Float.NaN
-    else java.lang.Float.parseFloat(trimmed)
+    else if (SimpleAtofDec.matcher(trimmed).matches())
+      java.lang.Float.parseFloat(trimmed)
+    else throw new NumberFormatException(trimmed)
   }
   private[graft] val parseVectorUdf =
     udf((s: String) =>

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{SearchEngine, SearchOptions}
+import graft.model._
+import graft.sources.Documents
+
+/**
+ * Regression pins for the round-12 fixes (shipped then without specs):
+ *
+ * 1. The full-base path's unpersist-on-failure guarantee
+ *    (SearchEngine.nonVectorReply): a request whose base persists and
+ *    then fails AFTER the count — e.g. SORTBY on an unknown field,
+ *    which raises in finishSearch via fieldOrFail — must not leak the
+ *    persisted cap+1 relation. The RESP handler keeps serving after
+ *    such an error (reference: an FT.SEARCH arity/field error is a
+ *    reply, not a connection teardown), so without the guard repeated
+ *    failing requests grow block-manager storage unboundedly.
+ *
+ * 2. Base-cache hit/miss accounting covers aggregate traffic too
+ *    (aggregateStages' front half), so hits + misses always equals the
+ *    number of cache lookups across BOTH entry points — one coherent
+ *    population for FT.INFO-style observability.
+ */
+class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("reply-resource-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  private def freshEngine(n: Int = 30): SearchEngine = {
+    val sp = spark; import sp.implicits._
+    val e = new SearchEngine
+    val schema = IndexSchema("rr_t", Seq(
+      FieldDef("body", TextField()), FieldDef("price", NumericField)))
+    val docs = (1 to n)
+      .map(i => (s"k$i", s"doc body number$i", i.toDouble))
+      .toDF("__key", "body", "price")
+    e.createIndex(schema, Documents.enrich(docs, schema))
+    e
+  }
+
+  test("a failing SORTBY request leaves block-manager storage flat") {
+    val e = freshEngine()
+    // content request (narrow NOCONTENT projection would dodge the
+    // persist), unknown SORTBY field → fieldOrFail throws in
+    // finishSearch AFTER base.persist + count have run
+    val bad = SearchOptions(sortBy = Some(("no_such_field", true)))
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { _ =>
+      intercept[IllegalArgumentException] {
+        e.searchReply("rr_t", "@price:[3 25]", bad)
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "each failing request must unpersist its base — storage flat after 5 failures")
+    // and the engine keeps serving correctly afterwards
+    val ok = e.searchReply("rr_t", "@price:[3 25]",
+      SearchOptions(sortBy = Some(("price", true))))
+    assert(ok.total == 23)
+  }
+
+  test("failing SORTBY leaks nothing with the base cache disabled either") {
+    val e = freshEngine()
+    e.baseCacheEnabled = false
+    val bad = SearchOptions(sortBy = Some(("no_such_field", false)))
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      intercept[IllegalArgumentException] {
+        e.searchReply("rr_t", "@price:[1 10]", bad)
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline)
+  }
+
+  test("hits + misses = lookups across search AND aggregate traffic") {
+    val e = freshEngine()
+    val h0 = e.baseCacheHits.get(); val m0 = e.baseCacheMisses.get()
+    // 1: search, fresh filter → base miss (fills the full base)
+    e.searchReply("rr_t", "@price:[3 25]", SearchOptions())
+    // 2: aggregate over the SAME filter → base hit
+    e.aggregate("rr_t", "@price:[3 25]",
+      Seq("GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "cnt")).collect()
+    // 3: aggregate over a NEW filter → base miss (must be counted)
+    e.aggregate("rr_t", "@price:[5 9]",
+      Seq("GROUPBY", "0", "REDUCE", "COUNT", "0", "AS", "cnt")).collect()
+    val hits = e.baseCacheHits.get() - h0
+    val misses = e.baseCacheMisses.get() - m0
+    assert(hits == 1, s"aggregate over a cached filter is the one hit (got $hits)")
+    assert(misses == 2, s"search miss + aggregate miss (got $misses)")
+    assert(hits + misses == 3, "three lookups, every one accounted")
+  }
+}

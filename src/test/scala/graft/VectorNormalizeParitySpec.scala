@@ -67,6 +67,46 @@ class VectorNormalizeParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dangling(0).isNullAt(dangling(0).fieldIndex("parsed")))
   }
 
+  // Round-12/13 regression pin: the element grammar is
+  // absl::SimpleAtof (the reference's parser), NOT Spark try_cast and
+  // NOT Java Float.parseFloat — see Documents.parseFloatElement.
+  private val literalCases = Seq(
+    // special literals: case-insensitive, optional sign (strtod grammar)
+    ("spec_inf_mixed", "inf, -INF, nan",
+      Some(Seq(Float.PositiveInfinity, Float.NegativeInfinity, Float.NaN))),
+    ("spec_infinity", "[Infinity,+InFiNiTy,-infinity]",
+      Some(Seq(Float.PositiveInfinity, Float.PositiveInfinity, Float.NegativeInfinity))),
+    ("spec_signed_nan", "+nan, -nan", Some(Seq(Float.NaN, Float.NaN))),
+    // scientific + leading-dot spellings are in the decimal grammar
+    ("dec_sci", "[3.0e1, .5, 2., +1e-2]", Some(Seq(30f, 0.5f, 2f, 0.01f))),
+    // Java-only spellings FAIL the record (SimpleAtof rejects them):
+    // type suffixes and hex floats
+    ("java_suffix_f", "[1.5f, 2.0]", None),
+    ("java_suffix_d", "[1.5d]", None),
+    ("java_suffix_D", "[2.0D, 1]", None),
+    ("java_hex", "[0x1.8p1]", None),
+    ("java_hex_int", "[0x10]", None))
+
+  test("SimpleAtof literal table: inf/nan accepted, Java suffix/hex spellings rejected") {
+    val sp = spark; import sp.implicits._
+    val df = literalCases.map { case (name, rec, _) => (name, rec) }.toDF("k", "v")
+      .withColumn("parsed", Documents.parseVectorString(col("v")))
+    val got = df.collect().map(r =>
+      r.getAs[String]("k") -> Option(r.getAs[scala.collection.Seq[Float]]("parsed"))).toMap
+    literalCases.foreach { case (name, _, want) =>
+      (got(name), want) match {
+        case (None, None) => ()
+        case (Some(g), Some(w)) =>
+          assert(g.length == w.length, s"case $name length")
+          g.zip(w).zipWithIndex.foreach { case ((gv, wv), i) =>
+            if (wv.isNaN) assert(gv.isNaN, s"case $name [$i] NaN")
+            else assert(gv == wv, s"case $name [$i]")
+          }
+        case (g, w) => fail(s"case $name: got $g want $w")
+      }
+    }
+  }
+
   test("JSON-path string vectors index and KNN-search end-to-end") {
     val sp = spark; import sp.implicits._
     val e = new SearchEngine
