@@ -140,6 +140,20 @@ class SearchEngine {
   private val tokenStats = scala.collection.concurrent.TrieMap.empty[(String, String), PostingStats]
   private val posPostings = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val posStats = scala.collection.concurrent.TrieMap.empty[(String, String), PostingStats]
+  /** Registration epoch of each derived RELATION — (kind, index, field)
+    * → [[epochOf]] at registration time; kinds: posting / suffix /
+    * pos / ann. The filter and KNN stages consult a derived relation
+    * only when its registration epoch equals the epoch the request
+    * captured BEFORE its catalog read: a reader that snapshotted the
+    * OLD docs just before a createIndex swap must not route through
+    * postings the maintainer re-registered from the NEW corpus — that
+    * semi-join would drop keys the old snapshot matches but the new
+    * posting no longer lists (changed/deleted docs), a reply consistent
+    * with NEITHER epoch. Stats registries need no epochs: a stale
+    * estimate can only mis-price routing, never change semantics (the
+    * compiled predicate owns them). All mismatches degrade to the
+    * always-correct columnar scan / exact-KNN path. */
+  private val derivedEpochs = scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
   /** Estimated cardinalities of the last query's routed conjuncts, in
     * semi-join order (ascending = min-child first). Planner telemetry
     * for specs; not part of the public surface. */
@@ -335,6 +349,7 @@ class SearchEngine {
   def registerPosting(indexName: String, field: String,
                       posting: DataFrame): this.type = {
     postings((indexName, field)) = posting
+    derivedEpochs(("posting", indexName, field)) = epochOf(indexName)
     postingStats.remove((indexName, field)) // stats describe the OLD relation
     infoStatsCache.remove(indexName)
     this
@@ -393,6 +408,7 @@ class SearchEngine {
   def registerSuffixPosting(indexName: String, field: String,
                             posting: DataFrame): this.type = {
     suffixPostings((indexName, field)) = posting
+    derivedEpochs(("suffix", indexName, field)) = epochOf(indexName)
     tokenStats.remove((indexName, field))
     this
   }
@@ -418,6 +434,7 @@ class SearchEngine {
   def registerPositionalPosting(indexName: String, field: String,
                                 posting: DataFrame): this.type = {
     posPostings((indexName, field)) = posting
+    derivedEpochs(("pos", indexName, field)) = epochOf(indexName)
     posStats.remove((indexName, field))
     this
   }
@@ -566,6 +583,7 @@ class SearchEngine {
   def registerAnn(indexName: String, field: String,
                   ann: graft.pipeline.Nsw.NswIndex): this.type = {
     annIndexes((indexName, field)) = ann
+    derivedEpochs(("ann", indexName, field)) = epochOf(indexName)
     this
   }
 
@@ -639,6 +657,17 @@ class SearchEngine {
     // after the epoch bump, would be cached as fresh for the whole
     // epoch (a post-batch query serving a pre-batch answer, violating
     // the eviction contract).
+    //
+    // The INVERSE mix — a reader that captured the OLD docs just before
+    // this swap building its plan after the maintainer re-registers
+    // postings from the NEW corpus — is killed by the registration-
+    // epoch gate, not by ordering: every derived relation records the
+    // epoch it was registered at ([[derivedEpochs]]), and filterStage /
+    // finishSearch only consult relations whose registration epoch
+    // equals the epoch the request captured at entry (before its
+    // catalog read). A mismatch degrades that conjunct to the columnar
+    // scan (or exact KNN), which is correct against whichever docs the
+    // reader holds.
     docCounts.remove(schema.name)
     infoStatsCache.remove(schema.name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != schema.name }
@@ -649,6 +678,7 @@ class SearchEngine {
     posPostings.filterInPlace { case ((idx, _), _) => idx != schema.name }
     posStats.filterInPlace { case ((idx, _), _) => idx != schema.name }
     layouts.filterInPlace { case ((idx, _), _) => idx != schema.name }
+    derivedEpochs.filterInPlace { case ((_, idx, _), _) => idx != schema.name }
     keyLayouts.remove(schema.name)
     catalog.synchronized { catalog(schema.name) = (schema, stored) }
     // catalog swap, THEN the epoch bump (see bumpEpoch's ordering
@@ -681,6 +711,7 @@ class SearchEngine {
     posPostings.filterInPlace { case ((idx, _), _) => idx != name }
     posStats.filterInPlace { case ((idx, _), _) => idx != name }
     layouts.filterInPlace { case ((idx, _), _) => idx != name }
+    derivedEpochs.filterInPlace { case ((_, idx, _), _) => idx != name }
     keyLayouts.remove(name)
     ()
   }
@@ -729,11 +760,13 @@ class SearchEngine {
    */
   def search(indexName: String, query: String,
              opts: SearchOptions = SearchOptions()): DataFrame = {
+    // epoch BEFORE the catalog read (bumpEpoch ordering contract)
+    val ep = epochOf(indexName)
     val (schema, docs) = index(indexName)
     val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
     recordQueryClass(parsed)
-    finishSearch(indexName, schema, filterStage(schema, docs, parsed, opts),
-      parsed, opts)
+    finishSearch(indexName, schema, filterStage(schema, docs, parsed, opts, ep),
+      parsed, opts, ep)
   }
 
   /** Observability: query-class counters (reference metrics.h:29-44). */
@@ -755,9 +788,13 @@ class SearchEngine {
 
   /** Filter + proximity front half, shared by [[search]] and
     * [[searchReply]] (which caches its output so total and page read
-    * one plan). */
-  private def filterStage(schema: IndexSchema, docs: DataFrame,
-                          parsed: ParsedQuery, opts: SearchOptions): DataFrame = {
+    * one plan). `ep` is the registration epoch the caller captured
+    * BEFORE its catalog read — the routing below only consults derived
+    * relations registered at exactly that epoch (see [[createIndex]]'s
+    * mixed-view notes; private[graft] for the interleaving specs). */
+  private[graft] def filterStage(schema: IndexSchema, docs: DataFrame,
+                                 parsed: ParsedQuery, opts: SearchOptions,
+                                 ep: Long): DataFrame = {
     val analyzerCfg =
       if (opts.verbatim) schema.analyzer.copy(stem = false) else schema.analyzer
     val compiler = new PredicateCompiler(schema, analyzerCfg)
@@ -806,6 +843,15 @@ class SearchEngine {
       val tokenStats = this.tokenStats.readOnlySnapshot()
       val posPostings = this.posPostings.readOnlySnapshot()
       val posStats = this.posStats.readOnlySnapshot()
+      val derivedEpochs = this.derivedEpochs.readOnlySnapshot()
+      // Registration-epoch gate (the createIndex inverse-mix contract):
+      // a derived relation is consulted only when it was registered at
+      // the epoch THIS request captured at entry — a reader holding the
+      // pre-swap docs must not semi-join postings rebuilt from the new
+      // corpus (it would drop keys its snapshot matches). Mismatch =
+      // the conjunct keeps the always-correct columnar scan.
+      def fresh(kind: String, f: String): Boolean =
+        derivedEpochs.get((kind, schema.name, f)).contains(ep)
       def postingFields(field: Option[String]): Option[Seq[String]] = {
         // postings hold the STEM sets — only routable when the query
         // stems too (not VERBATIM) and no target field is NOSTEM
@@ -816,14 +862,16 @@ class SearchEngine {
         }
         field match {
           case Some(f) =>
-            if (postings.contains((schema.name, f)) && stemMatched(f)) Some(Seq(f))
+            if (postings.contains((schema.name, f)) && fresh("posting", f) &&
+                stemMatched(f)) Some(Seq(f))
             else None
           case None =>
             // unfielded term = OR over ALL text fields: routable only when
             // every text field has a posting (keys = union of lookups)
             val tfs = schema.textFields.map(_.alias)
             if (tfs.nonEmpty && tfs.forall(f =>
-                postings.contains((schema.name, f)) && stemMatched(f)))
+                postings.contains((schema.name, f)) && fresh("posting", f) &&
+                stemMatched(f)))
               Some(tfs)
             else None
         }
@@ -861,7 +909,8 @@ class SearchEngine {
       // the field mask the same way).
       def allHavePostings(tfs: Seq[String]): Option[Seq[String]] =
         if (tfs.nonEmpty &&
-            tfs.forall(f => suffixPostings.contains((schema.name, f))))
+            tfs.forall(f => suffixPostings.contains((schema.name, f)) &&
+              fresh("suffix", f)))
           Some(tfs)
         else None
       def suffixFields(field: Option[String]): Option[Seq[String]] = field match {
@@ -893,7 +942,8 @@ class SearchEngine {
       def phraseFields(field: Option[String]): Option[Seq[String]] = {
         val tfs = field.map(Seq(_)).getOrElse(schema.textFields.map(_.alias))
         if (tfs.nonEmpty &&
-            tfs.forall(f => posPostings.contains((schema.name, f))))
+            tfs.forall(f => posPostings.contains((schema.name, f)) &&
+              fresh("pos", f)))
           Some(tfs)
         else None
       }
@@ -938,7 +988,7 @@ class SearchEngine {
             // TAG postings (reference tag radix postings, tag.h:33-44):
             // a registered tag posting serves both exact and prefix
             // patterns — stored terms are already normalized.
-            if postings.contains((schema.name, f)) &&
+            if postings.contains((schema.name, f)) && fresh("posting", f) &&
               schema.fieldOrFail(f).ftype.isInstanceOf[TagField] =>
           Some(tagKeys(f, patterns))
         // Pattern classes over the suffix posting — each a pushed
@@ -1129,10 +1179,14 @@ class SearchEngine {
     case _ => None
   }
 
-  /** KNN + SORTBY/LIMIT/RETURN back half over an already-filtered plan. */
-  private def finishSearch(indexName: String, schema: IndexSchema,
-                           filtered: DataFrame, parsed: ParsedQuery,
-                           opts: SearchOptions): DataFrame = {
+  /** KNN + SORTBY/LIMIT/RETURN back half over an already-filtered plan.
+    * `ep` gates the ANN graph exactly like filterStage gates postings:
+    * a graph re-registered from a newer corpus than the docs this
+    * request captured returns neighbors whose keys/vectors disagree
+    * with the snapshot — mismatch falls back to exact KNN. */
+  private[graft] def finishSearch(indexName: String, schema: IndexSchema,
+                                  filtered: DataFrame, parsed: ParsedQuery,
+                                  opts: SearchOptions, ep: Long): DataFrame = {
     var df = filtered
     val keyCol = col(schema.keyColumn)
     var scoreName: Option[String] = None
@@ -1168,6 +1222,7 @@ class SearchEngine {
         // threshold) the filter is selective, so the full count costs
         // what the old short-circuit probe did anyway.
         val ann = annIndexes.get((indexName, knn.field))
+          .filter(_ => derivedEpochs.get(("ann", indexName, knn.field)).contains(ep))
         val qualifiedKeys: Option[(DataFrame, Long)] =
           if (ann.isDefined && !parsed.isMatchAll) {
             val keys = df.select(keyCol)
@@ -1341,7 +1396,7 @@ class SearchEngine {
           // lookup population across search AND aggregate traffic
           if (baseCacheEnabled && parsed.knn.isEmpty)
             baseCacheMisses.incrementAndGet()
-          filterStage(schema, docs, parsed, opts)
+          filterStage(schema, docs, parsed, opts, ep)
       }
     }
 
@@ -1405,7 +1460,7 @@ class SearchEngine {
             if (parsed.knn.isEmpty)
               nonVectorReply(indexName, ep, schema, docs, parsed, query, opts)
             else
-              knnReply(indexName, schema, docs, parsed, opts)
+              knnReply(indexName, ep, schema, docs, parsed, opts)
           if (cacheable && reply.rows.length <= replyCacheMaxRows) {
             replyCache.put(key, SearchEngine.CachedReply(indexName, ep, reply, limited,
               dropped, new java.util.concurrent.atomic.AtomicLong(
@@ -1440,7 +1495,7 @@ class SearchEngine {
       if (limited) Metrics.nonVectorFetchLimited.incrementAndGet()
       val total = math.min(n, cap.toLong)
       // the page draws from the SAME truncated set the total counted
-      val page = finishSearch(indexName, schema, base.limit(cap), parsed, opts)
+      val page = finishSearch(indexName, schema, base.limit(cap), parsed, opts, ep)
       val (rows, dropped) =
         applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
       if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
@@ -1472,7 +1527,7 @@ class SearchEngine {
         narrowProjection match {
           case Some(cols) =>
             lastBaseProjection = cols
-            val narrow = filterStage(schema, docs, parsed, opts)
+            val narrow = filterStage(schema, docs, parsed, opts, ep)
               .select(cols.map(col): _*).limit(cap + 1)
             val collected = narrow.collect()
             // the page re-runs finishSearch over a LocalRelation of the
@@ -1486,7 +1541,7 @@ class SearchEngine {
                 new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
             finishFrom(local, collected.length.toLong)
           case None =>
-            val base = filterStage(schema, docs, parsed, opts).limit(cap + 1)
+            val base = filterStage(schema, docs, parsed, opts, ep).limit(cap + 1)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // Every persisted base must end up either in the cache or
             // unpersisted — including when count/finishFrom throws (a
@@ -1512,10 +1567,10 @@ class SearchEngine {
   /** Vector/hybrid total+page compute (never cached — ANN registration
     * and the hybrid planner's mutable threshold are not in any key, and
     * planner counters bump per call). */
-  private def knnReply(indexName: String, schema: IndexSchema, docs: DataFrame,
+  private def knnReply(indexName: String, ep: Long, schema: IndexSchema, docs: DataFrame,
                        parsed: ParsedQuery, opts: SearchOptions): (SearchEngine.SearchReply, Boolean, Long) = {
     val k = parsed.knn.get
-    val base = filterStage(schema, docs, parsed, opts)
+    val base = filterStage(schema, docs, parsed, opts, ep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded probe: k+1 rows decide min(count, k) — never a full
@@ -1524,7 +1579,7 @@ class SearchEngine {
         base.filter(col(schema.fieldOrFail(k.field).alias).isNotNull)
           .limit(k.k + 1).count(),
         k.k.toLong)
-      val page = finishSearch(indexName, schema, base, parsed, opts)
+      val page = finishSearch(indexName, schema, base, parsed, opts, ep)
       val (rows, dropped) =
         applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
       if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
