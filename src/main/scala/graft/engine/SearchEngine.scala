@@ -79,6 +79,11 @@ object SearchEngine {
   /** Full FT.SEARCH reply: pre-LIMIT total + page (S7/R6). */
   final case class SearchReply(total: Long, rows: Array[org.apache.spark.sql.Row])
 
+  /** Soak/probe-only forensics switch (see nonVectorReply): when on, a
+    * page that collects empty while its total counted throws a
+    * diagnostic instead of replying — the r13 anomaly localizer. */
+  @volatile var debugEmptyPage: Boolean = false
+
   /** A complete cached reply plus the per-call metric effects to replay
     * on a hit, so counters stay call-accurate (truncation + record
     * drops). */
@@ -86,10 +91,13 @@ object SearchEngine {
       reply: SearchReply, limited: Boolean, dropped: Long,
       lastUsed: java.util.concurrent.atomic.AtomicLong)
 
-  /** A materialized non-vector filter base: `df` holds at most cap+1
-    * rows (persisted, or a LocalRelation for narrow NOCONTENT bases —
-    * unpersist on those is a harmless no-op) and `n` its exact row
-    * count, from which every page's total and truncation flag derive. */
+  /** A materialized non-vector filter base: `df` is ALWAYS a
+    * driver-resident LocalRelation since r13 (full bases of at most
+    * baseCacheMaxRows rows, narrow NOCONTENT bases of key/sort rows) —
+    * never a Spark-persisted relation, so cache eviction/invalidation
+    * cannot race an in-flight reader's plan (the r13 soak's AQE
+    * empty-propagation finding). `n` is the exact row count, from
+    * which every page's total and truncation flag derive. */
   private[engine] final case class CachedBase(indexName: String, epoch: Long,
       df: DataFrame, n: Long,
       lastUsed: java.util.concurrent.atomic.AtomicLong)
@@ -261,11 +269,14 @@ class SearchEngine {
   // offset/limit, SORTBY, RETURN, NOCONTENT, WITHSORTKEYS). A client
   // paging through results, or re-requesting with different RETURN
   // fields, re-pays the corpus scan today. This cache keeps the
-  // materialized cap+1-row base (persisted) plus its count for one
-  // registration epoch, so such variants pay one page-sized job over
-  // already-cached rows. Consistency bonus: when the cap truncates,
-  // every page of a paging sequence draws from the SAME materialized
-  // subset instead of a fresh nondeterministic limit() per call.
+  // materialized base (a driver-resident LocalRelation of at most
+  // baseCacheMaxRows rows — r13: Spark persists left the serving path,
+  // see cachePrivate) plus its count for one registration epoch, so
+  // such variants pay a LocalTableScan instead of the corpus scan.
+  // Bases past the row bound are served per-request from a
+  // cache-private persisted materialization and never cached — when
+  // the fetch cap truncates those, the single materialization still
+  // guarantees the total and its page draw from the SAME subset.
   // Invalidation and race-ordering are identical to the reply cache
   // (epoch read BEFORE catalog; insert re-checks the epoch). KNN is
   // excluded for the reply cache's reasons. Narrow NOCONTENT bases
@@ -279,10 +290,19 @@ class SearchEngine {
     * without re-scanning (invalidated per index on createIndex /
     * dropIndex). */
   var baseCacheEnabled: Boolean = true
-  /** LRU bound on cached filtered bases across all indexes. Each full
-    * entry is a persisted MEMORY_AND_DISK relation of at most cap+1
-    * rows; narrow NOCONTENT entries are driver-local key rows. */
+  /** LRU bound on cached filtered bases across all indexes. Since r13
+    * every entry is a driver-resident LocalRelation (full bases of at
+    * most [[baseCacheMaxRows]] rows; narrow NOCONTENT bases of key/sort
+    * rows) — eviction and invalidation are pure map removals, with NO
+    * Spark unpersist lifecycle: the interleaving soak proved that
+    * unpersisting plan-keyed cached data while a concurrent request
+    * reads a plan-equal relation lets AQE freeze a zero-row stage into
+    * that request's reply (see [[cachePrivate]]). */
   var baseCacheMaxEntries: Int = 32
+  /** Row bound for caching a FULL base as a LocalRelation. Filtered
+    * bases above it (up to the fetch cap) are never cached — they are
+    * served from a request-private persisted materialization instead. */
+  var baseCacheMaxRows: Int = 4096
   private[graft] val baseCacheHits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val baseCacheMisses = new java.util.concurrent.atomic.AtomicLong
   /** Telemetry: the column list the last single-action NOCONTENT miss
@@ -293,11 +313,8 @@ class SearchEngine {
   private val baseCache = scala.collection.concurrent.TrieMap.empty[String, SearchEngine.CachedBase]
   private[graft] def baseCacheSize: Int = baseCache.size
   private def dropCachedBases(name: String): Unit = {
-    baseCache.filterInPlace { case (_, v) =>
-      val drop = v.indexName == name
-      if (drop) v.df.unpersist(blocking = false)
-      !drop
-    }
+    // entries are LocalRelations: removal is the whole invalidation
+    baseCache.filterInPlace { case (_, v) => v.indexName != name }
     ()
   }
   /** Key of the base-affecting request subset. `projection` is "full"
@@ -319,20 +336,18 @@ class SearchEngine {
   private def evictLruBases(): Unit =
     while (baseCache.size > baseCacheMaxEntries) {
       val oldest = baseCache.minByOption { case (_, v) => v.lastUsed.get() }
-      oldest.foreach { case (k, _) =>
-        baseCache.remove(k).foreach(_.df.unpersist(blocking = false))
-      }
+      oldest.foreach { case (k, _) => baseCache.remove(k) }
       if (oldest.isEmpty) return
     }
-  /** Insert a freshly materialized base; unpersists the loser of an
-    * insert race and any entry stranded by a racing re-registration
-    * (same contract as the reply cache's post-insert epoch re-check). */
+  /** Insert a freshly collected base; drops any entry stranded by a
+    * racing re-registration (same contract as the reply cache's
+    * post-insert epoch re-check). Entries are LocalRelations, so the
+    * loser of an insert race simply isn't stored. */
   private def putCachedBase(key: String, entry: SearchEngine.CachedBase): Unit = {
     baseCache.putIfAbsent(key, entry) match {
-      case Some(_) => entry.df.unpersist(blocking = false) // lost the race
+      case Some(_) => ()
       case None =>
-        if (epochOf(entry.indexName) != entry.epoch)
-          baseCache.remove(key).foreach(_.df.unpersist(blocking = false))
+        if (epochOf(entry.indexName) != entry.epoch) { baseCache.remove(key); () }
         evictLruBases()
     }
     ()
@@ -1225,7 +1240,10 @@ class SearchEngine {
           .filter(_ => derivedEpochs.get(("ann", indexName, knn.field)).contains(ep))
         val qualifiedKeys: Option[(DataFrame, Long)] =
           if (ann.isDefined && !parsed.isMatchAll) {
-            val keys = df.select(keyCol)
+            // cache-private for the same reason as knnReply's base: the
+            // unpersist after the Bloom build must only ever reach THIS
+            // request's materialization
+            val keys = cachePrivate(df.select(keyCol))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             Some((keys, keys.count()))
           } else None
@@ -1496,8 +1514,23 @@ class SearchEngine {
       val total = math.min(n, cap.toLong)
       // the page draws from the SAME truncated set the total counted
       val page = finishSearch(indexName, schema, base.limit(cap), parsed, opts, ep)
+      val collected = page.collect()
+      // Temporary anomaly forensics (r13 soak finding: page collected
+      // empty while the total counted; retry healed). Enabled only by
+      // the soak/probes — pinpoints WHICH read went empty.
+      if (SearchEngine.debugEmptyPage && collected.isEmpty && n > 0 &&
+          opts.limit._1 == 0 && opts.limit._2 > 0) {
+        val n2 = base.count()
+        val again = page.collect().length
+        val fresh = filterStage(schema, docs, parsed, opts, ep).count()
+        val plan = page.queryExecution.executedPlan.toString
+        throw new IllegalStateException(
+          s"EMPTYPAGE n=$n recount=$n2 recollect=$again " +
+          s"lvl=${base.storageLevel} freshCount=$fresh epNow=${epochOf(indexName)} ep=$ep " +
+          s"PLAN<<<${plan.take(3000)}>>>")
+      }
       val (rows, dropped) =
-        applyContentLimits(page.collect(), page.schema, schema, parsed, opts)
+        applyContentLimits(collected, page.schema, schema, parsed, opts)
       if (dropped > 0) Metrics.queryResultRecordDropped.addAndGet(dropped)
       (SearchEngine.SearchReply(total, rows), limited, dropped)
     }
@@ -1541,27 +1574,62 @@ class SearchEngine {
                 new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
             finishFrom(local, collected.length.toLong)
           case None =>
-            val base = filterStage(schema, docs, parsed, opts, ep).limit(cap + 1)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            // Every persisted base must end up either in the cache or
-            // unpersisted — including when count/finishFrom throws (a
-            // SORTBY on an unknown field raises in finishSearch via
-            // fieldOrFail, and the RESP handler keeps serving after the
-            // error), or repeated failing requests leak block-manager
-            // storage unboundedly.
-            try {
-              val n = base.count()
-              val out = finishFrom(base, n)
+            // Bounded-base fast path: ONE scan tries to pull the whole
+            // filtered base. If it fits baseCacheMaxRows, the base
+            // becomes a driver-resident LocalRelation — the only thing
+            // the base cache stores since r13 (see the CachedBase
+            // notes: Spark-managed persists left the serving path
+            // after the interleaving soak caught the AQE
+            // empty-propagation race).
+            val probe = filterStage(schema, docs, parsed, opts, ep)
+            val bound = math.min(cap, baseCacheMaxRows)
+            val head = probe.limit(bound + 1).collect()
+            if (head.length <= bound) {
+              val local = docs.sparkSession.createDataFrame(
+                java.util.Arrays.asList(head: _*), probe.schema)
               if (baseCacheEnabled)
-                putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep, base, n,
+                putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep,
+                  local, head.length.toLong,
                   new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
-              else base.unpersist(blocking = false)
-              out
-            } catch { case e: Throwable =>
-              base.unpersist(blocking = false); throw e
+              finishFrom(local, head.length.toLong)
+            } else {
+              // Big base (> baseCacheMaxRows): never cached. Total and
+              // page read one cache-PRIVATE persisted materialization
+              // whose lifetime this request alone controls — the nonce
+              // keeps concurrent identical requests on separate
+              // CacheManager entries, so no other thread's unpersist
+              // can reach a plan this read resolves to. The finally
+              // preserves the unpersist-on-failure guarantee (a SORTBY
+              // on an unknown field raises in finishSearch via
+              // fieldOrFail, and the RESP handler keeps serving after
+              // the error).
+              val solo = cachePrivate(probe).limit(cap + 1)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val n = solo.count()
+                finishFrom(solo, n)
+              } finally solo.unpersist(blocking = false)
             }
         }
     }
+  }
+
+  /** Make a serving-path plan cache-PRIVATE: Spark's CacheManager
+    * keys persisted data by normalized analyzed plan, so two requests
+    * materializing the SAME logical plan share one entry — and either
+    * side's unpersist (or a maintainer epoch drop of a plan-equal
+    * cached entry) destroys the other's in-flight read. Under AQE the
+    * destroyed read can materialize a shuffle stage as ZERO rows and
+    * AQEPropagateEmptyRelation freezes the empty into the Dataset's
+    * final plan (r13 InterleaveSoak forensics: total counted 8, page
+    * collected 0, recollect 0, fresh plan 8). A vacuous filter on a
+    * per-request literal keeps the analyzed plan distinct — same
+    * semantics, same schema, folded away by the optimizer — so the
+    * only actor that can unpersist a serving read's plan is the
+    * request that owns it, strictly after its own reads. */
+  private def cachePrivate(df: DataFrame): DataFrame = {
+    val u = lit(java.util.UUID.randomUUID().toString)
+    df.filter(u === u)
   }
 
   /** Vector/hybrid total+page compute (never cached — ANN registration
@@ -1570,7 +1638,10 @@ class SearchEngine {
   private def knnReply(indexName: String, ep: Long, schema: IndexSchema, docs: DataFrame,
                        parsed: ParsedQuery, opts: SearchOptions): (SearchEngine.SearchReply, Boolean, Long) = {
     val k = parsed.knn.get
-    val base = filterStage(schema, docs, parsed, opts, ep)
+    // cache-private: concurrent identical KNN requests must not share
+    // a CacheManager entry — this request's finally-unpersist would
+    // otherwise destroy the other's in-flight page read (r13 soak race)
+    val base = cachePrivate(filterStage(schema, docs, parsed, opts, ep))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded probe: k+1 rows decide min(count, k) — never a full

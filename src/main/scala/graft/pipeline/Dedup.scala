@@ -115,17 +115,88 @@ object Dedup {
       xxhash64(lit(j), concat_ws(",", slice(sig, j * rowsPerBand + 1, rowsPerBand)))
         .as("bh"))): _*)
 
+  /** Sentinel for [[minhashNearDups]]' `maxBandFreq`: derive the cap
+    * from the corpus' own band-bucket histogram (see the hot-bucket
+    * guard notes in the method body). */
+  val BandFreqAuto: Option[Int] = Some(-1)
+
+  /** Data-driven `maxBandFreq` (the reference planner's crossover
+    * pattern, src/query/planner.cc:21-46 — decide from measured
+    * cardinalities, not a constant): from the band-bucket SIZE
+    * histogram (a tiny (size, buckets) relation — the full histogram
+    * is computed anyway to build the hot-bucket anti-join), pick the
+    * LARGEST cap whose surviving banded pair mass Σ_{n ≤ cap} m·C(n,2)
+    * stays within `budgetPerDoc · nDocs` — candidates linear in the
+    * corpus, the invariant that makes sharp bandings (4 rows/band,
+    * τ=0.5) complete at 100× instead of drowning in O(corpus²)
+    * common-shingle buckets. Floored at [[BandFreqFloor]]: true
+    * near-dup pairs surface through pair-specific SMALL buckets (they
+    * share rare shingles), so any cap ≥ the floor keeps the guard's
+    * recall argument; on the driver's gate corpora every bucket is
+    * under the floor (sf0.01 max ≈ tens), so the auto cap never binds
+    * there and the capped gate stays hash-equal to the uncapped
+    * oracle. */
+  val BandFreqFloor = 64
+  val BandFreqBudgetPerDoc = 64L
+  private[graft] def deriveBandFreq(sizes: Array[(Long, Long)],
+                                    bands: Int): Int = {
+    // nDocs falls out of the histogram itself: every doc emits exactly
+    // `bands` banded rows, so Σ n·m = nDocs · bands — no extra scan
+    val sorted = sizes.sortBy(_._1)
+    val nDocs = math.max(1L, sorted.map { case (n, m) => n * m }.sum / bands)
+    val budget = BandFreqBudgetPerDoc * nDocs
+    // a single cap admits ALL buckets ≤ it, so the choice is a prefix
+    // walk: accumulate pair mass ascending and stop at the first size
+    // that busts the budget (floor-sized buckets are always admitted)
+    var surviving = 0L
+    var cap = BandFreqFloor.toLong
+    var done = false
+    sorted.foreach { case (n, m) =>
+      if (!done) {
+        val mass = m * n * (n - 1) / 2
+        if (n <= BandFreqFloor || surviving + mass <= budget) {
+          surviving += mass
+          cap = math.max(cap, n)
+        } else done = true
+      }
+    }
+    math.min(cap, Int.MaxValue.toLong).toInt
+  }
+
+  /** The cap [[BandFreqAuto]] would choose for this corpus/banding —
+    * the disclosure companion ([[cappedBandBuckets]] takes an explicit
+    * cap; this recomputes the histogram the detector derives from, so
+    * a capped run's drop set stays checkable under auto too). */
+  def autoBandFreq(df: DataFrame, keyCol: String, textCol: String,
+                   shingleN: Int = 2, numHashes: Int = 128, bands: Int = 32,
+                   seed: Long = 42L): Int = {
+    val rowsPerBand = numHashes / bands
+    val sizes = df.select(
+        minhashSignature(hashedShingles(col(textCol), shingleN), numHashes, seed)
+          .as("sig"))
+      .select(explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .groupBy(col("bk.band"), col("bk.bh")).count()
+      .groupBy(col("count").as("n")).agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    deriveBandFreq(sizes, bands)
+  }
+
   /**
    * MinHash+LSH near-duplicate pairs, verified with exact shingle
    * Jaccard ≥ `threshold`. Returns (key_a, key_b, jaccard) with
    * key_a < key_b. Probabilistic recall (standard LSH S-curve),
    * exact precision (verification step).
+   *
+   * `maxBandFreq`: `Some(n)` caps hot band buckets at n members;
+   * `None` disables the cap; the default [[BandFreqAuto]] derives the
+   * cap from the corpus' own band-bucket histogram (see
+   * [[deriveBandFreq]]) — scale-safe without hand-tuning.
    */
   def minhashNearDups(df: DataFrame, keyCol: String, textCol: String,
                       shingleN: Int = 2, numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.7, seed: Long = 42L,
                       sketchPrefilter: Boolean = true,
-                      maxBandFreq: Option[Int] = Some(1000)): DataFrame = {
+                      maxBandFreq: Option[Int] = BandFreqAuto): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // Persist the (k, hashed shingles) base: it feeds the signature
@@ -169,10 +240,25 @@ object Dedup {
     // its RARE shingles too, so its agreeing bands include pair-
     // specific small buckets; the capped buckets are precisely the
     // common-min ones that carry no near-dup signal. None disables.
+    var hist: Option[DataFrame] = None
     val admitted = maxBandFreq match {
       case None => banded
-      case Some(cap) =>
-        val hot = banded.groupBy("band", "bh").count()
+      case Some(c) =>
+        val h = banded.groupBy("band", "bh").count()
+        val cap =
+          if (c >= 0) c
+          else {
+            // auto ([[BandFreqAuto]]): the histogram feeds BOTH the
+            // size-distribution collect and the hot-bucket anti-join —
+            // persist so the banding aggregates once
+            val hp = h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            hist = Some(hp)
+            val sizes = hp.groupBy(col("count").as("n"))
+              .agg(count(lit(1)).as("m"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            deriveBandFreq(sizes, bands)
+          }
+        val hot = hist.getOrElse(h)
           .filter(col("count") > cap).select("band", "bh")
         banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     }
@@ -233,7 +319,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("key_a").cast("string").as("key_a"),
         col("key_b").cast("string").as("key_b"), col("jaccard"))
-    materializeAndRelease(result, base, sigs, banded)
+    materializeAndRelease(result, Seq(base, sigs, banded) ++ hist: _*)
   }
 
   /**

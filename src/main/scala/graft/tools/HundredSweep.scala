@@ -144,16 +144,16 @@ object HundredSweep {
     // of >1000 members (common-shingle-correlated minima — max bucket
     // 28,649 docs ⇒ 4.1e8 pairs from ONE bucket, all J≈0.05 rejects).
     // The r11 maxBandFreq hot-bucket cap drops those buckets from
-    // candidate generation (disclosed via cappedBandBuckets); with
-    // cap=100 the surviving ~6e7 candidates flow through the staged
-    // sketch prefilter and the run completes on one box. The
-    // operator default (1000) kills the O(N²) bucket terms at any
-    // scale; 100 here additionally fits this machine's ~90 GB scratch.
+    // candidate generation (disclosed via cappedBandBuckets). Since
+    // r13 the DEFAULT is BandFreqAuto — the cap derives from the
+    // corpus' own band-bucket histogram (budget: surviving banded
+    // pair mass ≤ 64·nDocs), so this row runs the operator exactly as
+    // a user gets it, no hand-dialed cap (previously Some(100) was
+    // needed to fit this machine; cap=1000 ran 421-683 s).
     def minhashSharp(dir: String): Long =
       graft.pipeline.Dedup.minhashNearDups(
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5,
-        maxBandFreq = Some(100)).count()
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5).count()
 
     // NSW graph build + query (r10 verdict #6): graph build is the one
     // plausibly super-linear ANN term (per-insert beam over a growing

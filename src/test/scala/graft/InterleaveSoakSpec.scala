@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/**
+ * Bounded in-suite run of [[graft.tools.InterleaveSoak]]: a writer
+ * replaying maintainer refreshes under concurrent readers of every
+ * routed query class + KNN + hybrid + aggregate + paging, each reply
+ * validated for per-epoch freshness (one version, inside the reader's
+ * [completed-at-entry, started-at-return] window, exactly that
+ * version's closed-form answer). The full-scale runs live in the
+ * probe's main (see STATUS round 13); this spec keeps the harness
+ * itself under regression.
+ */
+class InterleaveSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .appName("interleave-soak-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = ()
+
+  test("no reader observes a reply consistent with no single version") {
+    graft.tools.InterleaveSoak.run(spark, seed = 13L, versions = 12,
+      readers = 4) match {
+      case Right((queries, versions)) =>
+        assert(versions == 12)
+        assert(queries > 50, s"soak must exercise real interleaving load, ran $queries")
+      case Left(violation) => fail(violation)
+    }
+  }
+}

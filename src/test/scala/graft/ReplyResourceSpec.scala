@@ -85,6 +85,37 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.size == baseline)
   }
 
+  test("failing SORTBY on the big-base (request-private persist) path leaks nothing") {
+    val e = freshEngine()
+    // force the > baseCacheMaxRows branch — the only serving path that
+    // still persists (cache-private, finally-unpersisted)
+    e.baseCacheMaxRows = 5
+    val bad = SearchOptions(sortBy = Some(("no_such_field", true)))
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { _ =>
+      intercept[IllegalArgumentException] {
+        e.searchReply("rr_t", "@price:[3 25]", bad)
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "the request-private base must unpersist on failure")
+    val ok = e.searchReply("rr_t", "@price:[3 25]",
+      SearchOptions(sortBy = Some(("price", true))))
+    assert(ok.total == 23)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "the request-private base must unpersist after success too")
+  }
+
+  test("a served big-base reply matches the bounded-base reply exactly") {
+    val e1 = freshEngine(); val e2 = freshEngine()
+    e2.baseCacheMaxRows = 5 // same request, big-base path
+    val opts = SearchOptions(limit = (3, 7), sortBy = Some(("price", false)))
+    val r1 = e1.searchReply("rr_t", "@price:[3 25]", opts)
+    val r2 = e2.searchReply("rr_t", "@price:[3 25]", opts)
+    assert(r1.total == r2.total)
+    assert(r1.rows.map(_.getString(0)).toSeq == r2.rows.map(_.getString(0)).toSeq)
+  }
+
   test("hits + misses = lookups across search AND aggregate traffic") {
     val e = freshEngine()
     val h0 = e.baseCacheHits.get(); val m0 = e.baseCacheMisses.get()
