@@ -73,7 +73,7 @@ object AggregateQueries {
     // A5: SORTBY expression keys with MAX top-k (bounded heap)
     q("a_sortby_max") { (s, dir) =>
       eng(s, dir).aggregate("lineitem", "*", Seq(
-        "LOAD", "2", "@l_extendedprice", "@l_discount",
+        "LOAD", "3", "@__key", "@l_extendedprice", "@l_discount",
         "APPLY", "@l_extendedprice * @l_discount", "AS", "disc_amt",
         "SORTBY", "4", "@disc_amt", "DESC", "@__key", "ASC", "MAX", "10"))
         .withColumn("disc_amt", round(col("disc_amt"), 4))
@@ -87,8 +87,8 @@ object AggregateQueries {
     // A6: LIMIT offset pagination after sort
     q("a_limit_page") { (s, dir) =>
       eng(s, dir).aggregate("orders", "@o_orderstatus:{F}", Seq(
-        "LOAD", "1", "@o_totalprice",
-        "SORTBY", "4", "@o_totalprice", "DESC", "@__key", "ASC",
+        "LOAD", "2", "@__key", "@o_totalprice",
+        "SORTBY", "4", "@o_totalprice", "DESC", "@__key", "ASC", "MAX", "30",
         "LIMIT", "10", "20"))
     } {
       """SELECT CAST(o_orderkey AS VARCHAR) AS __key, o_totalprice
@@ -99,12 +99,13 @@ object AggregateQueries {
     // §2.6 string functions over documents
     q("a_string_fns") { (s, dir) =>
       eng(s, dir).aggregate("documents", "@lang:{en}", Seq(
+        "LOAD", "1", "@__key",
         "APPLY", "strlen(@text)", "AS", "len",
         "APPLY", "contains(@text, 'data')", "AS", "cnt",
         "FILTER", "@cnt >= 1",
         "APPLY", "upper(substr(@source, 0, 4))", "AS", "src4",
         "APPLY", "concat(@lang, ':', @source)", "AS", "tag",
-        "SORTBY", "2", "@__key", "ASC",
+        "SORTBY", "2", "@__key", "ASC", "MAX", "200",
         "LIMIT", "0", "200"))
     } {
       """SELECT CAST(doc_id AS VARCHAR) AS __key,
@@ -126,7 +127,7 @@ object AggregateQueries {
         "GROUPBY", "2", "@h", "@dow",
         "REDUCE", "COUNT", "0", "AS", "n",
         "REDUCE", "AVG", "1", "@value", "AS", "avg_value",
-        "SORTBY", "4", "@h", "ASC", "@dow", "ASC"))
+        "SORTBY", "4", "@h", "ASC", "@dow", "ASC", "MAX", "200"))
         .withColumn("avg_value", round(col("avg_value"), 4))
     } {
       """SELECT CAST(hour(ts) AS DOUBLE) AS h,
@@ -173,7 +174,7 @@ object AggregateQueries {
         "GROUPBY", "1", "@day",
         "REDUCE", "COUNT", "0", "AS", "n",
         "REDUCE", "SUM", "1", "@value", "AS", "total",
-        "SORTBY", "2", "@day", "ASC"))
+        "SORTBY", "2", "@day", "ASC", "MAX", "40"))
         .withColumn("total", round(col("total"), 4))
     } {
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

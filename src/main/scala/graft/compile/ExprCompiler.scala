@@ -135,7 +135,18 @@ final class ExprCompiler(
       val (ln, rn) = (asNum(l), asNum(r))
       // x/0 → NaN, not Infinity/NULL (value.cc:351-362)
       TypedCol(when(rn === lit(0.0), nan).otherwise(ln / rn), Num)
-    case "^" => TypedCol(pow(asNum(l), asNum(r)), Num)
+    case "^" =>
+      // C99 pow semantics (the reference evaluates with libm pow,
+      // expr.cc), where Java diverges: pow(+1, y) = 1 for ANY y
+      // including NaN/±inf, and pow(-1, ±inf) = 1 — Java returns NaN
+      // for |x| == 1 with infinite y (compat corpus
+      // test_aggregate_dyadic_ops pins these cells)
+      val (bn, en) = (asNum(l), asNum(r))
+      TypedCol(
+        when(bn === lit(1.0), lit(1.0))
+          .when(abs(bn) === lit(1.0) && (en === lit(Double.PositiveInfinity) ||
+            en === lit(Double.NegativeInfinity)), lit(1.0))
+          .otherwise(pow(bn, en)), Num)
     case "&&" | "||" =>
       val (lb, rb) = (asBool(l), asBool(r))
       // Nil-propagating, NOT SQL three-valued logic (value.cc:387-409)

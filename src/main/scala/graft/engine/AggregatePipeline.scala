@@ -59,16 +59,35 @@ private[engine] final class AggregatePipeline(
 
   def run(initial: DataFrame, scoreField: Option[String], stages: Seq[AggStage]): DataFrame = {
     var df = initial
-    // Implicit stage-0 record: __key (+ KNN score) — ft_aggregate.cc:95-105.
-    visible(schema.keyColumn) = VTag.Str
+    // Implicit stage-0 record: the KNN score when present — and ONLY
+    // that. `__key` enters the record exclusively through an explicit
+    // `LOAD ... __key` (reference load_key, ft_aggregate.cc:228-287:
+    // "Skip loading of the score and the key, we always get those" —
+    // they ride the Neighbor, but the reply record carries them only
+    // when requested; compat corpus test_aggregate_load pins it).
     scoreField.foreach(s => visible(s) = VTag.Num)
 
     stages.foreach {
       case Load(_, true) =>
-        schema.fields.filterNot(_.ftype.isInstanceOf[VectorField])
-          .foreach(fd => visible.getOrElseUpdate(fd.alias, fieldTag(fd)))
+        // LOAD * = every STORED document attribute (the reference
+        // fetches the whole hash: unindexed fields and vector contents
+        // included; __key still stays out — corpus `load *` goldens)
+        df.columns
+          .filterNot(c => c.startsWith("__") || c == schema.keyColumn)
+          .foreach { cName =>
+            val tag = schema.field(cName).map(_.ftype) match {
+              case Some(NumericField) => VTag.Num
+              case _ => VTag.Str // tags/text/unindexed/vector contents
+            }
+            visible.getOrElseUpdate(cName, tag)
+          }
       case Load(fields, _) =>
         fields.foreach { case (f, as) =>
+          if (schema.field(f).exists(_.ftype.isInstanceOf[VectorField]))
+            // ft_aggregate.cc:70-73 — explicit vector LOAD is an error
+            // (LOAD * above is the one way vector contents surface)
+            throw new ExprParseException(
+              s"Loading of vector fields is not supported (field `$f`)")
           val src = resolve(f).getOrElse(
             throw new ExprParseException(s"LOAD: unknown field @$f"))
           val name = as.getOrElse(f)

@@ -36,16 +36,52 @@ object Metrics {
   val queryResultRecordDropped = new AtomicLong
 
   /** log₂ latency histogram: bucket i counts samples in
-    * [2^i, 2^(i+1)) microseconds; last bucket is the overflow. */
-  private val NBuckets = 24 // 2^23 µs ≈ 8.4 s
-  private val latency = Array.fill(NBuckets)(new AtomicLong)
-
-  def observeLatencyNanos(nanos: Long): Unit = {
-    val us = math.max(nanos / 1000, 1)
-    val b = math.min(63 - java.lang.Long.numberOfLeadingZeros(us), NBuckets - 1)
-    latency(b.toInt).incrementAndGet()
-    ()
+    * [2^i, 2^(i+1)) microseconds; last bucket is the overflow — the
+    * fixed-memory analogue of the reference's vmsdk::LatencySampler
+    * (metrics.h:74-78). */
+  final class Histogram(val name: String) {
+    private val buckets = Array.fill(Metrics.NBuckets)(new AtomicLong)
+    def observeNanos(nanos: Long): Unit = {
+      val us = math.max(nanos / 1000, 1)
+      val b = math.min(63 - java.lang.Long.numberOfLeadingZeros(us),
+        Metrics.NBuckets - 1)
+      buckets(b.toInt).incrementAndGet()
+      ()
+    }
+    def timed[T](body: => T): T = {
+      val t0 = System.nanoTime()
+      try body finally observeNanos(System.nanoTime() - t0)
+    }
+    def snapshot(): Seq[(String, Long)] = buckets.zipWithIndex.collect {
+      case (c, i) if c.get() > 0 => s"${name}_us_le_${1L << (i + 1)}" -> c.get()
+    }.toSeq
+    def reset(): Unit = buckets.foreach(_.set(0))
+    def total: Long = buckets.map(_.get()).sum
   }
+  private val NBuckets = 24 // 2^23 µs ≈ 8.4 s
+  private val latency = new Histogram("query_latency")
+
+  /** Per-query-class reply-latency histograms (reference metrics.h
+    * samplers: hnsw_vector_index_search_latency /
+    * flat_vector_index_search_latency; the nonvector and aggregate
+    * histograms are this engine's additions, same encoding). In this
+    * engine a "vector index search" is the reply compute of the
+    * corresponding planner branch: the graph beam + join-back for the
+    * inline branch (hnsw analogue), the exact distance top-k for the
+    * prefilter/no-graph branch (flat analogue). */
+  val hnswSearchLatency = new Histogram("hnsw_vector_index_search_latency")
+  val flatSearchLatency = new Histogram("flat_vector_index_search_latency")
+  val nonVectorLatency = new Histogram("query_nonvector_latency")
+  val aggregateLatency = new Histogram("aggregate_latency")
+
+  /** Which planner branch the last finishSearch on THIS thread took —
+    * lets the reply-level timer attribute its sample (thread-confined,
+    * so concurrent requests cannot cross-attribute). */
+  val lastKnnBranchInline = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  def observeLatencyNanos(nanos: Long): Unit = latency.observeNanos(nanos)
 
   /** Time an action, recording latency + success/failure counters. */
   def timed[T](body: => T): T = {
@@ -72,10 +108,9 @@ object Metrics {
       "query_inline_filtering_requests_cnt" -> knnInline.get(),
       "query_nonvector_results_fetched_limited_cnt" -> nonVectorFetchLimited.get(),
       "query_result_record_dropped_cnt" -> queryResultRecordDropped.get())
-    val hist = latency.zipWithIndex.collect {
-      case (c, i) if c.get() > 0 => s"query_latency_us_le_${1L << (i + 1)}" -> c.get()
-    }
-    counters ++ hist
+    counters ++ latency.snapshot() ++ hnswSearchLatency.snapshot() ++
+      flatSearchLatency.snapshot() ++ nonVectorLatency.snapshot() ++
+      aggregateLatency.snapshot()
   }
 
   def reset(): Unit = {
@@ -83,6 +118,7 @@ object Metrics {
       queryHybrid, knnPrefilter, knnInline, nonVectorFetchLimited,
       queryResultRecordDropped)
       .foreach(_.set(0))
-    latency.foreach(_.set(0))
+    Seq(latency, hnswSearchLatency, flatSearchLatency, nonVectorLatency,
+      aggregateLatency).foreach(_.reset())
   }
 }

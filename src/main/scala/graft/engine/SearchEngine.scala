@@ -172,6 +172,10 @@ class SearchEngine {
     * immutable, so the stats row is computed once and invalidated on
     * any index mutation (createIndex / dropIndex / registerPosting). */
   private val infoStatsCache = scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.Row, Long)]
+  /** Unfiltered enriched relation per index — FT.INFO's view, so
+    * hash_indexing_failures still counts whole-key-dropped docs that
+    * the serving relation in [[catalog]] excludes. */
+  private val infoDocs = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val layouts = scala.collection.concurrent.TrieMap.empty[(String, String), NumericBucketLayout]
   private val keyLayouts = scala.collection.concurrent.TrieMap.empty[String, KeyPrefixLayout]
 
@@ -651,9 +655,20 @@ class SearchEngine {
     * enriched table back to Parquet at ingest ([[saveIndex]]). */
   def createIndex(schema: IndexSchema, docs: DataFrame,
                   resident: Boolean = false): this.type = {
-    val stored =
-      if (resident) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Whole-key invalid-data drop (reference index_schema.cc
+    // SyncProcessMutation → RemoveKeyFromAllIndexes; see
+    // Documents.InvalidCol): the SERVING relation excludes marked docs
+    // — queries, postings, ANN builds and counts never see them — while
+    // FT.INFO keeps the unfiltered view so hash_indexing_failures still
+    // counts the skipped keys.
+    val serving =
+      if (docs.columns.contains(graft.sources.Documents.InvalidCol))
+        docs.filter(!coalesce(col(graft.sources.Documents.InvalidCol), lit(false)))
       else docs
+    val stored =
+      if (resident) serving.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else serving
+    infoDocs(schema.name) = docs
     // ALL derived state describes the PREVIOUS registered relation —
     // a re-registration (maintainer docs refresh, FT.CREATE over an
     // existing name) must not leave queries routing through postings
@@ -717,6 +732,7 @@ class SearchEngine {
     dropCachedBases(name)
     docCounts.remove(name)
     infoStatsCache.remove(name)
+    infoDocs.remove(name)
     buildStates.remove(name)
     annIndexes.filterInPlace { case ((idx, _), _) => idx != name }
     postings.filterInPlace { case ((idx, _), _) => idx != name }
@@ -1261,6 +1277,7 @@ class SearchEngine {
 
         (if (useAnn) Metrics.knnInline else Metrics.knnPrefilter)
           .incrementAndGet()
+        Metrics.lastKnnBranchInline.set(useAnn)
         if (useAnn) {
           // Inline filter (X9, hnswlib BaseFilterFunctor): the beam
           // traverses the whole graph but only admits keys in a Bloom
@@ -1476,9 +1493,20 @@ class SearchEngine {
           replyCacheMisses.incrementAndGet()
           val (reply, limited, dropped) =
             if (parsed.knn.isEmpty)
-              nonVectorReply(indexName, ep, schema, docs, parsed, query, opts)
-            else
-              knnReply(indexName, ep, schema, docs, parsed, opts)
+              Metrics.nonVectorLatency.timed(
+                nonVectorReply(indexName, ep, schema, docs, parsed, query, opts))
+            else {
+              // per-class reply-latency histograms (reference
+              // hnsw/flat_vector_index_search_latency, metrics.h:74-78):
+              // the planner branch finishSearch takes attributes the
+              // sample via the thread-confined marker
+              val t0 = System.nanoTime()
+              val r = knnReply(indexName, ep, schema, docs, parsed, opts)
+              (if (Metrics.lastKnnBranchInline.get()) Metrics.hnswSearchLatency
+               else Metrics.flatSearchLatency)
+                .observeNanos(System.nanoTime() - t0)
+              r
+            }
           if (cacheable && reply.rows.length <= replyCacheMaxRows) {
             replyCache.put(key, SearchEngine.CachedReply(indexName, ep, reply, limited,
               dropped, new java.util.concurrent.atomic.AtomicLong(
@@ -1773,8 +1801,16 @@ class SearchEngine {
   }
 
   def info(indexName: String): DataFrame = {
-    val (schema, docs) = index(indexName)
+    val (schema, servingDocs) = index(indexName)
+    // the unfiltered view keeps whole-key-dropped docs countable; the
+    // validity predicate scopes every index-content counter back to the
+    // serving population
+    val docs = infoDocs.getOrElse(indexName, servingDocs)
     import org.apache.spark.sql.functions._
+    val validC =
+      if (docs.columns.contains(graft.sources.Documents.InvalidCol))
+        !coalesce(col(graft.sources.Documents.InvalidCol), lit(false))
+      else lit(true)
     // raw pre-enrichment value when reachable: aliased/JSON identifiers
     // read the source directly; same-named replaced columns were
     // preserved by enrichment under rawCol (column-pruned when unused)
@@ -1804,15 +1840,19 @@ class SearchEngine {
     val occExpr = schema.textFields.map(fd =>
         coalesce(size(col(schema.tokensCol(fd.alias))), lit(0)).cast("long"))
       .reduceOption(_ + _).getOrElse(lit(0L))
-    val aggs = (count(lit(1)).as("num_docs") +:
-      schema.fields.map(fd => count(col(fd.alias)).as(s"__t_${fd.alias}"))) ++
-      failAggs :+ coalesce(sum(occExpr), lit(0L)).as("__occ")
+    // num_docs / per-field num_tracked / occurrences count only the
+    // SERVING population (whole-key-dropped docs are out of the index);
+    // the failure aggregates above read the raws, which include them
+    val aggs = (count(when(validC, lit(1))).as("num_docs") +:
+      schema.fields.map(fd =>
+        count(when(validC, col(fd.alias))).as(s"__t_${fd.alias}"))) ++
+      failAggs :+ coalesce(sum(when(validC, occExpr)), lit(0L)).as("__occ")
     // counters memoized per registration (reference: maintained per
     // mutation, read O(1) at reply time — here the relation is immutable
     // between registrations, so one computation serves every FT.INFO)
     val (stats, numTermsCached) = infoStatsCache.getOrElseUpdate(indexName, {
       val row = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
-      (row, computeNumTerms(schema, docs))
+      (row, computeNumTerms(schema, servingDocs))
     })
     val numRecords = schema.fields.indices.map(i => stats.getLong(i + 1)).sum
     val failures = schema.fields.indices

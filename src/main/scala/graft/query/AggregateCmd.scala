@@ -82,7 +82,14 @@ object AggregateParser {
             val fields = Seq.newBuilder[(String, Option[String])]
             var consumed = 0
             while (consumed < n) {
-              val f = a.field(); consumed += 1
+              // the reference's LOAD parser strips an OPTIONAL leading @
+              // (ft_aggregate_parser.cc:52-64: bare identifiers like
+              // `LOAD 1 __key` are valid; "" and "@" error)
+              val t = a.next()
+              if (t.isEmpty || t == "@")
+                throw new ExprParseException("Empty argument in LOAD clause not allowed")
+              val f = if (t.startsWith("@")) t.drop(1) else t
+              consumed += 1
               if (a.hasNext && a.peek.equalsIgnoreCase("AS")) {
                 a.next(); fields += ((f, Some(a.next()))); consumed += 2
               } else fields += ((f, None))
@@ -123,9 +130,14 @@ object AggregateParser {
             }
             keys += ((e, asc))
           }
+          // MAX defaults to 10 and ALWAYS truncates — the reference's
+          // SortBy stage keeps a max_-bounded heap whether or not MAX
+          // was written (ft_aggregate_parser.h:291 max_{10},
+          // ft_aggregate_exec.cc:155-161; compat corpus
+          // test_aggregate_sortby pins the 10-row default)
           val max = if (a.hasNext && a.peek.equalsIgnoreCase("MAX")) {
             a.next(); Some(a.nextInt("MAX"))
-          } else None
+          } else Some(10)
           stages += SortBy(keys.result(), max)
         case "LIMIT" =>
           val off = a.nextInt("LIMIT"); stages += Limit(off, a.nextInt("LIMIT"))

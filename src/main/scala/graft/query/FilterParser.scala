@@ -444,7 +444,12 @@ object FilterParser {
         else { sb += peek; pos += 1 }
       }
       flush()
-      // unclosed quote: the reference loop just runs to end-of-input
+      // Unbalanced quote = syntax error: the reference server rejects
+      // queries whose exact phrase never closes (compatibility corpus
+      // test_text_search_unescaped — `many"few` errors while the
+      // escaped `chat\"gpt` parses as a term).
+      if (!done)
+        throw ParseError("Unbalanced quotes in query string", pos)
       if (words.isEmpty) None
       else if (words.size == 1) Some(Term(field, words.head))
       else Some(Phrase(field, words.toSeq))

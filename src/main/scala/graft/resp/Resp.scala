@@ -234,15 +234,28 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
           pairs += bulk(fmtG(r.getDouble(i)))
         }
       }
-      // content pairs = the document's stored attributes (reference
-      // attribute_contents): skip the key/sortkey/score plus the
+      // content pairs = the document's STORED attributes (reference
+      // attribute_contents reads the hash, not the index —
+      // response_generator.cc): skip the key/sortkey/score plus the
       // enrichment internals (`__alias__tags`/`__alias__raw`/... all
-      // start with "__"), which have no hash-field analogue
+      // start with "__"), which have no hash-field analogue. A field
+      // whose indexed value is null may still be PRESENT in the
+      // document (an indexing failure: junk numeric, wrong-dim
+      // vector) — the reference returns the stored bytes regardless,
+      // so fall back to the preserved raw column when enrichment
+      // nulled the alias (compat corpus 'bad numbers'/'bad vectors').
       names.zipWithIndex.foreach { case (n, i) =>
-        if (n != schema.keyColumn && !scoreName.contains(n) &&
-            !n.startsWith("__") && !r.isNullAt(i)) {
-          pairs += bulk(n)
-          pairs += bulk(render(r.get(i)))
+        if (n != schema.keyColumn && !scoreName.contains(n) && !n.startsWith("__")) {
+          if (!r.isNullAt(i)) {
+            pairs += bulk(n)
+            pairs += bulk(render(r.get(i)))
+          } else {
+            val rawIdx = names.indexOf(graft.sources.Documents.rawCol(n))
+            if (rawIdx >= 0 && !r.isNullAt(rawIdx)) {
+              pairs += bulk(n)
+              pairs += bulk(render(r.get(rawIdx)))
+            }
+          }
         }
       }
       elems += array(pairs.result())
@@ -251,7 +264,8 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
   }
 
   private def aggregateReply(df: org.apache.spark.sql.DataFrame): Array[Byte] = {
-    val rows = engine.executeWithTimeout(df)
+    val rows = graft.engine.Metrics.aggregateLatency.timed(
+      engine.executeWithTimeout(df))
     val recs = rows.map { r =>
       val pairs = Seq.newBuilder[Array[Byte]]
       r.schema.fieldNames.zipWithIndex.foreach { case (n, i) =>

@@ -218,6 +218,17 @@ object Documents {
         else raw.withColumn(schema.keyColumn,
           concat_ws("|", raw.columns.map(col).toIndexedSeq: _*))
     }
+    // Invalid-data whole-key drop (reference index_schema.cc
+    // SyncProcessMutation → RemoveKeyFromAllIndexes, enabled ≥1.3.0 and
+    // exercised by the compatibility corpus' 'bad numbers'/'bad
+    // vectors' goldens): a document whose ANY present indexed
+    // attribute fails type conversion is removed from the index AS A
+    // WHOLE — not just from the offending attribute's index. A MISSING
+    // attribute is fine; present-but-unparsable drops the key. Each
+    // condition reads post-enrichment columns (the preserved raw where
+    // the cast replaced a same-named column, the live source
+    // otherwise), so the filter composes as one pushable predicate.
+    var invalidConds: List[Column] = Nil
     schema.fields.foreach { fd =>
       val src = sourceColumn(fd.identifier)
       fd.ftype match {
@@ -227,8 +238,11 @@ object Documents {
             // the cast REPLACES a same-named column; keep the raw value
             // reachable (column-pruned away unless read) so FT.INFO can
             // count indexing failures (reference hash_indexing_failures)
-            if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
+            if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier) {
               df = df.withColumn(rawCol(fd.alias), src)
+              invalidConds ::= col(rawCol(fd.alias)).isNotNull && col(fd.alias).isNull
+            } else
+              invalidConds ::= src.isNotNull && col(fd.alias).isNull
             // "nan" parses to NaN under try_cast but the reference's
             // numeric index rejects it as invalid data
             // (numeric_index_test.cc:93-95) — scrub to NULL so NaN
@@ -287,8 +301,28 @@ object Documents {
           } else {
             df = df.withColumn(fd.alias, sized)
           }
+          // unparsable string / wrong dimension = invalid data
+          invalidConds ::=
+            (if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
+               col(rawCol(fd.alias)).isNotNull
+             else src.isNotNull) && col(fd.alias).isNull
       }
     }
+    // The predicate lands as a MARKER column, not a filter: createIndex
+    // filters it out of the serving relation (queries/postings/ANN never
+    // see invalid docs) while FT.INFO keeps the unfiltered view so
+    // hash_indexing_failures still counts the skipped keys — the
+    // reference's split between the index (key removed) and the
+    // keyspace/metrics (key + counter remain). Absent when no field can
+    // fail (typed numeric columns, no vectors): well-typed tables pay
+    // nothing.
+    invalidConds.reduceOption(_ || _).foreach(c =>
+      df = df.withColumn(InvalidCol, coalesce(c, lit(false))))
     df
   }
+
+  /** Marker column [[enrich]] adds when invalid data is possible: true
+    * on documents the reference's whole-key drop removes from the index
+    * (index_schema.cc SyncProcessMutation → RemoveKeyFromAllIndexes). */
+  val InvalidCol = "__invalid"
 }

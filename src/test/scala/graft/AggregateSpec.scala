@@ -48,8 +48,10 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
   // runs next (the forked test JVM cleans up on exit).
   override def afterAll(): Unit = ()
 
+  // every test reads __key: since r13 the record carries it only when
+  // LOADed (reference load_key semantics), so the helper loads it first
   private def agg(q: String, tokens: String*): DataFrame =
-    engine.aggregate("t", q, tokens)
+    engine.aggregate("t", q, Seq("LOAD", "1", "@__key") ++ tokens)
 
   test("APPLY arithmetic with Nil propagation (value.cc:321-349)") {
     val rows = agg("*", "LOAD", "1", "@price",
@@ -253,9 +255,10 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", 2.0, Array(3.0f, 4.0f))).toDF("k", "label", "v")
     engine.createIndex(schema, Documents.enrich(df, schema, keyExpr = Some(col("k"))))
     val rows = engine.aggregate("vecs", "*=>[KNN 2 @v $q AS d]",
-      Seq("APPLY", "@d * 10", "AS", "d10", "SORTBY", "1", "@d"),
+      Seq("LOAD", "1", "@__key", "APPLY", "@d * 10", "AS", "d10",
+        "SORTBY", "1", "@d"),
       SearchOptions(params = Map("q" -> graft.query.VectorParam(Array(0.0f, 0.0f)))))
-      .collect().map(r => (r.getString(0), r.getAs[Double]("d10")))
+      .collect().map(r => (r.getAs[String]("__key"), r.getAs[Double]("d10")))
     assert(rows.toSeq == Seq(("a", 0.0), ("b", 10.0)))
   }
 }

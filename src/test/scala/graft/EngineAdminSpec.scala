@@ -237,4 +237,35 @@ class EngineAdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("query_failed_requests_cnt") >= 1)
     assert(m.keys.exists(_.startsWith("query_latency_us_le_")))
   }
+
+  test("per-class latency histograms (reference metrics.h samplers)") {
+    graft.engine.Metrics.reset()
+    // one reply per class: nonvector, prefilter KNN (flat analogue),
+    // inline KNN (hnsw analogue, via the NSW-registered index), and an
+    // aggregate over the wire path's timer
+    // a query unique to this test — an exact repeat of an earlier
+    // test's query would serve from the reply cache and skip the
+    // compute path the class timers wrap
+    engine.searchReply("part", "@p_size:[11 19]")
+    engine.searchReply("embeddings_l2", "@label:[3 5]=>[KNN 5 @vec $q]",
+      SearchOptions(params = Map("q" ->
+        graft.query.VectorParam(Queries.queryVec))))       // → prefilter/flat
+    engine.searchReply("embeddings_l2", "*=>[KNN 5 @vec $q]",
+      SearchOptions(params = Map("q" ->
+        graft.query.VectorParam(Queries.queryVec))))       // match-all
+    graft.engine.Metrics.aggregateLatency.timed {
+      engine.aggregate("part", "*", Seq("GROUPBY", "0",
+        "REDUCE", "COUNT", "0", "AS", "n")).collect()
+    }
+    val m = graft.engine.Metrics.snapshot().toMap
+    def total(prefix: String): Long =
+      m.collect { case (k, v) if k.startsWith(prefix) => v }.sum
+    assert(total("query_nonvector_latency_us_le_") == 1)
+    // match-all KNN takes hnsw iff an ANN graph is registered for the
+    // field; either way flat+hnsw account for both vector replies
+    assert(total("flat_vector_index_search_latency_us_le_") +
+      total("hnsw_vector_index_search_latency_us_le_") == 2)
+    assert(total("flat_vector_index_search_latency_us_le_") >= 1)
+    assert(total("aggregate_latency_us_le_") == 1)
+  }
 }

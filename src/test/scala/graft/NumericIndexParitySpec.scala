@@ -10,16 +10,20 @@ import graft.sources.Documents
 
 /**
  * Replays the reference's numeric-index data-validity semantics
- * (testing/numeric_index_test.cc:87-109 DetectsInvalidData and the
- * inclusive/exclusive range tables): a value that does not parse as a
- * number — text, "nan", empty — is NOT indexed, so the field behaves
- * as missing: no range matches it, and a negated range DOES (the
- * missing-field NOT semantics of search-query.md:203-207).
+ * (testing/numeric_index_test.cc:87-109 DetectsInvalidData; the
+ * whole-key drop of index_schema.cc SyncProcessMutation →
+ * RemoveKeyFromAllIndexes, active since 1.3.0 and pinned by the
+ * compatibility corpus 'bad numbers' goldens): a value that does not
+ * parse as a number — text, "nan", empty — is INVALID DATA, and a key
+ * carrying any invalid indexed attribute is removed from the index AS
+ * A WHOLE. No range matches it, and neither does a negated range (the
+ * key is not in the index at all — stronger than missing-field
+ * semantics, which only apply to ABSENT attributes).
  *
- * Engine mapping: enrichment casts the raw column to double; a
- * non-numeric string becomes NULL. "nan" casts to NaN, which Spark
- * orders above every value — pinned here to behave exactly like
- * missing for both the range and its negation.
+ * Engine mapping: enrichment casts the raw column to double (invalid →
+ * NULL) and marks the document invalid; createIndex filters marked
+ * docs out of the serving relation while FT.INFO still counts them as
+ * hash_indexing_failures from the unfiltered view.
  */
 class NumericIndexParitySpec extends AnyFunSuite {
   private lazy val spark: SparkSession = TestSpark.spark
@@ -46,16 +50,19 @@ class NumericIndexParitySpec extends AnyFunSuite {
     assert(keys("@num:[0 100]") == Set("key4", "key5"))
   }
 
-  test("a negated range matches the invalid-data keys (missing-field NOT)") {
-    assert(keys("-@num:[0 100]") == Set("key1", "key2", "key3"))
-    assert(keys("-@num:[-inf +inf]") == Set("key1", "key2", "key3"))
+  test("a negated range does NOT match invalid-data keys (whole-key drop)") {
+    // pre-1.3.0 legacy would return the invalid keys here (field
+    // treated as missing); the corpus-pinned behavior removes them
+    assert(keys("-@num:[0 100]") == Set.empty)
+    assert(keys("-@num:[-inf +inf]") == Set.empty)
   }
 
   test("FT.INFO counts invalid data as hash_indexing_failures " +
       "(index_schema.cc reply fields)") {
     val row = engine.info("numpar").collect().head
-    assert(row.getAs[Long]("num_docs") == 5)
-    // key4/key5 indexed → 2 records; key1/key2/key3 present-but-invalid
+    // num_docs counts the INDEX population — the three invalid keys
+    // were removed whole, but their failures still count
+    assert(row.getAs[Long]("num_docs") == 2)
     assert(row.getAs[Long]("num_records") == 2)
     assert(row.getAs[Long]("hash_indexing_failures") == 3)
   }
