@@ -91,16 +91,47 @@ object SearchEngine {
       reply: SearchReply, limited: Boolean, dropped: Long,
       lastUsed: java.util.concurrent.atomic.AtomicLong)
 
-  /** A materialized non-vector filter base: `df` is ALWAYS a
-    * driver-resident LocalRelation since r13 (full bases of at most
-    * baseCacheMaxRows rows, narrow NOCONTENT bases of key/sort rows) —
-    * never a Spark-persisted relation, so cache eviction/invalidation
-    * cannot race an in-flight reader's plan (the r13 soak's AQE
-    * empty-propagation finding). `n` is the exact row count, from
-    * which every page's total and truncation flag derive. */
+  /** A materialized non-vector filter base. `local = true` entries are
+    * driver-resident LocalRelations (bases within baseCacheMaxRows,
+    * narrow NOCONTENT bases) with no lifecycle at all. Bigger bases are
+    * CACHE-PRIVATE persisted relations (their plan carries a
+    * per-request nonce — see cachePrivate — so no other request's plan
+    * aliases them in Spark's CacheManager) whose unpersist is governed
+    * by the reader-refcount handshake below: eviction/invalidation can
+    * then never destroy a relation an in-flight reader is scanning
+    * (the r13 soak's AQE empty-propagation finding). `n` is the exact
+    * row count, from which every page's total and truncation flag
+    * derive. */
   private[engine] final case class CachedBase(indexName: String, epoch: Long,
       df: DataFrame, n: Long,
-      lastUsed: java.util.concurrent.atomic.AtomicLong)
+      lastUsed: java.util.concurrent.atomic.AtomicLong,
+      local: Boolean = true,
+      dead: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false),
+      readers: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger(0)) {
+    /** Register a bracketed reader. Returns false when the entry died
+      * first — the caller treats it as a miss. Handshake: increment
+      * THEN check dead; [[kill]] sets dead THEN checks readers — under
+      * sequentially consistent atomics one side always observes the
+      * other, so unpersist can never run under an in-flight read. */
+    def acquire(): Boolean = {
+      readers.incrementAndGet()
+      if (dead.get()) { release(); false } else true
+    }
+    def release(): Unit = {
+      if (readers.decrementAndGet() == 0 && dead.get() && !local)
+        df.unpersist(blocking = false)
+      ()
+    }
+    /** Mark dead and unpersist once no reader holds it (the last
+      * release otherwise does). Idempotent. */
+    def kill(): Unit = {
+      dead.set(true)
+      if (readers.get() == 0 && !local) df.unpersist(blocking = false)
+      ()
+    }
+  }
 
   /** Index build state (reference index_schema.h:102-109, FT.INFO
     * fields index_schema.cc:1244-1263): `state` is "ready" or
@@ -317,8 +348,11 @@ class SearchEngine {
   private val baseCache = scala.collection.concurrent.TrieMap.empty[String, SearchEngine.CachedBase]
   private[graft] def baseCacheSize: Int = baseCache.size
   private def dropCachedBases(name: String): Unit = {
-    // entries are LocalRelations: removal is the whole invalidation
-    baseCache.filterInPlace { case (_, v) => v.indexName != name }
+    baseCache.filterInPlace { case (_, v) =>
+      val drop = v.indexName == name
+      if (drop) v.kill() // deferred past any in-flight reader
+      !drop
+    }
     ()
   }
   /** Key of the base-affecting request subset. `projection` is "full"
@@ -340,18 +374,20 @@ class SearchEngine {
   private def evictLruBases(): Unit =
     while (baseCache.size > baseCacheMaxEntries) {
       val oldest = baseCache.minByOption { case (_, v) => v.lastUsed.get() }
-      oldest.foreach { case (k, _) => baseCache.remove(k) }
+      oldest.foreach { case (k, _) => baseCache.remove(k).foreach(_.kill()) }
       if (oldest.isEmpty) return
     }
   /** Insert a freshly collected base; drops any entry stranded by a
     * racing re-registration (same contract as the reply cache's
-    * post-insert epoch re-check). Entries are LocalRelations, so the
-    * loser of an insert race simply isn't stored. */
+    * post-insert epoch re-check). The loser of an insert race is
+    * killed (its plan is nonce-private, so that touches nobody else);
+    * every removal path defers unpersist past in-flight readers. */
   private def putCachedBase(key: String, entry: SearchEngine.CachedBase): Unit = {
     baseCache.putIfAbsent(key, entry) match {
-      case Some(_) => ()
+      case Some(_) => entry.kill()
       case None =>
-        if (epochOf(entry.indexName) != entry.epoch) { baseCache.remove(key); () }
+        if (epochOf(entry.indexName) != entry.epoch)
+          baseCache.remove(key).foreach(_.kill())
         evictLruBases()
     }
     ()
@@ -1418,8 +1454,12 @@ class SearchEngine {
       val cached =
         if (baseCacheEnabled && parsed.knn.isEmpty) {
           val cap = maxNonVectorResultsFetched
+          // LOCAL bases only: the returned DataFrame escapes the engine
+          // (the caller collects whenever it likes), so a refcounted
+          // persisted base cannot be handed out here — a LocalRelation
+          // is immutable and safe forever
           baseCache.get(baseKey(indexName, ep, query, opts, cap, "full"))
-            .filter(_.n <= cap)
+            .filter(cb => cb.local && cb.n <= cap)
         } else None
       cached match {
         case Some(cb) =>
@@ -1577,12 +1617,16 @@ class SearchEngine {
       case None => Seq(fullKey)
     }
     val hit =
-      if (baseCacheEnabled) lookupKeys.view.flatMap(baseCache.get).headOption else None
+      if (baseCacheEnabled)
+        lookupKeys.view.flatMap(baseCache.get).find(_.acquire())
+      else None
     hit match {
       case Some(cb) =>
-        cb.lastUsed.set(replyTick.incrementAndGet())
-        baseCacheHits.incrementAndGet()
-        finishFrom(cb.df, cb.n)
+        try {
+          cb.lastUsed.set(replyTick.incrementAndGet())
+          baseCacheHits.incrementAndGet()
+          finishFrom(cb.df, cb.n)
+        } finally cb.release()
       case None =>
         if (baseCacheEnabled) baseCacheMisses.incrementAndGet()
         narrowProjection match {
@@ -1602,41 +1646,64 @@ class SearchEngine {
                 new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
             finishFrom(local, collected.length.toLong)
           case None =>
-            // Bounded-base fast path: ONE scan tries to pull the whole
-            // filtered base. If it fits baseCacheMaxRows, the base
-            // becomes a driver-resident LocalRelation — the only thing
-            // the base cache stores since r13 (see the CachedBase
-            // notes: Spark-managed persists left the serving path
-            // after the interleaving soak caught the AQE
-            // empty-propagation race).
-            val probe = filterStage(schema, docs, parsed, opts, ep)
+            // ONE cache-PRIVATE persisted materialization serves total
+            // and page — the nonce keeps every other request's plans on
+            // separate CacheManager entries, so the ONLY unpersist that
+            // can reach this relation is its own lifecycle (the r13
+            // soak's AQE empty-propagation race is impossible by
+            // construction). Bases within baseCacheMaxRows are then
+            // collected off the cached relation into a driver-resident
+            // LocalRelation (no lifecycle at all) and the transient
+            // persist is dropped; bigger bases stay persisted and enter
+            // the cache under the reader-refcounted CachedBase
+            // lifecycle, so a paging client pays the corpus scan once
+            // and page latency is flat in corpus size (ServeScaleProbe
+            // contract). Failures (a SORTBY on an unknown field raises
+            // in finishSearch) always unpersist.
             val bound = math.min(cap, baseCacheMaxRows)
-            val head = probe.limit(bound + 1).collect()
-            if (head.length <= bound) {
-              val local = docs.sparkSession.createDataFrame(
-                java.util.Arrays.asList(head: _*), probe.schema)
-              if (baseCacheEnabled)
-                putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep,
-                  local, head.length.toLong,
-                  new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
-              finishFrom(local, head.length.toLong)
-            } else {
-              // Big base (> baseCacheMaxRows): never cached. Total and
-              // page read one cache-PRIVATE persisted materialization
-              // whose lifetime this request alone controls — the nonce
-              // keeps concurrent identical requests on separate
-              // CacheManager entries, so no other thread's unpersist
-              // can reach a plan this read resolves to. The finally
-              // preserves the unpersist-on-failure guarantee (a SORTBY
-              // on an unknown field raises in finishSearch via
-              // fieldOrFail, and the RESP handler keeps serving after
-              // the error).
-              val solo = cachePrivate(probe).limit(cap + 1)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                val n = solo.count()
-                finishFrom(solo, n)
-              } finally solo.unpersist(blocking = false)
+            // The base materializes REPLY columns only: the key, the
+            // source attributes, and the preserved raws (content
+            // fallback). The enrichment projections (token arrays,
+            // term sets, tag arrays) exist for FILTERING, which
+            // filterStage already applied — carrying them through the
+            // persist would re-tokenize and store every matched
+            // document's text (measured 4.5× the raw scan floor at the
+            // 100× corpus; ColdFloorProbe). Dropping them here lets
+            // Catalyst prune the derivation out of the scan entirely.
+            val replyCols = {
+              val enriched = filterStage(schema, docs, parsed, opts, ep)
+              val keep = enriched.columns.filter(c =>
+                c == schema.keyColumn || !c.startsWith("__") ||
+                  c.endsWith("__raw"))
+              enriched.select(keep.map(col).toIndexedSeq: _*)
+            }
+            val solo = cachePrivate(replyCols)
+              .limit(cap + 1)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val n = solo.count()
+              if (n <= bound) {
+                val head = solo.collect() // cache-served, no second scan
+                val local = docs.sparkSession.createDataFrame(
+                  java.util.Arrays.asList(head: _*), solo.schema)
+                solo.unpersist(blocking = false)
+                if (baseCacheEnabled)
+                  putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep,
+                    local, n,
+                    new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet())))
+                finishFrom(local, n)
+              } else {
+                val out = finishFrom(solo, n)
+                if (baseCacheEnabled)
+                  putCachedBase(fullKey, SearchEngine.CachedBase(indexName, ep,
+                    solo, n,
+                    new java.util.concurrent.atomic.AtomicLong(replyTick.incrementAndGet()),
+                    local = false))
+                else solo.unpersist(blocking = false)
+                out
+              }
+            } catch { case e: Throwable =>
+              solo.unpersist(blocking = false); throw e
             }
         }
     }

@@ -25,9 +25,12 @@ import graft.text.PostingIndex
  * catalog BEFORE marking v completed, and versions beyond lastStarted
  * have not swapped yet, so any correctly-snapshotted reply must sit in
  * that window. A reply matching NO version in the window is exactly
- * the old-docs + new-postings mix (SearchEngine.createIndex notes):
- * run with the registration-epoch gate disabled, this harness re-finds
- * it within seconds.
+ * the old-docs + new-postings mix (SearchEngine.createIndex notes).
+ * The mix's interleaving window is narrow (measured: a 120-version
+ * gate-disabled run did not hit it), so the DETERMINISTIC re-find
+ * lives in EpochMixSpec; this harness owns the unknown-unknowns — it
+ * caught the r13 AQE empty-page race that no deterministic spec was
+ * looking for.
  *
  * Routing is forced adversarial: postingRouteMaxSelectivity = 1.0 so
  * EVERY eligible conjunct takes the posting semi-join path, and an ANN

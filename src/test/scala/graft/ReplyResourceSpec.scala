@@ -87,8 +87,8 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("failing SORTBY on the big-base (request-private persist) path leaks nothing") {
     val e = freshEngine()
-    // force the > baseCacheMaxRows branch — the only serving path that
-    // still persists (cache-private, finally-unpersisted)
+    // force the > baseCacheMaxRows branch — the one serving path that
+    // persists (cache-private plan, reader-refcounted lifecycle)
     e.baseCacheMaxRows = 5
     val bad = SearchOptions(sortBy = Some(("no_such_field", true)))
     val baseline = spark.sparkContext.getPersistentRDDs.size
@@ -98,12 +98,35 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(spark.sparkContext.getPersistentRDDs.size == baseline,
-      "the request-private base must unpersist on failure")
+      "a failing request must unpersist its base — failures never cache")
+    // success CACHES the persisted base (paging stays flat in corpus
+    // size); page variants hit it without re-persisting...
     val ok = e.searchReply("rr_t", "@price:[3 25]",
       SearchOptions(sortBy = Some(("price", true))))
     assert(ok.total == 23)
+    val h0 = e.baseCacheHits.get()
+    e.searchReply("rr_t", "@price:[3 25]",
+      SearchOptions(limit = (5, 5), sortBy = Some(("price", false))))
+    assert(e.baseCacheHits.get() == h0 + 1)
+    // ...and invalidation (the maintainer refresh) returns storage to
+    // baseline once no reader holds the entry
+    e.createIndex(graft.model.IndexSchema("rr_t", Seq(
+      graft.model.FieldDef("body", graft.model.TextField()),
+      graft.model.FieldDef("price", graft.model.NumericField))),
+      e.index("rr_t")._2)
     assert(spark.sparkContext.getPersistentRDDs.size == baseline,
-      "the request-private base must unpersist after success too")
+      "invalidated big bases must unpersist once unreferenced")
+  }
+
+  test("big-base path with the cache disabled unpersists after success") {
+    val e = freshEngine()
+    e.baseCacheMaxRows = 5
+    e.baseCacheEnabled = false
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val ok = e.searchReply("rr_t", "@price:[3 25]",
+      SearchOptions(sortBy = Some(("price", true))))
+    assert(ok.total == 23)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline)
   }
 
   test("a served big-base reply matches the bounded-base reply exactly") {
