@@ -39,6 +39,19 @@ import graft.text.PostingIndex
  */
 object InterleaveSoak {
 
+  /** Historical-bug isolation mode (`noderived` CLI arg): register NO
+    * derived relations (no postings, no ANN) and disable both serving
+    * caches, so every reply re-optimizes the shared enriched plan via
+    * the pure columnar scan. With no posting semi-join there is no
+    * epoch-mix pathway and with no cached base no unpersist race —
+    * what remains exposed is exactly the class of shared-plan
+    * evaluation bugs the r11 HOF-lambda race belonged to. Run at the
+    * PRE-fix commit 621de79 (port this file into a worktree), 3/6
+    * seeds re-find it in <60 s each with the documented signature
+    * (phrase reply missing stable docs, retry heals); at the fix
+    * commit 96216d7 the same seeds pass. See STATUS round 13. */
+  @volatile var noDerived: Boolean = false
+
   val M = 24 // docs per version
 
   private val schema = IndexSchema("soak_t", Seq(
@@ -73,6 +86,7 @@ object InterleaveSoak {
   private def registerVersion(spark: SparkSession, e: SearchEngine, v: Int): Unit = {
     val docs = Documents.enrich(corpus(spark, v), schema)
     e.createIndex(schema, docs)
+    if (noDerived) return
     val p = PostingIndex.build(docs, schema, "body")
     e.registerPosting("soak_t", "body", p)
     e.registerPostingStats("soak_t", "body", counts(p))
@@ -131,6 +145,7 @@ object InterleaveSoak {
           readers: Int): Either[String, (Long, Int)] = {
     val e = new SearchEngine
     e.postingRouteMaxSelectivity = 1.0 // force every routable conjunct
+    if (noDerived) { e.replyCacheEnabled = false; e.baseCacheEnabled = false }
     SearchEngine.debugEmptyPage = true // r13 anomaly forensics
     registerVersion(spark, e, 1)
     val lastStarted = new AtomicInteger(1)
@@ -248,6 +263,7 @@ object InterleaveSoak {
     val seed = args.headOption.map(_.toLong).getOrElse(13L)
     val versions = args.lift(1).map(_.toInt).getOrElse(60)
     val readers = args.lift(2).map(_.toInt).getOrElse(6)
+    noDerived = args.lift(3).contains("noderived")
     val spark = graft.util.GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
