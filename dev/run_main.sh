@@ -6,6 +6,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 MAIN="$1"; shift
+# local-cluster workers launch executor processes through Spark's
+# AbstractCommandBuilder, which needs SPARK_HOME and (for a
+# distribution without launcher/target build dirs) an explicit
+# SPARK_SCALA_VERSION — without them every executor dies at startup
+# with "Cannot find any build directories."
+export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do

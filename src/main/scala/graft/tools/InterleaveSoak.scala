@@ -134,7 +134,17 @@ object InterleaveSoak {
         SearchOptions(limit = (0, M), params = knnV), Seq(1, 2), false),
       ("paging", "@body:alpha",
         SearchOptions(limit = (2, 3), sortBy = Some(("price", true))),
-        Seq(5, 7, 9), true))
+        Seq(5, 7, 9), true),
+      // the NOCONTENT narrow-projection serving branch (key-only
+      // LocalRelation base) and the RETURN projection path — distinct
+      // r13 serving-code branches the classes above never enter
+      ("nocontent", "@body:alpha",
+        SearchOptions(limit = (0, M), noContent = true),
+        (1 to M).filter(_ % 2 == 1), false),
+      ("return", "@cat:{hot}",
+        SearchOptions(limit = (0, M),
+          returnFields = Seq(("price", Some("p")))),
+        Seq(1, 2, 3, 4), false))
   }
 
   private val KeyRe = "d(\\d+)_(\\d+)".r
