@@ -1297,8 +1297,20 @@ class SearchEngine {
             // request's materialization
             val keys = cachePrivate(df.select(keyCol))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            Some((keys, keys.count()))
+            val cnt =
+              try keys.count()
+              catch { case t: Throwable =>
+                keys.unpersist(blocking = false); throw t
+              }
+            Some((keys, cnt))
           } else None
+        // Failure bracket: every exit of the planner block below
+        // releases the qualified-key cache — including a throw from
+        // the bloomFilter/count actions (task failure, cancellation),
+        // which would otherwise strand a materialization that, unlike
+        // reply bases, is NOT cap-bounded. unpersist is idempotent, so
+        // the normal-path releases inside the block stay as-is.
+        try {
         val useAnn = ann.isDefined && (parsed.isMatchAll || {
           val n = docCount(indexName)
           val threshold = math.max(1L, (prefilterThresholdRatio * n).toLong)
@@ -1357,6 +1369,10 @@ class SearchEngine {
         } else {
           qualifiedKeys.foreach(_._1.unpersist(blocking = false))
           df = exactKnn(df)
+        }
+        } catch { case t: Throwable =>
+          qualifiedKeys.foreach(_._1.unpersist(blocking = false))
+          throw t
         }
       case None =>
     }

@@ -156,4 +156,67 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(misses == 2, s"search miss + aggregate miss (got $misses)")
     assert(hits + misses == 3, "three lookups, every one accounted")
   }
+
+  test("a hybrid-KNN planner failure releases the qualified-key cache") {
+    // The hybrid planner materializes the filtered KEY SET (persist +
+    // count) to feed the prefilter probe and the Bloom build. A throw
+    // from either action (task failure, cancellation) exits the block
+    // before the normal-path releases run — and unlike reply bases the
+    // key set is NOT cap-bounded, so the bracket must unpersist it.
+    import org.apache.spark.sql.functions.{col, udf}
+    val sp = spark; import sp.implicits._
+    val e = new SearchEngine
+    val schema = IndexSchema("rrk_t", Seq(
+      FieldDef("cat", TagField()),
+      FieldDef("vec", VectorField(dim = 2, metric = DistanceMetric.L2))))
+    // parquet-backed on purpose: a driver-foldable (LocalRelation)
+    // corpus throws while persist() eagerly builds the cached child
+    // plan — BEFORE the cache registers, so nothing strands. The leak
+    // needs runtime task failure: cached RDD registered, entry live,
+    // count() dies in executor tasks.
+    val dir = java.nio.file.Files.createTempDirectory("rrk").toString
+    (1 to 20)
+      .map(i => (s"k$i", if (i <= 10) "hot" else "cold", Array(i.toFloat, 0f)))
+      .toDF("__key", "cat", "vec")
+      .write.mode("overwrite").parquet(dir)
+    val enriched = Documents.enrich(spark.read.parquet(dir), schema)
+    e.createIndex(schema, enriched)
+    e.registerAnn("rrk_t", "vec",
+      graft.pipeline.Nsw.build(enriched, "__key", "vec", metric = "L2",
+        numPartitions = 2))
+    val ep = e.registrationEpoch("rrk_t")
+    val (sch, catDocs) = e.index("rrk_t")
+    val opts = SearchOptions(params =
+      Map("v" -> graft.query.VectorParam(Array(1f, 0f))))
+    val parsed = graft.query.FilterParser.parse("@cat:{hot} =>[KNN 2 @vec $v]",
+      opts.params, analyzer = sch.analyzer)
+    // a filtered plan that throws at evaluation: the qualified-key
+    // count() action fails strictly AFTER its persist
+    val boom = udf((k: String) =>
+      if (k == null) true else throw new RuntimeException("boom"))
+    val filtered = e.filterStage(sch, catDocs, parsed, opts, ep)
+      .filter(boom(col("__key")))
+    // Over a local-relation corpus the throw happens while the CACHED
+    // CHILD plan optimizes (driver-side local-relation fold evaluates
+    // the filter), i.e. before the cached RDD object even exists — so
+    // the stranded resource is the CacheManager ENTRY, which would
+    // otherwise accumulate per failing request (each is nonce-private,
+    // nothing ever reuses or evicts it). On a parquet-backed corpus
+    // partial task success would additionally strand cached blocks.
+    spark.catalog.clearCache()
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    intercept[Exception] {
+      e.finishSearch("rrk_t", sch, filtered, parsed, opts, ep)
+    }
+    assert(cm.isEmpty,
+      "the failed planner block must release the qualified-key cache entry")
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "no cached blocks may survive the failure either")
+    // and the same request over the healthy plan still answers
+    val page = e.finishSearch("rrk_t", sch,
+      e.filterStage(sch, catDocs, parsed, opts, ep), parsed, opts, ep)
+    assert(page.collect().length == 2)
+  }
 }
