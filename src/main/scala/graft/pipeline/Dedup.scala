@@ -30,11 +30,12 @@ object Dedup {
    * retain no shingle/band caches after the call returns.
    */
   private def materializeAndRelease(result: DataFrame,
-                                    intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
+                                    intermediates: DataFrame*): DataFrame =
+    // finally: a failed materialization (task failure, cancellation)
+    // must release the intermediates too — a long-lived driver session
+    // retrying a flaky corpus would otherwise accumulate them
+    try result.localCheckpoint(eager = true)
+    finally intermediates.foreach(_.unpersist(blocking = false))
 
   /** Distinct word n-gram shingles of a whitespace-tokenized text.
     * Built by iterated zip_with(acc, ws[k..]) so every lambda touches

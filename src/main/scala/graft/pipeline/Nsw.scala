@@ -412,7 +412,13 @@ object Nsw {
         }
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    newGraphs.count() // materialize before releasing the old generation
+    // materialize before releasing the old generation; a FAILED batch
+    // releases the new one instead (the old index stays valid, and the
+    // maintainer's retry must not accumulate stranded generations)
+    try newGraphs.count()
+    catch { case t: Throwable =>
+      newGraphs.unpersist(blocking = false); throw t
+    }
     idx.graphs.unpersist(blocking = false)
 
     // Growth bound: sustained adds would otherwise grow partition
@@ -442,7 +448,10 @@ object Nsw {
               mL, efL, metricL).copy(pid = pid2)
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      split.count()
+      try split.count()
+      catch { case t: Throwable =>
+        split.unpersist(blocking = false); throw t
+      }
       prev.unpersist(blocking = false)
       out = NswIndex(split, out.metric, out.m, twoN)
       liveMax = out.graphs
