@@ -18,11 +18,26 @@ Value encoding (lossless, byte-exact):
   {"a": [...]}  list
   {"z": true}   None
 
+Round 14: the JSON half exports too. Datasets gain `json_create` +
+`json_docs` (key → the document as the JSON module would serialize it
+back: compact separators, raw UTF-8 — validated byte-for-byte against
+every `$` document the golden replies actually recorded), and the
+answers export as answers_{agg,text}_json.jsonl.gz with the same
+dedup. The engine serves these via `FT.CREATE ... ON JSON` replying
+the serialized doc under `$` (attribute_data_type.h:117-135).
+
 Usage: python3 dev/compat_export.py <outDir>
 """
 import sys, os, json, gzip, pickle, base64, types
 
 REF = "/root/reference/integration"
+
+
+def serialize_doc(fields):
+    """The stored document as valkey-json re-serializes it on
+    JSON.GET (compact separators, raw UTF-8, standard escapes) —
+    validated against every golden-recorded `$` reply in main()."""
+    return json.dumps(fields, ensure_ascii=False, separators=(",", ":"))
 
 
 def tag(v):
@@ -74,28 +89,70 @@ def main(out_dir):
         for st in ("default", "nostem"):
             d = ds.compute_text_data_sets(name, schema_type=st)[name]
             all_sets[f"{name}|{st}"] = d
+    def load(n):
+        with gzip.open(f"{REF}/compatibility/{n}.pickle.gz") as f:
+            return pickle.load(f)["answers"]
+
+    # ---- golden `$` documents: validate serialize_doc byte-for-byte
+    # against every serialized document a golden reply recorded ----
+    golden_docs = {}  # (ds_name, schema_type, key) -> set(doc bytes)
+    for src in ("aggregate-answers", "text-search-answers"):
+        for a in load(src):
+            if a["key_type"] != "json" or "result" not in a:
+                continue
+            r = a["result"]
+            if not isinstance(r, list):
+                continue
+            i = 1
+            while i + 1 < len(r):
+                k, v = r[i], r[i + 1]
+                if isinstance(k, bytes) and isinstance(v, list):
+                    for j in range(0, len(v) - 1, 2):
+                        if v[j] == b"$":
+                            golden_docs.setdefault(
+                                (a["data_set_name"], a.get("schema_type"), k),
+                                set()).add(v[j + 1])
+                i += 2
+
+    validated, mismatched = 0, 0
     with gzip.open(f"{out_dir}/datasets.jsonl.gz", "wt") as f:
         for name, d in sorted(all_sets.items()):
+            base, _, st = name.partition("|")
+            json_docs = []
+            for (k, fields) in d.get("json sets", []):
+                doc = serialize_doc(fields)
+                goldens = golden_docs.get((base, st or None, k.encode()))
+                if goldens:
+                    if doc.encode("utf-8") in goldens and len(goldens) == 1:
+                        validated += 1
+                    else:
+                        mismatched += 1
+                        print(f"DOC MISMATCH {name} {k}:\n  ours   {doc!r}\n"
+                              f"  golden {goldens!r}")
+                json_docs.append({"key": k, "doc": doc})
             row = {
                 "name": name,
                 "create": d["hash creates"],
                 "sets": [{"key": k, "fields": {fn: tag(fv) for fn, fv in fields.items()}}
                          for (k, fields) in d["hash sets"]],
+                "json_create": d.get("json creates", []),
+                "json_docs": json_docs,
             }
             f.write(json.dumps(row) + "\n")
-    print(f"datasets: {len(all_sets)}")
+    print(f"datasets: {len(all_sets)}; json docs validated {validated} "
+          f"against goldens, {mismatched} mismatched")
+    assert mismatched == 0, "serialize_doc diverges from the module's serializer"
 
-    # ---- answers (dedup per (schema_type, cmd); HASH only) ----
-    def load(n):
-        with gzip.open(f"{REF}/compatibility/{n}.pickle.gz") as f:
-            return pickle.load(f)["answers"]
-
-    for src, fname in (("aggregate-answers", "answers_agg"),
-                       ("text-search-answers", "answers_text")):
+    # ---- answers (dedup per (schema_type, cmd); per key_type) ----
+    for src, key_type, fname in (
+            ("aggregate-answers", "hash", "answers_agg"),
+            ("text-search-answers", "hash", "answers_text"),
+            ("aggregate-answers", "json", "answers_agg_json"),
+            ("text-search-answers", "json", "answers_text_json")):
         seen = {}
         skipped = 0
         for a in load(src):
-            if a["key_type"] != "hash":
+            if a["key_type"] != key_type:
                 continue
             k = (a.get("schema_type"), repr(a["cmd"]))
             if k in seen:

@@ -901,7 +901,74 @@ object Queries {
       e
     })
 
+  private val jsonEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (SearchEngine, Commands)]
+  /** Engine whose `part_json` index was created ON JSON over a
+    * serialized-document column — the reference's second document
+    * model (attribute_data_type.h:117-135 JsonAttributeDataType):
+    * JSONPath identifiers index, replies serve the document under
+    * `$`. The docs are the part table re-serialized as compact JSON
+    * with deterministic field order, so DuckDB reconstructs the exact
+    * reply text by string concatenation. */
+  private def jsonEng(spark: SparkSession, dir: String): (SearchEngine, Commands) =
+    jsonEngines.getOrElseUpdate((spark, dir), {
+      val e = new SearchEngine
+      val docs = Fixtures.table(spark, dir, "part").select(
+        col("p_partkey").cast("string").as("__pk"),
+        concat(lit("{\"p_size\":"), col("p_size").cast("string"),
+          lit(",\"p_brand\":\""), col("p_brand"),
+          lit("\",\"p_name\":\""), col("p_name"), lit("\"}")).as("$"))
+      val cmds = new Commands(e, _ => (docs, col("__pk")))
+      cmds.execute(Seq("FT.CREATE", "part_json", "ON", "JSON",
+        "SCHEMA", "$.p_size", "AS", "p_size", "NUMERIC",
+        "$.p_brand", "AS", "p_brand", "TAG",
+        "$.p_name", "AS", "p_name", "TEXT"))
+      (e, cmds)
+    })
+
   private val replyQueries: Seq[(String, Q, String)] = Seq(
+    (
+      // ON JSON reply model over the wire (round-13 verdict item 1;
+      // reference response_generator.cc GetContentNoReturnJson): a
+      // no-RETURN FT.SEARCH on a JSON index serves [sortby-pair, ("$",
+      // serialized doc)] per result, and RETURN of a schema alias
+      // serves the JSONPath-extracted scalar — both decoded from RESP2
+      // bytes and DuckDB-checked against the reconstructed document.
+      "q_json_reply",
+      (s: SparkSession, dir: String) => {
+        val (e, cmds) = jsonEng(s, dir)
+        val rc = new graft.resp.RespCommands(e, cmds)
+        def rows(extra: Seq[String]): (Long, Seq[(String, Map[String, String])]) = {
+          val bytes = rc.execute(Seq("FT.SEARCH", "part_json",
+            "@p_size:[10 12]", "SORTBY", "p_brand", "ASC") ++ extra ++
+            Seq("LIMIT", "0", "50", "DIALECT", "2"))
+          val dec = graft.resp.Resp.decode(bytes).asInstanceOf[Vector[Any]]
+          (dec.head.asInstanceOf[Long], dec.tail.grouped(2).map { p =>
+            val fields = p(1).asInstanceOf[Vector[Any]].grouped(2)
+              .map(q => (q(0).asInstanceOf[String], q(1).asInstanceOf[String]))
+              .toMap
+            (p(0).asInstanceOf[String], fields)
+          }.toSeq)
+        }
+        val (total, noRet) = rows(Nil)
+        val (_, ret) = rows(Seq("RETURN", "1", "p_name"))
+        val names = ret.map { case (k, f) => k -> f("p_name") }.toMap
+        val out = noRet.map { case (k, f) =>
+          (k, f("p_brand"), f("$"), names(k), total.toDouble)
+        }
+        val sp = s; import sp.implicits._
+        out.toDF("__key", "p_brand", "doc", "p_name", "total")
+      },
+      """SELECT CAST(p_partkey AS VARCHAR) AS __key,
+        |  p_brand,
+        |  '{"p_size":' || p_size || ',"p_brand":"' || p_brand ||
+        |    '","p_name":"' || p_name || '"}' AS doc,
+        |  p_name,
+        |  CAST((SELECT count(*) FROM part
+        |        WHERE p_size >= 10 AND p_size <= 12) AS DOUBLE) AS total
+        |FROM part WHERE p_size >= 10 AND p_size <= 12
+        |ORDER BY p_brand ASC, __key ASC LIMIT 50""".stripMargin
+    ),
     (
       // Per-document ingested score (reference IndexSchema::
       // GetDocumentScore): the SCORE_FIELD attribute's numeric value,

@@ -71,8 +71,14 @@ private[engine] final class AggregatePipeline(
       case Load(_, true) =>
         // LOAD * = every STORED document attribute (the reference
         // fetches the whole hash: unindexed fields and vector contents
-        // included; __key still stays out — corpus `load *` goldens)
-        df.columns
+        // included; __key still stays out — corpus `load *` goldens).
+        // ON JSON the whole document IS one attribute: the serialized
+        // doc under `$` (JSON corpus `load *` goldens carry only the
+        // `$` record — FetchAllRecords on the root element,
+        // attribute_data_type.cc JsonAttributeDataType).
+        if (schema.onJson)
+          visible.getOrElseUpdate(graft.model.IndexSchema.DocColumn, VTag.Str)
+        else df.columns
           .filterNot(c => c.startsWith("__") || c == schema.keyColumn)
           .foreach { cName =>
             val tag = schema.field(cName).map(_.ftype) match {

@@ -70,7 +70,87 @@ final class Commands(
       case "INFO" => engine.metricsInfo(source(Nil)._1.sparkSession)
       case "FT.SEARCH" => ftSearch(new Args(argv.tail))
       case "FT.AGGREGATE" => ftAggregate(new Args(argv.tail))
+      case "CONFIG" => config(argv.tail)
       case other => throw new ExprParseException(s"unknown command $other")
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // CONFIG GET/SET — the reference registers its planner/cap knobs as
+  // runtime module config (Valkey surfaces them as `search.<flag>`):
+  // prefiltering-threshold-ratio (valkey_search_options.cc:355-368,
+  // double 0..1, default 0.001), max-nonvector-search-results-fetched
+  // (:489-501, uint32, default 100000), fuzzy-max-distance
+  // (filter_parser.cc:59-74, 1..50, default 3), plus the query timeout
+  // default (search.h:49 kTimeoutMS — a constant there, a knob here).
+
+  private final case class Knob(get: () => String, set: String => Unit)
+
+  private def numKnob(name: String, lo: Long, hi: Long,
+                      get: () => Long, set: Long => Unit): (String, Knob) =
+    name -> Knob(() => get().toString, { v =>
+      val n = v.toLongOption.getOrElse(throw new ExprParseException(
+        s"CONFIG SET failed - argument couldn't be parsed into an integer"))
+      if (n < lo || n > hi) throw new ExprParseException(
+        s"CONFIG SET failed - argument must be between $lo and $hi inclusive")
+      set(n)
+    })
+
+  private val knobs: Map[String, Knob] = Map(
+    "search.prefiltering-threshold-ratio" -> Knob(
+      () => graft.resp.Resp.render(engine.prefilterThresholdRatio),
+      { v =>
+        val d = v.toDoubleOption.getOrElse(throw new ExprParseException(
+          "CONFIG SET failed - argument couldn't be parsed into a double"))
+        if (d < 0.0 || d > 1.0) throw new ExprParseException(
+          "CONFIG SET failed - argument must be between 0 and 1 inclusive")
+        engine.prefilterThresholdRatio = d
+      }),
+    numKnob("search.max-nonvector-search-results-fetched", 0L, 4294967295L,
+      () => engine.maxNonVectorResultsFetched.toLong,
+      // the engine caps pages through an Int-typed limit(); values past
+      // Int.MaxValue are operationally "unbounded" exactly like the
+      // reference's UINT32_MAX default-max
+      n => engine.maxNonVectorResultsFetched =
+        math.min(n, Int.MaxValue.toLong).toInt),
+    numKnob("search.fuzzy-max-distance", 1L, 50L,
+      () => engine.fuzzyMaxDistance.toLong,
+      n => engine.fuzzyMaxDistance = n.toInt),
+    numKnob("search.timeout-ms", 1L, 60000L, // kMaxTimeoutMs cap
+      () => engine.defaultTimeoutMs,
+      n => engine.defaultTimeoutMs = n))
+
+  /** Valkey CONFIG glob: `*` and `?` only (util.c stringmatch subset —
+    * the full grammar also has [classes], unused for config names). */
+  private def globMatch(pat: String, s: String): Boolean = {
+    val re = java.util.regex.Pattern.quote(pat)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q")
+    s.matches(re)
+  }
+
+  private def config(args: Seq[String]): Any = {
+    if (args.isEmpty) throw new ExprParseException(
+      "wrong number of arguments for 'config' command")
+    args.head.toUpperCase match {
+      case "GET" =>
+        if (args.length < 2) throw new ExprParseException(
+          "wrong number of arguments for 'config|get' command")
+        // flat [name, value, ...] pairs, pattern-matched like Valkey
+        args.tail.flatMap(pat =>
+          knobs.toSeq.sortBy(_._1).collect {
+            case (name, k) if globMatch(pat.toLowerCase, name) =>
+              Seq(name, k.get())
+          }.flatten).distinct
+      case "SET" =>
+        if (args.length != 3) throw new ExprParseException(
+          "wrong number of arguments for 'config|set' command")
+        val name = args(1).toLowerCase
+        knobs.getOrElse(name, throw new ExprParseException(
+          s"Unknown option or number of arguments for CONFIG SET - '${args(1)}'"))
+          .set(args(2))
+        "OK"
+      case other => throw new ExprParseException(
+        s"Unknown CONFIG subcommand or wrong number of arguments for '$other'")
     }
   }
 
@@ -105,8 +185,10 @@ final class Commands(
     // Index-level text options (reference ft_create_parser.cc:640-725):
     // flexible order before SCHEMA, defaults per the reference.
     var analyzerCfg = graft.text.Analyzer.Default
+    var onJson = false
     if (a.peekIs("ON")) { a.next(); val t = a.next().toUpperCase
-      require(t == "HASH" || t == "JSON", s"ON expects HASH|JSON, got $t") }
+      require(t == "HASH" || t == "JSON", s"ON expects HASH|JSON, got $t")
+      onJson = t == "JSON" }
     var done = false
     while (!done && a.hasNext) {
       a.peek.toUpperCase match {
@@ -344,7 +426,15 @@ final class Commands(
         case _ => fieldErr(s"Unknown argument `$typeTok`")
       }
       if (a.peekIs("SORTABLE")) a.next() // accepted & ignored, as the reference
-      fields += FieldDef(identifier, alias, ftype)
+      // ON JSON: identifiers are JSONPaths into the document; a bare
+      // name resolves as the module's legacy path (`e1` ≡ `$.e1` —
+      // JSON.GET accepts both, attribute_data_type.cc GetJsonRecord
+      // passes the identifier through verbatim)
+      val boundId =
+        if (onJson && !graft.sources.Documents.isRootedJsonPath(identifier))
+          s"$$.$identifier"
+        else identifier
+      fields += FieldDef(boundId, alias, ftype)
     }
     // schema-level validation (reference ft_create_parser.cc:746-763):
     // duplicate identifiers, attribute count, text-field count
@@ -366,7 +456,7 @@ final class Commands(
     val normPrefixes = graft.sources.Documents.normalizePrefixes(prefixes)
     val schema = IndexSchema(name, defs, analyzer = analyzerCfg,
       docScore = score, docScoreField = scoreField,
-      subscribedPrefixes = normPrefixes)
+      subscribedPrefixes = normPrefixes, onJson = onJson)
     // registry checks at the command surface only (reference
     // SchemaManager::CreateIndexSchema, schema_manager.cc:148 +
     // max-indexes config default 1000, :50-62; internal re-register
@@ -378,6 +468,12 @@ final class Commands(
         "Invalid range: Value above maximum; Maximum number of indexes " +
           s"reached (${engine.maxIndexes}). Cannot create additional indexes.")
     val (raw, keyExpr) = source(normPrefixes)
+    // a JSON-bound source must carry the serialized document column the
+    // JSONPath identifiers extract from and replies serve under `$`
+    if (onJson && !raw.columns.contains(graft.model.IndexSchema.DocColumn))
+      throw new ExprParseException(
+        s"ON JSON requires the source to provide a " +
+          s"`${graft.model.IndexSchema.DocColumn}` document column")
     // The PREFIX subscription is ENGINE-side, like the reference's
     // index_schema.cc prefix matching — a source that ignores the
     // prefixes it is handed still yields a correctly-restricted index.
@@ -453,7 +549,8 @@ final class Commands(
     * rejects the command otherwise (ft_search_parser.cc:91-99). */
   private def requireAllParamsUsed(query: String, opts: SearchOptions): Unit =
     if (opts.params.nonEmpty) {
-      val parsed = graft.query.FilterParser.parse(query, opts.params)
+      val parsed = graft.query.FilterParser.parse(query, opts.params,
+        fuzzyMaxDistance = engine.fuzzyMaxDistance)
       val unused = opts.params.keySet -- parsed.usedParams
       if (unused.nonEmpty) throw new ExprParseException(
         s"Parameter `${unused.min}` not used.")

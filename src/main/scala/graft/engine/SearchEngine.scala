@@ -675,6 +675,19 @@ class SearchEngine {
     * schema_manager.cc:50-62) — enforced at the command surface. */
   var maxIndexes: Int = 1000
 
+  /** `fuzzy-max-distance` (reference filter_parser.cc:59-74: default 3,
+    * range 1..50, runtime-settable) — caps the %%-nesting a query may
+    * request; flows into every FilterParser.parse this engine runs.
+    * CONFIG SET search.fuzzy-max-distance reaches it at runtime. */
+  var fuzzyMaxDistance: Int = graft.query.FilterParser.DefaultFuzzyMaxDistance
+
+  /** Default query timeout (reference search.h:49 kTimeoutMS = 50 s; a
+    * compile-time constant there, CONFIG-settable here as
+    * search.timeout-ms, capped at kMaxTimeoutMs like per-query
+    * TIMEOUT). [[executeWithTimeout]] reads it when the caller passes
+    * no explicit budget. */
+  var defaultTimeoutMs: Long = 50000
+
   /** Posting fetch is only taken when the fetched key slice is ≤ this
     * fraction of the corpus — the reference planner's cardinality rule
     * (its query planner fetches the SMALLEST child and scans when
@@ -830,7 +843,8 @@ class SearchEngine {
     // epoch BEFORE the catalog read (bumpEpoch ordering contract)
     val ep = epochOf(indexName)
     val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
+    val parsed = FilterParser.parse(query, opts.params,
+      fuzzyMaxDistance = fuzzyMaxDistance, analyzer = schema.analyzer)
     recordQueryClass(parsed)
     finishSearch(indexName, schema, filterStage(schema, docs, parsed, opts, ep),
       parsed, opts, ep)
@@ -1458,7 +1472,8 @@ class SearchEngine {
                       opts: SearchOptions = SearchOptions()): DataFrame = {
     val ep = epochOf(indexName) // BEFORE the catalog read (cache contract)
     val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
+    val parsed = FilterParser.parse(query, opts.params,
+      fuzzyMaxDistance = fuzzyMaxDistance, analyzer = schema.analyzer)
     // Same front half as FT.SEARCH — incl. posting routing + proximity.
     // A FULL filtered base cached by searchReply whose cap did NOT bind
     // (n ≤ cap ⟹ the limit(cap+1) materialized the COMPLETE filtered
@@ -1530,7 +1545,8 @@ class SearchEngine {
       // epoch BEFORE the catalog read (bumpEpoch ordering contract)
       val ep = epochOf(indexName)
       val (schema, docs) = index(indexName)
-      val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
+      val parsed = FilterParser.parse(query, opts.params,
+      fuzzyMaxDistance = fuzzyMaxDistance, analyzer = schema.analyzer)
       recordQueryClass(parsed)
       val cacheable = replyCacheEnabled && parsed.knn.isEmpty
       val key = if (cacheable) replyKey(indexName, ep, query, opts) else ""
@@ -1834,7 +1850,8 @@ class SearchEngine {
   def searchCount(indexName: String, query: String,
                   params: Map[String, ParamValue] = Map.empty): Long = {
     val (schema, docs) = index(indexName)
-    val parsed = FilterParser.parse(query, params, analyzer = schema.analyzer)
+    val parsed = FilterParser.parse(query, params,
+      fuzzyMaxDistance = fuzzyMaxDistance, analyzer = schema.analyzer)
     val compiler = new PredicateCompiler(schema, schema.analyzer)
     val base = if (parsed.isMatchAll) docs else docs.filter(compiler.compile(parsed.filter))
     parsed.knn match {
@@ -2066,7 +2083,10 @@ class SearchEngine {
   /** Execute with cooperative cancellation (reference R5 TIMEOUT,
     * src/query/search.h:49-50: default 50 s). Returns collected rows or
     * throws `TimeoutException` after cancelling the running Spark jobs. */
-  def executeWithTimeout(df: DataFrame, timeoutMs: Long = 50000): Array[org.apache.spark.sql.Row] = {
+  def executeWithTimeout(df: DataFrame, timeoutMs: Long = -1): Array[org.apache.spark.sql.Row] = {
+    // -1 = "use the engine default" ([[defaultTimeoutMs]], the
+    // reference's kTimeoutMS — CONFIG-settable as search.timeout-ms)
+    val budgetMs = if (timeoutMs < 0) defaultTimeoutMs else timeoutMs
     val spark = df.sparkSession
     val group = s"graft-query-${java.util.UUID.randomUUID()}"
     val result = new java.util.concurrent.CompletableFuture[Array[org.apache.spark.sql.Row]]()
@@ -2078,12 +2098,12 @@ class SearchEngine {
       finally spark.sparkContext.clearJobGroup()
     })
     t.setDaemon(true); t.start()
-    try result.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try result.get(budgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
       case e: java.util.concurrent.TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         throw new java.util.concurrent.TimeoutException(
-          s"query exceeded ${timeoutMs}ms (jobs cancelled)")
+          s"query exceeded ${budgetMs}ms (jobs cancelled)")
     }
   }
 

@@ -101,7 +101,13 @@ final case class IndexSchema(
     // Normalized PREFIX subscriptions (reference index_schema.cc:321-334,
     // surfaced by FT.INFO's index_definition block); Nil when the index
     // was bound directly to a table rather than through FT.CREATE.
-    subscribedPrefixes: Seq[String] = Nil) {
+    subscribedPrefixes: Seq[String] = Nil,
+    // ON JSON document model (reference attribute_data_type.h:117-135
+    // JsonAttributeDataType): field identifiers are JSONPaths into the
+    // serialized document held in [[IndexSchema.DocColumn]], and
+    // no-RETURN replies serve the whole document under `$` instead of
+    // per-field pairs (response_generator.cc GetContentNoReturnJson).
+    onJson: Boolean = false) {
 
   private val byAlias: Map[String, FieldDef] = fields.map(f => f.alias -> f).toMap
 
@@ -122,4 +128,12 @@ final case class IndexSchema(
   def tokensCol(alias: String): String = s"__${alias}__tokens"
   /** Pseudo-field carrying KNN distance (reference: COMMANDS.md:195-199). */
   def scoreField(vectorAlias: String): String = s"__${vectorAlias}_score"
+}
+
+object IndexSchema {
+  /** Column holding the serialized JSON document for ON JSON indexes —
+    * named after the JSONPath root the reference fetches it by
+    * (attribute_data_type.h kJsonRootElementQuery). A JSON-bound source
+    * must provide it; field identifiers `$.x` extract from it. */
+  val DocColumn = "$"
 }

@@ -450,7 +450,14 @@ object Nsw {
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try split.count()
       catch { case t: Throwable =>
-        split.unpersist(blocking = false); throw t
+        // release BOTH this-call generations: `split` (the failed
+        // materialization) and `prev` (newGraphs or a prior split —
+        // always created by this call here, idx.graphs is already
+        // gone), which would otherwise strand persisted with no holder
+        // since the exception prevents `out` from being returned
+        split.unpersist(blocking = false)
+        prev.unpersist(blocking = false)
+        throw t
       }
       prev.unpersist(blocking = false)
       out = NswIndex(split, out.metric, out.m, twoN)

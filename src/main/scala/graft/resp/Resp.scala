@@ -194,6 +194,9 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
           cmds.execute(argv).asInstanceOf[org.apache.spark.sql.DataFrame])
         case "FT._LIST" =>
           array(cmds.execute(argv).asInstanceOf[Seq[String]].map(bulk))
+        case "CONFIG" if argv.length >= 2 && argv(1).equalsIgnoreCase("GET") =>
+          // flat [name, value, ...] array, Valkey CONFIG GET shape
+          array(cmds.execute(argv).asInstanceOf[Seq[String]].map(bulk))
         case _ =>
           cmds.execute(argv) match {
             case s: String => simple(s)
@@ -210,7 +213,8 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
     val (index, query, opts) = cmds.parseFtSearch(argv.tail)
     val reply = engine.searchReply(index, query, opts)
     val schema = engine.index(index)._1
-    val parsed = FilterParser.parse(query, opts.params, analyzer = schema.analyzer)
+    val parsed = FilterParser.parse(query, opts.params,
+      fuzzyMaxDistance = engine.fuzzyMaxDistance, analyzer = schema.analyzer)
     val scoreName = parsed.knn.map(k =>
       k.asName.getOrElse(schema.scoreField(k.field)))
     val rows = reply.rows
@@ -234,6 +238,28 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
           pairs += bulk(fmtG(r.getDouble(i)))
         }
       }
+      if (schema.onJson && opts.returnFields.isEmpty) {
+        // ON JSON no-RETURN content (response_generator.cc
+        // GetContentNoReturnJson): the SORTBY attribute (under the
+        // alias the command named, skipped when missing) plus the
+        // whole serialized document under `$` — never the per-field
+        // pairs the HASH model serves.
+        opts.sortBy.map(_._1)
+          .filterNot(f => scoreName.contains(f)) // score pair already led
+          .foreach { f =>
+            val aliasCol = schema.field(f).map(_.alias).getOrElse(f)
+            val i = names.indexOf(aliasCol)
+            if (i >= 0 && !r.isNullAt(i)) {
+              pairs += bulk(f)
+              pairs += bulk(render(r.get(i)))
+            }
+          }
+        val di = names.indexOf(graft.model.IndexSchema.DocColumn)
+        if (di >= 0 && !r.isNullAt(di)) {
+          pairs += bulk(graft.model.IndexSchema.DocColumn)
+          pairs += bulk(render(r.get(di)))
+        }
+      } else {
       // content pairs = the document's STORED attributes (reference
       // attribute_contents reads the hash, not the index —
       // response_generator.cc): skip the key/sortkey/score plus the
@@ -257,6 +283,7 @@ final class RespCommands(engine: SearchEngine, cmds: Commands) {
             }
           }
         }
+      }
       }
       elems += array(pairs.result())
     }

@@ -95,16 +95,31 @@ object Documents {
    *    normalized to the same scalar form HASH values take
    *    (ft_aggregate.cc:265-267 NormalizeJsonRecord).
    */
-  /** Raw source expression for an identifier (plain column or
-    * `col:$.path` JSON extraction) — also used by FT.INFO to count
-    * indexing failures against the enriched value. */
+  /** Raw source expression for an identifier (plain column, `col:$.path`
+    * JSON extraction, or a bare `$.path` — the ON JSON attribute form,
+    * attribute_data_type.h:117-135 — extracting from the serialized
+    * document column [[graft.model.IndexSchema.DocColumn]]) — also used
+    * by FT.INFO to count indexing failures against the enriched value.
+    *
+    * get_json_object replicates NormalizeJsonRecord + JsonUnquote
+    * (attribute_data_type.cc:140-170) exactly: string values come back
+    * unescaped ("" stays a present empty string), numbers/booleans as
+    * their JSON literal text, arrays/objects as compact JSON, missing
+    * paths as NULL (≡ NotFoundError). */
   private[graft] def sourceColumn(identifier: String): Column =
-    identifier.indexOf(":$") match {
+    if (isRootedJsonPath(identifier))
+      get_json_object(col(graft.model.IndexSchema.DocColumn), identifier)
+    else identifier.indexOf(":$") match {
       case -1 => col(identifier)
       case i => get_json_object(col(identifier.substring(0, i)), identifier.substring(i + 1))
     }
 
-  private[graft] def isJsonPath(identifier: String): Boolean = identifier.contains(":$")
+  /** A `$`-rooted JSONPath identifier (the ON JSON attribute grammar). */
+  private[graft] def isRootedJsonPath(identifier: String): Boolean =
+    identifier == "$" || identifier.startsWith("$.") || identifier.startsWith("$[")
+
+  private[graft] def isJsonPath(identifier: String): Boolean =
+    identifier.contains(":$") || isRootedJsonPath(identifier)
 
   /** Name of the preserved pre-enrichment value when enrichment
     * replaces a same-named column (numeric cast, vector sizing). */

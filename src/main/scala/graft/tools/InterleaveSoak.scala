@@ -39,18 +39,21 @@ import graft.text.PostingIndex
  */
 object InterleaveSoak {
 
-  /** Historical-bug isolation mode (`noderived` CLI arg): register NO
-    * derived relations (no postings, no ANN) and disable both serving
-    * caches, so every reply re-optimizes the shared enriched plan via
-    * the pure columnar scan. With no posting semi-join there is no
-    * epoch-mix pathway and with no cached base no unpersist race —
-    * what remains exposed is exactly the class of shared-plan
-    * evaluation bugs the r11 HOF-lambda race belonged to. Run at the
-    * PRE-fix commit 621de79 (port this file into a worktree), 3/6
-    * seeds re-find it in <60 s each with the documented signature
-    * (phrase reply missing stable docs, retry heals); at the fix
-    * commit 96216d7 the same seeds pass. See STATUS round 13. */
-  @volatile var noDerived: Boolean = false
+  // Historical-bug isolation mode (`noderived` CLI arg, the
+  // `noDerived` parameter of [[run]]/[[registerVersion]]): register NO
+  // derived relations (no postings, no ANN) and disable both serving
+  // caches, so every reply re-optimizes the shared enriched plan via
+  // the pure columnar scan. With no posting semi-join there is no
+  // epoch-mix pathway and with no cached base no unpersist race —
+  // what remains exposed is exactly the class of shared-plan
+  // evaluation bugs the r11 HOF-lambda race belonged to. Run at the
+  // PRE-fix commit 621de79 (port this file into a worktree), 3/6
+  // seeds re-find it in <60 s each with the documented signature
+  // (phrase reply missing stable docs, retry heals); at the fix
+  // commit 96216d7 the same seeds pass. See STATUS round 13.
+  // (Threaded as a parameter, not object state: a process-global
+  // @volatile silently changed what concurrent callers registered —
+  // round-13 ADVICE.)
 
   val M = 24 // docs per version
 
@@ -80,10 +83,11 @@ object InterleaveSoak {
 
   /** [[EmptyPageProbe]] hook. */
   def registerVersionPublic(spark: SparkSession, e: SearchEngine, v: Int): Unit =
-    registerVersion(spark, e, v)
+    registerVersion(spark, e, v, noDerived = false)
 
   /** One maintainer-style refresh: swap + full derived re-registration. */
-  private def registerVersion(spark: SparkSession, e: SearchEngine, v: Int): Unit = {
+  private def registerVersion(spark: SparkSession, e: SearchEngine, v: Int,
+                              noDerived: Boolean): Unit = {
     val docs = Documents.enrich(corpus(spark, v), schema)
     e.createIndex(schema, docs)
     if (noDerived) return
@@ -152,12 +156,12 @@ object InterleaveSoak {
   /** Run the soak. Returns Right((queriesRun, versionsWritten)) or
     * Left(violation description) on the first freshness violation. */
   def run(spark: SparkSession, seed: Long, versions: Int,
-          readers: Int): Either[String, (Long, Int)] = {
+          readers: Int, noDerived: Boolean = false): Either[String, (Long, Int)] = {
     val e = new SearchEngine
     e.postingRouteMaxSelectivity = 1.0 // force every routable conjunct
     if (noDerived) { e.replyCacheEnabled = false; e.baseCacheEnabled = false }
     SearchEngine.debugEmptyPage = true // r13 anomaly forensics
-    registerVersion(spark, e, 1)
+    registerVersion(spark, e, 1, noDerived)
     val lastStarted = new AtomicInteger(1)
     val lastCompleted = new AtomicInteger(1)
     val queries = new AtomicLong
@@ -169,7 +173,7 @@ object InterleaveSoak {
         var v = 2
         while (v <= versions && violation.isEmpty) {
           lastStarted.set(v)
-          registerVersion(spark, e, v)
+          registerVersion(spark, e, v, noDerived)
           lastCompleted.set(v)
           v += 1
         }
@@ -273,11 +277,11 @@ object InterleaveSoak {
     val seed = args.headOption.map(_.toLong).getOrElse(13L)
     val versions = args.lift(1).map(_.toInt).getOrElse(60)
     val readers = args.lift(2).map(_.toInt).getOrElse(6)
-    noDerived = args.lift(3).contains("noderived")
+    val noDerived = args.lift(3).contains("noderived")
     val spark = graft.util.GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    run(spark, seed, versions, readers) match {
+    run(spark, seed, versions, readers, noDerived) match {
       case Right((q, v)) =>
         println(f"SOAK_PASS queries=$q versions=$v " +
           f"secs=${(System.nanoTime() - t0) / 1e9}%.1f")

@@ -107,7 +107,9 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSeq
 
   private case class Dataset(name: String, create: String,
-                             sets: Seq[(String, Seq[(String, Any)])])
+                             sets: Seq[(String, Seq[(String, Any)])],
+                             jsonCreate: String,
+                             jsonDocs: Seq[(String, String)])
 
   private lazy val datasets: Map[String, Dataset] =
     lines("/compat/datasets.jsonl.gz").map { l =>
@@ -121,7 +123,18 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         val JObject(fs) = (s \ "fields"): @unchecked
         k -> fs.map { case (fn, fv) => fn -> untag(fv) }
       }
-      name -> Dataset(name, create, rows)
+      // the ON JSON half: one FT.CREATE ... ON JSON plus the documents
+      // as the module serializes them back (validated byte-for-byte
+      // against the goldens by dev/compat_export.py)
+      val JArray(jCreates) = (j \ "json_create"): @unchecked
+      val jsonCreate = jCreates.headOption.collect { case JString(s) => s }.getOrElse("")
+      val JArray(jDocs) = (j \ "json_docs"): @unchecked
+      val docs = jDocs.map { d =>
+        val JString(k) = (d \ "key"): @unchecked
+        val JString(doc) = (d \ "doc"): @unchecked
+        k -> doc
+      }
+      name -> Dataset(name, create, rows, jsonCreate, docs)
     }.toMap
 
   // ---- building the document table the reference HSET-ed ----
@@ -184,8 +197,26 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus re-creates hash_idx1 per dataset (fresh server per
     // test over there; FT.DROPINDEX + FT.CREATE here)
     cmd("FT.DROPINDEX", "hash_idx1") // error on the very first pass is fine
+    cmd("FT.DROPINDEX", "json_idx1")
     val reply = cmd(ds.create.split(" ").toIndexedSeq: _*)
     assert(reply == "OK", s"FT.CREATE for ${ds.name}: $reply")
+  }
+
+  /** The ON JSON document model: one `$` column holding the document
+    * exactly as the module serializes it (JSON.SET … re-read by
+    * JSON.GET `$`); the engine's JSONPath identifiers extract the
+    * indexed values from it and no-RETURN replies serve it back. */
+  private def loadDatasetJson(ds: Dataset): Unit = {
+    val schema = StructType(Seq(
+      StructField("__pk", StringType), StructField("$", StringType)))
+    val rows = ds.jsonDocs.map { case (k, doc) => Row(k, doc) }
+    currentDocs = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    cmd("FT.DROPINDEX", "hash_idx1")
+    cmd("FT.DROPINDEX", "json_idx1")
+    assert(ds.jsonCreate.nonEmpty, s"dataset ${ds.name} has no json create")
+    val reply = cmd(ds.jsonCreate.split(" ").toIndexedSeq: _*)
+    assert(reply == "OK", s"FT.CREATE ON JSON for ${ds.name}: $reply")
   }
 
   // ---- RESP2 client ----
@@ -435,7 +466,8 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Replay a fixture file against its datasets; returns
     * (total, failures by (dataset, reason-head)). */
   private def replay(resource: String,
-                     dsName: Answer => String): (Int, Map[String, Int], Seq[String]) = {
+                     dsName: Answer => String,
+                     load: Dataset => Unit = loadDataset): (Int, Map[String, Int], Seq[String]) = {
     val all = answers(resource)
     var total = 0
     var knownDeltas = 0
@@ -443,7 +475,7 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val samples = scala.collection.mutable.ArrayBuffer.empty[String]
     all.groupBy(dsName).toSeq.sortBy(_._1).foreach { case (ds, group) =>
       val d = datasets.getOrElse(ds, fail(s"no dataset $ds in fixture"))
-      loadDataset(d)
+      load(d)
       group.foreach { ans =>
         total += 1
         val got =
@@ -482,5 +514,31 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     samples.take(20).foreach(s => info(s"  SAMPLE $s"))
     assert(failed == 0,
       s"$failed/$total text-corpus mismatches beyond COMPAT_DELTAS.md — see info()")
+  }
+
+  // ---- the ON JSON half (round-13 verdict item 1): same goldens, the
+  // reference's second document model — replies serve the serialized
+  // document under `$` (attribute_data_type.h:117-135,
+  // response_generator.cc GetContentNoReturnJson) ----
+
+  test("aggregate corpus ON JSON: all 12 datasets replay against the reference goldens") {
+    val (total, failures, samples) = replay("/compat/answers_agg_json.jsonl.gz",
+      _.ds, loadDatasetJson)
+    val failed = failures.values.sum
+    info(s"replayed $total, failed $failed")
+    failures.toSeq.sortBy(-_._2).take(25).foreach { case (k, n) => info(s"  $n × $k") }
+    samples.take(20).foreach(s => info(s"  SAMPLE $s"))
+    assert(failed == 0, s"$failed/$total JSON aggregate-corpus mismatches — see info()")
+  }
+
+  test("text-search corpus ON JSON: pure text + punctuation, default + NOSTEM") {
+    val (total, failures, samples) = replay("/compat/answers_text_json.jsonl.gz",
+      a => s"${a.ds}|${a.schemaType.getOrElse("default")}", loadDatasetJson)
+    val failed = failures.values.sum
+    info(s"replayed $total, failed $failed")
+    failures.toSeq.sortBy(-_._2).take(25).foreach { case (k, n) => info(s"  $n × $k") }
+    samples.take(20).foreach(s => info(s"  SAMPLE $s"))
+    assert(failed == 0,
+      s"$failed/$total JSON text-corpus mismatches beyond COMPAT_DELTAS.md — see info()")
   }
 }

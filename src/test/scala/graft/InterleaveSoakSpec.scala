@@ -43,13 +43,10 @@ class InterleaveSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     // keeps the `noderived` harness variant (the r11 HOF-race
     // re-finder — see the probe's scaladoc) compiling and green at
     // HEAD: scan-only routing, both serving caches off
-    graft.tools.InterleaveSoak.noDerived = true
-    try {
-      graft.tools.InterleaveSoak.run(spark, seed = 17L, versions = 8,
-        readers = 4) match {
-        case Right((_, versions)) => assert(versions == 8)
-        case Left(violation) => fail(violation)
-      }
-    } finally graft.tools.InterleaveSoak.noDerived = false
+    graft.tools.InterleaveSoak.run(spark, seed = 17L, versions = 8,
+      readers = 4, noDerived = true) match {
+      case Right((_, versions)) => assert(versions == 8)
+      case Left(violation) => fail(violation)
+    }
   }
 }

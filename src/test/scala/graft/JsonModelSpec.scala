@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Commands, SearchEngine}
+import graft.resp.{Resp, RespCommands}
+
+/**
+ * The ON JSON document model (round-13 verdict item 1; reference
+ * attribute_data_type.h:117-135 JsonAttributeDataType,
+ * response_generator.cc:199-278 GetContentNoReturnJson) and the
+ * CONFIG GET/SET runtime-knob surface (round-13 verdict item 5;
+ * valkey_search_options.cc:355-368 prefiltering-threshold-ratio,
+ * :489-501 max-nonvector-search-results-fetched,
+ * filter_parser.cc:59-74 fuzzy-max-distance, search.h:49 kTimeoutMS).
+ *
+ * The full JSON corpus replay lives in CompatCorpusSpec (18,162
+ * golden commands); this spec pins the semantics the corpus exercises
+ * only implicitly or not at all: RETURN of a known alias on a JSON
+ * index (the corpus' RETURNs are all unknown `@`-prefixed names →
+ * empty), RETURN `$`, the sortby-pair + `$`-pair reply shape, the
+ * whole-key drop for invalid JSON values, LOAD semantics, and each
+ * CONFIG knob's observable effect.
+ */
+class JsonModelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var engine: SearchEngine = _
+  private var cmds: Commands = _
+  private var resp: RespCommands = _
+
+  // documents exactly as a JSON store would serialize them back:
+  // compact separators, one invalid-numeric doc (n "bad"), one
+  // boolean-numeric doc (n true — also invalid for a NUMERIC field),
+  // one missing-field doc
+  private val docs = Seq(
+    ("json:1", """{"n":5,"t":"alpha","name":"ann","v":[1,0]}"""),
+    ("json:2", """{"n":-0.5,"t":"beta","name":"bob","v":[2,0]}"""),
+    ("json:3", """{"n":"bad","t":"alpha","name":"cyn","v":[3,0]}"""),
+    ("json:4", """{"n":true,"t":"alpha","name":"dee","v":[4,0]}"""),
+    ("json:5", """{"t":"alpha","name":"eve","v":[5,0]}"""),
+    ("json:6", """{"n":7,"t":"","name":"fay","v":[6,0]}"""))
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("json-model-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val schema = StructType(Seq(
+      StructField("__pk", StringType), StructField("$", StringType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(docs.map { case (k, d) => Row(k, d) }: _*), schema)
+    engine = new SearchEngine
+    cmds = new Commands(engine, _ => (df, col("__pk")))
+    resp = new RespCommands(engine, cmds)
+    assert(cmds.execute(Seq("FT.CREATE", "jm", "ON", "JSON", "PREFIX", "1", "json:",
+      "SCHEMA", "$.n", "AS", "n", "NUMERIC", "$.t", "AS", "t", "TAG",
+      "$.name", "AS", "name", "TEXT",
+      "$.v", "AS", "v", "VECTOR", "FLAT", "6", "DIM", "2",
+      "TYPE", "FLOAT32", "DISTANCE_METRIC", "L2")) == "OK")
+  }
+  override def afterAll(): Unit = if (spark != null) ()
+
+  private def decode(argv: String*): Any = Resp.decode(resp.execute(argv))
+
+  test("no-RETURN reply serves the serialized document under `$` only") {
+    val r = decode("FT.SEARCH", "jm", "@n:[0 10]", "DIALECT", "2")
+      .asInstanceOf[Vector[Any]]
+    // json:1 (n=5) and json:6 (n=7) qualify; 3/4 dropped (invalid), 5 missing n
+    assert(r.head == 2L)
+    val byKey = r.tail.grouped(2).map(p =>
+      p(0).asInstanceOf[String] -> p(1).asInstanceOf[Vector[Any]]).toMap
+    assert(byKey.keySet == Set("json:1", "json:6"))
+    // content = exactly the ("$", doc) pair — no per-field pairs
+    assert(byKey("json:1") == Vector("$", docs.head._2))
+  }
+
+  test("SORTBY adds the sortby attribute pair before `$` (GetContentNoReturnJson)") {
+    val r = decode("FT.SEARCH", "jm", "@n:[-10 10]", "SORTBY", "n", "ASC",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(r.head == 3L) // json:2 (-0.5), json:1 (5), json:6 (7)
+    val first = r.tail.grouped(2).next()
+    assert(first(0) == "json:2")
+    // the sortby value is the document's literal (-0.5), then the doc
+    assert(first(1) == Vector("n", "-0.5", "$", docs(1)._2))
+  }
+
+  test("RETURN of a known alias extracts the JSONPath value under the alias") {
+    val r = decode("FT.SEARCH", "jm", "@n:[0 10]", "RETURN", "1", "name",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    val byKey = r.tail.grouped(2).map(p =>
+      p(0).asInstanceOf[String] -> p(1).asInstanceOf[Vector[Any]]).toMap
+    assert(byKey("json:1") == Vector("name", "ann"))
+    assert(byKey("json:6") == Vector("name", "fay"))
+  }
+
+  test("RETURN `$` serves the whole document; unknown @-names serve nothing") {
+    val r = decode("FT.SEARCH", "jm", "@n:[5 5]", "RETURN", "1", "$",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(r == Vector(1L, "json:1", Vector("$", docs.head._2)))
+    val r2 = decode("FT.SEARCH", "jm", "@n:[5 5]", "RETURN", "1", "@n",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(r2 == Vector(1L, "json:1", Vector())) // corpus-pinned shape
+  }
+
+  test("invalid JSON values drop the whole key: absent from negations too") {
+    // json:3 (n:"bad") and json:4 (n:true) are invalid-data drops —
+    // NOT matched by -@n:[...] (index_schema.cc SyncProcessMutation);
+    // json:5 (missing n) IS (missing ≠ invalid)
+    val r = decode("FT.SEARCH", "jm", "-@n:[-100 100]", "NOCONTENT",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(r == Vector(1L, "json:5"))
+  }
+
+  test("empty JSON string indexes as a present empty value, not missing") {
+    // json:6 has t:"" — a present empty tag (NormalizeJsonRecord
+    // decodes "" before the empty check); negation of any tag match
+    // keeps it out of the missing set
+    val r = decode("FT.SEARCH", "jm", "-@t:{alpha|beta}", "NOCONTENT",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(r == Vector(1L, "json:6"))
+  }
+
+  test("aggregate LOAD serves normalized JSONPath scalars; LOAD * serves `$`") {
+    val r = decode("FT.AGGREGATE", "jm", "@n:[0 10]",
+      "LOAD", "2", "@__key", "@n", "SORTBY", "1", "@n", "DIALECT", "2")
+      .asInstanceOf[Vector[Any]]
+    assert(r == Vector(2L,
+      Vector("__key", "json:1", "n", "5"),
+      Vector("__key", "json:6", "n", "7")))
+    val star = decode("FT.AGGREGATE", "jm", "@n:[5 5]", "LOAD", "*",
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(star == Vector(1L, Vector("$", docs.head._2)))
+  }
+
+  test("KNN on a JSON index parses the JSON-array vector and replies score + `$`") {
+    val r = decode("FT.SEARCH", "jm", "*=>[KNN 2 @v $b]", "PARAMS", "2", "b",
+      new String(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), "ISO-8859-1"),
+      "DIALECT", "2").asInstanceOf[Vector[Any]]
+    assert(r.head == 2L)
+    val first = r.tail.grouped(2).next()
+    assert(first(0) == "json:1") // v=[1,0], d²=1
+    assert(first(1) == Vector("__v_score", "1", "$", docs.head._2))
+  }
+
+  // ---- CONFIG surface (verdict item 5) ----
+
+  test("CONFIG GET returns [name, value] pairs; glob patterns match") {
+    val all = decode("CONFIG", "GET", "search.*").asInstanceOf[Vector[Any]]
+    val m = all.grouped(2).map(p => p(0) -> p(1)).toMap
+    assert(m("search.prefiltering-threshold-ratio") == "0.001")
+    assert(m("search.max-nonvector-search-results-fetched") == "100000")
+    assert(m("search.fuzzy-max-distance") == "3")
+    assert(m("search.timeout-ms") == "50000")
+    assert(decode("CONFIG", "GET", "search.fuzzy-max-distance") ==
+      Vector("search.fuzzy-max-distance", "3"))
+  }
+
+  test("CONFIG SET search.fuzzy-max-distance gates the %%-nesting a query may use") {
+    // distance 4 > default cap 3 → the parse rejects it
+    val deep = "%%%%ann%%%%"
+    val err = decode("FT.SEARCH", "jm", deep, "DIALECT", "2")
+    assert(err.isInstanceOf[Resp.RespError])
+    assert(decode("CONFIG", "SET", "search.fuzzy-max-distance", "4") == "OK")
+    try {
+      val ok = decode("FT.SEARCH", "jm", deep, "NOCONTENT", "DIALECT", "2")
+        .asInstanceOf[Vector[Any]]
+      assert(ok.head.asInstanceOf[Long] >= 1L) // "ann" within distance 4 of itself
+      // range parity: the reference rejects 0 and 51 (filter_parser.cc:63-64)
+      assert(decode("CONFIG", "SET", "search.fuzzy-max-distance", "0")
+        .isInstanceOf[Resp.RespError])
+      assert(decode("CONFIG", "SET", "search.fuzzy-max-distance", "51")
+        .isInstanceOf[Resp.RespError])
+    } finally assert(decode("CONFIG", "SET", "search.fuzzy-max-distance", "3") == "OK")
+  }
+
+  test("CONFIG SET search.max-nonvector-search-results-fetched caps the fetch") {
+    assert(decode("CONFIG", "SET",
+      "search.max-nonvector-search-results-fetched", "1") == "OK")
+    try {
+      val r = decode("FT.SEARCH", "jm", "@t:{alpha}", "NOCONTENT",
+        "DIALECT", "2").asInstanceOf[Vector[Any]]
+      // alpha matches json:1 and json:5 but the cap truncates at 1
+      assert(r.head == 1L)
+      assert(r.length == 2)
+    } finally assert(decode("CONFIG", "SET",
+      "search.max-nonvector-search-results-fetched", "100000") == "OK")
+  }
+
+  test("CONFIG SET search.prefiltering-threshold-ratio steers the hybrid planner") {
+    assert(decode("CONFIG", "SET",
+      "search.prefiltering-threshold-ratio", "0.5") == "OK")
+    try {
+      assert(engine.prefilterThresholdRatio == 0.5)
+      assert(decode("CONFIG", "GET", "search.prefiltering-threshold-ratio") ==
+        Vector("search.prefiltering-threshold-ratio", "0.5"))
+      // range parity (valkey_search_options.cc:358-360: 0..1)
+      assert(decode("CONFIG", "SET", "search.prefiltering-threshold-ratio", "1.5")
+        .isInstanceOf[Resp.RespError])
+    } finally assert(decode("CONFIG", "SET",
+      "search.prefiltering-threshold-ratio", "0.001") == "OK")
+  }
+
+  test("CONFIG SET search.timeout-ms reaches executeWithTimeout's default budget") {
+    assert(decode("CONFIG", "SET", "search.timeout-ms", "12345") == "OK")
+    try {
+      assert(engine.defaultTimeoutMs == 12345L)
+      // the reference caps per-query TIMEOUT at 60000 (search.h:50);
+      // the default budget obeys the same ceiling
+      assert(decode("CONFIG", "SET", "search.timeout-ms", "60001")
+        .isInstanceOf[Resp.RespError])
+    } finally assert(decode("CONFIG", "SET", "search.timeout-ms", "50000") == "OK")
+  }
+
+  test("CONFIG SET on an unknown name errors; CONFIG GET no-match is empty") {
+    assert(decode("CONFIG", "SET", "search.no-such-knob", "1")
+      .isInstanceOf[Resp.RespError])
+    assert(decode("CONFIG", "GET", "search.no-such-*") == Vector())
+  }
+}

@@ -174,7 +174,9 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // plan — BEFORE the cache registers, so nothing strands. The leak
     // needs runtime task failure: cached RDD registered, entry live,
     // count() dies in executor tasks.
-    val dir = java.nio.file.Files.createTempDirectory("rrk").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("rrk")
+    val dir = dirPath.toString
+    try {
     (1 to 20)
       .map(i => (s"k$i", if (i <= 10) "hot" else "cold", Array(i.toFloat, 0f)))
       .toDF("__key", "cat", "vec")
@@ -203,6 +205,12 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // otherwise accumulate per failing request (each is nonce-private,
     // nothing ever reuses or evicts it). On a parquet-backed corpus
     // partial task success would additionally strand cached blocks.
+    //
+    // clearCache is an INTENTIONAL suite-wide reset: the `cm.isEmpty`
+    // assertion below needs a known-empty CacheManager baseline, and
+    // every test in this suite builds its own engine + registrations
+    // from scratch (dropped entries recompute from lineage), so no
+    // later test depends on earlier cached state.
     spark.catalog.clearCache()
     val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager
@@ -218,5 +226,12 @@ class ReplyResourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val page = e.finishSearch("rrk_t", sch,
       e.filterStage(sch, catDocs, parsed, opts, ep), parsed, opts, ep)
     assert(page.collect().length == 2)
+    } finally {
+      // the parquet corpus was this test's scratch space
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
