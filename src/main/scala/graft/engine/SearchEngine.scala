@@ -1925,13 +1925,19 @@ class SearchEngine {
       case _ => None
     }
     // hash_indexing_failures (reference index_schema.cc FT.INFO reply):
-    // a present raw value whose enriched form is NULL failed to index —
-    // non-numeric/NaN numerics, wrong-dimension vectors
+    // numeric failures carry the NaN sentinel in the enriched column
+    // (Documents.enrich: NULL = missing, NaN = present-but-invalid, one
+    // source evaluation); vector failures are a present raw value whose
+    // enriched form is NULL (wrong dimension, unparsable string)
     val failAggs = schema.fields.map { fd =>
-      val agg = rawExpr(fd) match {
-        case Some(raw) =>
-          sum(when(raw.isNotNull && col(fd.alias).isNull, 1L).otherwise(0L))
-        case None => sum(lit(0L))
+      val agg = fd.ftype match {
+        case NumericField =>
+          sum(when(coalesce(isnan(col(fd.alias)), lit(false)), 1L).otherwise(0L))
+        case _ => rawExpr(fd) match {
+          case Some(raw) =>
+            sum(when(raw.isNotNull && col(fd.alias).isNull, 1L).otherwise(0L))
+          case None => sum(lit(0L))
+        }
       }
       coalesce(agg, lit(0L)).as(s"__fail_${fd.alias}")
     }

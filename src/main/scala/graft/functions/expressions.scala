@@ -418,6 +418,55 @@ object FormatG {
 }
 
 /**
+ * NUMERIC-field ingest conversion with the NaN invalid sentinel: NULL
+ * in → NULL (field missing); parseable number → its double (grammar =
+ * Spark's string→double cast: java Double.parseDouble, falling back to
+ * the trimmed case-insensitive inf/infinity/nan literal table); junk →
+ * NaN. NaN doubles as the reference's invalid-data marker
+ * (numeric_index_test.cc:93-95 rejects nan) — the whole-key drop
+ * removes every NaN row from the serving relation, so downstream
+ * predicates never see the sentinel.
+ *
+ * Exists so the validity filter costs ONE evaluation of the source
+ * expression: deriving "present but unparsable" from (src, try_cast)
+ * pairs re-evaluates the source inside a Filter, where whole-stage
+ * codegen has no subexpression elimination — measured 2× on a
+ * JSONPath-extraction scan (q_json_field, r13→r14 adjudication).
+ */
+case class TryDoubleOrNan(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "try_double_or_nan"
+
+  override def nullSafeEval(s: Any): Any =
+    TryDoubleOrNan.parse(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = TryDoubleOrNan.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.parse($s.toString());"
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TryDoubleOrNan {
+  /** Called from generated code. Never returns null — NaN marks junk. */
+  def parse(s: String): Double =
+    try java.lang.Double.parseDouble(s)
+    catch {
+      case _: NumberFormatException =>
+        // Spark Cast.processFloatingPointSpecialLiterals table
+        s.trim.toLowerCase(java.util.Locale.ROOT) match {
+          case "inf" | "+inf" | "infinity" | "+infinity" => Double.PositiveInfinity
+          case "-inf" | "-infinity" => Double.NegativeInfinity
+          case _ => Double.NaN // incl. "nan": invalid data either way
+        }
+    }
+}
+
+/**
  * MinHash signature over an array<string> of shingles: for hash i,
  * min over shingles of (a_i·h(s) + b_i) mod p, p = 2³¹−1, h = FNV-1a 64
  * of the UTF-8 bytes. One tight JVM loop per row — the higher-order-

@@ -46,6 +46,9 @@ package object functions {
   /** C %.11g rendering of a double (reference FormatDouble). */
   def format_g(d: Column): Column =
     expr2col(FormatG(col2expr(d)))
+  /** String → double with the NaN invalid sentinel (NUMERIC ingest). */
+  def try_double_or_nan(s: Column): Column =
+    expr2col(TryDoubleOrNan(col2expr(s)))
   /** MinHash signature of an array<string> shingle column. */
   def minhash_sig(shingles: Column, a: Array[Long], b: Array[Long]): Column =
     expr2col(MinHashSig(col2expr(shingles), a, b))

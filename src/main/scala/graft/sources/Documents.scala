@@ -250,20 +250,50 @@ object Documents {
         case NumericField =>
           if (isJsonPath(fd.identifier) || fd.alias != fd.identifier ||
               df.schema(fd.identifier).dataType != DoubleType) {
-            // the cast REPLACES a same-named column; keep the raw value
-            // reachable (column-pruned away unless read) so FT.INFO can
-            // count indexing failures (reference hash_indexing_failures)
-            if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier) {
-              df = df.withColumn(rawCol(fd.alias), src)
-              invalidConds ::= col(rawCol(fd.alias)).isNotNull && col(fd.alias).isNull
+            // Invalid-data is only POSSIBLE when the source can fail the
+            // double conversion: strings (junk text) and float/double
+            // (NaN). An integral/boolean/decimal source casts cleanly
+            // for every non-null value, so emitting its invalid conjunct
+            // would make EVERY query on the index pay a vacuous
+            // predicate + an extra column read in the serving filter
+            // (found as the r13 q_json_field isolated-pair regression:
+            // the events index's bigint user_id conjunct widened the
+            // scan of a query that never touches user_id).
+            val srcType = df.select(src).schema.head.dataType
+            val canFail = srcType == StringType
+            val nanPossible = srcType == DoubleType || srcType == FloatType
+            if (canFail || nanPossible) {
+              // NaN-sentinel encoding: NULL = field missing, NaN =
+              // present-but-invalid (junk text OR a literal NaN — the
+              // reference's numeric index rejects both as invalid data,
+              // numeric_index_test.cc:93-95), finite = indexed value.
+              // NaN is free as a sentinel precisely BECAUSE it is
+              // invalid: the whole-key drop removes every NaN row from
+              // the serving relation, so predicates/sorts/replies never
+              // see one. The payoff is the validity conjunct below —
+              // ONE evaluation of the (possibly expensive: JSONPath
+              // extraction) source expression per row, where deriving
+              // invalid from (src, alias) pairs re-evaluated the source
+              // inside a Filter, which has no codegen subexpression
+              // elimination (the r13 q_json_field isolated-pair
+              // regression: 2× on a JSON-extraction scan). String
+              // sources convert through the single-pass
+              // [[graft.functions.try_double_or_nan]] expression;
+              // float/double sources carry NaN natively.
+              if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
+                // the cast REPLACES a same-named column; keep the raw
+                // value reachable (column-pruned unless read) so FT.INFO
+                // can count indexing failures (hash_indexing_failures)
+                // and replies can serve the stored bytes
+                df = df.withColumn(rawCol(fd.alias), src)
+              df = df.withColumn(fd.alias,
+                if (canFail) graft.functions.try_double_or_nan(src)
+                else src.cast(DoubleType))
+              invalidConds ::= isnan(col(fd.alias))
             } else
-              invalidConds ::= src.isNotNull && col(fd.alias).isNull
-            // "nan" parses to NaN under try_cast but the reference's
-            // numeric index rejects it as invalid data
-            // (numeric_index_test.cc:93-95) — scrub to NULL so NaN
-            // behaves as a missing field, not as the largest double
-            df = df.withColumn(fd.alias,
-              nanvl(src.try_cast(DoubleType), lit(null).cast(DoubleType)))
+              // integral/boolean/decimal: the cast cannot fail and NaN
+              // cannot occur — no raw preservation, no invalid conjunct
+              df = df.withColumn(fd.alias, src.try_cast(DoubleType))
           }
         case TagField(sep, caseSensitive) =>
           // aliased/JSON tag fields also need the raw value reachable

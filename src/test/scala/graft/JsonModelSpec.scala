@@ -150,6 +150,35 @@ class JsonModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first(1) == Vector("__v_score", "1", "$", docs.head._2))
   }
 
+  test("FT.INFO on a JSON index reports the JSONPath identifiers") {
+    val info = decode("FT.INFO", "jm").asInstanceOf[Vector[Any]]
+    val attrs = info(info.indexOf("attributes") + 1).asInstanceOf[Vector[Any]]
+    val ids = attrs.map { a =>
+      val m = a.asInstanceOf[Vector[Any]].grouped(2)
+        .map(p => p(0) -> p(1)).toMap
+      m("field") -> m("identifier")
+    }.toMap
+    assert(ids("n") == "$.n" && ids("v") == "$.v")
+  }
+
+  test("an ON JSON index save/loads with its document model intact") {
+    val dir = java.nio.file.Files.createTempDirectory("jm-sl")
+    try {
+      engine.saveIndex("jm", dir.toString)
+      val e2 = SearchEngine.loadIndex(spark, dir.toString, new SearchEngine)
+      val (sch, _) = e2.index("jm")
+      assert(sch.onJson)
+      val r = e2.searchReply("jm", "@n:[5 5]")
+      assert(r.total == 1L)
+      val row = r.rows.head
+      assert(row.getString(row.fieldIndex("$")) == docs.head._2)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // ---- CONFIG surface (verdict item 5) ----
 
   test("CONFIG GET returns [name, value] pairs; glob patterns match") {
