@@ -91,12 +91,14 @@ def main(out_dir):
             all_sets[f"{name}|{st}"] = d
     def load(n):
         with gzip.open(f"{REF}/compatibility/{n}.pickle.gz") as f:
-            return pickle.load(f)["answers"]
+            data = pickle.load(f)
+        # expr-answers is a bare list; the others wrap in {"answers": …}
+        return data["answers"] if isinstance(data, dict) else data
 
     # ---- golden `$` documents: validate serialize_doc byte-for-byte
     # against every serialized document a golden reply recorded ----
     golden_docs = {}  # (ds_name, schema_type, key) -> set(doc bytes)
-    for src in ("aggregate-answers", "text-search-answers"):
+    for src in ("aggregate-answers", "text-search-answers", "expr-answers"):
         for a in load(src):
             if a["key_type"] != "json" or "result" not in a:
                 continue
@@ -107,11 +109,21 @@ def main(out_dir):
             while i + 1 < len(r):
                 k, v = r[i], r[i + 1]
                 if isinstance(k, bytes) and isinstance(v, list):
+                    # search shape: key, [field, value, ...]
                     for j in range(0, len(v) - 1, 2):
                         if v[j] == b"$":
                             golden_docs.setdefault(
                                 (a["data_set_name"], a.get("schema_type"), k),
                                 set()).add(v[j + 1])
+                elif isinstance(k, list):
+                    # aggregate shape: [field, value, ...] rows without a
+                    # key — validate doc-set membership (key = None)
+                    for j in range(0, len(k) - 1, 2):
+                        if k[j] == b"$":
+                            golden_docs.setdefault(
+                                (a["data_set_name"], a.get("schema_type"), None),
+                                set()).add(k[j + 1])
+                    i -= 1  # rows are single elements, not pairs
                 i += 2
 
     validated, mismatched = 0, 0
@@ -130,6 +142,14 @@ def main(out_dir):
                         print(f"DOC MISMATCH {name} {k}:\n  ours   {doc!r}\n"
                               f"  golden {goldens!r}")
                 json_docs.append({"key": k, "doc": doc})
+            # keyless (aggregate-row) golden docs: set membership
+            ours = {jd["doc"].encode("utf-8") for jd in json_docs}
+            for g in golden_docs.get((base, st or None, None), set()):
+                if g in ours:
+                    validated += 1
+                else:
+                    mismatched += 1
+                    print(f"DOC MISMATCH (keyless) {name}: golden {g!r}")
             row = {
                 "name": name,
                 "create": d["hash creates"],
@@ -148,7 +168,10 @@ def main(out_dir):
             ("aggregate-answers", "hash", "answers_agg"),
             ("text-search-answers", "hash", "answers_text"),
             ("aggregate-answers", "json", "answers_agg_json"),
-            ("text-search-answers", "json", "answers_text_json")):
+            ("text-search-answers", "json", "answers_text_json"),
+            # the expression corpus (generate_expr.py) is recorded
+            # against the JSON model only
+            ("expr-answers", "json", "answers_expr_json")):
         seen = {}
         skipped = 0
         for a in load(src):

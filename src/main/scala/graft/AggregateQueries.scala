@@ -121,6 +121,9 @@ object AggregateQueries {
 
     // §2.6 time functions (0-based dow/month, gmtime fields)
     q("a_time_fns") { (s, dir) =>
+      // hour() ROUNDS the timestamp to the hour start (value.cc
+      // RoundToPeriod:800-815 — not the component extractor);
+      // dayofweek stays a 0-based component
       eng(s, dir).aggregate("events", "*", Seq(
         "APPLY", "hour(@ts_sec)", "AS", "h",
         "APPLY", "dayofweek(@ts_sec)", "AS", "dow",
@@ -130,11 +133,11 @@ object AggregateQueries {
         "SORTBY", "4", "@h", "ASC", "@dow", "ASC", "MAX", "200"))
         .withColumn("avg_value", round(col("avg_value"), 4))
     } {
-      """SELECT CAST(hour(ts) AS DOUBLE) AS h,
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS DOUBLE) AS h,
         |  CAST(dayofweek(ts) AS DOUBLE) AS dow,
         |  CAST(count(*) AS DOUBLE) AS n,
         |  round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC LIMIT 200""".stripMargin
     },
 
     // GROUPBY 0 = global aggregation

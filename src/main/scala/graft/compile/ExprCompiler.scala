@@ -255,16 +255,33 @@ final class ExprCompiler(
       else TypedCol(concat(args.map(asStr): _*), Str)
 
     case "dayofweek" => TypedCol(timeField(args.head, t => dayofweek(t) - 1), Num) // 0=Sunday
-    case "dayofmonth" | "day" => TypedCol(timeField(args.head, t => dayofmonth(t)), Num)
+    case "dayofmonth" => TypedCol(timeField(args.head, t => dayofmonth(t)), Num)
     case "dayofyear" => TypedCol(timeField(args.head, t => dayofyear(t) - 1), Num) // 0-based
-    case "monthofyear" | "month" => TypedCol(timeField(args.head, t => month(t) - 1), Num) // 0-based
+    case "monthofyear" => TypedCol(timeField(args.head, t => month(t) - 1), Num) // 0-based
     case "year" => TypedCol(timeField(args.head, t => year(t)), Num)
-    case "minute" => TypedCol(timeField(args.head, t => minute(t)), Num)
-    case "hour" => TypedCol(timeField(args.head, t => hour(t)), Num)
+    // day/hour/minute ROUND the timestamp down to the period start
+    // (value.cc RoundToPeriod:800-815 — pure floor arithmetic; they are
+    // NOT the component extractors the stale doc table suggests, and
+    // the golden expr corpus pins the rounding: day(0)=0, day(3.14)=0).
+    case "day" => TypedCol(roundToPeriod(args.head, 86400.0), Num)
+    case "hour" => TypedCol(roundToPeriod(args.head, 3600.0), Num)
+    case "minute" => TypedCol(roundToPeriod(args.head, 60.0), Num)
+    // month rounds to the FIRST of the month (value.cc FuncMonth:766-797:
+    // gmtime_r + mday=1 + mktime — month lengths vary, so no fixed period)
+    case "month" => TypedCol(
+      date_trunc("MONTH", timestamp_seconds(validTs(args.head).cast(LongType)))
+        .cast(LongType).cast(DoubleType), Num)
 
     case "timefmt" =>
+      // unlike the component extractors, timefmt formats PRE-EPOCH
+      // (negative) timestamps (value.cc FuncTimefmt:704-705 note); only
+      // NaN/Inf (and unconvertible) Nil here — the C (time_t) cast
+      // truncation toward zero is StrfTime's ts.toLong
       val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
-      TypedCol(timefmt(validTs(args.head), fmt), Str)
+      val d = numArg(args.head)
+      val finiteTs = when(d.isNull || isnan(d) || d === posInf || d === negInf,
+        lit(null).cast(DoubleType)).otherwise(d)
+      TypedCol(timefmt(finiteTs, fmt), Str)
     case "parsetime" =>
       val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
       TypedCol(parsetime(asStr(args.head), fmt), Num)
@@ -284,6 +301,13 @@ final class ExprCompiler(
   /** gmtime field extraction: integer unix seconds, UTC session TZ. */
   private def timeField(t: TypedCol, f: Column => Column): Column =
     f(timestamp_seconds(validTs(t).cast(LongType))).cast(DoubleType)
+
+  /** Fixed-period rounding (value.cc RoundToPeriod:800-815):
+    * floor(ts / period) · period on the DOUBLE — guards first. */
+  private def roundToPeriod(t: TypedCol, period: Double): Column = {
+    val d = validTs(t)
+    floor(d / lit(period)) * lit(period)
+  }
 
   /**
    * FuncSubstr (value.cc:534-566): negative offset counts from the end;

@@ -242,12 +242,15 @@ case class StrfTime(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val ts = l.asInstanceOf[Double]
     if (ts.isNaN || ts.isInfinite) return null
+    // empty format → Nil (value.cc FuncTimefmt:710-717, the 1.2.1
+    // timefmt_empty_format_to_nil fix; golden expr corpus pins it)
+    if (r.toString.isEmpty) return null
     UTF8String.fromString(StrfTime.format(ts.toLong, r.toString))
   }
 
-  /** Called from generated code; null on NaN/Inf. */
+  /** Called from generated code; null on NaN/Inf or empty format. */
   def genEval(ts: Double, fmt: UTF8String): UTF8String =
-    if (ts.isNaN || ts.isInfinite) null
+    if (ts.isNaN || ts.isInfinite || fmt.numBytes() == 0) null
     else UTF8String.fromString(StrfTime.format(ts.toLong, fmt.toString))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -330,14 +333,24 @@ object StrfTime {
         i += 1
       } else { rx.append(java.util.regex.Pattern.quote(c.toString)); i += 1 }
     }
+    // strptime PREFIX-matches: trailing input bytes are fine (it
+    // returns a pointer past the consumed prefix) — lookingAt, not
+    // matches (golden expr corpus: parsetime("hello","hell") succeeds)
     val m = java.util.regex.Pattern.compile(rx.toString).matcher(s)
-    if (!m.matches()) return None
+    if (!m.lookingAt()) return None
     order.zipWithIndex.foreach { case (f, idx) => fields(f) = m.group(idx + 1).toInt }
     try {
-      val dt = java.time.LocalDateTime.of(
-        fields.getOrElse('Y', 1970), fields.getOrElse('m', 1),
-        fields.getOrElse('d', 1), fields.getOrElse('H', 0),
+      // C semantics (value.cc FuncParsetime:736-763): the tm starts
+      // ZEROED — tm_year=0 (1900), tm_mon=0 (January), tm_mday=0, which
+      // mktime rolls back one day to Dec 31 1899 (-2209075200, the
+      // value the golden corpus pins for every field-free parse). A
+      // parsed %d supplies mday ≥ 1 and no rollback happens.
+      val mday = fields.getOrElse('d', 0)
+      val dt0 = java.time.LocalDateTime.of(
+        fields.getOrElse('Y', 1900), fields.getOrElse('m', 1),
+        math.max(mday, 1), fields.getOrElse('H', 0),
         fields.getOrElse('M', 0), fields.getOrElse('S', 0))
+      val dt = if (mday == 0) dt0.minusDays(1) else dt0
       Some(dt.toEpochSecond(ZoneOffset.UTC))
     } catch { case _: Exception => None }
   }

@@ -187,19 +187,26 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nilProp.toMap.apply("k5") == Some(1.0))
   }
 
-  test("time functions use 0-based dow/month (expr.cc:211-222)") {
+  test("time functions: 0-based dow/monthofyear components, day/hour/minute/month ROUND (value.cc:669-830)") {
     // 2021-03-14 15:09:26 UTC, a Sunday = 1615734566
     val rows = agg("*", "LIMIT", "0", "1",
       "APPLY", "dayofweek(1615734566)", "AS", "dow",
+      "APPLY", "monthofyear(1615734566)", "AS", "moy",
       "APPLY", "month(1615734566)", "AS", "mon",
       "APPLY", "year(1615734566)", "AS", "yr",
       "APPLY", "hour(1615734566)", "AS", "hr",
+      "APPLY", "day(1615734566)", "AS", "dy",
       "APPLY", "timefmt(1615734566)", "AS", "iso").collect()
     val r = rows.head
     assert(r.getAs[Double]("dow") == 0.0) // Sunday
-    assert(r.getAs[Double]("mon") == 2.0) // March, 0-based
+    assert(r.getAs[Double]("moy") == 2.0) // March, 0-based component
+    // month/hour/day ROUND the timestamp (value.cc FuncMonth:766-797,
+    // RoundToPeriod:800-815 — the doc table's "extract" wording is
+    // stale; the golden expr corpus pins the rounding)
+    assert(r.getAs[Double]("mon") == 1614556800.0) // 2021-03-01T00:00:00Z
     assert(r.getAs[Double]("yr") == 2021.0)
-    assert(r.getAs[Double]("hr") == 15.0)
+    assert(r.getAs[Double]("hr") == 1615734000.0) // 15:00:00 that day
+    assert(r.getAs[Double]("dy") == 1615680000.0) // 00:00:00 that day
     assert(r.getAs[String]("iso") == "2021-03-14T15:09:26Z")
     // round-trip
     val rt = agg("*", "LIMIT", "0", "1",
@@ -241,7 +248,9 @@ class AggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = rows.head
     assert(r.isNullAt(r.fieldIndex("neg"))) // negative ts → Nil (1.2.1)
     assert(r.isNullAt(r.fieldIndex("nan"))) // NaN ts → Nil
-    assert(r.isNullAt(r.fieldIndex("fneg")))
+    // timefmt formats PRE-EPOCH timestamps (value.cc FuncTimefmt:704-705
+    // — "unlike the component extractors"; golden expr corpus pins it)
+    assert(r.getAs[String]("fneg") == "1969-12-31T23:59:55Z")
     assert(r.isNullAt(r.fieldIndex("bad"))) // text field unconvertible
   }
 
