@@ -42,10 +42,17 @@ final case class TypedCol(c: Column, tag: VTag)
  * @param resolve  field alias → column + tag for the current record
  *                 (record schema evolves across FT.AGGREGATE stages)
  * @param params   PARAMS values, substituted as string constants
+ * @param emulate  `search.emulate-release` pin: a gated 1.2.1 fix
+ *                 (value.cc VALKEY_SEARCH_COMPATIBILITY_FIX sites)
+ *                 compiles its LEGACY branch when emulate < fix version
+ * @param legacyUsed callback per legacy-gated site compiled (feeds the
+ *                 reference's `compatibility-<label>` INFO counters)
  */
 final class ExprCompiler(
     resolve: String => Option[TypedCol],
-    params: Map[String, String] = Map.empty) {
+    params: Map[String, String] = Map.empty,
+    emulate: graft.model.ValkeyVersion = graft.model.ValkeyVersion.Module,
+    legacyUsed: String => Unit = _ => ()) {
 
   import Expr._
   import VTag._
@@ -53,6 +60,14 @@ final class ExprCompiler(
   private val nan = lit(Double.NaN)
   private val posInf = lit(Double.PositiveInfinity)
   private val negInf = lit(Double.NegativeInfinity)
+
+  /** VALKEY_SEARCH_COMPATIBILITY_FIX (valkey_search_options.h:180-197):
+    * compile `fixed` when the pin covers the fix version, else count
+    * the legacy use under `label` and compile `legacy`. */
+  private def fix[A](major: Int, minor: Int, patch: Int, label: String)(
+      fixed: => A)(legacy: => A): A =
+    if (emulate >= graft.model.ValkeyVersion(major, minor, patch)) fixed
+    else { legacyUsed(label); legacy }
 
   // ------------------------------------------------------------------ //
   // Value conversions (reference value.cc AsDouble/AsStringView/AsBool) //
@@ -75,11 +90,16 @@ final class ExprCompiler(
   }
 
   /** AsBool (value.cc:102-127): NaN → true, number → ≠0, string →
-    * non-empty; Nil → NULL. */
+    * non-empty (1.2.1 `asbool_string_truthy`; pre-1.2.1 every non-Nil
+    * string was false); Nil → NULL (the &&/||/Not callers propagate it
+    * — the reference checks IsNil before AsBool at those sites). */
   private def asBool(t: TypedCol): Column = t.tag match {
     case Bool => t.c
     case Num => when(isnan(t.c), lit(true)).otherwise(t.c =!= lit(0.0))
-    case Str => octet_length(t.c) > 0
+    case Str => fix(1, 2, 1, "asbool_string_truthy")(
+      octet_length(t.c) > 0)(
+      when(t.c.isNull, lit(null).cast(org.apache.spark.sql.types.BooleanType))
+        .otherwise(lit(false)))
   }
 
   /** IsTrue (value.h:81-84): Nil ⇒ false. The FILTER-stage predicate. */
@@ -202,10 +222,16 @@ final class ExprCompiler(
   // ------------------------------------------------------------------ //
 
   /** Numeric-fn input: Nil stays Nil; non-Nil unconvertible → NaN
-    * (value.cc NumericUnaryNil, 1.2.1). */
+    * (value.cc NumericUnaryNil, 1.2.1 `numeric_unary_nan_on_unparsable`;
+    * pre-1.2.1 unconvertible → Nil). The time functions share this
+    * conversion but Nil the NaN again behind their own guards, so the
+    * gate is only observable through the unary numeric functions —
+    * matching the reference, where only NumericUnaryNil is gated. */
   private def numArg(t: TypedCol): Column = t.tag match {
-    case Str => when(t.c.isNull, lit(null).cast(DoubleType))
-      .otherwise(coalesce(asNum(t), nan))
+    case Str => fix(1, 2, 1, "numeric_unary_nan_on_unparsable")(
+      when(t.c.isNull, lit(null).cast(DoubleType))
+        .otherwise(coalesce(asNum(t), nan)))(
+      asNum(t))
     case _ => asNum(t)
   }
 
@@ -233,16 +259,19 @@ final class ExprCompiler(
         .otherwise(f), Num)
 
     case "upper" | "lower" =>
-      // 1.2.1 semantics: non-string input → Nil (value.cc FuncLower).
+      // 1.2.1 semantics: non-string input → Nil (value.cc FuncLower,
+      // `lower_non_string_to_nil`/`upper_non_string_to_nil`; pre-1.2.1
+      // passed numeric/bool through via AsStringView unchanged).
       // ASCII-ONLY case mapping (value.cc:567-622: codepoints ≥ 0x80
       // pass through untouched) — translate(), not Unicode upper/lower.
+      def asciiMap(c: Column): Column =
+        if (name == "upper") translate(c, AsciiLowerChars, AsciiUpperChars)
+        else translate(c, AsciiUpperChars, AsciiLowerChars)
       args.head.tag match {
-        case Str =>
-          val mapped =
-            if (name == "upper") translate(args.head.c, AsciiLowerChars, AsciiUpperChars)
-            else translate(args.head.c, AsciiUpperChars, AsciiLowerChars)
-          TypedCol(mapped, Str)
-        case _ => TypedCol(lit(null).cast(org.apache.spark.sql.types.StringType), Str)
+        case Str => TypedCol(asciiMap(args.head.c), Str)
+        case _ => fix(1, 2, 1, s"${name}_non_string_to_nil")(
+          TypedCol(lit(null).cast(org.apache.spark.sql.types.StringType), Str))(
+          TypedCol(asciiMap(asStr(args.head)), Str))
       }
     case "strlen" => TypedCol(octet_length(asStr(args.head)).cast(DoubleType), Num)
     case "startswith" =>
@@ -254,7 +283,16 @@ final class ExprCompiler(
       if (args.isEmpty) TypedCol(lit(""), Str)
       else TypedCol(concat(args.map(asStr): _*), Str)
 
-    case "dayofweek" => TypedCol(timeField(args.head, t => dayofweek(t) - 1), Num) // 0=Sunday
+    case "dayofweek" =>
+      // pure arithmetic like the reference (FuncDayofweek
+      // value.cc:675-697: FLOORED day count, (days+4) mod 7 — ts=0 was
+      // a Thursday) rather than gmtime extraction: exact under the
+      // relaxed pre-1.2.1 negative-ts guard, where a time_t cast would
+      // truncate toward zero instead of flooring (ts=-0.5 is still
+      // Wednesday), and identical for every non-negative timestamp
+      val d = validTs(args.head)
+      TypedCol(pmod(floor(d / lit(86400.0)) + lit(4L), lit(7L))
+        .cast(DoubleType), Num) // 0=Sunday
     case "dayofmonth" => TypedCol(timeField(args.head, t => dayofmonth(t)), Num)
     case "dayofyear" => TypedCol(timeField(args.head, t => dayofyear(t) - 1), Num) // 0-based
     case "monthofyear" => TypedCol(timeField(args.head, t => month(t) - 1), Num) // 0-based
@@ -267,10 +305,15 @@ final class ExprCompiler(
     case "hour" => TypedCol(roundToPeriod(args.head, 3600.0), Num)
     case "minute" => TypedCol(roundToPeriod(args.head, 60.0), Num)
     // month rounds to the FIRST of the month (value.cc FuncMonth:766-797:
-    // gmtime_r + mday=1 + mktime — month lengths vary, so no fixed period)
-    case "month" => TypedCol(
-      date_trunc("MONTH", timestamp_seconds(validTs(args.head).cast(LongType)))
-        .cast(LongType).cast(DoubleType), Num)
+    // gmtime_r + mday=1 + mktime — month lengths vary, so no fixed
+    // period; pre-1.2.1 `month_mday_off_by_one` set mday=0, which
+    // mktime rolls back one day — off by exactly 86400 seconds)
+    case "month" =>
+      val first =
+        date_trunc("MONTH", timestamp_seconds(validTs(args.head).cast(LongType)))
+          .cast(LongType).cast(DoubleType)
+      TypedCol(fix(1, 2, 1, "month_mday_off_by_one")(first)(
+        first - lit(86400.0)), Num)
 
     case "timefmt" =>
       // unlike the component extractors, timefmt formats PRE-EPOCH
@@ -281,21 +324,35 @@ final class ExprCompiler(
       val d = numArg(args.head)
       val finiteTs = when(d.isNull || isnan(d) || d === posInf || d === negInf,
         lit(null).cast(DoubleType)).otherwise(d)
-      TypedCol(timefmt(finiteTs, fmt), Str)
+      // pre-1.2.1 `timefmt_empty_format_to_nil`: an empty format
+      // fast-pathed to "" (reached only after the timestamp checks)
+      TypedCol(fix(1, 2, 1, "timefmt_empty_format_to_nil")(
+        timefmt(finiteTs, fmt))(
+        when(finiteTs.isNotNull && octet_length(fmt) === 0, lit(""))
+          .otherwise(timefmt(finiteTs, fmt))), Str)
     case "parsetime" =>
       val fmt = if (args.size > 1) asStr(args(1)) else lit("%FT%TZ")
-      TypedCol(parsetime(asStr(args.head), fmt), Num)
+      val s = asStr(args.head)
+      // pre-1.2.1 `parsetime_format_mismatch_to_nil`: a failed strptime
+      // fed the zeroed tm to mktime anyway → the constant -2209075200
+      // (Dec 31 1899 UTC); Nil operands still propagate as Nil
+      TypedCol(fix(1, 2, 1, "parsetime_format_mismatch_to_nil")(
+        parsetime(s, fmt))(
+        when(s.isNull || fmt.isNull, lit(null).cast(DoubleType))
+          .otherwise(coalesce(parsetime(s, fmt), lit(-2209075200.0)))), Num)
 
     case other => throw new ExprParseException(s"Function $other is unknown")
   }
 
-  /** Timestamp guard (value.cc TIME_FUNCTION, 1.2.1 semantics):
-    * non-finite or negative unix seconds → Nil. Also keeps ANSI mode
-    * from throwing on cast(NaN AS BIGINT). */
+  /** Timestamp guard (value.cc TIME_FUNCTION): non-finite → Nil always
+    * (UB hardening in the reference; keeps ANSI mode from throwing on
+    * cast(NaN AS BIGINT)); negative → Nil under the 1.2.1
+    * `date_fn_negative_ts_to_nil` fix, computed pre-1.2.1. */
   private def validTs(t: TypedCol): Column = {
     val d = numArg(t)
-    when(d.isNull || isnan(d) || d === posInf || d === negInf || d < 0,
-      lit(null).cast(DoubleType)).otherwise(d)
+    val bad = d.isNull || isnan(d) || d === posInf || d === negInf
+    val cond = fix(1, 2, 1, "date_fn_negative_ts_to_nil")(bad || d < 0)(bad)
+    when(cond, lit(null).cast(DoubleType)).otherwise(d)
   }
 
   /** gmtime field extraction: integer unix seconds, UTC session TZ. */

@@ -29,7 +29,8 @@ import graft.query.{AggStage, Expr, ExprParseException, Reducer}
  */
 private[engine] final class AggregatePipeline(
     schema: IndexSchema,
-    params: Map[String, String]) {
+    params: Map[String, String],
+    emulate: ValkeyVersion = ValkeyVersion.Module) {
 
   import AggStage._
 
@@ -55,7 +56,8 @@ private[engine] final class AggregatePipeline(
       else schema.field(name).map(fd => TypedCol(col(fd.alias), fieldTag(fd)))
     }
 
-  private def compiler = new ExprCompiler(resolve, params)
+  private def compiler =
+    new ExprCompiler(resolve, params, emulate, Metrics.legacyUsed)
 
   def run(initial: DataFrame, scoreField: Option[String], stages: Seq[AggStage]): DataFrame = {
     var df = initial

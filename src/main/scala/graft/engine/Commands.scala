@@ -107,18 +107,40 @@ final class Commands(
         engine.prefilterThresholdRatio = d
       }),
     numKnob("search.max-nonvector-search-results-fetched", 0L, 4294967295L,
-      () => engine.maxNonVectorResultsFetched.toLong,
-      // the engine caps pages through an Int-typed limit(); values past
-      // Int.MaxValue are operationally "unbounded" exactly like the
-      // reference's UINT32_MAX default-max
-      n => engine.maxNonVectorResultsFetched =
-        math.min(n, Int.MaxValue.toLong).toInt),
+      // GET echoes the configured uint32 verbatim (the reference
+      // round-trips the full range); the Int.MaxValue clamp the
+      // engine's limit() arithmetic needs is applied where the cap is
+      // CONSUMED (SearchEngine.maxNonVectorResultsFetched), not here
+      () => engine.maxNonVectorResultsFetchedRaw,
+      n => engine.maxNonVectorResultsFetchedRaw = n),
     numKnob("search.fuzzy-max-distance", 1L, 50L,
       () => engine.fuzzyMaxDistance.toLong,
       n => engine.fuzzyMaxDistance = n.toInt),
     numKnob("search.timeout-ms", 1L, 60000L, // kMaxTimeoutMs cap
       () => engine.defaultTimeoutMs,
-      n => engine.defaultTimeoutMs = n))
+      n => engine.defaultTimeoutMs = n),
+    // Compatibility-bug emulation pin (valkey_search_options.h:161-197,
+    // COMPATIBILITY.md "Compatibility Defects"): major.minor.patch;
+    // floor 1.0.0 (kEmulateReleaseMin), ceiling this engine's newest
+    // implemented fix version (can't emulate the future —
+    // valkey_search_options.cc ValidateEmulateRelease).
+    "search.emulate-release" -> Knob(
+      () => engine.emulateRelease.toString,
+      { v =>
+        val ver = graft.model.ValkeyVersion.parse(v).getOrElse(
+          throw new ExprParseException(
+            "CONFIG SET failed - argument couldn't be parsed into a " +
+              "version (major.minor.patch)"))
+        if (ver < graft.model.ValkeyVersion.Min)
+          throw new ExprParseException(
+            s"CONFIG SET failed - argument must be >= " +
+              s"${graft.model.ValkeyVersion.Min}")
+        if (ver > graft.model.ValkeyVersion.Module)
+          throw new ExprParseException(
+            s"CONFIG SET failed - search.emulate-release must be <= " +
+              s"${graft.model.ValkeyVersion.Module}")
+        engine.emulateRelease = ver
+      }))
 
   /** Valkey CONFIG glob: `*` and `?` only (util.c stringmatch subset —
     * the full grammar also has [classes], unused for config names). */
@@ -135,12 +157,15 @@ final class Commands(
       case "GET" =>
         if (args.length < 2) throw new ExprParseException(
           "wrong number of arguments for 'config|get' command")
-        // flat [name, value, ...] pairs, pattern-matched like Valkey
-        args.tail.flatMap(pat =>
-          knobs.toSeq.sortBy(_._1).collect {
-            case (name, k) if globMatch(pat.toLowerCase, name) =>
-              Seq(name, k.get())
-          }.flatten).distinct
+        // flat [name, value, ...] pairs, pattern-matched like Valkey.
+        // Dedupe by knob NAME (a knob matched by overlapping patterns
+        // appears once) BEFORE pairing — deduping the flattened array
+        // would drop a repeated VALUE string and misalign every pair
+        // after it (e.g. two knobs both set to "3").
+        args.tail
+          .flatMap(pat => knobs.keys.filter(globMatch(pat.toLowerCase, _)))
+          .distinct.sorted
+          .flatMap(name => Seq(name, knobs(name).get()))
       case "SET" =>
         if (args.length != 3) throw new ExprParseException(
           "wrong number of arguments for 'config|set' command")
@@ -487,8 +512,15 @@ final class Commands(
     // always-in-memory text index — otherwise every query re-runs the
     // analyzer over the corpus (tokenize-on-read, a per-query cost the
     // reference never pays).
+    // pre-1.3.0 emulation (invalid data ≡ missing field, no whole-key
+    // drop) is consulted at create time, like the reference consulting
+    // the knob per mutation — a later CONFIG SET does not re-judge
+    // already-indexed keys
+    val legacyInvalid = !engine.emulationEnabled(1, 3, 0)
+    if (legacyInvalid) Metrics.legacyUsed("invalid_data_drops_key")
     engine.createIndex(schema,
-      graft.sources.Documents.enrich(bound, schema, keyExpr = Some(keyExpr)),
+      graft.sources.Documents.enrich(bound, schema, keyExpr = Some(keyExpr),
+        legacyInvalidData = legacyInvalid),
       resident = schema.textFields.nonEmpty)
     // SKIPINITIALSCAN: the index starts EMPTY awaiting the stream — the
     // initial fill has not happened (FT.INFO backfill fields,

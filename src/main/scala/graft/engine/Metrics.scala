@@ -81,6 +81,23 @@ object Metrics {
     override def initialValue(): Boolean = false
   }
 
+  /** Legacy-behavior usage counters (reference
+    * VALKEY_SEARCH_COMPATIBILITY_FIX, valkey_search_options.h:180-197:
+    * each gated site registers an INFO integer named
+    * `compatibility-<label>` and bumps it when the legacy branch runs).
+    * This engine compiles expressions to vectorized Catalyst columns,
+    * so the counter increments once per legacy-gated site COMPILED into
+    * a command (not per row evaluated) — the command-level analogue of
+    * the reference's per-evaluation count. */
+  private val compatLegacy =
+    scala.collection.concurrent.TrieMap.empty[String, AtomicLong]
+  def legacyUsed(label: String): Unit = {
+    compatLegacy.getOrElseUpdate(label, new AtomicLong).incrementAndGet()
+    ()
+  }
+  def legacyUses(label: String): Long =
+    compatLegacy.get(label).map(_.get()).getOrElse(0L)
+
   def observeLatencyNanos(nanos: Long): Unit = latency.observeNanos(nanos)
 
   /** Time an action, recording latency + success/failure counters. */
@@ -108,7 +125,10 @@ object Metrics {
       "query_inline_filtering_requests_cnt" -> knnInline.get(),
       "query_nonvector_results_fetched_limited_cnt" -> nonVectorFetchLimited.get(),
       "query_result_record_dropped_cnt" -> queryResultRecordDropped.get())
-    counters ++ latency.snapshot() ++ hnswSearchLatency.snapshot() ++
+    counters ++
+      compatLegacy.toSeq.sortBy(_._1).map { case (l, c) =>
+        s"compatibility-$l" -> c.get() } ++
+      latency.snapshot() ++ hnswSearchLatency.snapshot() ++
       flatSearchLatency.snapshot() ++ nonVectorLatency.snapshot() ++
       aggregateLatency.snapshot()
   }
@@ -118,6 +138,7 @@ object Metrics {
       queryHybrid, knnPrefilter, knnInline, nonVectorFetchLimited,
       queryResultRecordDropped)
       .foreach(_.set(0))
+    compatLegacy.clear()
     Seq(latency, hnswSearchLatency, flatSearchLatency, nonVectorLatency,
       aggregateLatency).foreach(_.reset())
   }

@@ -655,8 +655,21 @@ class SearchEngine {
     * truncated set, like the reference's appender stopping at the cap.
     * OOM guardrail for match-all / low-selectivity fetches; LIMIT
     * pages past the cap need it raised (same caveat as the
-    * reference's config doc). */
-  var maxNonVectorResultsFetched: Int = 100000
+    * reference's config doc).
+    *
+    * Stored as the configured uint32 (`...Raw`) so CONFIG GET
+    * round-trips the full reference range; the engine consumes it
+    * through the Int accessor, where values past Int.MaxValue are
+    * operationally "unbounded" exactly like the reference's
+    * UINT32_MAX default-max (pages go through an Int-typed
+    * `limit()`). */
+  var maxNonVectorResultsFetchedRaw: Long = 100000L
+  def maxNonVectorResultsFetched: Int =
+    // MaxValue − 1, not MaxValue: truncation detection materializes
+    // cap + 1 rows (`limit(cap + 1)`), which must not overflow Int
+    math.min(maxNonVectorResultsFetchedRaw, (Int.MaxValue - 1).toLong).toInt
+  def maxNonVectorResultsFetched_=(n: Int): Unit =
+    maxNonVectorResultsFetchedRaw = n.toLong
 
   /** Per-record reply content limits (reference
     * `search.max-search-result-record-size` default 5 MB and
@@ -687,6 +700,33 @@ class SearchEngine {
     * TIMEOUT). [[executeWithTimeout]] reads it when the caller passes
     * no explicit budget. */
   var defaultTimeoutMs: Long = 50000
+
+  /** `search.emulate-release` (reference valkey_search_options.h:
+    * 161-197, COMPATIBILITY.md "Compatibility Defects"): pins the
+    * engine to the behavior of an older release — every
+    * compatibility-bug fix shipped after the pinned version runs its
+    * LEGACY branch and bumps a `compatibility-<label>` INFO counter.
+    * Gated sites here: the 1.2.1 expression fixes (value.cc — string
+    * truthiness, NaN-on-unparsable, upper/lower non-string, the
+    * date-function negative-ts guard, timefmt empty format, parsetime
+    * format mismatch, month's mday rollback) and the 1.3.0
+    * invalid-data whole-key drop (index_schema.cc:713-727).
+    *
+    * Default: [[graft.model.ValkeyVersion.Module]] (fully-fixed
+    * semantics). The reference defaults to major.0.0 — legacy — but
+    * this engine's differential goldens are the REDISEARCH answers
+    * (integration/compatibility answers pickles), which pin the
+    * fixed semantics, so fixed is this engine's compatible default.
+    * Like the reference, the knob applies to work done AFTER the SET:
+    * expressions consult it at compile time, enrichment at
+    * FT.CREATE/maintenance-batch time — already-indexed keys are not
+    * retroactively re-judged. */
+  var emulateRelease: ValkeyVersion = ValkeyVersion.Module
+
+  /** True iff the fix shipped in `major.minor.patch` is active under
+    * the current [[emulateRelease]] (reference EnabledInVersion). */
+  def emulationEnabled(major: Int, minor: Int, patch: Int): Boolean =
+    emulateRelease >= ValkeyVersion(major, minor, patch)
 
   /** Posting fetch is only taken when the fetched key slice is ≤ this
     * fraction of the corpus — the reference planner's cardinality rule
@@ -1530,7 +1570,8 @@ class SearchEngine {
     }
 
     val stringParams = opts.params.collect { case (k, StringParam(v)) => k -> v }
-    new AggregatePipeline(schema, stringParams).run(df, scoreField, stages)
+    new AggregatePipeline(schema, stringParams, emulateRelease)
+      .run(df, scoreField, stages)
   }
 
   /**
@@ -1932,7 +1973,16 @@ class SearchEngine {
     val failAggs = schema.fields.map { fd =>
       val agg = fd.ftype match {
         case NumericField =>
-          sum(when(coalesce(isnan(col(fd.alias)), lit(false)), 1L).otherwise(0L))
+          // NaN sentinel = fixed-mode invalid; (raw present, alias
+          // NULL) = legacy-mode invalid (emulate-release < 1.3.0
+          // enrichment NULLs the field instead of whole-key dropping).
+          // The two shapes are mutually exclusive per enrichment mode,
+          // so one predicate serves both.
+          val legacyInvalid = rawExpr(fd)
+            .map(raw => raw.isNotNull && col(fd.alias).isNull)
+            .getOrElse(lit(false))
+          sum(when(coalesce(isnan(col(fd.alias)), lit(false)) || legacyInvalid,
+            1L).otherwise(0L))
         case _ => rawExpr(fd) match {
           case Some(raw) =>
             sum(when(raw.isNotNull && col(fd.alias).isNull, 1L).otherwise(0L))

@@ -220,9 +220,16 @@ object Documents {
         if (ok) out else null
       })
 
+  /** @param legacyInvalidData pre-1.3.0 `invalid_data_drops_key`
+    *   emulation (reference index_schema.cc:713-727, gated on
+    *   search.emulate-release): the offending FIELD is treated as
+    *   MISSING (NULL — no NaN sentinel, no whole-key drop) instead of
+    *   removing the key from every index. Raw values are still
+    *   preserved so FT.INFO counts the per-field failures either way. */
   def enrich(raw: DataFrame, schema: IndexSchema,
              keyExpr: Option[Column] = None,
-             analyzer: Option[Analyzer.Config] = None): DataFrame = {
+             analyzer: Option[Analyzer.Config] = None,
+             legacyInvalidData: Boolean = false): DataFrame = {
     // default: the schema's own index-level text options (FT.CREATE
     // STOPWORDS/PUNCTUATION/MINSTEMSIZE/NOSTEM)
     val idxCfg = analyzer.getOrElse(schema.analyzer)
@@ -248,53 +255,67 @@ object Documents {
       val src = sourceColumn(fd.identifier)
       fd.ftype match {
         case NumericField =>
-          if (isJsonPath(fd.identifier) || fd.alias != fd.identifier ||
-              df.schema(fd.identifier).dataType != DoubleType) {
-            // Invalid-data is only POSSIBLE when the source can fail the
-            // double conversion: strings (junk text) and float/double
-            // (NaN). An integral/boolean/decimal source casts cleanly
-            // for every non-null value, so emitting its invalid conjunct
-            // would make EVERY query on the index pay a vacuous
-            // predicate + an extra column read in the serving filter
-            // (found as the r13 q_json_field isolated-pair regression:
-            // the events index's bigint user_id conjunct widened the
-            // scan of a query that never touches user_id).
-            val srcType = df.select(src).schema.head.dataType
-            val canFail = srcType == StringType
-            val nanPossible = srcType == DoubleType || srcType == FloatType
-            if (canFail || nanPossible) {
-              // NaN-sentinel encoding: NULL = field missing, NaN =
-              // present-but-invalid (junk text OR a literal NaN — the
-              // reference's numeric index rejects both as invalid data,
-              // numeric_index_test.cc:93-95), finite = indexed value.
-              // NaN is free as a sentinel precisely BECAUSE it is
-              // invalid: the whole-key drop removes every NaN row from
-              // the serving relation, so predicates/sorts/replies never
-              // see one. The payoff is the validity conjunct below —
-              // ONE evaluation of the (possibly expensive: JSONPath
-              // extraction) source expression per row, where deriving
-              // invalid from (src, alias) pairs re-evaluated the source
-              // inside a Filter, which has no codegen subexpression
-              // elimination (the r13 q_json_field isolated-pair
-              // regression: 2× on a JSON-extraction scan). String
-              // sources convert through the single-pass
-              // [[graft.functions.try_double_or_nan]] expression;
-              // float/double sources carry NaN natively.
-              if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
-                // the cast REPLACES a same-named column; keep the raw
-                // value reachable (column-pruned unless read) so FT.INFO
-                // can count indexing failures (hash_indexing_failures)
-                // and replies can serve the stored bytes
-                df = df.withColumn(rawCol(fd.alias), src)
+          // No same-named-DoubleType early-exit here: a native double
+          // source can hold NaN, and skipping the block would leave
+          // those rows SERVED (sorting as largest double) while the
+          // FT.INFO failure counter (isnan over the enriched column)
+          // counts them — the whole-key-drop invariant requires the
+          // isnan conjunct for every NaN-capable source shape.
+          //
+          // Invalid-data is only POSSIBLE when the source can fail the
+          // double conversion: strings (junk text) and float/double
+          // (NaN). An integral/boolean/decimal source casts cleanly
+          // for every non-null value, so emitting its invalid conjunct
+          // would make EVERY query on the index pay a vacuous
+          // predicate + an extra column read in the serving filter
+          // (found as the r13 q_json_field isolated-pair regression:
+          // the events index's bigint user_id conjunct widened the
+          // scan of a query that never touches user_id).
+          val srcType = df.select(src).schema.head.dataType
+          val canFail = srcType == StringType
+          val nanPossible = srcType == DoubleType || srcType == FloatType
+          if (canFail || nanPossible) {
+            // NaN-sentinel encoding: NULL = field missing, NaN =
+            // present-but-invalid (junk text OR a literal NaN — the
+            // reference's numeric index rejects both as invalid data,
+            // numeric_index_test.cc:93-95), finite = indexed value.
+            // NaN is free as a sentinel precisely BECAUSE it is
+            // invalid: the whole-key drop removes every NaN row from
+            // the serving relation, so predicates/sorts/replies never
+            // see one. The payoff is the validity conjunct below —
+            // ONE evaluation of the (possibly expensive: JSONPath
+            // extraction) source expression per row, where deriving
+            // invalid from (src, alias) pairs re-evaluated the source
+            // inside a Filter, which has no codegen subexpression
+            // elimination (the r13 q_json_field isolated-pair
+            // regression: 2× on a JSON-extraction scan). String
+            // sources convert through the single-pass
+            // [[graft.functions.try_double_or_nan]] expression;
+            // float/double sources carry NaN natively.
+            if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
+              // the cast REPLACES a same-named column; keep the raw
+              // value reachable (column-pruned unless read) so FT.INFO
+              // can count indexing failures (hash_indexing_failures)
+              // and replies can serve the stored bytes
+              df = df.withColumn(rawCol(fd.alias), src)
+            val converted =
+              if (canFail) graft.functions.try_double_or_nan(src)
+              else src.cast(DoubleType)
+            if (legacyInvalidData)
+              // pre-1.3.0: invalid ≡ missing — NULL the field, keep the
+              // key; FT.INFO recovers the failure count from (raw
+              // present, alias NULL) like the vector path
               df = df.withColumn(fd.alias,
-                if (canFail) graft.functions.try_double_or_nan(src)
-                else src.cast(DoubleType))
+                when(isnan(converted), lit(null).cast(DoubleType))
+                  .otherwise(converted))
+            else {
+              df = df.withColumn(fd.alias, converted)
               invalidConds ::= isnan(col(fd.alias))
-            } else
-              // integral/boolean/decimal: the cast cannot fail and NaN
-              // cannot occur — no raw preservation, no invalid conjunct
-              df = df.withColumn(fd.alias, src.try_cast(DoubleType))
-          }
+            }
+          } else
+            // integral/boolean/decimal: the cast cannot fail and NaN
+            // cannot occur — no raw preservation, no invalid conjunct
+            df = df.withColumn(fd.alias, src.try_cast(DoubleType))
         case TagField(sep, caseSensitive) =>
           // aliased/JSON tag fields also need the raw value reachable
           // under the alias (RETURN projections, FT.INFO counts)
@@ -347,7 +368,9 @@ object Documents {
             df = df.withColumn(fd.alias, sized)
           }
           // unparsable string / wrong dimension = invalid data
-          invalidConds ::=
+          // (pre-1.3.0: the NULL alias already IS missing semantics —
+          // no whole-key conjunct)
+          if (!legacyInvalidData) invalidConds ::=
             (if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
                col(rawCol(fd.alias)).isNotNull
              else src.isNotNull) && col(fd.alias).isNull

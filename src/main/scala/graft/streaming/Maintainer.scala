@@ -219,6 +219,17 @@ final class IndexMaintainer(
 
   private def spark = engine.index(indexName)._2.sparkSession
 
+  /** Batch enrichment under the engine's CURRENT emulate-release pin —
+    * the reference consults the knob per mutation
+    * (index_schema.cc:713-727), so each maintenance batch re-reads it;
+    * pre-1.3.0 emulation treats invalid data as a missing field
+    * instead of whole-key dropping. */
+  private def enrichDocs(raw: DataFrame): DataFrame = {
+    val legacy = !engine.emulationEnabled(1, 3, 0)
+    if (legacy) graft.engine.Metrics.legacyUsed("invalid_data_drops_key")
+    Documents.enrich(raw, schema, legacyInvalidData = legacy)
+  }
+
   // ------------------------------------------------------------------ //
   // LSM-shaped doc relation (docsSource mode). Rebuilding the relation //
   // from the full state EVERY batch makes the first query after a      //
@@ -288,7 +299,7 @@ final class IndexMaintainer(
     docBaseVersion += 1
     val path = s"$docsDir/v$docBaseVersion"
     raw.write.mode("overwrite").parquet(path)
-    val newEnriched0 = Documents.enrich(spark.read.parquet(path), schema)
+    val newEnriched0 = enrichDocs(spark.read.parquet(path))
     val newEnriched =
       if (schema.textFields.nonEmpty) persistDf(newEnriched0) else newEnriched0
     Seq(docBaseEnriched, docTombs, docOverlayRaw, docOverlayEnriched)
@@ -337,7 +348,7 @@ final class IndexMaintainer(
           .unionByName(rawUpserts)))
     val overlayRows = newOverlayRaw.count()
     val newOverlayEnriched = persistDf(
-      Documents.enrich(newOverlayRaw, schema))
+      enrichDocs(newOverlayRaw))
     Seq(docTombs, docOverlayRaw, docOverlayEnriched)
       .foreach(_.foreach(_.unpersist(blocking = false)))
     docTombs = Some(newTombs)
@@ -379,7 +390,7 @@ final class IndexMaintainer(
       if (!graft.util.FsIO.isDir(spark, basePath))
         throw new IllegalStateException(
           s"doc-LSM manifest names missing base dir $basePath")
-      val baseEnriched0 = Documents.enrich(spark.read.parquet(basePath), schema)
+      val baseEnriched0 = enrichDocs(spark.read.parquet(basePath))
       val baseEnriched =
         if (schema.textFields.nonEmpty) persistDf(baseEnriched0)
         else baseEnriched0
@@ -417,7 +428,7 @@ final class IndexMaintainer(
           .drop("__lt_key", "__lastver", "__segver")
         val newTombs = persistDf(keysAll.select(col(kc)).distinct())
         val newOverlayRaw = persistDf(overlayRaw0)
-        val newOverlayEnriched = persistDf(Documents.enrich(newOverlayRaw, schema))
+        val newOverlayEnriched = persistDf(enrichDocs(newOverlayRaw))
         docTombs = Some(newTombs)
         docOverlayRaw = Some(newOverlayRaw)
         docOverlayEnriched = Some(newOverlayEnriched)
@@ -633,7 +644,7 @@ final class IndexMaintainer(
     if (postingStores.isEmpty && suffixStores.isEmpty && ann.isEmpty &&
         positionalStores.isEmpty && docsSource.isEmpty) return
     val upserts = batch.filter(col("op") === "upsert").drop("op", "__seq")
-    val enriched = Documents.enrich(upserts, schema)
+    val enriched = enrichDocs(upserts)
     val changedKeys = batch.select(col("__key").cast("string").as("__key"))
 
     // refresh the docs relation FIRST: createIndex drops ALL derived

@@ -67,6 +67,31 @@ class NumericIndexParitySpec extends AnyFunSuite {
     assert(row.getAs[Long]("hash_indexing_failures") == 3)
   }
 
+  test("a same-named native DOUBLE source drops NaN rows whole-key, " +
+      "consistently with the FT.INFO failure count") {
+    // r14 ADVICE: the enrich block's same-named-DoubleType early-exit
+    // skipped the isnan invalid conjunct, so a native NaN row stayed in
+    // the serving relation (sorting as largest double) while FT.INFO's
+    // isnan aggregate counted it as a hash_indexing_failure — serving
+    // and metrics disagreed. The conjunct is emitted for every
+    // NaN-capable source shape now.
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("d1", 1.5), ("d2", Double.NaN), ("d3", 42.0))
+      .toDF("__key", "num") // num is already DoubleType, alias == identifier
+    val schema = IndexSchema("numnative", Seq(FieldDef("num", NumericField)))
+    val e = new SearchEngine().createIndex(schema, Documents.enrich(docs, schema))
+    def k(q: String): Set[String] =
+      e.search("numnative", q, SearchOptions(limit = (0, 10), noContent = true))
+        .collect().map(_.getString(0)).toSet
+    assert(k("@num:[-inf +inf]") == Set("d1", "d3"))
+    // whole-key drop: the NaN row is absent from negations too
+    assert(k("-@num:[-inf +inf]") == Set.empty)
+    val row = e.info("numnative").collect().head
+    assert(row.getAs[Long]("num_docs") == 2)
+    assert(row.getAs[Long]("hash_indexing_failures") == 1)
+  }
+
   test("inclusive/exclusive bounds replay (RangeSearchInclusiveExclusive)") {
     assert(keys("@num:[7.5 42]") == Set("key4", "key5"))
     assert(keys("@num:[(7.5 42]") == Set("key4"))
