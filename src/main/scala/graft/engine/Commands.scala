@@ -62,9 +62,9 @@ final class Commands(
         maintainerByIndex.remove(argv(1))
         "OK"
       case "FT._LIST" => engine.listIndexes
-      case "FT.INFO" => // scope/consistency args ≡ LOCAL here
+      case "FT.INFO" =>
         requireIndex("FT.INFO", argv)
-        engine.info(argv(1))
+        ftInfoScoped(argv)
       // Server INFO, SEARCH section (reference metrics surface,
       // src/metrics.h:29-80): engine-wide counters as (metric, value).
       case "INFO" => engine.metricsInfo(source(Nil)._1.sparkSession)
@@ -72,6 +72,35 @@ final class Commands(
       case "FT.AGGREGATE" => ftAggregate(new Args(argv.tail))
       case "CONFIG" => config(argv.tail)
       case other => throw new ExprParseException(s"unknown command $other")
+    }
+  }
+
+  /** FT.INFO optional args (reference ft_info_parser.cc:33-117;
+    * COMMANDS.md:86-146): LOCAL|PRIMARY|CLUSTER scope plus the
+    * ALLSHARDS|SOMESHARDS and CONSISTENT|INCONSISTENT fanout flags —
+    * keyword flags in any order (KeyValueParser), last one wins,
+    * anything else is "Unexpected parameter". This deployment has no
+    * cluster coordinator, so PRIMARY/CLUSTER are REJECTED with the
+    * reference's exact non-cluster-configuration errors
+    * (ft_info_parser.cc:100-111 — the same path a reference node
+    * without `IsCluster() && UsingCoordinator()` takes); the fanout
+    * flags parse fine and only modulate fanout, so under LOCAL they
+    * are accepted no-ops there and here. */
+  private def ftInfoScoped(argv: Seq[String]): DataFrame = {
+    var scope = "LOCAL"
+    argv.drop(2).foreach { tok =>
+      tok.toUpperCase match {
+        case s @ ("LOCAL" | "PRIMARY" | "CLUSTER") => scope = s
+        case "ALLSHARDS" | "SOMESHARDS" | "CONSISTENT" | "INCONSISTENT" => ()
+        case _ => throw new ExprParseException(s"Unexpected parameter: $tok")
+      }
+    }
+    scope match {
+      case "PRIMARY" => throw new ExprParseException(
+        "PRIMARY option is not valid in this configuration")
+      case "CLUSTER" => throw new ExprParseException(
+        "CLUSTER option is not valid in this configuration")
+      case _ => engine.info(argv(1))
     }
   }
 

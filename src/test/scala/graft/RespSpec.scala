@@ -176,4 +176,23 @@ class RespSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ok = decode(resp.execute(Seq("FT.CREATE", "r_t2", "SCHEMA", "body", "TEXT")))
     assert(ok == "OK")
   }
+
+  test("FT.INFO scope args: LOCAL + fanout flags accepted, PRIMARY/CLUSTER " +
+      "rejected like a reference node without a cluster coordinator") {
+    // the fanout flags are keyword flags in any order
+    // (ft_info_parser.cc:33-76) and only modulate fanout — accepted
+    // no-ops under LOCAL
+    val info = decode(resp.execute(Seq("FT.INFO", "r_t", "LOCAL",
+      "ALLSHARDS", "CONSISTENT"))).asInstanceOf[Vector[Any]]
+    assert(info.grouped(2).map(p => (p(0), p(1))).toMap.apply("index_name") == "r_t")
+    // non-cluster configuration: PRIMARY/CLUSTER are errors with the
+    // reference's exact messages (ft_info_parser.cc:100-111)
+    assert(decode(resp.execute(Seq("FT.INFO", "r_t", "PRIMARY"))) ==
+      (("ERR", "PRIMARY option is not valid in this configuration")))
+    assert(decode(resp.execute(Seq("FT.INFO", "r_t", "CLUSTER", "SOMESHARDS"))) ==
+      (("ERR", "CLUSTER option is not valid in this configuration")))
+    // anything else is an unexpected parameter (ft_info_parser.cc:94-97)
+    assert(decode(resp.execute(Seq("FT.INFO", "r_t", "BOGUS"))) ==
+      (("ERR", "Unexpected parameter: BOGUS")))
+  }
 }
