@@ -1965,6 +1965,21 @@ class SearchEngine {
         else None
       case _ => None
     }
+    // A NUMERIC field carries the NaN-sentinel encoding iff its source
+    // was a CONVERSION (string column or JSONPath extraction) —
+    // Documents.enrich's invalid-data boundary. JSONPath extractions
+    // are always strings; aliased sources keep their original column
+    // (check its type); same-named string sources were REPLACED by the
+    // cast but preserved under rawCol (rawCol presence IS the marker —
+    // enrich writes it only on the sentinel path for numeric fields).
+    def numericSentinelShape(fd: FieldDef, d: DataFrame): Boolean =
+      if (graft.sources.Documents.isJsonPath(fd.identifier)) true
+      else if (fd.alias != fd.identifier)
+        scala.util.Try(d.select(
+            graft.sources.Documents.sourceColumn(fd.identifier))
+          .schema.head.dataType == org.apache.spark.sql.types.StringType)
+          .getOrElse(false)
+      else d.columns.contains(graft.sources.Documents.rawCol(fd.alias))
     // hash_indexing_failures (reference index_schema.cc FT.INFO reply):
     // numeric failures carry the NaN sentinel in the enriched column
     // (Documents.enrich: NULL = missing, NaN = present-but-invalid, one
@@ -1972,17 +1987,23 @@ class SearchEngine {
     // enriched form is NULL (wrong dimension, unparsable string)
     val failAggs = schema.fields.map { fd =>
       val agg = fd.ftype match {
-        case NumericField =>
-          // NaN sentinel = fixed-mode invalid; (raw present, alias
-          // NULL) = legacy-mode invalid (emulate-release < 1.3.0
-          // enrichment NULLs the field instead of whole-key dropping).
-          // The two shapes are mutually exclusive per enrichment mode,
-          // so one predicate serves both.
+        case NumericField if numericSentinelShape(fd, docs) =>
+          // Conversion-bearing (string/JSON) source: NaN sentinel =
+          // fixed-mode invalid; (raw present, alias NULL) = legacy-mode
+          // invalid (emulate-release < 1.3.0 enrichment NULLs the field
+          // instead of whole-key dropping). The two shapes are mutually
+          // exclusive per enrichment mode, so one predicate serves both.
           val legacyInvalid = rawExpr(fd)
             .map(raw => raw.isNotNull && col(fd.alias).isNull)
             .getOrElse(lit(false))
           sum(when(coalesce(isnan(col(fd.alias)), lit(false)) || legacyInvalid,
             1L).otherwise(0L))
+        case NumericField =>
+          // native numeric source: the cast is total and NaN is a VALUE
+          // of the typed column, never invalid data — serving keeps such
+          // rows (Documents.enrich emits no conjunct), so counting them
+          // here would make metrics and serving disagree
+          sum(lit(0L))
         case _ => rawExpr(fd) match {
           case Some(raw) =>
             sum(when(raw.isNotNull && col(fd.alias).isNull, 1L).otherwise(0L))

@@ -255,26 +255,26 @@ object Documents {
       val src = sourceColumn(fd.identifier)
       fd.ftype match {
         case NumericField =>
-          // No same-named-DoubleType early-exit here: a native double
-          // source can hold NaN, and skipping the block would leave
-          // those rows SERVED (sorting as largest double) while the
-          // FT.INFO failure counter (isnan over the enriched column)
-          // counts them — the whole-key-drop invariant requires the
-          // isnan conjunct for every NaN-capable source shape.
-          //
-          // Invalid-data is only POSSIBLE when the source can fail the
-          // double conversion: strings (junk text) and float/double
-          // (NaN). An integral/boolean/decimal source casts cleanly
-          // for every non-null value, so emitting its invalid conjunct
-          // would make EVERY query on the index pay a vacuous
-          // predicate + an extra column read in the serving filter
-          // (found as the r13 q_json_field isolated-pair regression:
-          // the events index's bigint user_id conjunct widened the
-          // scan of a query that never touches user_id).
+          // Invalid-data exists exactly where a CONVERSION can fail:
+          // string sources (wire bytes, junk text) and JSONPath
+          // extractions (always strings). A NATIVE numeric column —
+          // including float/double, where NaN is a representable VALUE
+          // of the type — is typed data with no reference analogue
+          // (the reference's sources are hash byte-strings and JSON
+          // documents; its invalid-data concept IS conversion
+          // failure), so it gets no validity conjunct and no raw copy:
+          // the serving scan stays prunable to RETURN ∪ filter
+          // identifiers (the reference's own fetch model,
+          // response_generator.cc expected_fetched_identifiers —
+          // pinned by ResponseGeneratorParitySpec — and the r13
+          // q_json_field isolated-pair lesson: a vacuous conjunct
+          // widens every scan on the index). FT.INFO's failure counter
+          // applies the SAME boundary, so serving and metrics agree:
+          // native NaN is data (Spark NaN ordering applies), never a
+          // hash_indexing_failure.
           val srcType = df.select(src).schema.head.dataType
           val canFail = srcType == StringType
-          val nanPossible = srcType == DoubleType || srcType == FloatType
-          if (canFail || nanPossible) {
+          if (canFail) {
             // NaN-sentinel encoding: NULL = field missing, NaN =
             // present-but-invalid (junk text OR a literal NaN — the
             // reference's numeric index rejects both as invalid data,
@@ -290,17 +290,16 @@ object Documents {
             // elimination (the r13 q_json_field isolated-pair
             // regression: 2× on a JSON-extraction scan). String
             // sources convert through the single-pass
-            // [[graft.functions.try_double_or_nan]] expression;
-            // float/double sources carry NaN natively.
+            // [[graft.functions.try_double_or_nan]] expression.
             if (!isJsonPath(fd.identifier) && fd.alias == fd.identifier)
               // the cast REPLACES a same-named column; keep the raw
               // value reachable (column-pruned unless read) so FT.INFO
               // can count indexing failures (hash_indexing_failures)
-              // and replies can serve the stored bytes
+              // and replies can serve the stored bytes. rawCol presence
+              // is also FT.INFO's marker that this alias carries the
+              // sentinel encoding.
               df = df.withColumn(rawCol(fd.alias), src)
-            val converted =
-              if (canFail) graft.functions.try_double_or_nan(src)
-              else src.cast(DoubleType)
+            val converted = graft.functions.try_double_or_nan(src)
             if (legacyInvalidData)
               // pre-1.3.0: invalid ≡ missing — NULL the field, keep the
               // key; FT.INFO recovers the failure count from (raw
@@ -312,9 +311,11 @@ object Documents {
               df = df.withColumn(fd.alias, converted)
               invalidConds ::= isnan(col(fd.alias))
             }
-          } else
-            // integral/boolean/decimal: the cast cannot fail and NaN
-            // cannot occur — no raw preservation, no invalid conjunct
+          } else if (isJsonPath(fd.identifier) || fd.alias != fd.identifier ||
+                     srcType != DoubleType)
+            // native numeric source (incl. float — the widening cast is
+            // total and NaN passes through as a value): no raw
+            // preservation, no invalid conjunct, scan stays prunable
             df = df.withColumn(fd.alias, src.try_cast(DoubleType))
         case TagField(sep, caseSensitive) =>
           // aliased/JSON tag fields also need the raw value reachable

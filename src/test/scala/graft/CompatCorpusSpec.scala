@@ -584,4 +584,26 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failed == 0,
       s"$failed/$total JSON text-corpus mismatches beyond COMPAT_DELTAS.md — see info()")
   }
+
+  test("expression corpus under emulate-release=1.2.0: legacy branches are LIVE " +
+      "(goldens pin the FIXED semantics, so legacy MUST flip some of them)") {
+    // The goldens are the Redisearch answers = the 1.2.1 fixed
+    // semantics. Pinning the knob below 1.2.1 must therefore flip
+    // every golden whose expression exercises a gated site
+    // (COMPATIBILITY.md "Compatibility Defects") — a zero-flip replay
+    // would mean the legacy branches are wired but inert. Exact
+    // per-site legacy values are pinned in EmulateReleaseSpec; this
+    // test quantifies the knob's corpus-level blast radius and proves
+    // the default-mode replay above isn't vacuously insensitive.
+    engine.emulateRelease = graft.model.ValkeyVersion(1, 2, 0)
+    val (total, failures, _, _) =
+      try replay("/compat/answers_expr_json.jsonl.gz",
+        a => if (datasets.contains(a.ds)) a.ds else s"${a.ds}|default",
+        loadDatasetJson, exprStrictness = true)
+      finally engine.emulateRelease = graft.model.ValkeyVersion.Module
+    val flipped = failures.values.sum
+    info(s"replayed $total under 1.2.0, flipped $flipped")
+    failures.toSeq.sortBy(-_._2).take(10).foreach { case (k, n) => info(s"  $n × $k") }
+    assert(flipped > 0, "legacy pin flipped nothing — gated sites are inert")
+  }
 }

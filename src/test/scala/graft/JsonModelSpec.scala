@@ -256,9 +256,10 @@ class JsonModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decode("CONFIG", "SET", "search.timeout-ms", "3") == "OK")
     try {
       val all = decode("CONFIG", "GET", "search.*").asInstanceOf[Vector[Any]]
-      assert(all.length == 8) // 4 knobs × (name, value)
+      assert(all.length == 10) // 5 knobs × (name, value)
       val m = all.grouped(2).map(p => p(0) -> p(1)).toMap
       assert(m("search.fuzzy-max-distance") == "3")
+      assert(m("search.emulate-release") == "1.3.0")
       assert(m("search.timeout-ms") == "3")
       assert(m("search.max-nonvector-search-results-fetched") == "100000")
       assert(m("search.prefiltering-threshold-ratio") == "0.001")
@@ -268,7 +269,7 @@ class JsonModelSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("CONFIG GET dedupes a knob matched by overlapping patterns — by NAME") {
     val r = decode("CONFIG", "GET", "search.*", "*fuzzy*")
       .asInstanceOf[Vector[Any]]
-    assert(r.length == 8) // fuzzy-max-distance appears once, not twice
+    assert(r.length == 10) // fuzzy-max-distance appears once, not twice
     assert(r.count(_ == "search.fuzzy-max-distance") == 1)
   }
 

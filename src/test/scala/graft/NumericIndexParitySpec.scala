@@ -67,14 +67,17 @@ class NumericIndexParitySpec extends AnyFunSuite {
     assert(row.getAs[Long]("hash_indexing_failures") == 3)
   }
 
-  test("a same-named native DOUBLE source drops NaN rows whole-key, " +
-      "consistently with the FT.INFO failure count") {
-    // r14 ADVICE: the enrich block's same-named-DoubleType early-exit
-    // skipped the isnan invalid conjunct, so a native NaN row stayed in
-    // the serving relation (sorting as largest double) while FT.INFO's
-    // isnan aggregate counted it as a hash_indexing_failure — serving
-    // and metrics disagreed. The conjunct is emitted for every
-    // NaN-capable source shape now.
+  test("a native DOUBLE source treats NaN as a VALUE: served, never a failure — " +
+      "serving and FT.INFO agree on the conversion boundary") {
+    // The invalid-data concept exists exactly where a CONVERSION can
+    // fail (string/JSON sources — the reference's only source shapes).
+    // A native typed double column has no reference analogue; NaN is a
+    // representable value of the type. The engine neither drops such
+    // rows nor counts them as hash_indexing_failures (r14 ADVICE found
+    // the two sides disagreeing — FT.INFO counted what serving kept;
+    // resolved on the NATIVE side of the boundary so the serving scan
+    // stays prunable to RETURN ∪ filter identifiers, the reference's
+    // own fetch model pinned by ResponseGeneratorParitySpec).
     val sp = spark; import sp.implicits._
     val docs = Seq(
       ("d1", 1.5), ("d2", Double.NaN), ("d3", 42.0))
@@ -84,12 +87,13 @@ class NumericIndexParitySpec extends AnyFunSuite {
     def k(q: String): Set[String] =
       e.search("numnative", q, SearchOptions(limit = (0, 10), noContent = true))
         .collect().map(_.getString(0)).toSet
-    assert(k("@num:[-inf +inf]") == Set("d1", "d3"))
-    // whole-key drop: the NaN row is absent from negations too
+    // Spark NaN ordering: NaN is larger than any double, equal to itself
+    assert(k("@num:[-inf +inf]") == Set("d1", "d2", "d3"))
+    assert(k("@num:[0 100]") == Set("d1", "d3"))
     assert(k("-@num:[-inf +inf]") == Set.empty)
     val row = e.info("numnative").collect().head
-    assert(row.getAs[Long]("num_docs") == 2)
-    assert(row.getAs[Long]("hash_indexing_failures") == 1)
+    assert(row.getAs[Long]("num_docs") == 3) // nothing dropped
+    assert(row.getAs[Long]("hash_indexing_failures") == 0) // nothing failed
   }
 
   test("inclusive/exclusive bounds replay (RangeSearchInclusiveExclusive)") {
