@@ -458,6 +458,10 @@ object PipelineQueries {
           .as("text"))
       val d = docs(s, dir).select(col("doc_id"), col("text"))
         .unionByName(boiler)
+        // 17k trivial rows: the 33-partition union (32-way range leaf +
+        // the scan) pays ~70 near-empty tasks per downstream stage;
+        // four partitions keep the simhash map parallel at ~0 task tax
+        .coalesce(4)
       val pairs = Dedup.simhashNearDups(d, "doc_id", "text")
         .select(col("key_a").cast("long").as("a"),
           col("key_b").cast("long").as("b"), col("hamming"))
@@ -504,7 +508,10 @@ object PipelineQueries {
       }
       val sp = s
       import sp.implicits._
-      val df = (aRows ++ bRows).toDF("k", "hash")
+      // 70-row planted fixture: two partitions, not the 32 the local-
+      // relation leaf default would give — per-task overhead owns this
+      // gate otherwise (tasks carry ~nothing)
+      val df = (aRows ++ bRows).toDF("k", "hash").coalesce(2)
       // saltGroups = 2 (not the default 8): identical semantics — the
       // triangle construction emits the same pairs for any g — but 3
       // task-groups instead of 36 on this 70-row corpus, where group
@@ -574,7 +581,9 @@ object PipelineQueries {
         Seq((1000L + 2 * p, toks.mkString(" ")),
           (1001L + 2 * p, (toks.init :+ s"k${p}_x").mkString(" ")))
       }
-      val df = (family ++ keepers).toDF("doc_id", "text")
+      // 140-row planted fixture: same narrow-layout rationale as
+      // p_dedup_hamming_capped
+      val df = (family ++ keepers).toDF("doc_id", "text").coalesce(2)
       def run(cap: Option[Int]) = Dedup.minhashNearDups(df, "doc_id", "text",
           shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5,
           maxBandFreq = cap)
@@ -1157,6 +1166,10 @@ object PipelineQueries {
         substring(col("text"), 81, 40),
         when(col("doc_id") % 5 === 0, lit("alpha beta"))
           .otherwise(lit("of that have with be to")))
+      // NOT widened: the gopher/repetition structs feed a FILTER, and
+      // Catalyst pushes filters below an inserted exchange — the heavy
+      // expressions stay in the single scan task while the exchange
+      // adds cost (isolated pair: 1.46 s → 2.43 s with the widen)
       val kept = docs(s, dir)
         .withColumn("__t", t)
         .withColumn("__g", TextMetrics.gopherRules(col("__t"), minWords = 15))
@@ -1490,10 +1503,10 @@ object PipelineQueries {
     q("p_dsir_select") { (s, dir) =>
       val d = docs(s, dir)
       val nB = 1024
-      val (tgt, raw) =
-        Curation.dsirBucketCountsSplit(d, "text", col("lang") === "en", nB)
-      val ratio = Curation.dsirLogRatio(tgt, raw)
-      Curation.dsirResample(d, "doc_id", "text", ratio, k = 200)
+      // fused fit+select: bucket arrays computed once (bit-identical
+      // to the split dsirBucketCountsSplit → dsirResample chain)
+      Curation.dsirSelectSplit(d, "doc_id", "text",
+          col("lang") === "en", nB, k = 200)
         .select(col("doc_id").cast("string").as("__key"),
           round(col("__dsir_logw"), 4).as("logw"))
         .orderBy(col("__key").asc)
@@ -1561,10 +1574,11 @@ object PipelineQueries {
         d.filter(col("doc_id") % 97 === 0), "text", n = 8)
       val quality = clean.filter(size(split(col("text"), " ")) >= 30)
       val nB = 1024
-      val (tgt, raw) = Curation.dsirBucketCountsSplit(
-        quality, "text", col("lang") === "en", nB)
-      val ratio = Curation.dsirLogRatio(tgt, raw)
-      val selected = Curation.dsirResample(quality, "doc_id", "text", ratio, k = 150)
+      // fused fit+select: the dedup→decontaminate→quality chain above
+      // executes ONCE (persisted inside dsirSelectSplit) and the
+      // bucket arrays are shared between fit and scoring
+      val selected = Curation.dsirSelectSplit(quality, "doc_id", "text",
+        col("lang") === "en", nB, k = 150)
       Curation.packSequences(selected, "doc_id",
           tokens = size(split(col("text"), " ")), budget = 512,
           shardCols = Seq("source"))
@@ -2299,7 +2313,7 @@ object PipelineQueries {
     q("p_video_neardup") { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long].map { id =>
+        .select(col("doc_id")).transform(graft.util.Parallelism.ensure).as[Long].map { id =>
           val group = (id / 3).toInt
           val seed0 = if (id % 3 == 2) group + 1000 else group
           val bright = if (id % 3 == 1) 6 else 0

@@ -755,7 +755,13 @@ class SearchEngine {
         docs.filter(!coalesce(col(graft.sources.Documents.InvalidCol), lit(false)))
       else docs
     val stored =
-      if (resident) serving.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // resident caches pin their partition layout for every later
+      // query — widen a byte-small (often single-partition) enrichment
+      // once at registration so text predicates/proximity run
+      // cores-wide off the cache (scale-adaptive: no-op when the
+      // source already carries ≥ cores partitions)
+      if (resident) graft.util.Parallelism.ensure(serving)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else serving
     infoDocs(schema.name) = docs
     // ALL derived state describes the PREVIOUS registered relation —
@@ -1542,6 +1548,13 @@ class SearchEngine {
           // lookup population across search AND aggregate traffic
           if (baseCacheEnabled && parsed.knn.isEmpty)
             baseCacheMisses.incrementAndGet()
+          // NOT widened (Parallelism.ensure) on purpose: double
+          // reducers (AVG/SUM/STDDEV) are summation-order-sensitive,
+          // and re-partitioning the pipeline input changes which rows
+          // each partial aggregate sees — measured flipping a
+          // round(avg, 4) at the rounding boundary at sf0.01. The
+          // reducer results must stay bit-stable under the engine's
+          // declared plan, so the aggregate keeps the scan's layout.
           filterStage(schema, docs, parsed, opts, ep)
       }
     }

@@ -83,6 +83,11 @@ object Curation {
   def contaminationHits(candidates: DataFrame, keyCol: String, textCol: String,
                         benchmark: DataFrame, benchTextCol: String,
                         n: Int = 8): DataFrame = {
+    // NOT widened (Parallelism.ensure): measured at sf0.1, the added
+    // exchanges cost more than the one-pass native n-gram expression
+    // they would parallelize (isolated pair: 0.36 s → 0.88 s with the
+    // widen) — the explode+broadcast-probe is shuffle-bound, not
+    // compute-bound
     val benchNg = benchmark
       .select(explode(wordShingles(col(benchTextCol), n)).as("ng")).distinct()
     candidates
@@ -294,7 +299,7 @@ object Curation {
     // chunk count via integer ceil((n - overlap) / stride), min 1
     val m = greatest(lit(1),
       floor(((n - overlap + stride - 1).cast("double")) / stride).cast("int"))
-    df.withColumn("__w", w).withColumn("__n", n)
+    graft.util.Parallelism.ensure(df).withColumn("__w", w).withColumn("__n", n)
       .select(col(keyCol), col("__w"), col("__n"),
         posexplode(transform(sequence(lit(0), m - 1), i => struct(
           array_join(slice(col("__w"), i * stride + 1, lit(size)), " ").as("chunk_text"),
@@ -436,7 +441,8 @@ object Curation {
     * MODEL — B ≈ 10⁴ longs — not data). One agg with map-side partial
     * combine; nothing else reaches the driver. */
   def dsirBucketCounts(df: DataFrame, textCol: String, nBuckets: Int): Array[Long] = {
-    val rows = df.select(explode(dsirBuckets(col(textCol), nBuckets)).as("b"))
+    val rows = graft.util.Parallelism.ensure(df)
+      .select(explode(dsirBuckets(col(textCol), nBuckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c")).collect()
     val out = new Array[Long](nBuckets)
     rows.foreach(r => out(r.getAs[Int]("b")) = r.getAs[Long]("c"))
@@ -453,7 +459,8 @@ object Curation {
   def dsirBucketCountsSplit(pool: DataFrame, textCol: String,
                             targetPred: Column,
                             nBuckets: Int): (Array[Long], Array[Long]) = {
-    val rows = pool.select(targetPred.as("__t"),
+    val rows = graft.util.Parallelism.ensure(pool)
+      .select(targetPred.as("__t"),
         explode(dsirBuckets(col(textCol), nBuckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
@@ -483,7 +490,7 @@ object Curation {
     * ratio literal — map-only, no join, no shuffle. */
   def dsirScore(df: DataFrame, textCol: String,
                 logRatio: Array[Double]): DataFrame =
-    df.withColumn("__dsir_logw",
+    graft.util.Parallelism.ensure(df).withColumn("__dsir_logw",
       aggregate(dsirBuckets(col(textCol), logRatio.length), lit(0.0),
         (acc, b) => acc + element_at(typedLit(logRatio.toSeq), b + 1)))
 
@@ -502,5 +509,66 @@ object Curation {
       .withColumn("__dsir_score", col("__dsir_logw") - log(-log(u)))
       .orderBy(col("__dsir_score").desc, col(keyCol).cast("string").asc)
       .limit(k)
+  }
+
+  /**
+   * Fused DSIR selection for the standard predicate-target shape: fit
+   * ([[dsirBucketCountsSplit]] → [[dsirLogRatio]]) and select
+   * ([[dsirResample]]) with the n-gram BUCKET ARRAYS computed ONCE.
+   *
+   * Equivalent by construction to
+   * {{{
+   *   val (t, r) = dsirBucketCountsSplit(pool, textCol, targetPred, nB)
+   *   dsirResample(pool, keyCol, textCol, dsirLogRatio(t, r), k, seed)
+   * }}}
+   * — the histogram explodes, and the scorer folds, the SAME
+   * materialized array the single [[dsirBuckets]] evaluation produced
+   * (bucket values are deterministic per row, and the fold order is
+   * the array order either way, so logw is bit-identical) — but the
+   * dominant model cost (tokenize + md5 per unigram/bigram) is paid
+   * once instead of twice, and the upstream `pool` plan (often a whole
+   * dedup/decontamination chain) EXECUTES once instead of twice: the
+   * bucketed relation is persisted across the fit action and released
+   * after the selection materializes (k rows, checkpointed — callers
+   * compose further stages without re-running the chain).
+   */
+  def dsirSelectSplit(pool: DataFrame, keyCol: String, textCol: String,
+                      targetPred: Column, nBuckets: Int, k: Int,
+                      seed: String = "dsir"): DataFrame = {
+    val bCol = "__dsir_buckets"
+    val bucketed = graft.util.Parallelism.ensure(pool)
+      .withColumn(bCol, dsirBuckets(col(textCol), nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // fit: same counts as dsirBucketCountsSplit, read off the cache
+      val rows = bucketed.select(targetPred.as("__t"),
+          explode(col(bCol)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"),
+          sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+        .collect()
+      val raw = new Array[Long](nBuckets)
+      val tgt = new Array[Long](nBuckets)
+      rows.foreach { r =>
+        raw(r.getAs[Int]("b")) = r.getAs[Long]("c")
+        tgt(r.getAs[Int]("b")) = r.getAs[Long]("ct")
+      }
+      val logRatio = dsirLogRatio(tgt, raw)
+      // select: dsirResample's exact expressions, folding the cached
+      // array instead of re-deriving it from the text
+      val h = conv(substring(md5(concat(col(keyCol).cast("string"), lit(seed))),
+        1, 8), 16, 10).cast("double")
+      val u = (h + lit(0.5)) / lit(4294967296.0)
+      val selected = bucketed
+        .withColumn("__dsir_logw",
+          aggregate(col(bCol), lit(0.0),
+            (acc, b) => acc + element_at(typedLit(logRatio.toSeq), b + 1)))
+        .withColumn("__dsir_score", col("__dsir_logw") - log(-log(u)))
+        .orderBy(col("__dsir_score").desc, col(keyCol).cast("string").asc)
+        .limit(k)
+        .drop(bCol)
+      // k rows: eager checkpoint so the cache can be released before
+      // the caller composes downstream stages
+      selected.localCheckpoint(eager = true)
+    } finally bucketed.unpersist(blocking = false)
   }
 }

@@ -204,7 +204,11 @@ object Dedup {
     // pipeline AND both sides of the verification join — without the
     // persist the shingle construction executes three times (no subplan
     // reuse across DataFrame self-join branches).
-    val base = df.select(col(keyCol).as("k"),
+    // widen a byte-small input: shingle hashing + signatures are the
+    // compute wall (scale-adaptive — no-op when the scan already has
+    // ≥ cores partitions)
+    val base = graft.util.Parallelism.ensure(df)
+      .select(col(keyCol).as("k"),
         hashedShingles(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Persist the fixed-width (k, sig, sz) relation: the signature is
@@ -400,8 +404,9 @@ object Dedup {
                         maxShingleFreq: Option[Int] = Some(1000),
                         saltAbove: Option[Int] = None,
                         saltGroups: Int = 8): DataFrame = {
-    val base = df.select(col(keyCol).as("k"),
-      hashedShingles(col(textCol), shingleN).as("sh"))
+    val base = graft.util.Parallelism.ensure(df)
+      .select(col(keyCol).as("k"),
+        hashedShingles(col(textCol), shingleN).as("sh"))
     val sizes = base.select(col("k"), size(col("sh")).as("sz"))
     var posting = base.select(col("k"), explode(col("sh")).as("s"))
     maxShingleFreq.foreach { cap =>
@@ -717,7 +722,9 @@ object Dedup {
    */
   def embeddingNearDupsExact(df: DataFrame, keyCol: String, vecCol: String,
                              minCosine: Double): DataFrame = {
-    val base = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+    // widen the probe side: the O(n²) cosine loop is pure compute
+    val base = graft.util.Parallelism.ensure(df)
+      .select(col(keyCol).as("k"), col(vecCol).as("v"))
     base.as("a").join(broadcast(base.as("b")), col("a.k") < col("b.k"))
       .withColumn("cosine", cosineSim(col("a.v"), col("b.v")))
       .filter(col("cosine") >= minCosine)
@@ -760,7 +767,8 @@ object Dedup {
       else df.select(size(col(vecCol)).as("d")).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = hyperplanes(numPlanes, planeDim, seed)
-    val base = df.select(col(keyCol).as("k"), col(vecCol).as("v"))
+    val base = graft.util.Parallelism.ensure(df)
+      .select(col(keyCol).as("k"), col(vecCol).as("v"))
       .withColumn("sig", signBits(col("v"), planes))
     val bandStructs = array((0 until bands).map(j => struct(lit(j).as("band"),
       shiftrightunsigned(col("sig"), j * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))): _*)
@@ -944,7 +952,8 @@ object Dedup {
     import spark.implicits._
     val cells = if (nCells > 0) nCells else Ann.autoCells(df.count())
     val centroids = Ann.kmeansCentroids(df, vecCol, cells)
-    val base = df.select(col(keyCol).cast("string").as("k"),
+    val base = graft.util.Parallelism.ensure(df)
+      .select(col(keyCol).cast("string").as("k"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("cell", Ann.cellId(col("v"), centroids))
     val minC = minCosine
@@ -1011,7 +1020,7 @@ object Dedup {
   def duplicatedWindows(df: DataFrame, keyCol: String, textCol: String,
                         minTokens: Int = 50): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
-    val win = df
+    val win = graft.util.Parallelism.ensure(df)
       .select(col(keyCol).cast("string").as("__key"),
         graft.functions.token_window_hashes(
           split(col(textCol), " "), minTokens).as("__hs"))

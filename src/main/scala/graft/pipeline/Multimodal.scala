@@ -638,7 +638,7 @@ object Multimodal {
   def videoFrameHashes(media: Dataset[MediaRow], stride: Int = 1): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "video").flatMap { m =>
+    graft.util.Parallelism.ensureDs(media).filter(_.kind == "video").flatMap { m =>
       VideoCodec.decode(m.payload) match {
         case Some(v) =>
           (0 until v.frameCount by math.max(1, stride)).iterator.flatMap { i =>

@@ -190,6 +190,9 @@ object TextMetrics {
   }
 
   /** Keep only documents passing every Gopher rule. */
+  // not widened (Parallelism.ensure): the rules struct feeds a FILTER,
+  // which Catalyst pushes below any inserted exchange — the compute
+  // would stay single-task and the exchange is pure cost
   def gopherFilter(df: DataFrame, textCol: String,
                    minWords: Int = 50, maxWords: Int = 100000): DataFrame =
     df.filter(gopherRules(col(textCol), minWords, maxWords).getField("pass"))

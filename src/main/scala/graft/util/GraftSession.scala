@@ -34,6 +34,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE re-optimize (incl. partition coalescing) the plans that
+      // materialize persisted relations. Default false only to keep
+      // cached-output partitioning bit-stable for consumers that rely
+      // on it — nothing here does (every cache consumer re-shuffles or
+      // aggregates) — while the dedup/near-dup operators persist many
+      // small post-shuffle relations whose fixed shuffle.partitions
+      // layout otherwise pays cores× near-empty tasks per downstream
+      // stage at ANY scale where the cached relation is byte-small.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
     if (master.startsWith("local-cluster")) {
       // worker memory is the third bracket figure (MB); leave the
       // executor a margin under it for the worker's own accounting

@@ -117,4 +117,54 @@ class DsirSpec extends AnyFunSuite {
     assert(tgt.toSeq == Curation.dsirBucketCounts(df.filter(col("lang") === "en"), "t", b).toSeq)
     assert(raw.toSeq == Curation.dsirBucketCounts(df, "t", b).toSeq)
   }
+
+  test("dsirSelectSplit (fused fit+select, r16) is bit-identical to the split chain") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // mixed-vocab pool so the ratio is non-trivial and Gumbel ties are
+    // broken by real logw differences
+    val rnd = new scala.util.Random(16L)
+    val vocabA = Vector("zebra", "quark", "lattice", "meson", "photon")
+    val vocabB = Vector("pebble", "harbor", "lantern", "meadow", "cedar")
+    val pool = (0 until 120).map { i =>
+      val v = if (i % 3 == 0) vocabA else vocabB
+      val lang = if (i % 3 == 0) "en" else "fr"
+      (i.toLong, lang, Seq.fill(6 + rnd.nextInt(6))(v(rnd.nextInt(v.size))).mkString(" "))
+    }.toDF("doc_id", "lang", "t")
+    val (tgt, raw) = Curation.dsirBucketCountsSplit(pool, "t", col("lang") === "en", B)
+    val ratio = Curation.dsirLogRatio(tgt, raw)
+    val want = Curation.dsirResample(pool, "doc_id", "t", ratio, k = 30)
+      .select(col("doc_id"), col("__dsir_logw"), col("__dsir_score"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val got = Curation.dsirSelectSplit(pool, "doc_id", "t",
+        col("lang") === "en", B, k = 30)
+      .select(col("doc_id"), col("__dsir_logw"), col("__dsir_score"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want) // exact doubles: same fold over the same arrays
+    // column surface parity with dsirResample (pool cols + logw + score)
+    val cols = Curation.dsirSelectSplit(pool, "doc_id", "t",
+      col("lang") === "en", B, k = 5).columns.toSeq
+    assert(cols == Seq("doc_id", "lang", "t", "__dsir_logw", "__dsir_score"))
+  }
+
+  test("Parallelism.ensure widens a small scan, honors explicit layouts, and keeps rows") {
+    val sp = spark; import sp.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    val df = (0 until 1000).map(i => (i.toLong, s"row $i")).toDF("k", "t")
+    val widened = graft.util.Parallelism.ensure(df.coalesce(1))
+    // explicit caller layout (coalesce = Repartition node) is honored
+    assert(widened.rdd.getNumPartitions == 1)
+    // a plain small local relation widens to the session default
+    val plain = graft.util.Parallelism.ensure(df)
+    assert(plain.rdd.getNumPartitions == target)
+    // row multiset unchanged
+    assert(plain.as[(Long, String)].collect().sorted.toSeq ==
+      df.as[(Long, String)].collect().sorted.toSeq)
+    // idempotence: ensure(ensure(df)) adds no second exchange
+    val twice = graft.util.Parallelism.ensure(plain)
+    val exchanges = twice.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }
+    assert(exchanges.size == 1)
+  }
 }

@@ -34,6 +34,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(name: String): String =
     Queries.all(name)(spark, dir).queryExecution.explainString(FormattedMode)
 
+  /** The EXECUTED plan: queries over the resident (cached) relation are
+    * AQE-planned since the cache fill carries the registration-time
+    * widening exchange (Parallelism.ensure) — codegen annotations exist
+    * only on finalized stages, so codegen-fusion pins must execute THIS
+    * DataFrame's own QueryExecution (collect — a count() spawns a
+    * different one) and assert on the finalized explain output. */
+  private def finalPlan(name: String): String = {
+    val df = Queries.all(name)(spark, dir)
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
   test("q_numeric_range: range predicate reaches the parquet scan; top-k, not global sort") {
     val p = plan("q_numeric_range")
     assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p.take(800))
@@ -107,18 +119,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     * guards for tag membership. Each family representative's Filter
     * must carry a codegen id and no interpreted lambda. */
   private def assertFilterCodegen(name: String, marker: String): Unit = {
-    val p = plan(name)
+    val p = finalPlan(name)
     assert(p.contains(marker), s"$name: expected $marker in plan\n" + p.take(1200))
-    // judge the QUERY path only: the tree section (every Filter must
-    // carry the `*` codegen marker) and the Filter conditions (no
-    // interpreted lambda). The resident cache-FILL projection below
-    // InMemoryRelation legitimately holds a lambdafunction (paid once
-    // per registration, not per query).
-    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
-    val filters = tree.filter(_.matches(""".*[+:]- (\* )?Filter \(\d+\).*"""))
-    assert(filters.nonEmpty, s"$name: no Filter in plan\n" + p.take(1200))
-    assert(filters.forall(_.contains("* Filter")),
-      s"$name: Filter fell out of whole-stage codegen: $filters\n" + p.take(1200))
+    // judge the QUERY path only: the finalized Filter operator detail
+    // must carry a whole-stage-codegen id (an initial-plan duplicate
+    // never does, so ≥1 match ⟺ the executed Filter is fused), and
+    // no Filter condition may hold an interpreted lambda. The resident
+    // cache-FILL projection below InMemoryRelation legitimately holds
+    // a lambdafunction (paid once per registration, not per query).
+    val fusedFilters = raw"\(\d+\) Filter \[codegen id : \d+\]".r
+      .findAllMatchIn(p).toList
+    assert(fusedFilters.nonEmpty,
+      s"$name: Filter fell out of whole-stage codegen\n" + p.take(1600))
     val conds = p.linesIterator.filter(_.trim.startsWith("Condition")).toSeq
     assert(!conds.exists(_.contains("lambdafunction")),
       s"$name: interpreted HOF lambda in a Filter condition: $conds")
