@@ -133,11 +133,21 @@ object Fixtures {
 
   /** Load every table's parquet footer and validate the columns the
     * fixtures depend on. Throws ONE IllegalStateException listing every
-    * drifted column, or returns silently. Footer-only — no data scan. */
+    * drifted column, or returns silently. Footer-only — no data scan.
+    * The per-table schema reads are independent driver-side footer
+    * jobs, so they run CONCURRENTLY (guide §2.6 overlap-independent-
+    * jobs): serial, each ~50 ms of listing+footer latency dominated
+    * the check's wall time. */
   def preflight(spark: SparkSession, dir: String): Unit = {
     val byTable = expectedColumns.groupBy(_._1)
-    val errs = byTable.toSeq.sortBy(_._1).flatMap { case (tbl, checks) =>
-      scala.util.Try(table(spark, dir, tbl).schema) match {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val errs = Await.result(
+      Future.sequence(byTable.toSeq.sortBy(_._1).map { case (tbl, checks) =>
+        Future((tbl, checks, scala.util.Try(table(spark, dir, tbl).schema)))
+      }), Duration.Inf).flatMap { case (tbl, checks, tried) =>
+      tried match {
         case scala.util.Failure(e) =>
           Seq(s"$tbl: unreadable (${e.getMessage.linesIterator.next()})")
         case scala.util.Success(schema) =>

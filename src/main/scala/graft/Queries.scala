@@ -572,12 +572,16 @@ object Queries {
           "@label:[0 6]=>[KNN 10 @vec $q EF_RUNTIME 200]", opts)
         val exact = e.search("embeddings_l2",
           "@label:[0 6]=>[KNN 10 @vec $q]", opts)
-        val overlap = ann.select(col("__key"))
-          .intersect(exact.select(col("__key"))).count()
-        val n = ann.count()
+        // both sides are LIMIT-k (≤ 10 rows): set overlap on collected
+        // keys — a DataFrame intersect plans two exchanges + an
+        // aggregate for a 10-row comparison (r16; same booleans)
+        val annKeys = ann.select(col("__key")).collect().map(_.getString(0))
+        val exactKeys = exact.select(col("__key")).collect()
+          .map(_.getString(0)).toSet
+        val overlap = annKeys.count(exactKeys.contains)
         val sp = s
         import sp.implicits._
-        Seq((n.toDouble, overlap.toDouble / 10.0 >= 0.9))
+        Seq((annKeys.length.toDouble, overlap.toDouble / 10.0 >= 0.9))
           .toDF("n_results", "recall_ok")
       },
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
@@ -1118,11 +1122,14 @@ object Queries {
           "*=>[KNN 10 @vec $q EF_RUNTIME 200]", opts)
         val exact = eng(s, dir).search("embeddings_l2",
           "*=>[KNN 10 @vec $q]", opts)
-        val overlap = ann.select(col("__key"))
-          .intersect(exact.select(col("__key"))).count()
-        val n = ann.count()
+        // ≤ 10 rows per side: collected-set overlap instead of a
+        // two-exchange DataFrame intersect (r16; same booleans)
+        val annKeys = ann.select(col("__key")).collect().map(_.getString(0))
+        val exactKeys = exact.select(col("__key")).collect()
+          .map(_.getString(0)).toSet
+        val overlap = annKeys.count(exactKeys.contains)
         val sp = s; import sp.implicits._
-        Seq((n.toDouble, overlap.toDouble / 10.0 >= 0.9))
+        Seq((annKeys.length.toDouble, overlap.toDouble / 10.0 >= 0.9))
           .toDF("n_results", "recall_ok")
       },
       "SELECT CAST(10 AS DOUBLE) AS n_results, TRUE AS recall_ok"
