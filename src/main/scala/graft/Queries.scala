@@ -578,7 +578,10 @@ object Queries {
         val annKeys = ann.select(col("__key")).collect().map(_.getString(0))
         val exactKeys = exact.select(col("__key")).collect()
           .map(_.getString(0)).toSet
-        val overlap = annKeys.count(exactKeys.contains)
+        // .toSet preserves the old intersect's SET semantics: a
+        // hypothetical duplicated ANN key must not count twice (r16
+        // ADVICE; keys are unique per page, so booleans are unchanged)
+        val overlap = annKeys.toSet.count(exactKeys.contains)
         val sp = s
         import sp.implicits._
         Seq((annKeys.length.toDouble, overlap.toDouble / 10.0 >= 0.9))
@@ -1127,7 +1130,8 @@ object Queries {
         val annKeys = ann.select(col("__key")).collect().map(_.getString(0))
         val exactKeys = exact.select(col("__key")).collect()
           .map(_.getString(0)).toSet
-        val overlap = annKeys.count(exactKeys.contains)
+        // .toSet: set semantics as the old intersect (r16 ADVICE)
+        val overlap = annKeys.toSet.count(exactKeys.contains)
         val sp = s; import sp.implicits._
         Seq((annKeys.length.toDouble, overlap.toDouble / 10.0 >= 0.9))
           .toDF("n_results", "recall_ok")

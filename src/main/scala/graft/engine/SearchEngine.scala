@@ -736,6 +736,13 @@ class SearchEngine {
     * scan the columnar predicate already pays. */
   var postingRouteMaxSelectivity: Double = 0.25
 
+  /** Resident-cache layout grain for [[graft.util.Parallelism.ensureBytes]]:
+    * one cache partition per this many ESTIMATED bytes (capped at the
+    * default parallelism). Chosen by isolated pairs at sf0.1 (r17):
+    * cheap term lookups back at their pre-widen latency, proximity
+    * gates within 1.2× of the all-cores layout. */
+  val ResidentBytesPerPartition: Long = 256L << 10
+
   /** FT.CREATE analogue: register an enriched document DataFrame.
     * `resident = true` persists the enriched table (derived tag/token/
     * vector columns included) — the batch counterpart of the
@@ -756,11 +763,17 @@ class SearchEngine {
       else docs
     val stored =
       // resident caches pin their partition layout for every later
-      // query — widen a byte-small (often single-partition) enrichment
-      // once at registration so text predicates/proximity run
-      // cores-wide off the cache (scale-adaptive: no-op when the
-      // source already carries ≥ cores partitions)
-      if (resident) graft.util.Parallelism.ensure(serving)
+      // query — lay out a byte-small (often single-partition)
+      // enrichment once at registration so per-row-heavy predicates
+      // (proximity/SLOP) run multi-core off the cache. SIZE-DERIVED
+      // target, not defaultParallelism (r16 regression: the
+      // straight-to-cores layout launched cores× tasks for every
+      // sub-100 ms point lookup, costing ~30-60 ms/query on ~16 term
+      // gates; ~256 KB of estimated bytes per partition keeps the
+      // proximity win — multi-core where there is real per-row work —
+      // while point queries pay a handful of tasks). Scale-adaptive:
+      // no-op when the source already carries ≥ cores partitions.
+      if (resident) graft.util.Parallelism.ensureBytes(serving, ResidentBytesPerPartition)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else serving
     infoDocs(schema.name) = docs

@@ -27,6 +27,21 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  *    default split per core — trivial next to the compute stage it
  *    parallelizes.
  *
+ * [[ensureBytes]] is the SIZE-PROPORTIONAL variant for relations that
+ * are laid out once and then served many times (the resident text
+ * cache): instead of jumping straight to `defaultParallelism` — which
+ * taxes every subsequent sub-100 ms point query with cores× task
+ * launches — the target partition count is derived from the size
+ * estimate itself (⌈estimate / bytesPerPartition⌉, capped at cores).
+ * A byte-small cache then gets a handful of partitions: enough that
+ * per-row-heavy predicates (proximity/SLOP) still run multi-core off
+ * the cache, without per-task scheduling overhead owning the cheap
+ * term lookups (measured in r16: the straight-to-cores layout cost
+ * ~30-60 ms/query on ~16 point-lookup gates while winning 2-3× on the
+ * three proximity gates; the size-derived target keeps the win and
+ * drops the tax). Same 100 TB behaviour as [[ensure]]: past the
+ * byte-splitting threshold it is a no-op.
+ *
  * The probe reads `optimizedPlan.stats.sizeInBytes` — pure planning,
  * never executes anything (unlike an `rdd.getNumPartitions` probe,
  * which under AQE can materialize query stages). Estimates inflated by
@@ -47,21 +62,42 @@ object Parallelism {
   def ensure(df: DataFrame): DataFrame = ensureDs(df)
 
   /** [[ensure]] for typed Datasets (media rows etc.). */
-  def ensureDs[T](ds: Dataset[T]): Dataset[T] = {
+  def ensureDs[T](ds: Dataset[T]): Dataset[T] = widen(ds, None)
+
+  /** Size-proportional layout for serve-many relations: repartition to
+    * ⌈estimate / bytesPerPartition⌉ (at least 1, at most the default
+    * parallelism) when the estimate says byte-splitting could not have
+    * filled the cores; no-op otherwise (and at any real scale). */
+  def ensureBytes[T](ds: Dataset[T], bytesPerPartition: Long): Dataset[T] =
+    widen(ds, Some(bytesPerPartition))
+
+  private def widen[T](ds: Dataset[T], bytesPerPartition: Option[Long]): Dataset[T] = {
     val spark = ds.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val cores = spark.sparkContext.defaultParallelism
     val plan = ds.queryExecution.optimizedPlan
     // idempotence + caller override: a lineage that already carries an
-    // EXPLICIT repartition/coalesce (a gate that widened before a
-    // compute-heavy map, or deliberately narrowed a trivial planted
-    // fixture) keeps the caller's layout — no second exchange
+    // EXPLICIT layout node — repartition(n)/coalesce, repartition(col)
+    // (RepartitionByExpression), or a REBALANCE hint — keeps the
+    // caller's layout: a second round-robin exchange would both pay an
+    // extra shuffle and destroy a deliberate keyed layout.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Repartition, RepartitionByExpression, RebalancePartitions}
     val callerLaidOut = plan.collectFirst {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: Repartition => r
+      case r: RepartitionByExpression => r
+      case r: RebalancePartitions => r
     }.isDefined
     if (callerLaidOut) return ds
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val est = plan.stats.sizeInBytes
-    if (est < BigInt(maxSplit) * target) ds.repartition(target) else ds
+    if (est >= BigInt(maxSplit) * cores) return ds
+    val target = bytesPerPartition match {
+      case None => cores
+      case Some(b) =>
+        val n = ((est + b - 1) / b).min(BigInt(cores)).max(BigInt(1))
+        n.toInt
+    }
+    ds.repartition(target)
   }
 }

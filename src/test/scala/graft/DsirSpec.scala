@@ -166,5 +166,44 @@ class DsirSpec extends AnyFunSuite {
       case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
     }
     assert(exchanges.size == 1)
+    // a caller's KEYED layout (RepartitionByExpression) is honored too
+    // (r16 ADVICE: a round-robin exchange on top would silently destroy
+    // a deliberate hash layout, e.g. DocState's __bpart or the posting
+    // store's cell_id)
+    val keyed = graft.util.Parallelism.ensure(df.repartition(col("k")))
+    val rre = keyed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }
+    assert(rre.isEmpty, "ensure must not stack round-robin on a keyed layout")
+    // and a REBALANCE hint likewise passes through unchanged
+    val rebal = graft.util.Parallelism.ensure(
+      df.hint("rebalance"))
+    val rbNodes = rebal.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }
+    assert(rbNodes.isEmpty)
+  }
+
+  test("Parallelism.ensureBytes derives the partition count from the size estimate") {
+    val sp = spark; import sp.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val df = (0 until 1000).map(i => (i.toLong, s"row $i")).toDF("k", "t")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // grain = est/3 → ⌈est/grain⌉ = 3 partitions (size-proportional,
+    // NOT the straight-to-cores layout that taxed point queries in r16)
+    val grain = (est / 3).toLong.max(1L)
+    val laid = graft.util.Parallelism.ensureBytes(df, grain)
+    val want = math.min(cores, 3)
+    assert(laid.rdd.getNumPartitions == want,
+      s"got ${laid.rdd.getNumPartitions}, want $want")
+    // row multiset unchanged
+    assert(laid.as[(Long, String)].collect().sorted.toSeq ==
+      df.as[(Long, String)].collect().sorted.toSeq)
+    // a huge grain still yields at least one partition
+    assert(graft.util.Parallelism.ensureBytes(df, Long.MaxValue)
+      .rdd.getNumPartitions >= 1)
+    // caller layout wins here too
+    assert(graft.util.Parallelism.ensureBytes(df.coalesce(2), grain)
+      .rdd.getNumPartitions == 2)
   }
 }

@@ -118,19 +118,53 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     * whole-stage codegen — the same mechanism the TagsOf pin above
     * guards for tag membership. Each family representative's Filter
     * must carry a codegen id and no interpreted lambda. */
+  /** Operator ids of every Filter on the QUERY path: the tree-section
+    * Filters outside (a) any InMemoryRelation subtree (the resident
+    * cache FILL — paid once per registration, not per query) and
+    * (b) any `== Initial Plan ==` section (un-executed duplicates that
+    * never carry codegen annotations). */
+  private def queryPathFilterIds(p: String): Seq[String] = {
+    val treeEnd = p.indexOf("\n\n(")
+    val tree = if (treeEnd >= 0) p.take(treeEnd) else p
+    def indentOf(l: String): Int = l.indexWhere(c => !" +-:*".contains(c))
+    val opRe = raw"([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$$".r
+    // (indent, strictResume): an InMemoryRelation's children are
+    // STRICTLY deeper (resume at ind <= d); an `== Initial Plan ==`
+    // section's contents sit at the SAME indent as the marker
+    // (resume only at ind < d)
+    var skip: Option[(Int, Boolean)] = None
+    val ids = scala.collection.mutable.ListBuffer[String]()
+    for (l <- tree.linesIterator if l.exists(!" ".contains(_))) {
+      val ind = indentOf(l)
+      skip match {
+        case Some((d, strict)) if (if (strict) ind < d else ind <= d) => skip = None
+        case _ =>
+      }
+      if (skip.isEmpty) {
+        if (l.contains("InMemoryRelation (")) skip = Some((ind, false))
+        else if (l.contains("== Initial Plan ==")) skip = Some((ind, true))
+        else opRe.findFirstMatchIn(l).foreach { m =>
+          if (m.group(1).trim == "Filter") ids += m.group(2)
+        }
+      }
+    }
+    ids.distinct.toSeq
+  }
+
   private def assertFilterCodegen(name: String, marker: String): Unit = {
     val p = finalPlan(name)
     assert(p.contains(marker), s"$name: expected $marker in plan\n" + p.take(1200))
-    // judge the QUERY path only: the finalized Filter operator detail
-    // must carry a whole-stage-codegen id (an initial-plan duplicate
-    // never does, so ≥1 match ⟺ the executed Filter is fused), and
-    // no Filter condition may hold an interpreted lambda. The resident
-    // cache-FILL projection below InMemoryRelation legitimately holds
-    // a lambdafunction (paid once per registration, not per query).
-    val fusedFilters = raw"\(\d+\) Filter \[codegen id : \d+\]".r
-      .findAllMatchIn(p).toList
-    assert(fusedFilters.nonEmpty,
-      s"$name: Filter fell out of whole-stage codegen\n" + p.take(1600))
+    // EVERY query-path Filter must carry a whole-stage-codegen id in
+    // the finalized plan (the original pin, restored per r16 ADVICE:
+    // a single fused Filter — e.g. one in the cache-fill section —
+    // must not mask a query-path Filter falling out of codegen), and
+    // no Filter condition anywhere may hold an interpreted lambda.
+    val ids = queryPathFilterIds(p)
+    assert(ids.nonEmpty, s"$name: no query-path Filter found\n" + p.take(1600))
+    ids.foreach { id =>
+      assert(raw"\($id\) Filter \[codegen id : \d+\]".r.findFirstIn(p).isDefined,
+        s"$name: query-path Filter ($id) fell out of whole-stage codegen\n" + p.take(1600))
+    }
     val conds = p.linesIterator.filter(_.trim.startsWith("Condition")).toSeq
     assert(!conds.exists(_.contains("lambdafunction")),
       s"$name: interpreted HOF lambda in a Filter condition: $conds")
