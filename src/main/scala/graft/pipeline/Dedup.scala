@@ -602,38 +602,76 @@ object Dedup {
         explode(bandsOf(col("hash"))).as("bk"))
       .select(col("k"), col("hash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3. band-cell frequency tiers (one linear count over the join set)
-    val freqs = crossBanded.groupBy(col("band"), col("bv")).count()
-    val hotCells = freqs.filter(col("count") > saltAbove)
-      .select(col("band"), col("bv"),
-        (col("count") > lit(maxBandFreq.map(_.toLong).getOrElse(Long.MaxValue)))
-          .as("capped"))
-    val cold = crossBanded.join(broadcast(hotCells), Seq("band", "bv"), "left_anti")
+    // 3. band-cell frequency tiers (one linear count over the join
+    // set). The hot-cell set is bounded METADATA (at most 4n/saltAbove
+    // cells can exceed saltAbove), so probe it with a capped take
+    // (guide §8: decide with small rows, move heavy rows once):
+    //  - NO hot cell — the dispersed-after-rep-substitution common
+    //    case, incl. the degenerate modal corpus — the anti-join would
+    //    drop nothing and the salted mid tier is empty: build the cold
+    //    pairs straight off crossBanded, skipping two broadcast joins
+    //    and the whole salt-explode subtree (r17: the degenerate gate
+    //    spent ~1/3 of its 41 jobs materializing provably-empty
+    //    branches);
+    //  - ≤ 10k hot cells: join against a broadcast LocalRelation of
+    //    the collected set instead of re-materializing the frequency
+    //    aggregation once per consumer (the two broadcast(hotCells)
+    //    subtrees cannot share an exchange — their projections
+    //    differ);
+    //  - more (extreme-scale corpora): the original
+    //    aggregate-and-broadcast plan, unchanged.
+    // All three branches produce the identical pair set: the anti/semi
+    // joins partition crossBanded by the SAME hot-cell predicate.
+    val capThr = maxBandFreq.map(_.toLong).getOrElse(Long.MaxValue)
+    val hotAgg = crossBanded.groupBy(col("band"), col("bv")).count()
+      .filter(col("count") > saltAbove)
+      .select(col("band"), col("bv"), (col("count") > lit(capThr)).as("capped"))
+    val hotProbe = hotAgg.take(10001)
+    val (cold, midOpt) =
+      if (hotProbe.isEmpty) (crossBanded, None)
+      else if (hotProbe.length <= 10000) {
+        val spark = crossBanded.sparkSession
+        import spark.implicits._
+        val hotLocal = hotProbe.toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+          .toDF("band", "bv", "capped")
+        val mid =
+          if (hotProbe.forall(_.getBoolean(2))) None // every hot cell capped
+          else Some(crossBanded.join(
+            broadcast(hotLocal.filter(!col("capped")).select("band", "bv")),
+            Seq("band", "bv"), "left_semi"))
+        (crossBanded.join(broadcast(hotLocal.select("band", "bv")),
+          Seq("band", "bv"), "left_anti"), mid)
+      } else {
+        (crossBanded.join(broadcast(hotAgg), Seq("band", "bv"), "left_anti"),
+          Some(crossBanded.join(
+            broadcast(hotAgg.filter(!col("capped")).select("band", "bv")),
+            Seq("band", "bv"), "left_semi")))
+      }
     val coldPairs = cold.as("a")
       .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.hash") =!= col("b.hash") && col("a.k") < col("b.k"))
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
-    val mid = crossBanded.join(
-      broadcast(hotCells.filter(!col("capped")).select("band", "bv")),
-      Seq("band", "bv"), "left_semi")
-    val g = saltGroups
-    val salted = mid
-      .withColumn("grp", pmod(hash(col("k")), lit(g)).cast("int"))
-      .withColumn("t", explode(array((0 until g).map(j =>
-        struct(least(col("grp"), lit(j)).as("ti"),
-          greatest(col("grp"), lit(j)).as("tj"))): _*)))
-    val midPairs = salted.as("a").join(salted.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.hash") =!= col("b.hash") && col("a.t") === col("b.t") &&
-          col("a.k") < col("b.k") &&
-          when(col("a.t.ti") === col("a.t.tj"),
-            col("a.grp") === col("b.grp"))
-            .otherwise(col("a.grp") =!= col("b.grp")))
-      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
-        bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
-    val cross = coldPairs.unionByName(midPairs)
+    val midPairsOpt = midOpt.map { mid =>
+      val g = saltGroups
+      val salted = mid
+        .withColumn("grp", pmod(hash(col("k")), lit(g)).cast("int"))
+        .withColumn("t", explode(array((0 until g).map(j =>
+          struct(least(col("grp"), lit(j)).as("ti"),
+            greatest(col("grp"), lit(j)).as("tj"))): _*)))
+      salted.as("a").join(salted.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.hash") =!= col("b.hash") && col("a.t") === col("b.t") &&
+            col("a.k") < col("b.k") &&
+            when(col("a.t.ti") === col("a.t.tj"),
+              col("a.grp") === col("b.grp"))
+              .otherwise(col("a.grp") =!= col("b.grp")))
+        .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+          bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
+    }
+    val cross = midPairsOpt.fold(coldPairs)(coldPairs.unionByName(_))
       .filter(col("hamming") <= maxHamming)
       .distinct()
     val result = clique.unionByName(star).unionByName(cross)
