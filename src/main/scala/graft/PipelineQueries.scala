@@ -1166,14 +1166,25 @@ object PipelineQueries {
         substring(col("text"), 81, 40),
         when(col("doc_id") % 5 === 0, lit("alpha beta"))
           .otherwise(lit("of that have with be to")))
-      // NOT widened: the gopher/repetition structs feed a FILTER, and
-      // Catalyst pushes filters below an inserted exchange — the heavy
-      // expressions stay in the single scan task while the exchange
-      // adds cost (isolated pair: 1.46 s → 2.43 s with the widen)
+      // eval_once (r17): without the barrier, CollapseProject +
+      // predicate pushdown inline gopher_counts into the Filter
+      // condition 22× and ngram_repetition_stats 2× (FilterExec does
+      // no common-subexpression elimination), so every row paid the
+      // tokenize/count pass per conjunct — plans/r17 before/after.
+      // The barrier keeps both structs in ONE projection below the
+      // filter; outputs are bit-identical (the wrapped expressions are
+      // deterministic; only plan shape changes).
+      // NOT widened, re-measured in r17: with the barrier the filter
+      // can no longer sink below an exchange, but the widen still
+      // loses (pairs: barrier-only 0.71-0.88 s vs barrier+ensure
+      // 1.15-1.62 s) — once the structs evaluate once per row the
+      // remaining compute is cheaper than the exchange + AQE round
       val kept = docs(s, dir)
         .withColumn("__t", t)
-        .withColumn("__g", TextMetrics.gopherRules(col("__t"), minWords = 15))
-        .withColumn("__nr", TextMetrics.ngramRepetitionStats(col("__t")))
+        .withColumn("__g", graft.functions.eval_once(
+          TextMetrics.gopherRules(col("__t"), minWords = 15)))
+        .withColumn("__nr", graft.functions.eval_once(
+          TextMetrics.ngramRepetitionStats(col("__t"))))
         .filter(col("__g.pass") &&
           col("__nr.top_2gram_char_frac") <= lit(0.20) &&
           col("__nr.dup_5gram_char_frac") <= lit(0.15))

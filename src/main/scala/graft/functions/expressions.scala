@@ -1841,3 +1841,29 @@ case class GopherCounts(child: Expression)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/**
+ * Evaluation barrier: forwards its child unchanged but reports
+ * `deterministic = false`, which stops the optimizer from (a) collapsing
+ * the projection that computes it into consumers and (b) pushing filters
+ * through that projection — the two rewrites that inline an expensive
+ * struct expression once per referencing predicate (optimization guide
+ * §4.4: Catalyst re-evaluates a filtered derived column below AND above
+ * the pushed filter; FilterExec does no common-subexpression
+ * elimination, so a pass predicate over an 8-field metrics struct pays
+ * the struct once per conjunct). The child IS deterministic — results
+ * are bit-identical; only plan shape changes. Use on expensive
+ * struct-producing expressions whose fields feed a filter.
+ */
+case class EvalOnce(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = child.dataType
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

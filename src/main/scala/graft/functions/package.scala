@@ -125,4 +125,10 @@ package object functions {
   /** Raw Gopher-rule counts in one pass (struct). */
   def gopher_counts(text: Column): Column =
     expr2col(GopherCounts(col2expr(text)))
+  /** Compute an expensive (struct) expression ONCE per row: a
+    * deterministic pass-through that the optimizer must not duplicate
+    * per referencing predicate nor push filters through (see
+    * [[EvalOnce]]). */
+  def eval_once(c: Column): Column =
+    expr2col(EvalOnce(col2expr(c)))
 }

@@ -117,4 +117,40 @@ class GopherRulesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("stop_word_hits") == sh, s"i=$i sh <$text>")
     }
   }
+
+  test("eval_once: identical results, and the struct stays out of the filter") {
+    val sp = spark; import sp.implicits._
+    // a FILE source, not a local relation: ConvertToLocalRelation folds
+    // projections/filters over LocalRelation at planning time regardless
+    // of determinism, which would hide the very plan shape under test
+    val tmp = java.nio.file.Files.createTempDirectory("evalonce").toString
+    (0 until 200).map { i =>
+      (i.toLong, s"the cat sat with the hat and ten $i " * (1 + i % 5))
+    }.toDF("id", "t").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val plain = df
+      .withColumn("__g", TextMetrics.gopherRules(col("t"), minWords = 2))
+      .filter(col("__g.pass") && col("__g.word_count") >= 5)
+      .select(col("id"), col("__g.word_count"))
+    val barriered = df
+      .withColumn("__g", graft.functions.eval_once(
+        TextMetrics.gopherRules(col("t"), minWords = 2)))
+      .filter(col("__g.pass") && col("__g.word_count") >= 5)
+      .select(col("id"), col("__g.word_count"))
+    // bit-identical rows: the barrier only changes plan shape
+    assert(barriered.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // the heavy struct must be evaluated in a Project BELOW the filter,
+    // never inlined per predicate into the Filter condition
+    val planStr = barriered.queryExecution.executedPlan.toString
+    val filterLines = planStr.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.nonEmpty)
+    assert(!filterLines.exists(_.contains("gopher_counts")),
+      s"struct inlined into the Filter: $filterLines")
+    // while the un-barriered plan DOES inline it (the regression the
+    // barrier exists for — if Catalyst ever stops, the barrier can go)
+    val plainFilter = plain.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Filter")).toSeq
+    assert(plainFilter.exists(_.contains("gopher_counts")))
+  }
 }
