@@ -404,6 +404,13 @@ object Dedup {
                         maxShingleFreq: Option[Int] = Some(1000),
                         saltAbove: Option[Int] = None,
                         saltGroups: Int = 8): DataFrame = {
+    // NOT persisted (measured r17): caching the (k, shingles) relation
+    // like minhashNearDups does made the salted gate 2.5× SLOWER
+    // (alternated pairs: persist+checkpoint 4.5/4.8 s vs lineage
+    // 1.6/1.9 s; the jaccard gate flat) — here the identical self-join
+    // sides already share one exchange (ReuseExchange), the remaining
+    // consumers are cheap narrow projections, and the cache fill plus
+    // eager checkpoint cost more than the recomputed shingle pass.
     val base = graft.util.Parallelism.ensure(df)
       .select(col(keyCol).as("k"),
         hashedShingles(col(textCol), shingleN).as("sh"))
@@ -990,7 +997,12 @@ object Dedup {
     import spark.implicits._
     val cells = if (nCells > 0) nCells else Ann.autoCells(df.count())
     val centroids = Ann.kmeansCentroids(df, vecCol, cells)
-    val base = graft.util.Parallelism.ensure(df)
+    // NOT widened (Parallelism.ensure): r16's widen re-paired WORSE at
+    // the benched SF in r17 (alternated pairs: no-widen 1.15/1.18 s vs
+    // widen 1.24/1.38 s; the driver's r16 run agreed at ×0.84) — the
+    // groupByKey(cell) below shuffles anyway, so the extra round-robin
+    // exchange ahead of it buys nothing
+    val base = df
       .select(col(keyCol).cast("string").as("k"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("cell", Ann.cellId(col("v"), centroids))
