@@ -265,19 +265,21 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     case b: Array[Byte] => b
     case other => String.valueOf(other).getBytes(UTF_8)
   }
-  private var sock: Socket = _
-  private var sockOut: OutputStream = _
-  private var sockIn: InputStream = _
-  private def ensureConn(): Unit =
-    if (sock == null || sock.isClosed) {
-      sock = new Socket("127.0.0.1", port)
-      sockOut = new BufferedOutputStream(sock.getOutputStream)
-      sockIn = new BufferedInputStream(sock.getInputStream)
-    }
+  /** One socket per THREAD: the replay fans a dataset group across a
+    * fixed pool (the corpora are ~50k independent read-only commands;
+    * a single serial connection made this suite 64 of the full run's
+    * 74 minutes), and RESP connections cannot be shared mid-reply. */
+  private val conns = new ThreadLocal[(Socket, OutputStream, InputStream)]
   private def cmd(args: Any*): Any = {
-    ensureConn()
-    writeArgv(sockOut, args.map(toBytes)); sockOut.flush()
-    readReply(sockIn)
+    var c = conns.get()
+    if (c == null || c._1.isClosed) {
+      val s = new Socket("127.0.0.1", port)
+      c = (s, new BufferedOutputStream(s.getOutputStream),
+        new BufferedInputStream(s.getInputStream))
+      conns.set(c)
+    }
+    writeArgv(c._2, args.map(toBytes)); c._2.flush()
+    readReply(c._3)
   }
 
   // ---- golden comparison ----
@@ -479,42 +481,55 @@ class CompatCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
                      exprStrictness: Boolean = false)
       : (Int, Map[String, Int], Seq[String], Int) = {
     val all = answers(resource)
-    var total = 0
-    var knownDeltas = 0
+    val total = new java.util.concurrent.atomic.AtomicInteger
+    val knownDeltas = new java.util.concurrent.atomic.AtomicInteger
     val failures = scala.collection.mutable.Map.empty[String, Int]
     val samples = scala.collection.mutable.ArrayBuffer.empty[String]
-    all.groupBy(dsName).toSeq.sortBy(_._1).foreach { case (ds, group) =>
+    // Replay each dataset group across a fixed pool (guide §2.6:
+    // overlap independent work): the commands are independent READ-ONLY
+    // requests against the loaded dataset — the same concurrency the
+    // soak suites already exercise — so coverage and the per-command
+    // golden comparison are unchanged; only wall time shrinks (the
+    // serial single-connection replay was 64 of the full run's 74
+    // minutes). Dataset LOADS stay serial and ordered before their
+    // group; the end-of-group barrier keeps currentDocs stable while
+    // any replay is in flight.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try all.groupBy(dsName).toSeq.sortBy(_._1).foreach { case (ds, group) =>
       val d = datasets.getOrElse(ds, fail(s"no dataset $ds in fixture"))
       load(d)
-      group.foreach { ans =>
-        total += 1
-        val got =
-          try cmd(ans.cmd: _*)
-          catch { case t: Throwable => ("ERR", s"client: ${t.getMessage}") }
-        compare(ans, got).foreach { why =>
-          // COMPAT_DELTAS.md §4: the expr corpus' goldens carry
-          // RediSearch's STRICT-PARSE errors on expressions the
-          // reference module accepts and Nil-propagates (schema
-          // attributes resolvable without LOAD — ft_aggregate_parser.cc
-          // MakeReference:263-302 — and type-lenient literal operands);
-          // golden-errored + we-replied-well-formed is that pinned
-          // class, counted exactly by the caller.
-          val exprDelta = exprStrictness && ans.exc &&
-            why.startsWith("golden errored")
-          if (isKnownDelta(ans) || exprDelta) {
-            knownDeltas += 1
-          } else {
-            val k = s"$ds :: ${why.take(60)}"
-            failures(k) = failures.getOrElse(k, 0) + 1
-            // cap samples PER failure class (a global 40-sample cap
-            // otherwise fills with the most common class)
-            if (failures(k) <= 8)
-              samples += s"[$ds] ${ans.testname} cmd=${ans.cmd.map(String.valueOf(_)).mkString(" ").take(140)} -> ${why.take(700)}"
+      val tasks = group.map { ans =>
+        pool.submit(new Runnable { override def run(): Unit = {
+          total.incrementAndGet()
+          val got =
+            try cmd(ans.cmd: _*)
+            catch { case t: Throwable => ("ERR", s"client: ${t.getMessage}") }
+          compare(ans, got).foreach { why =>
+            // COMPAT_DELTAS.md §4: the expr corpus' goldens carry
+            // RediSearch's STRICT-PARSE errors on expressions the
+            // reference module accepts and Nil-propagates (schema
+            // attributes resolvable without LOAD — ft_aggregate_parser.cc
+            // MakeReference:263-302 — and type-lenient literal operands);
+            // golden-errored + we-replied-well-formed is that pinned
+            // class, counted exactly by the caller.
+            val exprDelta = exprStrictness && ans.exc &&
+              why.startsWith("golden errored")
+            if (isKnownDelta(ans) || exprDelta) {
+              knownDeltas.incrementAndGet()
+            } else failures.synchronized {
+              val k = s"$ds :: ${why.take(60)}"
+              failures(k) = failures.getOrElse(k, 0) + 1
+              // cap samples PER failure class (a global 40-sample cap
+              // otherwise fills with the most common class)
+              if (failures(k) <= 8)
+                samples += s"[$ds] ${ans.testname} cmd=${ans.cmd.map(String.valueOf(_)).mkString(" ").take(140)} -> ${why.take(700)}"
+            }
           }
-        }
+        }})
       }
-    }
-    (total, failures.toMap, samples.toSeq, knownDeltas)
+      tasks.foreach(_.get()) // barrier: the next group swaps currentDocs
+    } finally pool.shutdown()
+    (total.get(), failures.toMap, samples.toSeq, knownDeltas.get())
   }
 
   test("aggregate corpus: all 12 datasets replay against the reference goldens") {

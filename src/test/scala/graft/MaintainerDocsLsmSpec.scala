@@ -183,8 +183,15 @@ class MaintainerDocsLsmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = IndexSchema("lsm_idx", Seq(FieldDef("text", TextField())))
     val pre = graft.sources.Documents.enrich(Ingest.readState(spark, statePath), schema)
     engineR.createIndex(schema, pre, resident = true)
+    // probe the relation the engine actually PERSISTED (the catalog's
+    // stored handle) — since r16 the resident path lays the enrichment
+    // out before persisting, so the caller's `pre` plan is no longer
+    // the cached plan and a lookup on it is vacuously empty (the stale
+    // probe made this test red at r16 HEAD; the unpersist contract it
+    // pins was never broken — adoption unpersists engine.index()._2)
+    val stored = engineR.index("lsm_idx")._2
     def cached = spark.sharedState.cacheManager
-      .lookupCachedData(pre.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .lookupCachedData(stored.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
     assert(cached.isDefined, "precondition: pre-registration is cached")
     IndexMaintainer.openIndex(engineR, "lsm_idx", baseDir,
       docsSource = Some(() => Ingest.readState(spark, statePath)))
