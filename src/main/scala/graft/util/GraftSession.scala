@@ -42,6 +42,15 @@ object GraftSession {
       // small post-shuffle relations whose fixed shuffle.partitions
       // layout otherwise pays cores× near-empty tasks per downstream
       // stage at ANY scale where the cached relation is byte-small.
+      // Cross-scale tolerance (r16 ADVICE): a summation-order-sensitive
+      // double reducer (round(avg,4) etc.) computed OVER a cached
+      // relation could see a different partial-agg grouping at another
+      // scale/core count under this flag + the size-adaptive cache
+      // layouts. No declared aggregate consumes one: the FT.AGGREGATE
+      // pipeline keeps the scan's layout on purpose (see the
+      // SearchEngine.aggregateStages NOT-widened comment) and the a_*
+      // gates read non-resident indexes; the oracle re-checks this at
+      // both driver SFs every round.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
     if (master.startsWith("local-cluster")) {
       // worker memory is the third bracket figure (MB); leave the
